@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.mr.{MapReduce, MrApps}
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The reference's MapReduce workload shapes (word count, inverted index —
+  * /root/reference/src/mrapps/wc.go, indexer.go) expressed over the
+  * driver's `documents` table so the DuckDB oracle can check them, plus
+  * the generic holistic-MR engine itself as a rows-only entry.
+  *
+  * Scale notes: wordcount/inverted-index are explode→groupBy pipelines —
+  * Catalyst plans partial aggregation before the shuffle, so shuffled
+  * bytes are proportional to distinct words per partition, not total
+  * tokens (unlike the reference, which ships every ("word","1") pair
+  * across its shuffle files — SURVEY.md §4.2 "combiner: absent").
+  */
+object TextMrQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- word count (per-occurrence), the reference's flagship query ----
+    QueryDef(
+      "q21_wordcount",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }.copy(headline = true),
+
+    // ---- inverted index: per-document-distinct words → sorted postings ----
+    QueryDef(
+      "q22_inverted_index",
+      """SELECT word, count(*) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |      FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+        .groupBy("word")
+        .agg(count(lit(1)).as("n_docs"),
+             array_join(transform(sort_array(collect_set(col("doc_id"))),
+               _.cast("string")), ",").as("postings"))
+        .orderBy("word")
+    },
+
+    // ---- the generic (mapf, reducef) engine over the lab's own corpus ----
+    // Holistic reduce path (groupByKey.mapGroups) — not SQL-expressible in
+    // DuckDB over the parquet tables, so rows-only check. Full golden parity
+    // vs the committed mymrout snapshot is asserted in GoldenParitySpec.
+    QueryDef.noOracle("q23_generic_mapreduce") { (s, _) =>
+      import s.implicits._
+      MapReduce.run(s, "/root/reference/src/main/pg-*.txt",
+          MrApps.wcMap, MrApps.wcReduce)
+        .toDF("key", "value")
+        .orderBy("key")
+    }
+  )
+}
