@@ -30,6 +30,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot represent;
+      // read it as Long nanos-since-epoch (Tables.eventsTs converts).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

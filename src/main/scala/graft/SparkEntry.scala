@@ -14,7 +14,8 @@ object SparkEntry {
   /** All catalog entries, in registration order. */
   def catalog: Seq[QueryDef] =
     graft.operators.RelationalQueries.defs ++
-      graft.operators.TextMrQueries.defs
+      graft.operators.TextMrQueries.defs ++
+      graft.operators.KvQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -27,6 +27,19 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** events with `ts` as a proper TimestampType (microsecond precision).
+    * The raw column is parquet TIMESTAMP(NANOS), which Spark reads as Long
+    * nanos-since-epoch under spark.sql.legacy.parquet.nanosAsLong; the
+    * sub-microsecond remainder is truncated — queries that cross the
+    * DuckDB oracle must only use ≥1µs granularity (they do: date_trunc to
+    * hour/day).
+    */
+  def eventsTs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(spark, dir).withColumn("ts",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
