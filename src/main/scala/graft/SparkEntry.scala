@@ -15,7 +15,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     graft.operators.RelationalQueries.defs ++
       graft.operators.TextMrQueries.defs ++
-      graft.operators.KvQueries.defs
+      graft.operators.KvQueries.defs ++
+      graft.operators.PipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,185 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.tables.Tables
+import graft.textops.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over documents/embeddings:
+  * text analysis, dedup (exact + MinHash/SimHash), similarity search.
+  * Where the computation is engine-neutral (no Spark-specific hashes)
+  * the entry carries a DuckDB oracle — including BIT-EXACT cosine
+  * similarity (sequential double fold on both sides); xxhash64-based
+  * sketches are rows-only checked by the driver and value-checked in
+  * the ScalaTest specs instead.
+  */
+object PipelineQueries {
+
+  /** DuckDB SQL fragment: sequential-double dot product of two float
+    * lists — bit-exact with Similarity.dot.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis: token stats per language ----
+    QueryDef(
+      "q26_token_stats",
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+        |       round(avg(CAST(list_sum(list_transform(string_split(text, ' '),
+        |             w -> length(w))) AS DOUBLE)
+        |             / len(string_split(text, ' '))), 4) AS avg_word_len
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("lang"), size(toks).as("n_tok"),
+          (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+            size(toks).cast("double")).as("mwl"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum("n_tok").as("total_tokens"),
+             round(avg("n_tok"), 4).as("avg_tokens"),
+             round(avg("mwl"), 4).as("avg_word_len"))
+        .orderBy("lang")
+    },
+
+    // ---- text analysis: per-doc quality metrics ----
+    QueryDef(
+      "q27_quality",
+      s"""SELECT doc_id,
+         |       len(string_split(text, ' ')) AS n_tokens,
+         |       round(CAST(len(list_filter(string_split(text, ' '),
+         |             w -> list_contains($stopwordsSql, w))) AS DOUBLE)
+         |             / len(string_split(text, ' ')), 4) AS stop_ratio
+         |FROM documents
+         |WHERE doc_id < 200
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(size(filter(toks, w => w.isin(stopwords: _*))).cast("double") /
+            size(toks).cast("double"), 4).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact dedup groups (content digest) ----
+    QueryDef(
+      "q28_dedup_exact",
+      """SELECT md5(text)   AS fp,
+        |       min(doc_id) AS keep_id,
+        |       count(*)    AS n_copies
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY fp""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy("fp")
+    },
+
+    // ---- similarity search: exact brute-force cosine top-10 ----
+    QueryDef(
+      "q29_ann_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+         |           FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosineSql("q.q_embedding", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sims) t
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    }.copy(headline = true),
+
+    // ---- embedding near-dup: planted twins found above threshold ----
+    QueryDef(
+      "q30_embedding_neardup",
+      s"""WITH twins AS (
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(CAST(x AS DOUBLE) * 1.01 + 0.005 AS FLOAT)) AS embedding
+         |  FROM embeddings WHERE vec_id < 30),
+         |uni AS (SELECT vec_id, embedding FROM embeddings
+         |        UNION ALL SELECT vec_id, embedding FROM twins),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+         |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(sim, 8) AS sim
+         |FROM pairs
+         |WHERE sim >= 0.99
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
+      val uni = emb.union(twins)
+      Similarity.embeddingNearDups(uni, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 8).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- MinHash-LSH near-dup (xxhash64 sketches → rows-only check;
+    //      value correctness asserted in DedupSpec with planted dups) ----
+    QueryDef.noOracle("q31_minhash_neardup") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // plant near-duplicates: first 10 docs re-appear with one word changed
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- SimHash sketches + near-dup distances (rows-only) ----
+    QueryDef.noOracle("q32_simhash_neardup") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" planted")).as("text"))
+      Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- language-ID heuristic + quality score (rows-only: heuristic
+    //      formulas are Spark-expression specific) ----
+    QueryDef.noOracle("q33_langid_quality") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextAnalysis.langId(col("text")).as("guessed_lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.bpeIshTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- rolling-hash fingerprint (xxhash64 → rows-only) ----
+    QueryDef.noOracle("q34_fingerprint") { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,158 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Cosine is computed as a sequential double fold over the zipped arrays
+  * (`aggregate(zip_with(...))`) — pure Catalyst expressions, stays in
+  * codegen, and is bit-exact with the equivalent explicit-double
+  * evaluation in DuckDB (verified: list_sum/list_transform/list_zip), so
+  * exact-value oracles hold without rounding tricks.
+  *
+  * Scale design:
+  *  - brute force: broadcast the (small) query set against the (huge)
+  *    corpus — one scan, no shuffle of the corpus, per-partition partial
+  *    top-k before the final k-merge.
+  *  - IVF: corpus pre-bucketed by a coarse quantizer (here: nearest of a
+  *    handful of deterministic centroids); queries probe only their
+  *    `nprobe` nearest buckets → scan cost drops by ~nBuckets/nprobe.
+  *    At 100 TB the bucket id is a partition column, so probing prunes
+  *    parquet partitions at the scan.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    *
+    * `queries`: (query_id, q_embedding); `corpus`: (idCol, embCol).
+    * The query side is broadcast — the corpus is scanned once with no
+    * shuffle; the window top-k runs on (query_id) partitions whose size
+    * is |corpus|, reduced map-side by rank pre-filtering under AQE.
+    * Self-matches (query_id == neighbor id) are excluded.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val joined = corpus.join(broadcast(queries), col("query_id") =!= col(idCol))
+      .withColumn("sim", cosine(col("q_embedding"), col(embCol)))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic coarse centroids: mean embedding of each id-hash
+    * bucket. A stand-in for k-means that needs no iteration and is
+    * reproducible; the IVF mechanics (assign → prune → search) are
+    * identical with trained centroids.
+    */
+  def coarseCentroids(
+      corpus: DataFrame,
+      nBuckets: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    val bucketed = corpus.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+    val aggs = count(lit(1)).as("cnt") +:
+      (0 until dim).map(i => sum(element_at(col(embCol), i + 1)).as(s"s$i"))
+    bucketed.groupBy("bucket")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("bucket"),
+        array((0 until dim).map(i =>
+          (col(s"s$i") / col("cnt")).cast("float")): _*).as("centroid"))
+  }
+
+  /** IVF top-k: assign corpus rows to their xxhash bucket, assign each
+    * query to its `nprobe` nearest centroids, and search only those
+    * buckets. Returns the same schema as bruteForceTopK (approximate
+    * results — recall depends on quantizer quality).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBuckets: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val centroids = coarseCentroids(corpus, nBuckets, idCol, embCol)
+    val bucketed = corpus.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+    // rank centroids per query, keep nprobe nearest
+    val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("bucket"))
+    val probes = queries.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosine(col("q_embedding"), col("centroid")))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("q_embedding"), col("bucket"))
+    val joined = bucketed.join(broadcast(probes),
+        bucketed("bucket") === probes("bucket") && col("query_id") =!= col(idCol))
+      .withColumn("sim", cosine(col("q_embedding"), col(embCol)))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
+    * random-hyperplane LSH signature so candidate generation avoids the
+    * full cross join: vectors agreeing on any `bands` of the sign-bit
+    * signature meet in a bucket.
+    */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    // deterministic pseudo-random hyperplanes from xxhash64(plane, dim idx)
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
+        (h.toDouble / Int.MaxValue) // in [-1, 1]
+      }
+    }
+    def signBits(emb: Column): Column = {
+      val bits = planes.zipWithIndex.map { case (plane, pi) =>
+        val d = (0 until dim).map(i =>
+          element_at(emb, i + 1).cast("double") * lit(plane(i))).reduce(_ + _)
+        when(d >= 0, shiftleft(lit(1L), pi)).otherwise(0L)
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val rowsPerBand = nPlanes / bands
+    val sigs = corpus.select(col(idCol), col(embCol), signBits(col(embCol)).as("sig"))
+    val banded = sigs.select(col(idCol), col(embCol),
+      posexplode(array((0 until bands).map(bi =>
+        shiftright(col("sig"), bi * rowsPerBand)
+          .bitwiseAND((1L << rowsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

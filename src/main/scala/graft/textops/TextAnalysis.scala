@@ -1,0 +1,124 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID, and document
+  * fingerprinting. All are pure Column expressions built from codegen'd
+  * built-ins — no UDFs in the hot path — so they stay inside
+  * WholeStageCodegen and scale linearly with the scan.
+  */
+object TextAnalysis {
+
+  // ---------- tokenization ----------
+
+  /** Whitespace tokens (empties dropped — split keeps trailing ""). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword count estimate: words are split into ~4-char units
+    * (ceil(len/4)), punctuation runs count one token each — a cheap,
+    * deterministic stand-in for a real BPE vocab with the right order of
+    * magnitude (≈ chars/4 for English-like text).
+    */
+  def bpeIshTokenCount(text: Column): Column =
+    aggregate(
+      wsTokens(text),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  // ---------- quality scoring ----------
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Fraction of characters that are not letters or spaces. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-zA-Z ]", "")))
+          .cast("double") / length(text).cast("double"))
+
+  def meanWordLen(text: Column): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: long-enough docs with low
+    * punctuation noise and a natural stopword share score high — the
+    * standard cheap pre-filter before expensive pipeline stages.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
+  }
+
+  // ---------- language identification ----------
+
+  /** Tiny per-language marker profiles (function words + diacritics).
+    * A real system ships trained n-gram profiles; the mechanism — score
+    * per language from cheap text features, take the argmax — is what
+    * matters and is identical at scale.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " that "),
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+    "es" -> Seq(" el ", " la ", " que ", " es ", " los "),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Heuristic language guess: argmax of marker-hit counts ("und" if no
+    * marker fires). Deterministic tie-break by profile order.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.map { case (lang, markers) =>
+      val score = markers.map(m =>
+        (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(m), "")))
+          / m.length).reduce(_ + _)
+      (lang, score)
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(best.getField("score") <= 0, "und").otherwise(best.getField("lang"))
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** Rolling-hash (winnowing-style) document fingerprint: the minimum
+    * xxhash64 over all `k`-token shingles. Two documents sharing their
+    * rarest shingle collide — a cheap near-dup prefilter; full MinHash
+    * lives in graft.dedup.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  def fingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+}

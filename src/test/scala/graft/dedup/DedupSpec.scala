@@ -1,0 +1,75 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+
+  test("exact dedup finds planted exact copies and keeps min id") {
+    val copies = docs.filter($"doc_id" < 5)
+      .select(($"doc_id" + 5000).as("doc_id"), $"text")
+    val groups = Dedup.exactGroups(docs.union(copies))
+    assert(groups.filter($"n_copies" === 2).count() == 5)
+    // keeper is always the original (smaller id)
+    assert(groups.filter($"n_copies" === 2).agg(max("keep_id")).head.getLong(0) < 5)
+    val deduped = Dedup.exactDedup(docs.union(copies))
+    assert(deduped.count() == docs.count())
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    // append one word: jaccard on 3-shingles stays high
+    val twins = docs.filter($"doc_id" < 8)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        concat($"text", lit(" tailword")).as("text"))
+    val pairs = Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 5000 }
+    assert(planted.length == 8, s"found ${planted.mkString(",")}")
+    assert(pairs.forall(_._3 >= 0.7))
+    // every reported pair (incl. the corpus's own organic near-dups) must
+    // have a genuinely high EXACT jaccard — recompute independently
+    val texts = docs.union(twins).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    pairs.foreach { case (a, b, j) =>
+      val (sa, sb) = (shingleSet(texts(a)), shingleSet(texts(b)))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(exact - j) < 1e-3, s"pair ($a,$b): engine=$j exact=$exact")
+    }
+  }
+
+  test("ngram jaccard is exact on a known pair") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
+    // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → shared 2, union 4 → 0.5
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(df, pairs).head.getDouble(2)
+    assert(j == 0.5)
+  }
+
+  test("simhash: identical docs get identical sketches; near-dups are close") {
+    val twins = docs.filter($"doc_id" < 8)
+      .select(($"doc_id" + 5000).as("doc_id"),
+        concat($"text", lit(" x")).as("text"))
+    val near = Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = near.filter { case (a, b) => b == a + 5000 }
+    assert(planted.length == 8)
+    // exact copies at distance 0
+    val copies = docs.filter($"doc_id" === 0)
+      .select(($"doc_id" + 9000).as("doc_id"), $"text")
+    val d0 = Dedup.simHashNearDups(Dedup.simHash(docs.union(copies)), maxDist = 0)
+      .filter($"id_a" === 0 && $"id_b" === 9000)
+    assert(d0.count() == 1)
+  }
+
+  test("minhash signature is deterministic across recomputation") {
+    val s1 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
+    val s2 = Dedup.minHashSignatures(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(s1.map(_.getSeq[Long](1)).toSeq == s2.map(_.getSeq[Long](1)).toSeq)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 1f), Array(1f, 1f), 1.0),
+      (Array(3f, 4f), Array(3f, 4f), 1.0)).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine($"a", $"b").as("sim"), $"want").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK returns exactly k ranked neighbors, no self-match") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 5).collect()
+    assert(topk.length == 15)
+    val byQ = topk.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      assert(!rows.exists(_.getLong(1) == q), "self-match leaked")
+      // ranks ordered by sim desc
+      val sims = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ivfTopK achieves full recall on planted near-identical vectors") {
+    // plant a twin of vec 0: IVF must find it in the probed buckets
+    // (twin hashes to an arbitrary bucket; nprobe=16 of 16 → exhaustive,
+    // verifying the plumbing; real recall tuning is nprobe<buckets)
+    val twin = emb.filter($"vec_id" === 0)
+      .select(lit(777000L).as("vec_id"),
+        transform($"embedding", x => (x.cast("double") * 1.001).cast("float")).as("embedding"),
+        lit(0).as("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(twin)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val res = Similarity.ivfTopK(corpus, queries, k = 1, nBuckets = 16, nprobe = 16)
+      .collect()
+    assert(res.length == 1)
+    assert(res.head.getLong(1) == 777000L, s"got ${res.head}")
+    assert(res.head.getDouble(2) > 0.999999)
+  }
+
+  test("ivfTopK with nprobe<nBuckets returns plausible approximate results") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val approx = Similarity.ivfTopK(emb, queries, k = 5, nBuckets = 8, nprobe = 3)
+    val n = approx.count()
+    assert(n == 25, s"expected 5 queries x 5 results, got $n")
+  }
+
+  test("embeddingNearDups finds planted twins and nothing else (sf0.001)") {
+    val twins = emb.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
+    val uni = emb.select("vec_id", "embedding").union(twins)
+    val pairs = Similarity.embeddingNearDups(uni, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val planted = pairs.filter { case (a, b) => b == a + 100000L }
+    assert(planted.length == 10, s"missed planted twins: got ${pairs.length} pairs")
+    assert(pairs.length == 10, s"false positives: ${pairs.filterNot(p => p._2 == p._1 + 100000L).mkString(",")}")
+  }
+}

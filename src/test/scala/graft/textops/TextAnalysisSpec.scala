@@ -1,0 +1,75 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles whitespace runs and empty strings") {
+    val df = Seq("a b  c", "", "  ", "one", "x\ty z").toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 0, 0, 1, 3))
+  }
+
+  test("stopword and punct ratios") {
+    val r = Seq("the cat sat on the mat").toDF("text")
+      .select(TextAnalysis.stopwordRatio($"text").as("s"),
+        TextAnalysis.punctRatio($"text").as("p")).head
+    // stopwords: the, on, the → 3/6
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-9)
+    assert(r.getDouble(1) == 0.0)
+    val p = Seq("a!!! b???").toDF("text")
+      .select(TextAnalysis.punctRatio($"text").as("p")).head.getDouble(0)
+    assert(math.abs(p - 6.0 / 9.0) < 1e-9)
+  }
+
+  test("langId identifies clear-cut samples") {
+    val samples = Seq(
+      ("the cat is on the mat and the dog", "en"),
+      ("der Hund ist nicht die Katze und der Vogel", "de"),
+      ("le chat est sur la table et les chiens", "fr"),
+      ("el perro es que los gatos", "es"),
+      ("我是在这里的人了", "zh"),
+      ("zzz qqq xxx", "und"))
+    val got = samples.map(_._1).toDF("text")
+      .select(TextAnalysis.langId($"text").as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("qualityScore: clean long text scores higher than short noisy text") {
+    val r = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs on through the field " * 8,
+        "good"),
+      ("@@@@ ### $$$$ %% ^^ && **", "bad")).toDF("text", "tag")
+      .select($"tag", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r("good") > 0.7, s"good=${r("good")}")
+    assert(r("bad") < 0.3, s"bad=${r("bad")}")
+  }
+
+  test("bpeIshTokenCount approximates chars/4 and exceeds word count") {
+    val r = Seq("internationalization is complicated").toDF("text")
+      .select(TextAnalysis.bpeIshTokenCount($"text").as("n")).head.getLong(0)
+    // ceil(20/4)+ceil(2/4)+ceil(11/4) = 5+1+3 = 9
+    assert(r == 9)
+  }
+
+  test("fingerprint is stable and collides exactly on shared rare shingles") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical → same fp
+      (3L, "completely different words here now")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("shingles: short docs fall back to whole-text single shingle") {
+    val sh = Seq("one two").toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("sh")).head.getSeq[String](0)
+    assert(sh == Seq("one two"))
+  }
+}
