@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.multimodal.Multimodal
+import graft.streaming.StreamOps
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Windowed event analytics (same code batch & streaming — StreamOps) and
+  * multimodal column plumbing over the driver testdata.
+  */
+object StreamMediaQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling window counts (streaming op in batch mode) ----
+    QueryDef(
+      "q35_tumbling_window",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |       event_type,
+        |       count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      StreamOps.tumblingCounts(Tables.eventsTs(s, dir), "1 hour")
+        .orderBy("win_start", "event_type")
+    },
+
+    // ---- session windows per user (gap-based) ----
+    QueryDef(
+      "q36_session_window",
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN pts IS NULL OR ts - pts >= INTERVAL '10 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, count(DISTINCT sid) AS n_sessions, count(*) AS n_events
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      StreamOps.sessionCounts(Tables.eventsTs(s, dir), "10 minutes")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- multimodal: schema/metadata plumbing (oracle-checked) ----
+    QueryDef(
+      "q37_media_meta",
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(n_chars % 640 + 16 AS INT) AS width,
+        |       CAST(n_chars % 480 + 16 AS INT) AS height,
+        |       CAST(n_chars % 240 + 1  AS INT) AS n_frames,
+        |       octet_length(encode(text)) AS payload_bytes
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.nFrames").as("n_frames"),
+          length(col("payload")).as("payload_bytes"))
+        .orderBy("media_id")
+    },
+
+    // ---- multimodal: batched decode + features + frame sampling
+    //      (StubCodec — rows-only; values asserted in MultimodalSpec) ----
+    QueryDef.noOracle("q38_media_features") { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+      val frames = Multimodal.sampleFrames(media, stride = 4)
+        .select(col("media_id"), col("n_sampled"))
+      feats.join(frames, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("kind"), col("payload_bytes"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          coalesce(col("n_sampled"), lit(0)).as("n_sampled_frames"))
+        .orderBy("media_id")
+    }
+  )
+}

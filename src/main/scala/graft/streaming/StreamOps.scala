@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+
+/** Structured-streaming transforms over the events stream. Each op is a
+  * plain DataFrame→DataFrame function, so the SAME code runs in batch
+  * mode (driver testdata, DuckDB-oracle-checkable) and behind
+  * readStream/writeStream with watermarks (see StreamOpsSpec) — the
+  * Spark-idiomatic way to keep one definition for both planes.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window counts (width, slide). */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"), col("n"))
+
+  /** Session windows per user (gap-based). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Attach a watermark for streaming use (no-op in batch mode). */
+  def withWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+}

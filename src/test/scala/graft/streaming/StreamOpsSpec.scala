@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ev(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Streaming windowed aggregation: the same StreamOps code must produce
+  * identical results in batch mode and incrementally over a stream, and
+  * the watermark must drop late data.
+  */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val batch = Seq(
+    Ev(ts(0), "click", 1.0, 1), Ev(ts(5), "click", 2.0, 1),
+    Ev(ts(20), "view", 3.0, 2), Ev(ts(59), "click", 4.0, 1))
+
+  test("tumbling counts: streaming (append, watermark) == batch") {
+    val batchRes = StreamOps.tumblingCounts(batch.toDF(), "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(
+        StreamOps.withWatermark(input.toDF(), "10 minutes"), "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(batch.take(2): _*)
+      q.processAllAvailable()
+      input.addData(batch.drop(2): _*)
+      q.processAllAvailable()
+      // advance watermark far enough to close all windows
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "late", 0.0, 9))
+      q.processAllAvailable()
+      val streamRes = spark.sql("SELECT * FROM tumbling")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(batchRes.subsetOf(streamRes),
+        s"batch=$batchRes stream=$streamRes")
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(
+        StreamOps.withWatermark(input.toDF(), "5 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Ev(ts(0), "a", 1.0, 1))
+      q.processAllAvailable()
+      // advance event time well past the first window + watermark
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 11:00:00"), "a", 1.0, 1))
+      q.processAllAvailable()
+      // this event is > watermark late → must be dropped
+      input.addData(Ev(ts(1), "a", 100.0, 1))
+      q.processAllAvailable()
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "a", 1.0, 1))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT win_start, n FROM late ORDER BY win_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      // first window emitted with only the on-time event
+      assert(rows.head == ("2024-01-01 10:00:00.0", 1), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap and split across it") {
+    val evs = Seq(
+      Ev(ts(0), "a", 1.0, 7), Ev(ts(3), "a", 1.0, 7), Ev(ts(6), "a", 1.0, 7),
+      // 20-minute gap → new session
+      Ev(ts(26), "a", 1.0, 7),
+      Ev(ts(0), "a", 1.0, 8))
+    val sess = StreamOps.sessionCounts(evs.toDF(), "10 minutes")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val u7 = sess.filter(_._1 == 7).map(_._2).sorted
+    assert(u7.toSeq == Seq(1, 3), s"got ${sess.mkString(",")}")
+    assert(sess.count(_._1 == 8) == 1)
+  }
+}
