@@ -82,6 +82,22 @@ object MapReduce {
     import ds.sparkSession.implicits._
     ds.map(kv => s"${kv.key} ${kv.value}")
   }
+
+  /** Text sink with the reference's output layout: `nReduce` hash
+    * partitions on key (the mr-out-R files, worker.go:160-186), each
+    * sorted by key. Spark's FileOutputCommitter provides the same
+    * atomic-rename commit the reference hand-rolls (worker.go:104-116):
+    * no partial output is ever visible (test-mr.sh early-exit contract).
+    */
+  def writeText(ds: Dataset[KV], path: String, nReduce: Int = 10): Unit = {
+    import org.apache.spark.sql.functions.col
+    ds.toDF("key", "value")
+      .repartition(nReduce, col("key"))
+      .sortWithinPartitions("key")
+      .select(org.apache.spark.sql.functions
+        .concat_ws(" ", col("key"), col("value")).as("line"))
+      .write.mode("overwrite").text(path)
+  }
 }
 
 /** Go-compatible text helpers shared by the ported mrapps. */

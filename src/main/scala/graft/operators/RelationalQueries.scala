@@ -399,6 +399,45 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    // ---- JSON extraction (events.props) ----
+    QueryDef(
+      "q39_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+        |       count(*)             AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 7).as("k_bucket"),
+          col("value"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("k_bucket")
+    },
+
+    // ---- array construction/manipulation (collect, sort, join, size) ----
+    QueryDef(
+      "q40_array",
+      """SELECT l_orderkey,
+        |       count(*) AS n_lines,
+        |       string_agg(CAST(l_linenumber AS VARCHAR), ','
+        |                  ORDER BY l_linenumber) AS linenos,
+        |       round(max(l_quantity) - min(l_quantity), 2) AS qty_range
+        |FROM lineitem
+        |WHERE l_orderkey < 300
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 300)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("linenos"),
+          round(max("l_quantity") - min("l_quantity"), 2).as("qty_range"))
+        .orderBy("l_orderkey")
+    },
+
     // ---- left outer join with null handling ----
     QueryDef(
       "q20_outer_join",

@@ -1,0 +1,90 @@
+package graft.mr
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+
+/** The reference's scheduler-semantics probes (jobcount / mtiming /
+  * rtiming / early_exit — SURVEY.md §2.2) reinterpreted as assertions on
+  * Spark's own task machinery via SparkListener, per FIXTURES.md §4:
+  *  - no-failure runs execute each map task exactly once (jobcount:
+  *    test-mr.sh:205-213 expects exactly 8 for 8 inputs),
+  *  - tasks run with real parallelism (mtiming/rtiming expect ≥2
+  *    concurrent workers),
+  *  - output is atomically committed — no partial files, _SUCCESS marker
+  *    (early_exit contract).
+  */
+class SchedulerParitySpec extends SparkSpec {
+
+  private class TaskProbe extends SparkListener {
+    val ended = new java.util.concurrent.atomic.AtomicInteger
+    private val running = new java.util.concurrent.atomic.AtomicInteger
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger
+    override def onTaskStart(t: SparkListenerTaskStart): Unit = {
+      val r = running.incrementAndGet()
+      maxConcurrent.updateAndGet(m => math.max(m, r))
+    }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      running.decrementAndGet()
+      ended.incrementAndGet()
+    }
+  }
+
+  test("jobcount parity: 8 input files -> exactly 8 map tasks, no re-execution") {
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      val rdd = spark.sparkContext
+        .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
+        .flatMap { case (f, c) => MrApps.wcMap(f, c) }
+      val mapTasks = rdd.getNumPartitions
+      val rddShufflePartitions = 5
+      rdd.map(kv => (kv.key, 1)).reduceByKey(_ + _, rddShufflePartitions).count()
+      Thread.sleep(500) // let listener events drain
+      // jobcount contract: every planned task executes EXACTLY once (no
+      // spurious re-execution). wholeTextFiles packs small files, so the
+      // planned map-task count may be < nFiles; exactness is the point.
+      val expected = mapTasks + rddShufflePartitions
+      assert(mapTasks >= 2, s"want real parallelism, got $mapTasks partitions")
+      assert(probe.ended.get() == expected,
+        s"expected $expected task executions (no retry/speculation), got ${probe.ended.get()}")
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
+  test("mtiming parity: map tasks run with >=2-way concurrency") {
+    val probe = new TaskProbe
+    spark.sparkContext.addSparkListener(probe)
+    try {
+      spark.sparkContext
+        .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
+        .map { case (f, c) => (f, GoText.letterWords(c).length) }
+        .collect()
+      Thread.sleep(500) // let listener events drain
+      assert(probe.maxConcurrent.get() >= 2,
+        s"max concurrency ${probe.maxConcurrent.get()}")
+    } finally spark.sparkContext.removeSparkListener(probe)
+  }
+
+  test("early-exit parity: committed output is complete and atomic") {
+    val out = Files.createTempDirectory("graft-golden").toString + "/wc-out"
+    val result = MapReduce.run(spark, "/root/reference/src/main/pg-*.txt",
+      MrApps.wcMap, MrApps.wcReduce)
+    MapReduce.writeText(result, out, nReduce = 10)
+    val files = Files.list(Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toSeq
+    // committer contract: _SUCCESS marker, no in-progress _temporary dir
+    // (.crc files are Hadoop checksum artifacts, expected)
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.contains("_temporary")), s"uncommitted output: $files")
+    assert(files.count(_.startsWith("part-")) == 10, s"expected 10 reduce outputs: $files")
+    // all lines present exactly once (idempotent commit)
+    val lines = files.filter(_.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(Paths.get(out, f)).asScala)
+    val golden = Files.readAllLines(
+      Paths.get("/root/reference/src/main/mymrout")).asScala
+    assert(lines.sorted == golden.sorted)
+  }
+}
