@@ -35,7 +35,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
-    val spark = builder(appName).getOrCreate()
+    val spark = builder(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

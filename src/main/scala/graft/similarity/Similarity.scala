@@ -33,7 +33,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Composed (builtin-functions) cosine — the semantic reference form;
+    * bit-exact with the DuckDB oracle's explicit-double SQL.
+    */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native fused-loop cosine (graft.functions.CosineSimilarity): same
+    * sequential-double-fold semantics bit-for-bit (asserted in
+    * SimilaritySpec), no per-row array allocation, full codegen.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.graftCosine(a, b)
 
   /** Exact brute-force top-k neighbors for each query vector.
     *

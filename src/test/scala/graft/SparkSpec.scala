@@ -21,6 +21,7 @@ object SparkSpec {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("native cosine is BIT-exact with the composed reference form on real data") {
+    val pairs = emb.filter($"vec_id" < 40).select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(emb.filter($"vec_id" >= 40 && $"vec_id" < 80)
+        .select($"vec_id".as("ib"), $"embedding".as("eb")))
+    val diff = pairs.select(
+        Similarity.cosine($"ea", $"eb").as("native"),
+        Similarity.cosineComposed($"ea", $"eb").as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0, s"$diff pairs differ between native and composed cosine")
+  }
+
+  test("interpreted (eval) path agrees with codegen path") {
+    // force interpreted evaluation by disabling wholestage codegen
+    val pairs = emb.filter($"vec_id" < 10).select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(emb.filter($"vec_id" >= 10 && $"vec_id" < 20)
+        .select($"vec_id".as("ib"), $"embedding".as("eb")))
+    val expr = Similarity.cosine($"ea", $"eb").as("sim")
+    val withCodegen = pairs.select(col("ia"), col("ib"), expr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = pairs.select(col("ia"), col("ib"), expr)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_cosine is callable from SQL") {
+    emb.createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, a.embedding) AS self_sim
+        |FROM emb_v a WHERE a.vec_id < 5""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(r.length == 5)
+    r.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("null and mismatched-length inputs behave sanely") {
+    val df = Seq(
+      (Some(Array(1f, 2f)), Some(Array(1f, 2f, 9f))),
+      (None, Some(Array(1f, 2f)))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("s")).collect()
+    // min-length semantics: [1,2]·[1,2] over norms ‖[1,2]‖·‖[1,2,9]‖... n=2
+    assert(!got(0).isNullAt(0))
+    assert(got(1).isNullAt(0), "null input must propagate null")
+  }
+}
