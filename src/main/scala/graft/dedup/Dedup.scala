@@ -40,25 +40,21 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's `k`-token shingles. Computed by exploding
-    * shingles and taking `numHashes` min-aggregates — partial (map-side)
-    * aggregation keeps the shuffle proportional to docs × H, not tokens.
+  /** MinHash signature: for each of `numHashes` permutation stand-ins,
+    * the min over the doc's `k`-token shingles. Computed by the native
+    * fused graft_minhash expression (tokens → shingle bytes → one hash →
+    * affine mixes → running minima): no shingle materialization, no
+    * explode, NO SHUFFLE — the signature job is scan-bound at any scale.
     */
   def minHashSignatures(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3,
-      numHashes: Int = 64): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(TextAnalysis.shingles(col(textCol), k)).as("shingle"))
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.MinHashFunctions.graftMinHash(
+        TextAnalysis.wsTokens(col(textCol)), k, numHashes).as("sig"))
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * H/bands rows; docs sharing any band-hash land in one bucket and form
@@ -71,24 +67,38 @@ object Dedup {
       signatures: DataFrame,
       idCol: String = "doc_id",
       bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatesWithSigs(signatures, idCol, bands, maxBucket)
+      .select("id_a", "id_b")
+      .distinct()
+
+  /** Candidate pairs CARRYING both signatures, so downstream estimation
+    * needs no re-join against the signature table (which would recompute
+    * the signature scan once per join branch in a lazy DAG).
+    */
+  def lshCandidatesWithSigs(
+      signatures: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    val numHashes = 64 // matches minHashSignatures default H
-    val rows = numHashes / bands
     val banded = signatures.select(
-      col(idCol),
+      col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b, concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, lit(rows)), _.cast("string"))))))
+        b => {
+          val rows = size(col("sig")) / bands
+          xxhash64(lit("band"), b, concat_ws(",",
+            transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
+        }))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    val small = a.groupBy("band", "bucket").count()
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val small = banded.groupBy("band", "bucket").count()
       .filter(col("count") <= maxBucket).drop("count")
     a.join(small, Seq("band", "bucket"))
       .join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
   }
 
   /** Exact n-gram Jaccard for (id_a, id_b) candidate pairs: distinct
@@ -100,7 +110,12 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // only docs that appear in a pair pay the shingle explode — at scale
+    // |pairs| << |corpus| and this semi-join prunes the verify stage to
+    // the candidates' neighborhoods
+    val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
+    val docsInPairs = docs.join(ids, col(idCol) === col("pid"), "left_semi")
+    val sh = docsInPairs.select(col(idCol).as("id"),
       explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))
@@ -117,16 +132,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash near-dup pipeline: LSH candidates filtered by exact Jaccard. */
+  /** Signature-estimated Jaccard for candidate pairs: fraction of equal
+    * MinHash components — a per-pair zip (no shingle explode), used to
+    * discard far-below-threshold candidates before the expensive exact
+    * verification join. Estimator std ≈ sqrt(j(1-j)/H).
+    */
+  def estimateJaccard(
+      pairsWithSigs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    pairsWithSigs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") /
+          size(col("sig_a")).cast("double"))
+      .select("id_a", "id_b", "est_jaccard")
+
+  /** MinHash near-dup pipeline: LSH candidates → signature-estimate
+    * pre-filter (2.5σ margin below threshold) → exact n-gram Jaccard.
+    * The pre-filter is what keeps the verify join small when the corpus
+    * has many moderately-similar pairs (the common case in web-scale
+    * text): only near-threshold candidates pay for the shingle join.
+    */
   def nearDupPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, k)
-    val cands = lshCandidates(sigs, idCol)
-    ngramJaccard(docs, cands, idCol, textCol, k)
+      threshold: Double = 0.8,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
+    val cands = lshCandidatesWithSigs(sigs, idCol)
+    val margin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val plausible = estimateJaccard(cands, idCol)
+      .filter(col("est_jaccard") >= threshold - margin)
+      .select("id_a", "id_b")
+      .distinct()
+    ngramJaccard(docs, plausible, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
   }
 

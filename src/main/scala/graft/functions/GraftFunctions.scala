@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_minhash" -> (exprs => MinHashSignature(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue())))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -47,7 +47,7 @@ object KvQueries {
          |GROUP BY key
          |ORDER BY key""".stripMargin) { (s, dir) =>
       KvStore.replay(opLog(s, dir)).orderBy("key")
-    },
+    }.copy(headline = true),
 
     // ---- key2shard distribution: first byte mod 10 ----
     // Raw numeric keys so the first byte (and thus the shard) varies.

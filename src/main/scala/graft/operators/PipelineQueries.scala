@@ -88,7 +88,7 @@ object PipelineQueries {
         |GROUP BY 1
         |ORDER BY fp""".stripMargin) { (s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy("fp")
-    },
+    }.copy(headline = true),
 
     // ---- similarity search: exact brute-force cosine top-10 ----
     QueryDef(
@@ -152,7 +152,7 @@ object PipelineQueries {
           concat(col("text"), lit(" graftplantedtail")).as("text"))
       Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
         .orderBy("id_a", "id_b")
-    },
+    }.copy(headline = true),
 
     // ---- SimHash sketches + near-dup distances (rows-only) ----
     QueryDef.noOracle("q32_simhash_neardup") { (s, dir) =>

@@ -52,7 +52,7 @@ object StreamMediaQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
         .orderBy("user_id")
-    },
+    }.copy(headline = true),
 
     // ---- multimodal: schema/metadata plumbing (oracle-checked) ----
     QueryDef(
