@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: the shuffle-shaping tools a 100 TB deployment leans
+  * on beyond what AQE does automatically.
+  */
+object Scale {
+
+  /** Two-phase (salted) aggregation for skewed keys: phase 1 aggregates
+    * on (key, salt) — spreading a hot key over `salts` reducers — phase 2
+    * merges the partials. Correct for any algebraic aggregate expressed
+    * as (partialExprs, mergeExprs) pairs; this helper covers the common
+    * count/sum case.
+    *
+    * AQE's skew-join splitting handles join skew at runtime; aggregation
+    * skew on a pathological hot key is still the user's to salt — this is
+    * that tool.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      salts: Int = 16): DataFrame =
+    df.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum("_psum").as(s"sum_$valueCol"), sum("_pcnt").as("n"))
+
+  /** Repartition both sides of a fact-fact join on the join key with the
+    * same partition count, so the join itself is a zero-exchange zip of
+    * co-partitioned inputs (Spark reuses the partitioning; with bucketed
+    * tables on disk even the repartition disappears).
+    */
+  def coPartitionedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      partitions: Int): DataFrame = {
+    val l = left.repartition(partitions, col(key))
+    val r = right.repartition(partitions, col(key))
+    l.join(r, key)
+  }
+
+  /** Persist a table bucketed by `key` — the on-disk co-location that
+    * removes the shuffle from every future join/aggregation on that key
+    * (the Spark-native analog of the reference's static R=10 hash
+    * partitioning of its shuffle files, made durable).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals plain aggregation (incl. a hot key)") {
+    // hot key: 90% of rows share one key
+    val df = (1 to 10000).map(i =>
+      (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toDouble)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Scale.saltedSumCount(df, "k", "v")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without an exchange on the join key") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+    Scale.writeBucketed(o.withColumnRenamed("o_custkey", "custkey"), "orders_b", "custkey", 8)
+    Scale.writeBucketed(c.withColumnRenamed("c_custkey", "custkey"), "customer_b", "custkey", 8)
+    // disable broadcast to force the join strategy decision on bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "custkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == o.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("coPartitionedJoin produces correct results") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val n = Scale.coPartitionedJoin(o, c, "custkey", 8).count()
+    assert(n == o.join(c, "custkey").count())
+  }
+}
