@@ -438,6 +438,62 @@ object RelationalQueries {
         .orderBy("l_orderkey")
     },
 
+    // ---- pivot (orderstatus × orderpriority revenue matrix) ----
+    QueryDef(
+      "q41_pivot",
+      """SELECT o_orderstatus,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END), 2) AS p1_urgent,
+        |       round(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN o_totalprice ELSE 0 END), 2) AS p2_high,
+        |       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice ELSE 0 END), 2) AS p3_medium
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(sum("o_totalprice"))
+        .select(col("o_orderstatus"),
+          round(coalesce(col("1-URGENT"), lit(0.0)), 2).as("p1_urgent"),
+          round(coalesce(col("2-HIGH"), lit(0.0)), 2).as("p2_high"),
+          round(coalesce(col("3-MEDIUM"), lit(0.0)), 2).as("p3_medium"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- scalar subquery: orders above the global average price ----
+    QueryDef(
+      "q42_scalar_subquery",
+      """SELECT o_orderstatus, count(*) AS n_above_avg
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+      o.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("ap"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_above_avg"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- statistical aggregates: stddev, exact median, correlation ----
+    QueryDef(
+      "q43_stats",
+      """SELECT o_orderstatus,
+        |       round(stddev_samp(o_totalprice), 2)          AS sd_price,
+        |       round(quantile_cont(o_totalprice, 0.5), 2)   AS median_price,
+        |       round(corr(o_totalprice, o_custkey), 4)      AS corr_price_cust
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_price_cust"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- left outer join with null handling ----
     QueryDef(
       "q20_outer_join",
