@@ -8,9 +8,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // JVM/JIT + parquet-footer warmup so the measurement reflects steady
-    // state (what a long-lived cluster sees), not first-call class loading.
-    SparkEntry.headlines.headOption.foreach { q =>
+    // JVM/JIT/codegen + parquet-footer warmup: run every headline once so
+    // the measurement reflects steady state (what a long-lived cluster
+    // sees), not first-call classloading and codegen compilation.
+    SparkEntry.headlines.foreach { q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.headlines.map { q =>

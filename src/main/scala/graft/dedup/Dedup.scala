@@ -161,6 +161,13 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.8,
       numHashes: Int = 64): DataFrame = {
+    // NOTE: the banded self-join references the signature relation three
+    // times (both pair sides + the bucket-size guard) and recomputes the
+    // scan-bound signature map each time. Measured at sf0.1, recomputing
+    // beats persist() (cache materialization barrier + churn cost more
+    // than 2 extra map-side passes); callers running MANY dedup rounds
+    // over one corpus should persist the minHashSignatures output
+    // themselves and pass it to lshCandidatesWithSigs directly.
     val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
     val cands = lshCandidatesWithSigs(sigs, idCol)
     val margin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)

@@ -82,4 +82,22 @@ object KvStore {
     if (key.isEmpty) 0 else (key.charAt(0).toInt % NShards)
   def shardCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(ascii(key), lit(NShards))
+
+  /** Physical data movement for a shard-controller config: route each row
+    * to the partition of the group owning its shard (the Spark analog of
+    * the reference's shard migration — SURVEY.md §1.3: "rebalance =
+    * repartition by the new shard→group map"). Groups are laid out in
+    * ascending-gid order; one partition per group.
+    */
+  def repartitionByConfig(state: DataFrame, config: ShardConfig): DataFrame = {
+    val gids = config.groups.keys.toSeq.sorted
+    val gidIndex = gids.zipWithIndex.toMap
+    val shardToPartition = config.shards.map(g => gidIndex.getOrElse(g, 0))
+    val partitionCol = element_at(
+      array(shardToPartition.map(lit): _*), shardCol(col("key")) + 1)
+    state
+      .withColumn("_gpart", partitionCol)
+      .repartitionByRange(math.max(gids.size, 1), col("_gpart"))
+      .drop("_gpart")
+  }
 }

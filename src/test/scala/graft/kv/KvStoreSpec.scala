@@ -67,6 +67,27 @@ class KvStoreSpec extends SparkSpec with graft.PropHelper {
     assert(KvStore.get(st, "k") == "xy")
   }
 
+  test("repartitionByConfig co-locates keys of the same shard owner") {
+    val sc = new ShardCtrler()
+    sc.join(Map(1 -> Seq("s1")))
+    val cfg = sc.join(Map(2 -> Seq("s2")))
+    val state = (0 until 200).map(i => (s"${('a' + i % 26).toChar}k$i", s"v$i"))
+      .toDF("key", "value")
+    val parted = KvStore.repartitionByConfig(state, cfg)
+    assert(parted.rdd.getNumPartitions == 2)
+    assert(parted.count() == 200)
+    // every partition holds keys of only one group's shards
+    val gidIndex = cfg.groups.keys.toSeq.sorted.zipWithIndex.toMap
+    val rows = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (pid, r.getString(0)))
+    }.collect()
+    rows.foreach { case (pid, key) =>
+      val owner = cfg.shards(KvStore.shardOf(key))
+      assert(gidIndex(owner) == pid,
+        s"key $key (shard ${KvStore.shardOf(key)}, owner $owner) in partition $pid")
+    }
+  }
+
   test("shardOf matches reference key2shard") {
     // int(key[0]) % 10 — /root/reference/src/shardkv/client.go:22-29
     assert(KvStore.shardOf("a") == 'a'.toInt % 10)
