@@ -90,15 +90,27 @@ object Dedup {
             transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
         }))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("sig").as("sig_b"))
-    val small = banded.groupBy("band", "bucket").count()
-      .filter(col("count") <= maxBucket).drop("count")
-    a.join(small, Seq("band", "bucket"))
-      .join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    // ONE shuffle: gather each bucket's members, expand pairs in-bucket.
+    // (A self-join on (band,bucket) would reference — and recompute — the
+    // signature scan three times and shuffle every sig once per band.)
+    // maxBucket bounds the holistic member list AND the quadratic pair
+    // expansion — the skew guard for degenerate buckets.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col("sig").as("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairsCol = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(
+          least(x.getField("id"), y.getField("id")).as("id_a"),
+          greatest(x.getField("id"), y.getField("id")).as("id_b"),
+          when(x.getField("id") < y.getField("id"), x.getField("sig"))
+            .otherwise(y.getField("sig")).as("sig_a"),
+          when(x.getField("id") < y.getField("id"), y.getField("sig"))
+            .otherwise(x.getField("sig")).as("sig_b")))))
+    buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
   }
 
   /** Exact n-gram Jaccard for (id_a, id_b) candidate pairs: distinct
