@@ -213,6 +213,50 @@ object RelationalQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ---- window RANGE frame (value-based neighborhood) ----
+    QueryDef(
+      "q44_range_frame",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |                      RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |         AS n_near_price
+        |FROM orders
+        |WHERE o_custkey < 20
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 20)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_near_price"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- lag/lead/first_value + percent_rank analytics ----
+    QueryDef(
+      "q45_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       round(coalesce(lag(o_totalprice) OVER w, 0.0), 2)  AS prev_price,
+        |       round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price,
+        |       round(first_value(o_totalprice) OVER w, 2)         AS first_price,
+        |       round(percent_rank() OVER w, 6)                    AS pr
+        |FROM orders
+        |WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2).as("prev_price"),
+          round(coalesce(lead("o_totalprice", 1).over(w), lit(0.0)), 2).as("next_price"),
+          round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- global sort + limit (top-k) ----
     QueryDef(
       "q10_sort_limit",
