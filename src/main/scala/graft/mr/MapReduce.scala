@@ -75,6 +75,24 @@ object MapReduce {
       .map { case (k, kvs) => KV(k, reducef(k, kvs.map(_.value))) }
   }
 
+  /** Generic MapReduce over TABLE rows: the same (mapf, reducef) contract
+    * with an arbitrary row-to-(name, payload) adapter, so reference users
+    * can run their map/reduce pairs over columnar data, not just files.
+    */
+  def runRows[T](
+      ds: Dataset[T],
+      extract: T => (String, String),
+      mapf: MapF,
+      reducef: ReduceF): Dataset[KV] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { row =>
+      val (name, payload) = extract(row)
+      mapf(name, payload)
+    }
+      .groupByKey(_.key)
+      .mapGroups((k, it) => KV(k, reducef(k, it.map(_.value).toSeq)))
+  }
+
   /** Golden text lines "key value" (worker.go:180). Compare as a set (the
     * lab C-sorts both sides before cmp).
     */

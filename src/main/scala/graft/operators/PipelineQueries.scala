@@ -180,6 +180,32 @@ object PipelineQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- IVF (scale-path ANN): probe-pruned bucket search (rows-only:
+    //      centroid float sums are partition-order dependent) ----
+    QueryDef.noOracle("q46_ann_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- salted (two-phase) aggregation — must equal the plain agg ----
+    QueryDef(
+      "q47_salted_agg",
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity), 2) AS sum_l_quantity,
+        |       count(*)                  AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Scale.saltedSumCount(Tables.lineitem(s, dir), "l_returnflag", "l_quantity")
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_l_quantity"), col("n"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -62,6 +62,18 @@ class GoldenParitySpec extends SparkSpec {
     assert(dist("d") == List.fill(8)("xyzzy").mkString(" "))
   }
 
+  test("runRows: generic MR over table rows matches the DataFrame wordcount") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)]
+    val mr = MapReduce.runRows[(Long, String)](
+        docs, t => (t._1.toString, t._2), MrApps.wcMap, MrApps.wcReduce)
+      .collect().map(kv => kv.key -> kv.value.toLong).toMap
+    val df = graft.SparkEntry.queries("q21_wordcount")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mr == df)
+  }
+
   test("sequential oracle matches golden too (oracle validity)") {
     val seq = MapReduce.sequential(pgFiles, MrApps.wcMap, MrApps.wcReduce)
       .map(kv => s"${kv.key} ${kv.value}").toSet
