@@ -54,6 +54,28 @@ object StreamMediaQueries {
         .orderBy("user_id")
     }.copy(headline = true),
 
+    // ---- as-of join: each event joined to the user's latest prior order ----
+    QueryDef(
+      "q48_asof_join",
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_totalprice) AS order_price
+        |           FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderdate,
+        |       round(o.order_price, 2) AS order_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val o = graft.tables.Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("order_price"))
+      val e = graft.tables.Tables.eventsTs(s, dir)
+        .select("event_id", "user_id", "ts")
+      Temporal.asofJoin(e, o, "user_id", "ts", "o_orderdate",
+          Seq("o_orderdate", "order_price"))
+        .select(col("event_id"), col("user_id"), col("o_orderdate"),
+          round(col("order_price"), 2).as("order_price"))
+        .orderBy("event_id")
+    },
+
     // ---- multimodal: schema/metadata plumbing (oracle-checked) ----
     QueryDef(
       "q37_media_meta",
