@@ -20,6 +20,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkLis
   */
 class SchedulerParitySpec extends SparkSpec {
 
+  /** Poll until the listener bus has delivered what we expect (bounded). */
+  private def awaitListener(done: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!done && System.currentTimeMillis() < deadline) Thread.sleep(50)
+  }
+
   private class TaskProbe extends SparkListener {
     val ended = new java.util.concurrent.atomic.AtomicInteger
     private val running = new java.util.concurrent.atomic.AtomicInteger
@@ -44,11 +50,11 @@ class SchedulerParitySpec extends SparkSpec {
       val mapTasks = rdd.getNumPartitions
       val rddShufflePartitions = 5
       rdd.map(kv => (kv.key, 1)).reduceByKey(_ + _, rddShufflePartitions).count()
-      Thread.sleep(500) // let listener events drain
       // jobcount contract: every planned task executes EXACTLY once (no
       // spurious re-execution). wholeTextFiles packs small files, so the
       // planned map-task count may be < nFiles; exactness is the point.
       val expected = mapTasks + rddShufflePartitions
+      awaitListener(probe.ended.get() >= expected)
       assert(mapTasks >= 2, s"want real parallelism, got $mapTasks partitions")
       assert(probe.ended.get() == expected,
         s"expected $expected task executions (no retry/speculation), got ${probe.ended.get()}")
@@ -63,7 +69,7 @@ class SchedulerParitySpec extends SparkSpec {
         .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
         .map { case (f, c) => (f, GoText.letterWords(c).length) }
         .collect()
-      Thread.sleep(500) // let listener events drain
+      awaitListener(probe.maxConcurrent.get() >= 2)
       assert(probe.maxConcurrent.get() >= 2,
         s"max concurrency ${probe.maxConcurrent.get()}")
     } finally spark.sparkContext.removeSparkListener(probe)
