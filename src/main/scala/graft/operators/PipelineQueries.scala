@@ -29,6 +29,53 @@ object PipelineQueries {
   private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** DuckDB SQL mirroring TextAnalysis.langId / qualityScore /
+    * bpeIshTokenCount, generated from the SAME profiles (see q33).
+    */
+  private def langIdQualityOracleSql: String = {
+    def scoreSql(markers: Seq[String]): String =
+      markers.map { m =>
+        val esc = m.replace("'", "''")
+        s"(length(p) - length(replace(p, '$esc', ''))) / ${m.length}"
+      }.mkString(" + ")
+    val scoreCols = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      s"${scoreSql(ms)} AS s_$lang"
+    }.mkString(",\n         ")
+    val langNames = TextAnalysis.langMarkers.map(_._1)
+    val greatest = s"greatest(${langNames.map("s_" + _).mkString(", ")})"
+    // first language (profile order) reaching the maximum wins ties —
+    // same as the strictly-greater fold in TextAnalysis.langId
+    val argmax = langNames.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    val allStops = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang, text,
+       |         ' ' || lower(text) || ' ' AS p,
+       |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT *, $scoreCols
+       |  FROM t),
+       |g AS (SELECT *, $greatest AS g FROM s),
+       |q AS (
+       |  SELECT *,
+       |    least(len(toks) / 100.0, 1.0) AS len_score,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+       |              * 1.0 / length(text) END AS punct_ratio,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks, w -> list_contains($allStops, w))) AS DOUBLE)
+       |              / len(toks) END AS stop_ratio
+       |  FROM g)
+       |SELECT doc_id, labeled_lang,
+       |       CASE WHEN g <= 0 THEN 'und' $argmax END AS guessed_lang,
+       |       round(len_score * 0.4 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.4
+       |             + least(stop_ratio * 5.0, 1.0) * 0.2, 4) AS quality,
+       |       CAST(list_sum(list_transform(toks,
+       |            w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS bpe_tokens
+       |FROM q
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text analysis: token stats per language ----
@@ -164,9 +211,14 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- language-ID heuristic + quality score (rows-only: heuristic
-    //      formulas are Spark-expression specific) ----
-    QueryDef.noOracle("q33_langid_quality") { (s, dir) =>
+    // ---- language-ID heuristic + quality score + BPE-ish tokens ----
+    // Oracle SQL GENERATED from the same marker/stopword profiles the
+    // Column expressions use, so both engines compute the identical
+    // formula (scores are int-diff/int-len double sums in the same
+    // association order → bit-identical → same argmax branch).
+    QueryDef(
+      "q33_langid_quality",
+      langIdQualityOracleSql) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           TextAnalysis.langId(col("text")).as("guessed_lang"),

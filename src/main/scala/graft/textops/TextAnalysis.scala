@@ -33,7 +33,8 @@ object TextAnalysis {
 
   // ---------- quality scoring ----------
 
-  private val stopwords = Seq(
+  /** Exposed so oracle SQL can be generated from the same profile. */
+  val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "from")
 
@@ -78,7 +79,7 @@ object TextAnalysis {
     * per language from cheap text features, take the argmax — is what
     * matters and is identical at scale.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq(" the ", " and ", " of ", " is ", " that "),
     "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht "),
     "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
