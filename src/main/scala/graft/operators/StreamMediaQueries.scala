@@ -27,6 +27,22 @@ object StreamMediaQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // ---- sliding windows (2h width, 1h slide): each event lands in 2 ----
+    QueryDef(
+      "q49_sliding_window",
+      """SELECT win_start, count(*) AS n
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+        |                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+        |           AS win_start
+        |  FROM events) t
+        |GROUP BY win_start
+        |ORDER BY win_start""".stripMargin) { (s, dir) =>
+      StreamOps.slidingCounts(Tables.eventsTs(s, dir), "2 hours", "1 hour")
+        .select(col("win_start"), col("n"))
+        .orderBy("win_start")
+    },
+
     // ---- session windows per user (gap-based) ----
     QueryDef(
       "q36_session_window",
