@@ -245,6 +245,20 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- approximate count-distinct (HLL++): the 100 TB path where
+    //      exact countDistinct's full shuffle is unaffordable. Sketch
+    //      values are engine-specific → rows-only; the ≤5% error bound
+    //      vs exact is asserted in ApproxSpec. HLL merge is commutative
+    //      and idempotent, so the output is deterministic under any
+    //      partitioning. ----
+    QueryDef.noOracle("q50_approx_distinct") { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- salted (two-phase) aggregation — must equal the plain agg ----
     QueryDef(
       "q47_salted_agg",
