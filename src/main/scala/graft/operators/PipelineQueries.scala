@@ -81,26 +81,29 @@ object PipelineQueries {
     // ---- text analysis: token stats per language ----
     QueryDef(
       "q26_token_stats",
+      // avg_word_len is an avg of per-row doubles → quantized to 1e-6 per
+      // row (Exact.fix) so the sum is an exact long, order-independent.
       """SELECT lang,
         |       count(*) AS n_docs,
         |       sum(len(string_split(text, ' '))) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
-        |       round(avg(CAST(list_sum(list_transform(string_split(text, ' '),
+        |       round(CAST(sum(CAST(round(CAST(list_sum(list_transform(string_split(text, ' '),
         |             w -> length(w))) AS DOUBLE)
-        |             / len(string_split(text, ' '))), 4) AS avg_word_len
+        |             / len(string_split(text, ' ')) * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000 / count(*), 4) AS avg_word_len
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin) { (s, dir) =>
       val toks = split(col("text"), " ")
+      val mwl = aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks).cast("double")
       Tables.documents(s, dir)
-        .select(col("lang"), size(toks).as("n_tok"),
-          (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
-            size(toks).cast("double")).as("mwl"))
+        .select(col("lang"), size(toks).as("n_tok"), Exact.fix(mwl, 6).as("mwl_q"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
              sum("n_tok").as("total_tokens"),
              round(avg("n_tok"), 4).as("avg_tokens"),
-             round(avg("mwl"), 4).as("avg_word_len"))
+             round(sum("mwl_q").cast("double") / 1000000 / count(lit(1)), 4).as("avg_word_len"))
         .orderBy("lang")
     },
 

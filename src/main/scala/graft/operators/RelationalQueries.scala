@@ -34,32 +34,38 @@ object RelationalQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- aggregation: TPC-H Q1-style pricing summary (headline) ----
+    // Float sums are quantized per row to exact integers (Exact.*) so the
+    // aggregate is independent of partition/merge order — see Exact.scala.
     QueryDef(
       "q1_agg",
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2)                               AS sum_qty,
-        |       round(sum(l_extendedprice), 2)                          AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4)                               AS avg_qty,
-        |       round(avg(l_extendedprice), 4)                          AS avg_price,
-        |       round(avg(l_discount), 4)                               AS avg_disc,
-        |       count(*)                                                AS count_order
+      s"""SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100, 2) AS sum_base_price,
+        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}) AS DOUBLE) / 1000000, 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
+        |       round(CAST(sum(${Exact.centsSql("l_discount")}) AS DOUBLE) / 100 / count(*), 4) AS avg_disc,
+        |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      val epc     = Exact.cents(col("l_extendedprice"))
+      val discQ   = Exact.fix(revenue, 4)
+      val chargeQ = Exact.fix(revenue * (lit(1.0) + col("l_tax")), 6)
+      val dpc     = Exact.cents(col("l_discount"))
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(revenue), 2).as("sum_disc_price"),
-          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(sum(epc).cast("double") / 100, 2).as("sum_base_price"),
+          round(sum(discQ).cast("double") / 10000, 2).as("sum_disc_price"),
+          round(sum(chargeQ).cast("double") / 1000000, 2).as("sum_charge"),
           round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(sum(epc).cast("double") / 100 / count(lit(1)), 4).as("avg_price"),
+          round(sum(dpc).cast("double") / 100 / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }.copy(headline = true),
@@ -84,8 +90,8 @@ object RelationalQueries {
     // ---- join: orders ⋈ customer, revenue per market segment ----
     QueryDef(
       "q3_join_agg",
-      """SELECT c_mktsegment,
-        |       round(sum(o_totalprice), 2) AS segment_revenue,
+      s"""SELECT c_mktsegment,
+        |       round(CAST(sum(${Exact.centsSql("o_totalprice")}) AS DOUBLE) / 100, 2) AS segment_revenue,
         |       count(*)                    AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
@@ -93,7 +99,7 @@ object RelationalQueries {
       Tables.orders(s, dir)
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(round(sum("o_totalprice"), 2).as("segment_revenue"),
+        .agg(round(sum(Exact.cents(col("o_totalprice"))).cast("double") / 100, 2).as("segment_revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }.copy(headline = true),
@@ -101,8 +107,8 @@ object RelationalQueries {
     // ---- large-fact shuffle join: lineitem ⋈ orders ----
     QueryDef(
       "q4_join_shuffle",
-      """SELECT o_orderpriority,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT o_orderpriority,
+        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue,
         |       count(*)                                          AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -110,14 +116,15 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(revenue), 2).as("revenue"), count(lit(1)).as("n_lines"))
+        .agg(round(sum(Exact.fix(revenue, 4)).cast("double") / 10000, 2).as("revenue"),
+             count(lit(1)).as("n_lines"))
         .orderBy("o_orderpriority")
     }.copy(headline = true),
 
     // ---- 5-way join with broadcast dims (TPC-H Q5 style) ----
     QueryDef(
       "q5_multi_join",
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT n_name, round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey  = c_custkey
@@ -134,7 +141,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(revenue), 2).as("revenue"))
+        .agg(round(sum(Exact.fix(revenue, 4)).cast("double") / 10000, 2).as("revenue"))
         .orderBy("n_name")
     }.copy(headline = true),
 
@@ -195,10 +202,10 @@ object RelationalQueries {
     // ---- window: running revenue per customer over time ----
     QueryDef(
       "q9_window_running",
-      """SELECT o_custkey, o_orderkey,
-        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      s"""SELECT o_custkey, o_orderkey,
+        |       round(CAST(sum(${Exact.centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS running_total
         |FROM orders
         |WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
@@ -209,7 +216,7 @@ object RelationalQueries {
       Tables.orders(s, dir)
         .filter(col("o_custkey") < 50)
         .select(col("o_custkey"), col("o_orderkey"),
-                round(sum("o_totalprice").over(w), 2).as("running_total"))
+                round(sum(Exact.cents(col("o_totalprice"))).over(w).cast("double") / 100, 2).as("running_total"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -332,10 +339,10 @@ object RelationalQueries {
     // ---- date/time functions ----
     QueryDef(
       "q14_datetime",
-      """SELECT CAST(year(o_orderdate) AS INT)  AS yr,
+      s"""SELECT CAST(year(o_orderdate) AS INT)  AS yr,
         |       CAST(month(o_orderdate) AS INT) AS mo,
         |       count(*)                        AS n_orders,
-        |       round(sum(o_totalprice), 2)     AS month_revenue
+        |       round(CAST(sum(${Exact.centsSql("o_totalprice")}) AS DOUBLE) / 100, 2) AS month_revenue
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY yr, mo""".stripMargin) { (s, dir) =>
@@ -343,17 +350,17 @@ object RelationalQueries {
         .groupBy(year(col("o_orderdate")).cast("int").as("yr"),
                  month(col("o_orderdate")).cast("int").as("mo"))
         .agg(count(lit(1)).as("n_orders"),
-             round(sum("o_totalprice"), 2).as("month_revenue"))
+             round(sum(Exact.cents(col("o_totalprice"))).cast("double") / 100, 2).as("month_revenue"))
         .orderBy("yr", "mo")
     },
 
     // ---- math functions ----
     QueryDef(
       "q15_math",
-      """SELECT l_linenumber,
-        |       round(sum(abs(l_extendedprice - l_quantity * 1000)), 2) AS sum_absdiff,
-        |       round(sum(sqrt(l_quantity)), 4)                         AS sum_sqrt,
-        |       round(sum(ln(l_extendedprice)), 4)                      AS sum_ln,
+      s"""SELECT l_linenumber,
+        |       round(CAST(sum(${Exact.centsSql("abs(l_extendedprice - l_quantity * 1000)")}) AS DOUBLE) / 100, 2) AS sum_absdiff,
+        |       round(CAST(sum(${Exact.fixSql("sqrt(l_quantity)", 6)}) AS DOUBLE) / 1000000, 4) AS sum_sqrt,
+        |       round(CAST(sum(${Exact.fixSql("ln(l_extendedprice)", 6)}) AS DOUBLE) / 1000000, 4) AS sum_ln,
         |       round(max(floor(l_discount * 100)), 1)                  AS max_disc_pct,
         |       round(min(ceil(l_tax * 100)), 1)                        AS min_tax_pct
         |FROM lineitem
@@ -362,9 +369,9 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .groupBy("l_linenumber")
         .agg(
-          round(sum(abs(col("l_extendedprice") - col("l_quantity") * 1000)), 2).as("sum_absdiff"),
-          round(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt"),
-          round(sum(log(col("l_extendedprice"))), 4).as("sum_ln"),
+          round(sum(Exact.cents(abs(col("l_extendedprice") - col("l_quantity") * 1000))).cast("double") / 100, 2).as("sum_absdiff"),
+          round(sum(Exact.fix(sqrt(col("l_quantity")), 6)).cast("double") / 1000000, 4).as("sum_sqrt"),
+          round(sum(Exact.fix(log(col("l_extendedprice")), 6)).cast("double") / 1000000, 4).as("sum_ln"),
           round(max(floor(col("l_discount") * 100)), 1).as("max_disc_pct"),
           round(min(ceil(col("l_tax") * 100)), 1).as("min_tax_pct"))
         .orderBy("l_linenumber")
@@ -373,11 +380,11 @@ object RelationalQueries {
     // ---- conditional (CASE WHEN) aggregation ----
     QueryDef(
       "q16_case",
-      """SELECT o_orderstatus,
+      s"""SELECT o_orderstatus,
         |       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
         |       sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS n_small,
-        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |                 THEN o_totalprice ELSE 0 END), 2) AS urgent_revenue
+        |       round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END) AS DOUBLE) / 100, 2) AS urgent_revenue
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -386,8 +393,8 @@ object RelationalQueries {
         .agg(
           sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("n_big"),
           sum(when(col("o_totalprice") <= 100000, 1).otherwise(0)).as("n_small"),
-          round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
-            .otherwise(0.0)), 2).as("urgent_revenue"))
+          round(sum(when(col("o_orderpriority") === "1-URGENT", Exact.cents(col("o_totalprice")))
+            .otherwise(0L)).cast("double") / 100, 2).as("urgent_revenue"))
         .orderBy("o_orderstatus")
     },
 
@@ -523,40 +530,72 @@ object RelationalQueries {
     // ---- statistical aggregates: stddev, exact median, correlation ----
     QueryDef(
       "q43_stats",
-      """SELECT o_orderstatus,
-        |       round(stddev_samp(o_totalprice), 2)          AS sd_price,
-        |       round(quantile_cont(o_totalprice, 0.5), 2)   AS median_price,
-        |       round(corr(o_totalprice, o_custkey), 4)      AS corr_price_cust
-        |FROM orders
-        |GROUP BY o_orderstatus
+      // stddev/corr from exact integer moments (cents): distributed moment
+      // merges (Welford) are order-dependent; integer sums are not. Both
+      // engines then evaluate the identical double formula on identical
+      // exact sums. Squares go through 128-bit (decimal(38,0) / HUGEINT).
+      s"""WITH m AS (
+        |  SELECT o_orderstatus,
+        |         count(*) AS n,
+        |         CAST(sum(${Exact.centsSql("o_totalprice")}) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(${Exact.centsSql("o_totalprice")} AS HUGEINT)
+        |                  * CAST(${Exact.centsSql("o_totalprice")} AS HUGEINT)) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST(o_custkey AS BIGINT)) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(o_custkey AS HUGEINT) * CAST(o_custkey AS HUGEINT)) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(${Exact.centsSql("o_totalprice")} AS HUGEINT)
+        |                  * CAST(o_custkey AS HUGEINT)) AS DOUBLE) AS sxy,
+        |         quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |       round(sqrt((sxx - sx*sx/n)/(n-1))/100, 2) AS sd_price,
+        |       round(med, 2) AS median_price,
+        |       round((n*sxy - sx*sy)/(sqrt(n*sxx - sx*sx)*sqrt(n*syy - sy*sy)), 4) AS corr_price_cust
+        |FROM m
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-      Tables.orders(s, dir)
+      val xc = Exact.cents(col("o_totalprice"))
+      val xd = xc.cast("decimal(38,0)")
+      val yd = col("o_custkey").cast("decimal(38,0)")
+      val m = Tables.orders(s, dir)
         .groupBy("o_orderstatus")
-        .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
-          round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_price_cust"))
+        .agg(count(lit(1)).as("n"),
+          sum(xc).cast("double").as("sx"),
+          sum(xd * xd).cast("double").as("sxx"),
+          sum(col("o_custkey").cast("long")).cast("double").as("sy"),
+          sum(yd * yd).cast("double").as("syy"),
+          sum(xd * yd).cast("double").as("sxy"),
+          expr("percentile(o_totalprice, 0.5)").as("med"))
+      val n  = col("n")
+      val sx = col("sx"); val sxx = col("sxx")
+      val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+      m.select(col("o_orderstatus"),
+          round(sqrt((sxx - sx * sx / n) / (n - lit(1))) / 100, 2).as("sd_price"),
+          round(col("med"), 2).as("median_price"),
+          round((n * sxy - sx * sy) /
+                (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4).as("corr_price_cust"))
         .orderBy("o_orderstatus")
     },
 
     // ---- left outer join with null handling ----
     QueryDef(
       "q20_outer_join",
-      """SELECT c_custkey,
+      s"""SELECT c_custkey,
         |       coalesce(t.n_orders, 0)     AS n_orders,
-        |       round(coalesce(t.spend, 0.0), 2) AS spend
+        |       round(CAST(coalesce(t.spend_c, 0) AS DOUBLE) / 100, 2) AS spend
         |FROM customer
-        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+        |                  sum(${Exact.centsSql("o_totalprice")}) AS spend_c
         |           FROM orders GROUP BY o_custkey) t
         |       ON c_custkey = t.o_custkey
         |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val agg = Tables.orders(s, dir)
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders0"), sum("o_totalprice").as("spend0"))
+        .agg(count(lit(1)).as("n_orders0"),
+             sum(Exact.cents(col("o_totalprice"))).as("spend0"))
       Tables.customer(s, dir)
         .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
         .select(col("c_custkey"),
                 coalesce(col("n_orders0"), lit(0L)).as("n_orders"),
-                round(coalesce(col("spend0"), lit(0.0)), 2).as("spend"))
+                round(coalesce(col("spend0"), lit(0L)).cast("double") / 100, 2).as("spend"))
         .orderBy("c_custkey")
     }
   )

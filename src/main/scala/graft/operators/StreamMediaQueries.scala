@@ -19,7 +19,7 @@ object StreamMediaQueries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
         |       event_type,
         |       count(*) AS n,
-        |       round(sum(value), 2) AS total_value
+        |       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>

@@ -13,10 +13,15 @@ import org.apache.spark.sql.Row
   */
 object StreamOps {
 
-  /** Tumbling-window counts/sums per event type. */
+  /** Tumbling-window counts/sums per event type. The value sum is
+    * quantized to exact integer cents per row (values are 2-decimal) so
+    * the aggregate is independent of partition/merge order — required for
+    * bit-stable results across batch re-runs AND streaming state merges. */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), width), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("value") * 100).cast("long")).cast("double") / 100, 2)
+          .as("total_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
