@@ -14,10 +14,15 @@ object Bench {
     SparkEntry.headlines.foreach { q =>
       try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // min of 2 measured runs per query: the steady-state cost, robust to
+    // one-off GC pauses / machine noise (a max would measure the noise).
     val results = SparkEntry.headlines.map { q =>
-      val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -113,8 +113,12 @@ object Dedup {
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
   }
 
-  /** Exact n-gram Jaccard for (id_a, id_b) candidate pairs: distinct
-    * shingle sets joined on shingle — shared count over union size.
+  /** Exact n-gram Jaccard for (id_a, id_b) candidate pairs: each side's
+    * distinct shingle set is attached by join, then |∩|/|∪| is a per-row
+    * codegen'd array_intersect — no shingle explode, no per-shingle
+    * shuffle, no re-grouping. Only docs that appear in a pair pay the
+    * shingle computation (semi-join prune): at scale |pairs| ≪ |corpus|,
+    * so the two id-joins shuffle candidate neighborhoods only.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -122,25 +126,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    // only docs that appear in a pair pay the shingle explode — at scale
-    // |pairs| << |corpus| and this semi-join prunes the verify stage to
-    // the candidates' neighborhoods
     val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
-    val docsInPairs = docs.join(ids, col(idCol) === col("pid"), "left_semi")
-    val sh = docsInPairs.select(col(idCol).as("id"),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), k))).as("shingle"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("id").as("id_a"), col("shingle"))
-    val shB = sh.select(col("id").as("id_b"), col("shingle"))
+    val sh = docs.join(ids, col(idCol) === col("pid"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
-      .join(shA, "id_a")
-      .join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", inter)
       .withColumn("jaccard",
-        round(col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double"), 4))
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -161,10 +158,19 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
 
   /** MinHash near-dup pipeline: LSH candidates → signature-estimate
-    * pre-filter (2.5σ margin below threshold) → exact n-gram Jaccard.
-    * The pre-filter is what keeps the verify join small when the corpus
-    * has many moderately-similar pairs (the common case in web-scale
-    * text): only near-threshold candidates pay for the shingle join.
+    * pre-filter (5σ margin below threshold) → exact n-gram Jaccard.
+    * The pre-filter keeps the verify join small when the corpus has many
+    * moderately-similar pairs (the common case in web-scale text): only
+    * near-threshold candidates pay for the shingle join.
+    *
+    * Recall budget (what makes the output deterministic enough to gate
+    * on): with H=96 hashes in 32 bands of 3 rows, a true pair at j=0.7
+    * misses every band with prob (1-0.7³)³² ≈ 1.4e-6, and the 5σ estimate
+    * margin loses it with prob ≈ 3e-7 — so even a corpus with hundreds of
+    * exactly-at-threshold pairs reproduces the exact brute-force answer
+    * with ≥ 99.9% probability per run (at j ≥ 0.9 the miss probability is
+    * ~1e-18, i.e. bit-deterministic). Banding cost scales linearly in H;
+    * rows=3 keeps random low-j collisions negligible (p ≈ j³ per band).
     */
   def nearDupPairs(
       docs: DataFrame,
@@ -172,17 +178,16 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3,
       threshold: Double = 0.8,
-      numHashes: Int = 64): DataFrame = {
-    // NOTE: the banded self-join references the signature relation three
-    // times (both pair sides + the bucket-size guard) and recomputes the
-    // scan-bound signature map each time. Measured at sf0.1, recomputing
-    // beats persist() (cache materialization barrier + churn cost more
-    // than 2 extra map-side passes); callers running MANY dedup rounds
-    // over one corpus should persist the minHashSignatures output
-    // themselves and pass it to lshCandidatesWithSigs directly.
+      numHashes: Int = 96,
+      bands: Int = 32): DataFrame = {
+    // NOTE: recomputing the scan-bound signature map beats persist() at
+    // sf0.1 (cache materialization barrier + churn cost more than the
+    // extra map-side pass); callers running MANY dedup rounds over one
+    // corpus should persist minHashSignatures output themselves and pass
+    // it to lshCandidatesWithSigs directly.
     val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
-    val cands = lshCandidatesWithSigs(sigs, idCol)
-    val margin = 2.5 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val cands = lshCandidatesWithSigs(sigs, idCol, bands)
+    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val plausible = estimateJaccard(cands, idCol)
       .filter(col("est_jaccard") >= threshold - margin)
       .select("id_a", "id_b")

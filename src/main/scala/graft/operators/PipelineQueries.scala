@@ -192,9 +192,41 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- MinHash-LSH near-dup (xxhash64 sketches → rows-only check;
-    //      value correctness asserted in DedupSpec with planted dups) ----
-    QueryDef.noOracle("q31_minhash_neardup") { (s, dir) =>
+    // ---- MinHash-LSH near-dup, checked against the exact brute-force
+    //      O(n²) jaccard oracle: LSH is candidate GENERATION, the output
+    //      contract is "all pairs with 3-shingle jaccard ≥ t". With H=96
+    //      in 32×3 banding the pipeline reproduces the brute-force answer
+    //      deterministically at this corpus' similarity margins (all
+    //      sf0.01 near-dup pairs sit at j ≥ 0.9 → miss prob ~1e-18; see
+    //      Dedup.nearDupPairs recall budget). The oracle pays n² only at
+    //      oracle scale; the engine never does. ----
+    QueryDef(
+      "q31_minhash_neardup",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graftplantedtail'
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+         |FROM p
+         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       // plant near-duplicates: first 10 docs re-appear with one word changed
       val twins = docs.filter(col("doc_id") < 10)
