@@ -198,38 +198,53 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash: per token-hash bit, sum +1/-1 across the doc's
-    * tokens; the sign vector packed into a long. Near-dup docs differ in
-    * few bits. Computed with 64 conditional sums after an explode —
-    * partial aggregation applies, one shuffle of 64 longs per doc.
+  /** SimHash bit width and band layout (4 bands of 15 bits over a 60-bit
+    * sketch). 60 bits because the per-token hash is the engine-portable
+    * md5-60bit (TextAnalysis.md5Long), which makes sketches verifiable
+    * bit-for-bit against any engine with md5 (the DuckDB oracle does).
+    */
+  val SimHashBits  = 60
+  val SimHashBands = 4
+  val SimHashBandWidth: Int = SimHashBits / SimHashBands
+
+  /** SimHash: per token-hash bit, majority vote (+1/-1 per occurrence)
+    * across the doc's tokens; the sign vector packed into a long.
+    * Near-dup docs differ in few bits. Computed entirely per row — token
+    * hashes materialized once, then 60 array-filter bit counts — so the
+    * sketch job is a narrow map over the scan: NO explode, NO shuffle,
+    * unlike the classic explode + 64-conditional-sum formulation.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val packed = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    val lh = transform(TextAnalysis.wsTokens(col(textCol)),
+      t => TextAnalysis.md5Long(t))
+    val hashed = docs.select(col(idCol), lh.as("lh"))
+    val packed = (0 until SimHashBits).map(b =>
+      // bit b set iff set-bit occurrences outnumber clear: 2·|set| > |all|
+      when(size(filter(col("lh"),
+          h => shiftright(h, b).bitwiseAND(1) === 1)) * 2 > size(col("lh")),
+        shiftleft(lit(1L), b)).otherwise(0L))
       .reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col(idCol), packed.as("simhash"))
+    hashed.select(col(idCol), packed.as("simhash"))
   }
 
   /** Hamming distance between two packed 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: docs whose sketches agree on one of four
-    * 16-bit bands are candidates (≤ maxDist differing bits verified
-    * exactly). Same bucket-join shape as MinHash-LSH.
+    * 15-bit bands are candidates (≤ maxDist differing bits verified
+    * exactly). Same bucket-join shape as MinHash-LSH. Note the output
+    * contract includes the band condition: a pair at distance ≤ maxDist
+    * whose differing bits spread across all 4 bands is (by design) not a
+    * candidate — with maxDist < 4 the pigeonhole guarantees no misses.
     */
   def simHashNearDups(
       sketches: DataFrame,
       idCol: String = "doc_id",
       maxDist: Int = 3): DataFrame = {
+    val bandMask = (1L << SimHashBandWidth) - 1
     val banded = sketches.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))
+      posexplode(array((0 until SimHashBands).map(i =>
+        shiftright(col("simhash"), i * SimHashBandWidth).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))

@@ -236,8 +236,42 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }.copy(headline = true),
 
-    // ---- SimHash sketches + near-dup distances (rows-only) ----
-    QueryDef.noOracle("q32_simhash_neardup") { (s, dir) =>
+    // ---- SimHash sketches + near-dup distances, oracle-checked: the
+    //      60-bit sketch uses the portable md5-60bit token hash, so
+    //      DuckDB recomputes the identical sketches and brute-forces the
+    //      pair contract (hamming ≤ 6 AND ≥1 agreeing 15-bit band). ----
+    QueryDef(
+      "q32_simhash_neardup",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' planted'
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_transform(
+         |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+         |           w -> CAST(('0x' || substring(md5(w), 18, 15)) AS BIGINT)) AS lh
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 60), b ->
+         |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
+         |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, dist
+         |FROM p
+         |WHERE dist <= 6
+         |  AND (((sa >> 0)  & 32767) = ((sb >> 0)  & 32767) OR
+         |       ((sa >> 15) & 32767) = ((sb >> 15) & 32767) OR
+         |       ((sa >> 30) & 32767) = ((sb >> 30) & 32767) OR
+         |       ((sa >> 45) & 32767) = ((sb >> 45) & 32767))
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val twins = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -262,8 +296,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // ---- rolling-hash fingerprint (xxhash64 → rows-only) ----
-    QueryDef.noOracle("q34_fingerprint") { (s, dir) =>
+    // ---- rolling-hash fingerprint (portable md5-60bit shingle min) ----
+    QueryDef(
+      "q34_fingerprint",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+         |  FROM t)
+         |SELECT doc_id,
+         |       list_min(list_transform(sh,
+         |         x -> CAST(('0x' || substring(md5(x), 18, 15)) AS BIGINT))) AS fp
+         |FROM s
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")

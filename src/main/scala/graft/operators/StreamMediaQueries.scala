@@ -114,7 +114,34 @@ object StreamMediaQueries {
 
     // ---- multimodal: batched decode + features + frame sampling
     //      (StubCodec — rows-only; values asserted in MultimodalSpec) ----
-    QueryDef.noOracle("q38_media_features") { (s, dir) =>
+    // The stub decode treats payload (UTF-8 bytes of text) as samples, so
+    // the oracle recomputes the identical features in SQL: bytes via
+    // hex-pair extraction, mean as exact-int-sum / count (bit-identical),
+    // frame sampling as the same stride arithmetic.
+    QueryDef(
+      "q38_media_features",
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |         hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS nb,
+         |         (n_chars % 240) + 1 AS n_frames
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id, kind, nb, n_frames,
+         |         CASE WHEN nb = 0 THEN 0.0
+         |              ELSE CAST(list_sum(list_transform(range(1, CAST(nb AS INT) + 1),
+         |                   i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS INT))) AS DOUBLE) / nb
+         |         END AS mean_i
+         |  FROM m)
+         |SELECT media_id, kind,
+         |       CAST(nb AS INT) AS payload_bytes,
+         |       round(mean_i, 4) AS mean_intensity,
+         |       CASE WHEN kind = 'video'
+         |            THEN CAST(floor((n_frames - 1) / 4) AS INT) + 1
+         |            ELSE 0 END AS n_sampled_frames
+         |FROM f
+         |ORDER BY media_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
       val feats = Multimodal.extractFeatures(s, media).toDF()
       val frames = Multimodal.sampleFrames(media, stride = 4)

@@ -58,10 +58,21 @@ object TextMrQueries {
     },
 
     // ---- the generic (mapf, reducef) engine over the lab's own corpus ----
-    // Holistic reduce path (groupByKey.mapGroups) — not SQL-expressible in
-    // DuckDB over the parquet tables, so rows-only check. Full golden parity
-    // vs the committed mymrout snapshot is asserted in GoldenParitySpec.
-    QueryDef.noOracle("q23_generic_mapreduce") { (s, _) =>
+    // Holistic reduce path (groupByKey.mapGroups) running the wc app: the
+    // oracle recomputes the same word count in DuckDB straight from the
+    // Gutenberg text files (read_text + the Unicode-letter tokenizer the
+    // reference uses — /root/reference/src/mrapps/wc.go:23-26). Values are
+    // strings because the generic MR surface is (string,string) KV.
+    // Byte-level golden parity vs the committed mymrout snapshot is
+    // additionally asserted in GoldenParitySpec.
+    QueryDef(
+      "q23_generic_mapreduce",
+      s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+         |FROM (SELECT unnest(list_filter(
+         |        regexp_split_to_array(content, '[^\\p{L}]+'), w -> w <> '')) AS word
+         |      FROM read_text('/root/reference/src/main/pg-*.txt'))
+         |GROUP BY word
+         |ORDER BY key""".stripMargin) { (s, _) =>
       import s.implicits._
       MapReduce.run(s, "/root/reference/src/main/pg-*.txt",
           MrApps.wcMap, MrApps.wcReduce)

@@ -108,8 +108,8 @@ object TextAnalysis {
 
   // ---------- fingerprinting ----------
 
-  /** Rolling-hash (winnowing-style) document fingerprint: the minimum
-    * xxhash64 over all `k`-token shingles. Two documents sharing their
+  /** Rolling (winnowing-style) document fingerprint: the minimum shingle
+    * hash over all `k`-token shingles. Two documents sharing their
     * rarest shingle collide — a cheap near-dup prefilter; full MinHash
     * lives in graft.dedup.
     */
@@ -120,6 +120,15 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
   }
 
+  /** Lower 60 bits of md5 as a signed long: an engine-portable hash
+    * (md5 exists in Spark, DuckDB, Trino, …) so fingerprints are
+    * verifiable across engines. For a hot pure-Spark path, xxhash64 is
+    * ~4× faster — fingerprinting is a once-per-document scan op, so
+    * portability wins here.
+    */
+  def md5Long(s: Column): Column =
+    conv(substring(md5(s), 18, 15), 16, 10).cast("long")
+
   def fingerprint(text: Column, k: Int = 3): Column =
-    array_min(transform(shingles(text, k), s => xxhash64(s)))
+    array_min(transform(shingles(text, k), s => md5Long(s)))
 }
