@@ -81,13 +81,21 @@ object Dedup {
       idCol: String = "doc_id",
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
+    // bucket key = xxhash64 over (band, rotl-xor fold of the band's
+    // signature rows) — all numeric, no per-row string assembly (concat
+    // of H longs per doc was measurable at scale). Shift/xor only: safe
+    // under ANSI overflow checking; a fold collision just adds a
+    // candidate pair that exact verification discards.
     val banded = signatures.select(
       col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => {
           val rows = size(col("sig")) / bands
-          xxhash64(lit("band"), b, concat_ws(",",
-            transform(slice(col("sig"), b * rows + 1, rows), _.cast("string"))))
+          val folded = aggregate(
+            slice(col("sig"), b * rows + 1, rows), lit(-7046029254386353131L),
+            (acc, x) => shiftleft(acc, 21).bitwiseOR(shiftrightunsigned(acc, 43))
+              .bitwiseXOR(xxhash64(x)))
+          xxhash64(lit("band"), b, folded)
         }))
         .as(Seq("band", "bucket")))
     // ONE shuffle: gather each bucket's members, expand pairs in-bucket.

@@ -319,6 +319,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- edit-distance (Levenshtein) near-dup within a block: the
+    //      string-similarity companion to shingle jaccard. At scale the
+    //      block (here: a key-range filter) comes from a cheap blocking
+    //      key — edit distance is only ever computed inside blocks,
+    //      never across the full n². ----
+    QueryDef(
+      "q55_edit_distance",
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM (SELECT * FROM customer WHERE c_custkey < 40) a
+        |JOIN (SELECT * FROM customer WHERE c_custkey < 40) b
+        |  ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val block = Tables.customer(s, dir).filter(col("c_custkey") < 40)
+        .select(col("c_custkey"), col("c_name"))
+      val a = block.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = block.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- IVF (scale-path ANN): probe-pruned bucket search (rows-only:
     //      centroid float sums are partition-order dependent) ----
     QueryDef.noOracle("q46_ann_ivf") { (s, dir) =>

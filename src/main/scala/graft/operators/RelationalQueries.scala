@@ -597,6 +597,95 @@ object RelationalQueries {
                 coalesce(col("n_orders0"), lit(0L)).as("n_orders"),
                 round(coalesce(col("spend0"), lit(0L)).cast("double") / 100, 2).as("spend"))
         .orderBy("c_custkey")
+    },
+
+    // ---- CUBE (full grouping-sets lattice; q17 covers ROLLUP) ----
+    QueryDef(
+      "q51_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*)                      AS n,
+        |       round(sum(l_quantity), 2)     AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+                col("n"), col("qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // ---- deterministic hash sampling (the scale-correct TABLESAMPLE:
+    //      content-addressed, so the same ~10% sample falls out on any
+    //      engine, any partitioning, any cluster size) ----
+    QueryDef(
+      "q52_sample",
+      """SELECT l_returnflag,
+        |       count(*) AS n_sampled,
+        |       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sample_revenue
+        |FROM lineitem
+        |WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |                                  CAST(l_linenumber AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 10
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.textops.TextAnalysis.md5Long
+      Tables.lineitem(s, dir)
+        .filter(pmod(md5Long(concat_ws("|",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), lit(100)) < 10)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+             round(sum(Exact.cents(col("l_extendedprice"))).cast("double") / 100, 2)
+               .as("sample_revenue"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- UNPIVOT / melt (wide metrics → long rows) ----
+    QueryDef(
+      "q53_unpivot",
+      s"""WITH t AS (
+        |  SELECT o_orderstatus,
+        |         count(*) AS n_orders,
+        |         CAST(sum(${Exact.centsSql("o_totalprice")}) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, metric, val
+        |FROM t UNPIVOT (val FOR metric IN (n_orders, spend_cents))
+        |ORDER BY o_orderstatus, metric""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(Exact.cents(col("o_totalprice"))).as("spend_cents"))
+        .unpivot(Array(col("o_orderstatus")),
+                 Array(col("n_orders"), col("spend_cents")), "metric", "val")
+        .orderBy("o_orderstatus", "metric")
+    },
+
+    // ---- interval (range) join: events of the same user within the 5
+    //      minutes after each event. The equality prefix (user_id) makes
+    //      this a plain hash join + range predicate — the shape that
+    //      scales; a pure range join would need time-bucket binning. ----
+    QueryDef(
+      "q54_range_join",
+      """SELECT a.event_id AS event_id, count(b.event_id) AS n_following
+        |FROM (SELECT * FROM events WHERE user_id < 20) a
+        |LEFT JOIN (SELECT * FROM events WHERE user_id < 20) b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+        |GROUP BY a.event_id
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).filter(col("user_id") < 20)
+      val a = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val b = ev.select(col("event_id").as("b_event_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+      a.join(b,
+          col("user_id") === col("b_user_id") &&
+          col("b_ts") > col("ts") &&
+          col("b_ts") <= col("ts") + expr("INTERVAL 5 MINUTES"), "left_outer")
+        .groupBy("event_id")
+        .agg(count(col("b_event_id")).as("n_following"))
+        .orderBy("event_id")
     }
   )
 }

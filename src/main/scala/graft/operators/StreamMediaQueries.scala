@@ -114,6 +114,32 @@ object StreamMediaQueries {
 
     // ---- multimodal: batched decode + features + frame sampling
     //      (StubCodec — rows-only; values asserted in MultimodalSpec) ----
+    // ---- map-typed columns: per-user event-type counts built as a map
+    //      (map_from_entries over collected pairs), then keyed lookups +
+    //      cardinality — the map stays internal; outputs are plain
+    //      columns so any engine can check them. ----
+    QueryDef(
+      "q56_map_functions",
+      """SELECT user_id,
+        |       count(DISTINCT event_type)                         AS n_types,
+        |       coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS n_click,
+        |       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("type_counts"))
+        .select(col("user_id"),
+          size(map_keys(col("type_counts"))).cast("long").as("n_types"),
+          coalesce(element_at(col("type_counts"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("type_counts"), "purchase"), lit(0L)).as("n_purchase"))
+        .orderBy("user_id")
+    },
+
     // The stub decode treats payload (UTF-8 bytes of text) as samples, so
     // the oracle recomputes the identical features in SQL: bytes via
     // hex-pair extraction, mean as exact-int-sum / count (bit-identical),
