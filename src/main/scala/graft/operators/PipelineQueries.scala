@@ -382,6 +382,75 @@ object PipelineQueries {
         .select(col("l_returnflag"),
           round(col("sum_l_quantity"), 2).as("sum_l_quantity"), col("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- PII redaction (training-data scrub): plant synthetic emails /
+    //      phone numbers, redact with character-class-only regexes (RE2
+    //      and java.util.regex agree on these), count what was hit. ----
+    QueryDef(
+      "q57_pii_redact",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com or +1-555-010' || CAST(doc_id % 10 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_emails,
+        |       len(regexp_extract_all(text, '\+[0-9][0-9-]{7,}')) AS n_phones,
+        |       regexp_replace(regexp_replace(text,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |         '\+[0-9][0-9-]{7,}', '<PHONE>', 'g') AS redacted
+        |FROM d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+      val phoneRe = "\\+[0-9][0-9-]{7,}"
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1-555-010"),
+            (col("doc_id") % 10).cast("string")).as("text"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$emailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '\\\\+[0-9][0-9-]{7,}', 0)")).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: flag training docs sharing any
+    //      5-gram with the (small) eval set. At 100 TB the eval-set gram
+    //      dictionary is broadcast — no shuffle of the corpus at all;
+    //      each doc is checked map-side. ----
+    QueryDef(
+      "q58_decontaminate",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 3),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |                        toks[i+3] || ' ' || toks[i+4]) END) AS sh
+         |  FROM t),
+         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM tr JOIN b USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams5 = array_distinct(TextAnalysis.shingles(col("text"), 5))
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(grams5).as("g")).distinct()
+      val train = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(grams5).as("g"))
+      train.join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
     }
   )
 }

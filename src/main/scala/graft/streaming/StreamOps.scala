@@ -41,4 +41,22 @@ object StreamOps {
   /** Attach a watermark for streaming use (no-op in batch mode). */
   def withWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", delay)
+
+  /** Streaming exact dedup on a content digest: keeps the first arrival
+    * of each distinct `textCol` value. With a watermark on `tsCol`,
+    * dropDuplicatesWithinWatermark bounds the dedup state — entries older
+    * than the watermark are evicted, which is the only way streaming
+    * dedup survives an unbounded stream (plain dropDuplicates grows state
+    * forever). The digest (not the text) is the state key, so state size
+    * is 16 bytes/doc no matter how large documents are.
+    */
+  def streamingDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      delay: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
 }

@@ -74,6 +74,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival per content digest, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(ts: Timestamp, text: String)
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.streamingDedup(
+        input.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData((ts(0), "alpha"), (ts(1), "beta"), (ts(2), "alpha"))
+      q.processAllAvailable()
+      // duplicate arriving within the watermark window → dropped
+      input.addData((ts(3), "beta"), (ts(4), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"), texts.mkString(","))
+    } finally q.stop()
+  }
+
   test("session windows merge events within gap and split across it") {
     val evs = Seq(
       Ev(ts(0), "a", 1.0, 7), Ev(ts(3), "a", 1.0, 7), Ev(ts(6), "a", 1.0, 7),
