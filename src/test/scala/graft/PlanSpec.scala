@@ -48,4 +48,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$plan")
   }
+
+  test("q54 range join: equality prefix plans as a hash/merge join, not cartesian") {
+    val plan = planOf("q54_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join degenerated to a product join (would not scale):\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected keyed join on the user_id equality prefix:\n$plan")
+  }
+
+  test("q58 decontamination: the eval-set gram dictionary broadcasts") {
+    val plan = planOf("q58_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"gram dictionary not broadcast (corpus would shuffle at scale):\n$plan")
+  }
+
+  test("q52 sample: sampling filter evaluates in the scan stage (no shuffle before filter)") {
+    val plan = planOf("q52_sample")
+    // the md5 filter can't push into parquet, but it must run map-side:
+    // exactly the scan→filter→partial-agg pipeline, one exchange total
+    val nExchanges = "Exchange".r.findAllIn(plan).length
+    assert(nExchanges <= 2, s"sampling should add no extra shuffles:\n$plan")
+  }
 }
