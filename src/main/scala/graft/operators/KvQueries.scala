@@ -65,6 +65,30 @@ object KvQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_ops"), countDistinct(col("user_id")).as("n_keys"))
         .orderBy("shard")
+    },
+
+    // ---- shard controller: Join/Leave/Move/Query rebalance sequence ----
+    // The greedy rebalance (ascending-gid targets, strip-highest, hand
+    // lowest free shards to lowest underfull gid) is fully deterministic,
+    // so the oracle is the hand-derived golden assignment for this op
+    // sequence. Invariants (coverage, balance, minimal movement) are
+    // property-tested in ShardCtrlerSpec; this pins the exact algorithm.
+    QueryDef(
+      "q59_shard_rebalance",
+      """SELECT * FROM (VALUES (0, 3), (1, 2), (2, 3), (3, 3), (4, 2),
+        |                      (5, 2), (6, 2), (7, 4), (8, 4), (9, 4))
+        |       AS t(shard, gid)
+        |ORDER BY shard""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val ctl = new graft.kv.ShardCtrler()
+      ctl.join(Map(1 -> Seq("a")))
+      ctl.join(Map(2 -> Seq("b"), 3 -> Seq("c")))
+      ctl.leave(Seq(1))
+      ctl.move(0, 3)
+      ctl.join(Map(4 -> Seq("d")))
+      ctl.latest.shards.zipWithIndex.map { case (g, sh) => (sh, g) }
+        .toDF("shard", "gid")
+        .orderBy("shard")
     }
   )
 }
