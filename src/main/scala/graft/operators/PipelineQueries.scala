@@ -9,12 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over documents/embeddings:
-  * text analysis, dedup (exact + MinHash/SimHash), similarity search.
-  * Where the computation is engine-neutral (no Spark-specific hashes)
-  * the entry carries a DuckDB oracle — including BIT-EXACT cosine
-  * similarity (sequential double fold on both sides); xxhash64-based
-  * sketches are rows-only checked by the driver and value-checked in
-  * the ScalaTest specs instead.
+  * text analysis, dedup (exact + MinHash/SimHash + edit-distance), PII
+  * redaction, decontamination, similarity search. Every entry except the
+  * inherently-approximate two (IVF ANN, HLL) carries a DuckDB oracle:
+  * BIT-EXACT cosine (sequential double fold on both sides), brute-force
+  * exact jaccard for the LSH pipeline, portable md5-based sketch
+  * replication for simhash/fingerprint.
   */
 object PipelineQueries {
 
