@@ -1,0 +1,49 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.dedup.Dedup
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the near-dup pipeline: replicate the
+  * sf0.1 corpus N× with per-copy token prefixes (every shingle differs
+  * across copies → zero cross-copy similarity, within-copy near-dup
+  * structure preserved exactly), then time the full pipeline at 1× and
+  * N×. Linear wall-clock growth = the Σ bucket² candidate bound holds;
+  * super-linear growth would mean a hidden n² term. Results feed
+  * SCALE.md's claims with measurements instead of assertions.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.getOrCreate("graft-scaleprobe")
+
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+
+    def replicate(n: Int): DataFrame =
+      (0 until n).map { k =>
+        base.select(
+          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit(s"c$k"), t)), " ").as("text"))
+      }.reduce(_ union _)
+
+    def time(label: String, docs: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.nearDupPairs(docs, threshold = 0.7).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] $label: pairs=$n time=$secs%.2fs")
+      (n, secs)
+    }
+
+    // warm JIT/codegen on the small case first
+    time("warmup-1x", replicate(1))
+    val (p1, t1) = time("1x", replicate(1))
+    val (pn, tn) = time(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] pairs ratio=${pn.toDouble / p1}%.2f (expect ≈$copies), " +
+      f"time ratio=${tn / t1}%.2f (linear ⇒ ≈$copies or less with fixed overhead)")
+    spark.stop()
+  }
+}

@@ -24,17 +24,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlRes == dfRes)
   }
 
-  test("csv/json sinks and sources round-trip (format coverage)") {
+  test("csv/json/orc/avro-free sinks and sources round-trip (format coverage)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val df = Tables.nation(spark, sf0001)
     df.write.mode("overwrite").option("header", "true").csv(s"$dir/n.csv")
     df.write.mode("overwrite").json(s"$dir/n.json")
+    df.write.mode("overwrite").orc(s"$dir/n.orc")
     val csvBack = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/n.csv")
     val jsonBack = spark.read.json(s"$dir/n.json")
+    val orcBack = spark.read.orc(s"$dir/n.orc")
     assert(csvBack.count() == df.count() && jsonBack.count() == df.count())
     assert(csvBack.columns.sorted.toSeq == df.columns.sorted.toSeq)
     assert(jsonBack.columns.sorted.toSeq == df.columns.sorted.toSeq)
+    // ORC preserves the exact schema (typed columnar, like parquet)
+    assert(orcBack.schema == df.schema)
+    assert(orcBack.count() == df.count())
   }
 }
