@@ -68,10 +68,21 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF bucket assignment: portable md5-60bit of the id, mod nBuckets —
+    * any engine can recompute the identical index layout (the q46 oracle
+    * does), and re-building the index on a different cluster/partitioning
+    * yields the same buckets (reproducible index builds).
+    */
+  def ivfBucket(id: Column, nBuckets: Int): Column =
+    pmod(graft.textops.TextAnalysis.md5Long(id.cast("string")), lit(nBuckets))
+
   /** Deterministic coarse centroids: mean embedding of each id-hash
     * bucket. A stand-in for k-means that needs no iteration and is
     * reproducible; the IVF mechanics (assign → prune → search) are
-    * identical with trained centroids.
+    * identical with trained centroids. Element sums are quantized to
+    * exact integers (1e-6) before aggregation so the centroid is
+    * independent of partition/merge order — nondeterministic centroids
+    * would make probe selection, and thus the whole result, flap.
     */
   def coarseCentroids(
       corpus: DataFrame,
@@ -79,20 +90,24 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    val bucketed = corpus.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+    val bucketed = corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets))
     val aggs = count(lit(1)).as("cnt") +:
-      (0 until dim).map(i => sum(element_at(col(embCol), i + 1)).as(s"s$i"))
+      (0 until dim).map(i => sum(
+        round(element_at(col(embCol), i + 1).cast("double") * 1000000).cast("long"))
+        .as(s"s$i"))
     bucketed.groupBy("bucket")
       .agg(aggs.head, aggs.tail: _*)
       .select(col("bucket"),
         array((0 until dim).map(i =>
-          (col(s"s$i") / col("cnt")).cast("float")): _*).as("centroid"))
+          (col(s"s$i").cast("double") / 1000000 / col("cnt")).cast("float")): _*)
+          .as("centroid"))
   }
 
-  /** IVF top-k: assign corpus rows to their xxhash bucket, assign each
+  /** IVF top-k: assign corpus rows to their id-hash bucket, assign each
     * query to its `nprobe` nearest centroids, and search only those
     * buckets. Returns the same schema as bruteForceTopK (approximate
-    * results — recall depends on quantizer quality).
+    * results — recall depends on quantizer quality). Fully deterministic:
+    * portable buckets + order-independent centroids + bit-exact cosine.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -103,7 +118,7 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val centroids = coarseCentroids(corpus, nBuckets, idCol, embCol)
-    val bucketed = corpus.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(nBuckets)))
+    val bucketed = corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets))
     // rank centroids per query, keep nprobe nearest
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("bucket"))
     val probes = queries.join(broadcast(centroids), lit(true))
