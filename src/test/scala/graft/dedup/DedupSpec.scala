@@ -72,4 +72,45 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.minHashSignatures(docs.repartition(7)).orderBy("doc_id").collect()
     assert(s1.map(_.getSeq[Long](1)).toSeq == s2.map(_.getSeq[Long](1)).toSeq)
   }
+
+  test("nearDupPairs equals local brute force on randomized corpora") {
+    // Property behind the q31 oracle: LSH + estimate-filter + exact verify
+    // reproduces the brute-force answer (recall budget ~1e-6/pair at the
+    // threshold — see Dedup.nearDupPairs). Random vocab docs + mutated
+    // variants exercise a spread of jaccard values around the threshold.
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array.tabulate(60)(i => s"w$i")
+    def randDoc(): Array[String] =
+      Array.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+    def mutate(t: Array[String], nMut: Int): Array[String] = {
+      val out = t.clone()
+      (0 until nMut).foreach { _ =>
+        out(rnd.nextInt(out.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      out
+    }
+    def shingleSet(toks: Array[String]): Set[String] =
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    (1 to 3).foreach { trial =>
+      val bases = Seq.tabulate(8)(i => (i.toLong, randDoc()))
+      val variants = bases.take(5).zipWithIndex.map { case ((id, t), i) =>
+        (id + 100, mutate(t, i)) // 0..4 mutations → jaccard spread incl ≥0.7
+      }
+      val all = bases ++ variants
+      val expected = (for {
+        (a, ta) <- all; (b, tb) <- all if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = sa.intersect(sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.7
+      } yield (a, b)).toSet
+      val got = Dedup.nearDupPairs(
+          all.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial: got=$got expected=$expected")
+    }
+  }
 }
