@@ -70,7 +70,6 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     lshCandidatesWithSigs(signatures, idCol, bands, maxBucket)
       .select("id_a", "id_b")
-      .distinct()
 
   /** Candidate pairs CARRYING both signatures, so downstream estimation
     * needs no re-join against the signature table (which would recompute
@@ -115,8 +114,22 @@ object Dedup {
             .otherwise(y.getField("sig")).as("sig_a"),
           when(x.getField("id") < y.getField("id"), y.getField("sig"))
             .otherwise(x.getField("sig")).as("sig_b")))))
+    // In-place pair dedup: a pair colliding in several bands is emitted
+    // ONLY at its first colliding band — an O(bands·rows) per-pair array
+    // comparison replacing a full shuffle-distinct of the candidate set.
+    // (Corner: if the first colliding band's bucket was dropped by the
+    // skew guard, the pair is lost even though a later band caught it —
+    // only reachable for partial mega-clusters straddling maxBucket;
+    // degenerate identical-sig clusters have identical buckets in every
+    // band, so the guard drops them uniformly either way.)
+    val rows = size(col("p.sig_a")) / bands
+    val earlierCollision = exists(
+      sequence(lit(0), col("band") - 1),
+      bp => slice(col("p.sig_a"), bp * rows + 1, rows) ===
+            slice(col("p.sig_b"), bp * rows + 1, rows))
     buckets
-      .select(explode(pairsCol).as("p"))
+      .select(col("band"), explode(pairsCol).as("p"))
+      .filter(col("band") === 0 || !earlierCollision)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
   }
@@ -194,12 +207,13 @@ object Dedup {
     // corpus should persist minHashSignatures output themselves and pass
     // it to lshCandidatesWithSigs directly.
     val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
+    // candidates arrive already pair-unique (first-collision-band dedup
+    // inside the bucket expansion) — no shuffle-distinct needed here
     val cands = lshCandidatesWithSigs(sigs, idCol, bands)
     val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val plausible = estimateJaccard(cands, idCol)
       .filter(col("est_jaccard") >= threshold - margin)
       .select("id_a", "id_b")
-      .distinct()
     ngramJaccard(docs, plausible, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
   }
