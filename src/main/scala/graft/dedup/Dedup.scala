@@ -218,6 +218,57 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---------- cluster resolution (transitive closure) ----------
+
+  /** Connected components over near-dup pairs: min-label propagation
+    * until fixpoint. Near-duplicate similarity is not transitive, so
+    * production dedup groups pairs into components and keeps one
+    * representative per component — this is that step.
+    *
+    * Each iteration is one join + aggregate (labels flow along edges);
+    * iterations needed = component diameter, which for near-dup clusters
+    * is tiny (dup clusters are dense). `localCheckpoint` truncates the
+    * growing lineage each round — without it the plan doubles per
+    * iteration. Deterministic: min() propagation converges to the same
+    * labels on any partitioning.
+    *
+    * Returns (id, cluster) where cluster = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min("cluster").as("ncluster"))
+      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep-one-per-cluster dedup: drops every doc whose component
+    * representative (min id) is a different doc. Docs in no pair are
+    * their own component and survive.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash bit width and band layout (4 bands of 15 bits over a 60-bit

@@ -236,6 +236,57 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }.copy(headline = true),
 
+    // ---- dedup cluster resolution: near-dup pairs → connected
+    //      components (min-label propagation to fixpoint) — similarity is
+    //      not transitive, so production dedup keeps one representative
+    //      per component, not per pair. Oracle: the same brute-force pair
+    //      set closed transitively with a recursive CTE. ----
+    QueryDef(
+      "q60_dedup_clusters",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graftplantedtail'
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM t),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |pr AS (
+         |  SELECT id_a, id_b FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+         |FROM reach
+         |GROUP BY id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      val pairs = Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash sketches + near-dup distances, oracle-checked: the
     //      60-bit sketch uses the portable md5-60bit token hash, so
     //      DuckDB recomputes the identical sketches and brute-forces the

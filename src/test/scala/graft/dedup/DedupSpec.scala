@@ -73,6 +73,19 @@ class DedupSpec extends SparkSpec {
     assert(s1.map(_.getSeq[Long](1)).toSeq == s2.map(_.getSeq[Long](1)).toSeq)
   }
 
+  test("connected components resolve chained pairs into one cluster") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // keep-one dedup retains exactly one doc per component + singletons
+    val docs = (1L to 12L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(docs, pairs)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
+
   test("nearDupPairs equals local brute force on randomized corpora") {
     // Property behind the q31 oracle: LSH + estimate-filter + exact verify
     // reproduces the brute-force answer (recall budget ~1e-6/pair at the
