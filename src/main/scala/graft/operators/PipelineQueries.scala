@@ -25,6 +25,34 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+
+  /** DuckDB CTE fragments for one k-means round: quantized-exact centroid
+    * means from an assignment relation (vec_id, embedding, cluster), then
+    * argmin-L2 re-assignment — mirrors Similarity.kmeansLite bit-for-bit.
+    */
+  private def centroidCte(from: String, out: String): String =
+    s"""${out}_ex AS (
+       |  SELECT cluster,
+       |         unnest(range(1, len(embedding) + 1)) AS i,
+       |         unnest(embedding) AS val
+       |  FROM $from),
+       |${out}_ce AS (
+       |  SELECT cluster, i,
+       |         CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+       |              / 1000000 / count(*) AS FLOAT) AS v
+       |  FROM ${out}_ex GROUP BY cluster, i),
+       |$out AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM ${out}_ce GROUP BY cluster)""".stripMargin
+  private def assignCte(centRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${l2Sql("e.embedding", "c.centroid")} ASC, c.cluster) AS rn
+       |    FROM ev e CROSS JOIN $centRel c) t
+       |  WHERE rn = 1)""".stripMargin
 
   private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -473,6 +501,26 @@ object PipelineQueries {
         .select(col("l_returnflag"),
           round(col("sum_l_quantity"), 2).as("sum_l_quantity"), col("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
+    //      clustering for training-data mixes. md5-bucket-mean init +
+    //      quantized centroid updates + tie-broken argmin make the whole
+    //      iteration replayable: the oracle unrolls both rounds. ----
+    QueryDef(
+      "q61_kmeans",
+      s"""WITH ev AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS BIGINT) % 16 AS cluster
+         |  FROM embeddings),
+         |${centroidCte("ev", "cent0")},
+         |${assignCte("cent0", "a1")},
+         |${centroidCte("a1", "cent1")},
+         |${assignCte("cent1", "a2")}
+         |SELECT vec_id, cluster FROM a2
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Similarity.kmeansLite(Tables.embeddings(s, dir), k = 16, iters = 2)
+        .orderBy("vec_id")
     },
 
     // ---- PII redaction (training-data scrub): plant synthetic emails /

@@ -136,6 +136,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Squared-L2 distance as a sequential double fold (bit-exact across
+    * engines, like [[dot]]).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Deterministic Lloyd's k-means over an embedding column: md5-bucket
+    * means as init (the same reproducible seeding as IVF), then `iters`
+    * assign→update rounds. Everything is order-independent: centroid
+    * updates quantize element sums to exact integers, assignment breaks
+    * distance ties by cluster id, distances are sequential double folds —
+    * so the final assignment is a pure function of the data, replayable
+    * on any engine (the q61 oracle unrolls both rounds in SQL).
+    *
+    * Scale shape: centroids broadcast (k × dim floats); each round is one
+    * corpus scan + one k-sized aggregate. Empty clusters drop out, as in
+    * classic Lloyd.
+    */
+  def kmeansLite(
+      corpus: DataFrame,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    def recompute(assigned: DataFrame): DataFrame = {
+      val aggs = count(lit(1)).as("cnt") +:
+        (0 until dim).map(i => sum(
+          round(element_at(col(embCol), i + 1).cast("double") * 1000000).cast("long"))
+          .as(s"s$i"))
+      assigned.groupBy("cluster")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cluster"),
+          array((0 until dim).map(i =>
+            (col(s"s$i").cast("double") / 1000000 / col("cnt")).cast("float")): _*)
+            .as("centroid"))
+    }
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cluster"))
+      corpus.join(broadcast(centroids), lit(true))
+        .withColumn("d2", l2sq(col(embCol), col("centroid")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col(embCol), col("cluster"))
+    }
+    var centroids = coarseCentroids(corpus, k, idCol, embCol)
+      .select(col("bucket").as("cluster"), col("centroid"))
+    var assigned = assign(centroids)
+    (2 to iters).foreach { _ =>
+      centroids = recompute(assigned)
+      assigned = assign(centroids)
+    }
+    assigned.select(col(idCol), col("cluster"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
     * random-hyperplane LSH signature so candidate generation avoids the
     * full cross join: vectors agreeing on any `bands` of the sign-bit
