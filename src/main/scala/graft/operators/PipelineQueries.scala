@@ -503,6 +503,32 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- TF-IDF top terms (retrieval/curation scoring): quantized
+    //      tf·ln(N/df) so the ranking replays on any engine ----
+    QueryDef(
+      "q62_tfidf",
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         unnest(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         CAST(round(tf.tf * ln(n.n / df.df) * 10000) AS BIGINT) AS score_q
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, CAST(score_q AS DOUBLE) / 10000 AS score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY score_q DESC, term) AS rank
+         |  FROM sc) t
+         |WHERE rank <= 3 AND doc_id < 50
+         |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      TextAnalysis.tfIdfTop(Tables.documents(s, dir), k = 3)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "rank")
+    },
+
     // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
     //      clustering for training-data mixes. md5-bucket-mean init +
     //      quantized centroid updates + tie-broken argmin make the whole

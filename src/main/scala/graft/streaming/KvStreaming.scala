@@ -43,4 +43,34 @@ object KvStreaming {
     ops.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateKey)
   }
+
+  final case class KvChange(seq: Long, key: String, value: String)
+
+  /** Change-feed form: one output row PER APPLIED OP (seq, key, value
+    * after the op) — the flatMapGroupsWithState surface, where a key
+    * emits 0..n rows per micro-batch instead of exactly one. This is the
+    * shape a downstream CDC consumer or audit log wants; the final row
+    * per key equals statefulReplay's state.
+    */
+  def changeFeed(
+      spark: SparkSession,
+      ops: Dataset[KvOp]): Dataset[KvChange] = {
+    import spark.implicits._
+    ops.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[KvOp], state: GroupState[String]) =>
+          val sorted = it.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse("")
+          val out = sorted.flatMap { o =>
+            o.op match {
+              case KvOp.Put    => st = o.value; Some(KvChange(o.seq, key, st))
+              case KvOp.Append => st = st + o.value; Some(KvChange(o.seq, key, st))
+              case _           => None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

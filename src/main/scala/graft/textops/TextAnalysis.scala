@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -131,4 +131,34 @@ object TextAnalysis {
 
   def fingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(shingles(text, k), s => md5Long(s)))
+
+  // ---------- retrieval / curation scoring ----------
+
+  /** Top-k TF-IDF terms per document: tf·ln(N/df), quantized to 1e-4 per
+    * (doc, term) so ranking is engine-portable (ties broken by term).
+    * Two shuffles — (doc,term) term-frequency and (term) document
+    * frequency — plus a broadcast scalar N; at corpus scale the df join
+    * keys on the term dictionary, which is the small side.
+    */
+  def tfIdfTop(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q",
+        round(col("tf") * log(col("n") / col("df")) * 10000).cast("long"))
+    val w = Window.partitionBy(idCol).orderBy(col("score_q").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"),
+        (col("score_q").cast("double") / 10000).as("score"), col("rank"))
+  }
 }

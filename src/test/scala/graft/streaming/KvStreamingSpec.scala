@@ -39,6 +39,26 @@ class KvStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState change feed emits one row per applied op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KvOp]
+    val q = KvStreaming.changeFeed(spark, input.toDS())
+      .writeStream.format("memory").queryName("kvfeed")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(KvOp(0, "put", "a", "x"), KvOp(1, "append", "a", "y"))
+      q.processAllAvailable()
+      input.addData(KvOp(2, "append", "a", "z"))
+      q.processAllAvailable()
+      val feed = spark.sql("SELECT seq, key, value FROM kvfeed ORDER BY seq")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // per-op intermediate states, state carried across micro-batches
+      assert(feed.toSeq == Seq((0L, "a", "x"), (1L, "a", "xy"), (2L, "a", "xyz")),
+        feed.mkString(","))
+    } finally q.stop()
+  }
+
   test("within-batch ordering respects seq, not arrival order") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KvOp]
