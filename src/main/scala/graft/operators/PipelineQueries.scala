@@ -503,6 +503,69 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- stratified sampling (training-mix quotas): up to 20 docs per
+    //      language, chosen by content-addressed order (md5 of id) so the
+    //      same sample falls out on any engine/partitioning ----
+    QueryDef(
+      "q63_stratified_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT),
+        |                    doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.textops.TextAnalysis.md5Long
+      val w = Window.partitionBy("lang")
+        .orderBy(md5Long(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- token-budget sequence packing: concatenate docs in id order,
+    //      split at 2000-token boundaries; each doc's pack = its start
+    //      offset / budget. One window cumsum — the deterministic
+    //      concat-and-chunk shape LLM pretraining batches use. (The
+    //      unpartitioned window is the op's sequential nature; at 100 TB
+    //      you pack within id-range shards — partitionBy(shard) here —
+    //      and prefix pack ids with the shard, keeping every property.) ----
+    QueryDef(
+      "q64_token_packing",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |         sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs,
+        |       sum(n_tok) AS total_tokens
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY pack_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select(floor((col("cum") - col("n_tok")) / 2000).as("pack_id"),
+          col("n_tok"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+        .orderBy("pack_id")
+    },
+
     // ---- TF-IDF top terms (retrieval/curation scoring): quantized
     //      tf·ln(N/df) so the ranking replays on any engine ----
     QueryDef(
