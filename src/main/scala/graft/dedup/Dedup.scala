@@ -211,9 +211,16 @@ object Dedup {
     // inside the bucket expansion) — no shuffle-distinct needed here
     val cands = lshCandidatesWithSigs(sigs, idCol, bands)
     val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // localCheckpoint: the verify stage references the pair set twice
+    // (id-prune + the join) — without materialization the whole
+    // sig→band→bucket→estimate pipeline would execute twice. The
+    // checkpointed set is small by construction (near-threshold
+    // candidates only), so this is a cheap cut of the DAG's tallest
+    // subtree — same reasoning as Spark ML's iterative checkpointing.
     val plausible = estimateJaccard(cands, idCol)
       .filter(col("est_jaccard") >= threshold - margin)
       .select("id_a", "id_b")
+      .localCheckpoint()
     ngramJaccard(docs, plausible, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
   }
