@@ -612,6 +612,63 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // ---- the full data-prep pipeline, value-checked END TO END:
+    //      length filter → exact dedup (keep min id) → near-dup cluster
+    //      resolution (keep min id per component) → per-language stats.
+    //      Every stage reuses an operator verified above; the oracle
+    //      composes their SQL mirrors into one query. ----
+    QueryDef(
+      "q65_full_pipeline",
+      s"""WITH RECURSIVE tk AS (
+         |  SELECT doc_id, lang, text,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM documents),
+         |f AS (SELECT * FROM tk WHERE len(toks) >= 10),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+         |ek AS (SELECT f.* FROM f JOIN keepers USING (doc_id)),
+         |s AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         |  FROM ek),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |pr AS (
+         |  SELECT id_a, id_b FROM p
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |          UNION SELECT id_b, id_a FROM pr),
+         |reach(id, r) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |losers AS (
+         |  SELECT id FROM (
+         |    SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id) t
+         |  WHERE id <> cl)
+         |SELECT lang, count(*) AS n_docs, sum(len(toks)) AS total_tokens
+         |FROM ek
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val filtered = docs
+        .filter(size(TextAnalysis.wsTokens(col("text"))) >= 10)
+      val exactKept = Dedup.exactDedup(filtered)
+      val pairs = Dedup.nearDupPairs(
+          exactKept.select("doc_id", "text"), threshold = 0.7)
+        .select("id_a", "id_b")
+      Dedup.dedupByClusters(exactKept, pairs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.wsTokens(col("text"))).cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    },
+
     // ---- PII redaction (training-data scrub): plant synthetic emails /
     //      phone numbers, redact with character-class-only regexes (RE2
     //      and java.util.regex agree on these), count what was hit. ----
