@@ -70,6 +70,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     lshCandidatesWithSigs(signatures, idCol, bands, maxBucket)
       .select("id_a", "id_b")
+      .distinct()
 
   /** Candidate pairs CARRYING both signatures, so downstream estimation
     * needs no re-join against the signature table (which would recompute
@@ -114,22 +115,14 @@ object Dedup {
             .otherwise(y.getField("sig")).as("sig_a"),
           when(x.getField("id") < y.getField("id"), y.getField("sig"))
             .otherwise(x.getField("sig")).as("sig_b")))))
-    // In-place pair dedup: a pair colliding in several bands is emitted
-    // ONLY at its first colliding band — an O(bands·rows) per-pair array
-    // comparison replacing a full shuffle-distinct of the candidate set.
-    // (Corner: if the first colliding band's bucket was dropped by the
-    // skew guard, the pair is lost even though a later band caught it —
-    // only reachable for partial mega-clusters straddling maxBucket;
-    // degenerate identical-sig clusters have identical buckets in every
-    // band, so the guard drops them uniformly either way.)
-    val rows = size(col("p.sig_a")) / bands
-    val earlierCollision = exists(
-      sequence(lit(0), col("band") - 1),
-      bp => slice(col("p.sig_a"), bp * rows + 1, rows) ===
-            slice(col("p.sig_b"), bp * rows + 1, rows))
+    // A pair colliding in several bands is emitted once per colliding
+    // band; consumers dedup on (id_a, id_b) — lshCandidates and
+    // nearDupPairs both do. (An earlier revision suppressed non-first
+    // collisions per pair with a slice comparison, saving the distinct —
+    // but that silently loses pairs whose first colliding band's bucket
+    // was dropped by the skew guard, so the explicit distinct stays.)
     buckets
-      .select(col("band"), explode(pairsCol).as("p"))
-      .filter(col("band") === 0 || !earlierCollision)
+      .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
   }
@@ -207,19 +200,19 @@ object Dedup {
     // corpus should persist minHashSignatures output themselves and pass
     // it to lshCandidatesWithSigs directly.
     val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
-    // candidates arrive already pair-unique (first-collision-band dedup
-    // inside the bucket expansion) — no shuffle-distinct needed here
     val cands = lshCandidatesWithSigs(sigs, idCol, bands)
     val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // localCheckpoint: the verify stage references the pair set twice
-    // (id-prune + the join) — without materialization the whole
-    // sig→band→bucket→estimate pipeline would execute twice. The
+    // distinct collapses multi-band emissions (cheap: bare id pairs,
+    // post-filter). localCheckpoint: the verify stage references the
+    // pair set twice (id-prune + the join) — without materialization the
+    // whole sig→band→bucket→estimate pipeline would execute twice. The
     // checkpointed set is small by construction (near-threshold
     // candidates only), so this is a cheap cut of the DAG's tallest
     // subtree — same reasoning as Spark ML's iterative checkpointing.
     val plausible = estimateJaccard(cands, idCol)
       .filter(col("est_jaccard") >= threshold - margin)
       .select("id_a", "id_b")
+      .distinct()
       .localCheckpoint()
     ngramJaccard(docs, plausible, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
@@ -241,11 +234,14 @@ object Dedup {
     *
     * Returns (id, cluster) where cluster = min id in the component.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // checkpoint edges once: every iteration joins against them, and the
+    // upstream pair lineage (LSH + exact verify) must not re-execute per
+    // round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
     var converged = false
@@ -262,6 +258,13 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // propagation moves the min label one hop per round, so hitting the
+    // cap means some component has diameter > maxIter and labels are NOT
+    // final — loud failure beats silently-split clusters (and a wrongly
+    // "deduplicated" corpus)
+    require(converged,
+      s"connectedComponents did not converge within $maxIter iterations " +
+        "(a component's diameter exceeds maxIter); raise maxIter")
     labels
   }
 

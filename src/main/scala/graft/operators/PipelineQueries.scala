@@ -29,6 +29,56 @@ object PipelineQueries {
     s"list_sum(list_transform(list_zip($a, $b), " +
       "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
 
+  /** DuckDB spelling of TextAnalysis.wsTokens. */
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+  /** CTE: the q31/q60/q65 planted-twin corpus with whitespace tokens. */
+  private def twinDocsCtes(tailToken: String): String =
+    s"""d AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' $tailToken'
+       |  FROM documents WHERE doc_id < 10),
+       |t AS (
+       |  SELECT doc_id, $toksSql AS toks
+       |  FROM d)""".stripMargin
+
+  /** CTE `s`: distinct 3-shingle sets from a relation exposing
+    * (doc_id, toks) — mirrors TextAnalysis.shingles(_, 3).
+    */
+  private def shingle3Cte(from: String): String =
+    s"""s AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 1),
+       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+       |  FROM $from)""".stripMargin
+
+  /** CTEs `p` (all-pairs shingle overlap) and `pr` (pairs at/above the
+    * rounded-jaccard threshold) — the brute-force oracle for the LSH
+    * pipeline's output contract.
+    */
+  private def bruteJaccardCtes(threshold: String): String =
+    s"""p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.sh, b.sh)) AS inter,
+       |         len(a.sh) AS na, len(b.sh) AS nb
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+       |pr AS (
+       |  SELECT id_a, id_b FROM p
+       |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $threshold)""".stripMargin
+
+  /** CTEs `edges`/`reach`: undirected transitive closure of `pr` —
+    * mirrors Dedup.connectedComponents. Requires WITH RECURSIVE.
+    */
+  private val closureCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |          UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)""".stripMargin
+
   /** DuckDB CTE fragments for one k-means round: quantized-exact centroid
     * means from an assignment relation (vec_id, embedding, cluster), then
     * argmin-L2 re-assignment — mirrors Similarity.kmeansLite bit-for-bit.
@@ -230,26 +280,9 @@ object PipelineQueries {
     //      oracle scale; the engine never does. ----
     QueryDef(
       "q31_minhash_neardup",
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' graftplantedtail'
-         |  FROM documents WHERE doc_id < 10),
-         |t AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
-         |  FROM d),
-         |s AS (
-         |  SELECT doc_id,
-         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |              ELSE list_transform(range(1, len(toks) - 1),
-         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-         |  FROM t),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.sh, b.sh)) AS inter,
-         |         len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      s"""WITH ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")}
          |SELECT id_a, id_b,
          |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
          |FROM p
@@ -271,35 +304,10 @@ object PipelineQueries {
     //      set closed transitively with a recursive CTE. ----
     QueryDef(
       "q60_dedup_clusters",
-      s"""WITH RECURSIVE d AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' graftplantedtail'
-         |  FROM documents WHERE doc_id < 10),
-         |t AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
-         |  FROM d),
-         |s AS (
-         |  SELECT doc_id,
-         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |              ELSE list_transform(range(1, len(toks) - 1),
-         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-         |  FROM t),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.sh, b.sh)) AS inter,
-         |         len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
-         |pr AS (
-         |  SELECT id_a, id_b FROM p
-         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-         |          UNION SELECT id_b, id_a FROM pr),
-         |reach(id, r) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+      s"""WITH RECURSIVE ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes
          |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
          |FROM reach
          |GROUP BY id
@@ -321,23 +329,18 @@ object PipelineQueries {
     //      pair contract (hamming ≤ 6 AND ≥1 agreeing 15-bit band). ----
     QueryDef(
       "q32_simhash_neardup",
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text || ' planted'
-         |  FROM documents WHERE doc_id < 10),
-         |t AS (
+      s"""WITH ${twinDocsCtes("planted")},
+         |h AS (
          |  SELECT doc_id,
-         |         list_transform(
-         |           list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+         |         list_transform(toks,
          |           w -> CAST(('0x' || substring(md5(w), 18, 15)) AS BIGINT)) AS lh
-         |  FROM d),
+         |  FROM t),
          |s AS (
          |  SELECT doc_id,
          |         CAST(list_sum(list_transform(range(0, 60), b ->
          |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
          |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM t),
+         |  FROM h),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist,
@@ -620,32 +623,14 @@ object PipelineQueries {
     QueryDef(
       "q65_full_pipeline",
       s"""WITH RECURSIVE tk AS (
-         |  SELECT doc_id, lang, text,
-         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  SELECT doc_id, lang, text, $toksSql AS toks
          |  FROM documents),
          |f AS (SELECT * FROM tk WHERE len(toks) >= 10),
          |keepers AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
          |ek AS (SELECT f.* FROM f JOIN keepers USING (doc_id)),
-         |s AS (
-         |  SELECT doc_id,
-         |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |              ELSE list_transform(range(1, len(toks) - 1),
-         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
-         |  FROM ek),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         len(list_intersect(a.sh, b.sh)) AS inter,
-         |         len(a.sh) AS na, len(b.sh) AS nb
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
-         |pr AS (
-         |  SELECT id_a, id_b FROM p
-         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-         |          UNION SELECT id_b, id_a FROM pr),
-         |reach(id, r) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |${shingle3Cte("ek")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes,
          |losers AS (
          |  SELECT id FROM (
          |    SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id) t

@@ -84,23 +84,34 @@ object Similarity {
     * independent of partition/merge order — nondeterministic centroids
     * would make probe selection, and thus the whole result, flap.
     */
+  /** Order-independent mean embeddings per group: element sums quantized
+    * to exact integers (1e-6) before aggregation, means recovered with a
+    * fixed division order — the single definition of the quantized-mean
+    * contract that the q46/q61 oracles mirror.
+    */
+  private def quantizedMeans(
+      grouped: DataFrame, groupCol: String, dim: Int, embCol: String): DataFrame = {
+    val aggs = count(lit(1)).as("cnt") +:
+      (0 until dim).map(i => sum(
+        round(element_at(col(embCol), i + 1).cast("double") * 1000000).cast("long"))
+        .as(s"s$i"))
+    grouped.groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol),
+        array((0 until dim).map(i =>
+          (col(s"s$i").cast("double") / 1000000 / col("cnt")).cast("float")): _*)
+          .as("centroid"))
+  }
+
   def coarseCentroids(
       corpus: DataFrame,
       nBuckets: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    val bucketed = corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets))
-    val aggs = count(lit(1)).as("cnt") +:
-      (0 until dim).map(i => sum(
-        round(element_at(col(embCol), i + 1).cast("double") * 1000000).cast("long"))
-        .as(s"s$i"))
-    bucketed.groupBy("bucket")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("bucket"),
-        array((0 until dim).map(i =>
-          (col(s"s$i").cast("double") / 1000000 / col("cnt")).cast("float")): _*)
-          .as("centroid"))
+    quantizedMeans(
+      corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets)),
+      "bucket", dim, embCol)
   }
 
   /** IVF top-k: assign corpus rows to their id-hash bucket, assign each
@@ -165,18 +176,6 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head.getInt(0)
-    def recompute(assigned: DataFrame): DataFrame = {
-      val aggs = count(lit(1)).as("cnt") +:
-        (0 until dim).map(i => sum(
-          round(element_at(col(embCol), i + 1).cast("double") * 1000000).cast("long"))
-          .as(s"s$i"))
-      assigned.groupBy("cluster")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col("cluster"),
-          array((0 until dim).map(i =>
-            (col(s"s$i").cast("double") / 1000000 / col("cnt")).cast("float")): _*)
-            .as("centroid"))
-    }
     def assign(centroids: DataFrame): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cluster"))
       corpus.join(broadcast(centroids), lit(true))
@@ -185,11 +184,12 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col(idCol), col(embCol), col("cluster"))
     }
-    var centroids = coarseCentroids(corpus, k, idCol, embCol)
-      .select(col("bucket").as("cluster"), col("centroid"))
+    var centroids = quantizedMeans(
+        corpus.withColumn("cluster", ivfBucket(col(idCol), k)),
+        "cluster", dim, embCol)
     var assigned = assign(centroids)
     (2 to iters).foreach { _ =>
-      centroids = recompute(assigned)
+      centroids = quantizedMeans(assigned, "cluster", dim, embCol)
       assigned = assign(centroids)
     }
     assigned.select(col(idCol), col("cluster"))

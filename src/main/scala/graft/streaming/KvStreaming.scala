@@ -20,19 +20,25 @@ object KvStreaming {
 
   final case class KeyState(key: String, value: String)
 
+  /** The single KV state-transition function (mirrors the reference's
+    * KvModel step, /root/reference/src/models/kv.go:40-54): new state,
+    * plus whether the op mutated it. Both streaming surfaces fold through
+    * THIS — one definition, so the change feed can never diverge from the
+    * per-key state.
+    */
+  def step(state: String, op: KvOp): (String, Boolean) = op.op match {
+    case KvOp.Put    => (op.value, true)
+    case KvOp.Append => (state + op.value, true)
+    case _           => (state, false)
+  }
+
   def updateKey(
       key: String,
       ops: Iterator[KvOp],
       state: GroupState[String]): KeyState = {
     val sorted = ops.toSeq.sortBy(_.seq)
     val st0 = state.getOption.getOrElse("")
-    val st = sorted.foldLeft(st0) { (s, o) =>
-      o.op match {
-        case KvOp.Put    => o.value
-        case KvOp.Append => s + o.value
-        case _           => s
-      }
-    }
+    val st = sorted.foldLeft(st0) { (s, o) => step(s, o)._1 }
     state.update(st)
     KeyState(key, st)
   }
@@ -63,11 +69,9 @@ object KvStreaming {
           val sorted = it.toSeq.sortBy(_.seq)
           var st = state.getOption.getOrElse("")
           val out = sorted.flatMap { o =>
-            o.op match {
-              case KvOp.Put    => st = o.value; Some(KvChange(o.seq, key, st))
-              case KvOp.Append => st = st + o.value; Some(KvChange(o.seq, key, st))
-              case _           => None
-            }
+            val (next, mutated) = step(st, o)
+            st = next
+            if (mutated) Some(KvChange(o.seq, key, st)) else None
           }
           state.update(st)
           out.iterator
