@@ -47,7 +47,7 @@ object PipelineQueries {
     * (doc_id, toks) — mirrors TextAnalysis.shingles(_, 3).
     */
   private def shingle3Cte(from: String): String =
-    s"""s AS (
+    s"""s AS MATERIALIZED (
        |  SELECT doc_id,
        |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |              ELSE list_transform(range(1, len(toks) - 1),
@@ -64,7 +64,7 @@ object PipelineQueries {
        |         len(list_intersect(a.sh, b.sh)) AS inter,
        |         len(a.sh) AS na, len(b.sh) AS nb
        |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
-       |pr AS (
+       |pr AS MATERIALIZED (
        |  SELECT id_a, id_b FROM p
        |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= $threshold)""".stripMargin
 
@@ -335,7 +335,7 @@ object PipelineQueries {
          |         list_transform(toks,
          |           w -> CAST(('0x' || substring(md5(w), 18, 15)) AS BIGINT)) AS lh
          |  FROM t),
-         |s AS (
+         |s AS MATERIALIZED (
          |  SELECT doc_id,
          |         CAST(list_sum(list_transform(range(0, 60), b ->
          |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
