@@ -70,4 +70,34 @@ class SimilaritySpec extends SparkSpec {
     assert(planted.length == 10, s"missed planted twins: got ${pairs.length} pairs")
     assert(pairs.length == 10, s"false positives: ${pairs.filterNot(p => p._2 == p._1 + 100000L).mkString(",")}")
   }
+
+  test("kmeansLite is deterministic across partitionings and covers all vectors") {
+    val a1 = Similarity.kmeansLite(emb, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a2 = Similarity.kmeansLite(emb.repartition(7), k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == a2, "assignment depends on partitioning")
+    assert(a1.size == emb.count(), "every vector must be assigned")
+    assert(a1.values.toSet.size > 1, "degenerate single-cluster result")
+  }
+
+  test("kmeansLite iterations do not increase within-cluster L2 cost") {
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cost(assign: Map[Long, Long]): Double = {
+      val byCluster = assign.groupBy(_._2).view.mapValues(_.keys.toSeq)
+      byCluster.map { case (_, ids) =>
+        val dim = vecs(ids.head).length
+        val mean = Array.tabulate(dim)(d => ids.map(vecs(_)(d)).sum / ids.size)
+        ids.map(id => vecs(id).zip(mean).map { case (x, m) =>
+          (x - m) * (x - m) }.sum).sum
+      }.sum
+    }
+    def run(iters: Int): Map[Long, Long] =
+      Similarity.kmeansLite(emb, k = 8, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = cost(run(1))
+    val c2 = cost(run(2))
+    assert(c2 <= c1 + 1e-9, s"Lloyd cost increased: iter1=$c1 iter2=$c2")
+  }
 }

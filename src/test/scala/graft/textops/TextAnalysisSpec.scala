@@ -72,4 +72,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.shingles($"text", 3).as("sh")).head.getSeq[String](0)
     assert(sh == Seq("one two"))
   }
+
+  test("tfIdfTop ranks distinctive terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "banana banana common common"),
+      (3L, "cherry common common")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTop(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 'common' appears in every doc → idf = ln(1) = 0; the per-doc
+    // distinctive term must win
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"), top.toString)
+  }
+
+  test("tfIdfTop is deterministic across partitionings") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.tfIdfTop(df, k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(run(docs) == run(docs.repartition(5)))
+  }
 }
