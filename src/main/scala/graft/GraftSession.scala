@@ -26,6 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime bloom-filter pushdown: large-join probe sides get a bloom
+      // built from the build side's join keys injected below their scan —
+      // at 100 TB this prunes shuffle input for selective fact⋈fact joins
+      // without any query change
+      .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")

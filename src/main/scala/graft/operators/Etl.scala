@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ETL write-path utilities: the disk layouts that make 100 TB readable.
@@ -34,4 +34,32 @@ object Etl {
   def compact(spark: SparkSession, inPath: String, outPath: String, n: Int): Unit =
     spark.read.parquet(inPath).coalesce(n)
       .write.mode("overwrite").parquet(outPath)
+
+  /** Z-order value of two non-negative int columns: interleave the low
+    * `bits` bits (a even positions, b odd). Sorting by this before write
+    * clusters rows so parquet min/max row-group stats prune on EITHER
+    * column — the standard multi-column data-skipping layout at scale.
+    * Pure bit arithmetic (shift/or), codegen'd, ANSI-safe.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** Z-order clustered write: range-partition + sort by the interleaved
+    * key, so each output file covers a compact rectangle in (a, b) space.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      files: Int = 8): Unit =
+    df.withColumn("__z", zValue(col(colA), col(colB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 }

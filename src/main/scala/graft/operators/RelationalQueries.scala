@@ -662,6 +662,26 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "metric")
     },
 
+    // ---- Z-order (Morton) interleave: the multi-column data-skipping
+    //      layout key (Etl.writeZOrdered sorts by it so parquet row-group
+    //      stats prune on either column). Disjoint bit positions → the
+    //      oracle's list_sum equals the engine's OR-fold exactly. ----
+    QueryDef(
+      "q66_zorder",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(list_sum(list_transform(range(0, 16), i ->
+        |         (((o_custkey >> i) & 1) << (2*i)) |
+        |         (((o_orderkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zv
+        |FROM orders
+        |WHERE o_orderkey < 100
+        |ORDER BY zv, o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), col("o_custkey"),
+          Etl.zValue(col("o_custkey"), col("o_orderkey")).as("zv"))
+        .orderBy("zv", "o_orderkey")
+    },
+
     // ---- interval (range) join: events of the same user within the 5
     //      minutes after each event. The equality prefix (user_id) makes
     //      this a plain hash join + range predicate — the shape that

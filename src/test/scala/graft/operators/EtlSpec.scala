@@ -47,4 +47,26 @@ class EtlSpec extends SparkSpec {
     assert(new java.io.File(one).listFiles().count(_.getName.endsWith(".parquet")) == 1)
     assert(spark.read.parquet(one).count() == spark.read.parquet(many).count())
   }
+
+  test("zValue interleaves bits; writeZOrdered clusters both columns per file") {
+    import org.apache.spark.sql.functions._
+    // z(1,2): a bit0 -> pos0 (1), b bit1 -> pos3 (8) => 9; z(3,3) => 15
+    val zs = Seq((1L, 2L), (3L, 3L)).toDF("a", "b")
+      .select(Etl.zValue(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(zs.toSeq == Seq(9L, 15L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Etl.writeZOrdered(df, s"$dir/z", "o_custkey", "o_orderkey", files = 4)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == df.count())
+    // clustering property: within each output file, the z-range is a
+    // contiguous slice (range partitioning by z) => per-file custkey spans
+    // are much narrower than the global span for at least one file
+    val spans = back.groupBy(input_file_name())
+      .agg((max("o_custkey") - min("o_custkey")).as("span"))
+      .collect().map(_.getLong(1))
+    val global = df.agg(max("o_custkey") - min("o_custkey")).head.getLong(0)
+    assert(spans.min < global, s"no file clustered below global span $global")
+  }
 }
