@@ -42,6 +42,29 @@ object StreamOps {
   def withWatermark(events: DataFrame, delay: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Stream–stream interval join: events joined to same-user events in
+    * the `within` interval after them (the streaming form of the q54
+    * batch range join). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can evict buffered
+    * rows once the watermark passes — the state-boundedness contract
+    * every stream–stream join needs to survive unbounded input.
+    */
+  def streamStreamFollowJoin(
+      a: DataFrame,
+      b: DataFrame,
+      within: String = "5 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val left = a.withWatermark("ts", delay)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = b.withWatermark("ts", delay)
+      .select(col("event_id").as("b_event_id"),
+        col("user_id").as("b_user_id"), col("ts").as("b_ts"))
+    left.join(right,
+      col("user_id") === col("b_user_id") &&
+        col("b_ts") > col("ts") &&
+        col("b_ts") <= col("ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming exact dedup on a content digest: keeps the first arrival
     * of each distinct `textCol` value. With a watermark on `tsCol`,
     * dropDuplicatesWithinWatermark bounds the dedup state — entries older

@@ -74,6 +74,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      (1L, 7L, ts(0)), (2L, 7L, ts(3)), (3L, 7L, ts(20)),
+      (4L, 8L, ts(1)), (5L, 8L, ts(2)))
+    // batch expectation: pairs of same-user events within 5 minutes after
+    val expected = (for {
+      (xe, xu, xt) <- evs; (ye, yu, yt) <- evs
+      if xu == yu && yt.after(xt) && yt.getTime <= xt.getTime + 5 * 60 * 1000
+    } yield (xe, ye)).toSet
+
+    val inA = MemoryStream[(Long, Long, Timestamp)]
+    val inB = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.streamStreamFollowJoin(
+        inA.toDF().toDF("event_id", "user_id", "ts"),
+        inB.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // feed in event-time order: rows below the advancing watermark are
+      // (correctly) dropped as late, so the late event 3 goes last
+      val (early, late) = evs.partition(_._3.before(ts(10)))
+      inA.addData(early: _*); inB.addData(early: _*)
+      q.processAllAvailable()
+      inA.addData(late: _*); inB.addData(late: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, b_event_id FROM ssjoin")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"got=$got expected=$expected")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per content digest, bounded state") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(ts: Timestamp, text: String)
