@@ -662,6 +662,36 @@ object RelationalQueries {
         .orderBy("o_orderstatus", "metric")
     },
 
+    // ---- distribution analytics: ntile / cume_dist / nth_value (all
+    //      rank-based → deterministic under a total order) ----
+    QueryDef(
+      "q67_window_analytics",
+      """SELECT o_orderkey,
+        |       ntile(4) OVER w AS quartile,
+        |       round(cume_dist() OVER w, 6) AS cd,
+        |       round(nth_value(o_totalprice, 2) OVER (
+        |         PARTITION BY o_orderpriority
+        |         ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |         AS second_lowest
+        |FROM orders
+        |WHERE o_custkey < 30
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      val wp = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"),
+          round(nth_value(col("o_totalprice"), 2).over(wp), 2).as("second_lowest"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Z-order (Morton) interleave: the multi-column data-skipping
     //      layout key (Etl.writeZOrdered sorts by it so parquet row-group
     //      stats prune on either column). Disjoint bit positions → the
