@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.tables.Tables
+import graft.textops.TextAnalysis
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced analytics + scale-path operators, round-2 extension set:
+  * grouping sets, exact percentiles, time-series gap-fill with forward
+  * fill, funnel analysis, bloom-filter decontamination, chunk-level
+  * exact-substring dedup, and a count-min sketch with an exact oracle.
+  *
+  * Reference surface: the MapReduce engine has none of these (SURVEY.md
+  * §2.4 ABSENT rows); they are the Spark-first extension surface a
+  * training-data pipeline needs on top of the reference's scan → map →
+  * shuffle → reduce core (/root/reference/src/mr/worker.go:76-190).
+  *
+  * Scale notes (100 TB):
+  *  - grouping sets / percentiles: single shuffle each; percentiles use
+  *    exact integer cents so the result is partition-order independent.
+  *  - gap-fill: the grid is |types| × |hours| (tiny) — built from a
+  *    broadcastable aggregate, never by exploding the fact table.
+  *  - funnel: all four stages key the shuffle on user_id, so Catalyst
+  *    reuses one exchange; state per user is O(1).
+  *  - bloom decontamination: the benchmark-gram bloom filter (~1 MB)
+  *    replaces a multi-GB broadcast dictionary at the scan; the exact
+  *    confirm-join then runs on the ~1% of grams that pass, restoring
+  *    exactness (bloom has no false negatives).
+  *  - chunk dedup: one shuffle on chunk hash; ownership by global
+  *    (doc_id, chunk_idx) min is a window over that same partitioning.
+  *  - count-min: the sketch is 4×1024 longs regardless of corpus size —
+  *    the canonical fixed-memory heavy-hitter scale path; estimates are
+  *    checked against exact counts by the oracle.
+  */
+object AnalyticsQueries {
+
+  private val md5LongSql = (e: String) =>
+    s"CAST(('0x' || substring(md5($e), 18, 15)) AS BIGINT)"
+  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- grouping sets (explicit, beyond rollup/cube) ----
+    QueryDef(
+      "q68_grouping_sets",
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         |       coalesce(l_linestatus, 'ALL') AS lstat,
+         |       GROUPING(l_returnflag, l_linestatus) AS grp_id,
+         |       round(CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100, 2) AS sum_base,
+         |       count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY grp_id, rflag, lstat""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(
+            Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")),
+            Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(Exact.cents(col("l_extendedprice"))).cast("double") / 100, 2).as("sum_base"),
+          count(lit(1)).as("n"),
+          grouping_id().as("grp_id"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstat"),
+          col("grp_id"), col("sum_base"), col("n"))
+        .orderBy("grp_id", "rflag", "lstat")
+    },
+
+    // ---- exact percentiles (interpolated, on exact integer cents) ----
+    QueryDef(
+      "q69_percentiles",
+      s"""WITH c AS (SELECT l_returnflag, ${Exact.centsSql("l_extendedprice")} AS cents, l_quantity
+         |           FROM lineitem)
+         |SELECT l_returnflag,
+         |       round(quantile_cont(cents, 0.25) / 100, 4) AS p25_price,
+         |       round(quantile_cont(cents, 0.50) / 100, 4) AS p50_price,
+         |       round(quantile_cont(cents, 0.90) / 100, 4) AS p90_price,
+         |       round(quantile_cont(cents, 0.99) / 100, 4) AS p99_price,
+         |       round(quantile_cont(l_quantity, 0.50), 4) AS p50_qty,
+         |       count(*) AS n
+         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val cents = Exact.cents(col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(cents, lit(0.25)) / 100, 4).as("p25_price"),
+          round(percentile(cents, lit(0.50)) / 100, 4).as("p50_price"),
+          round(percentile(cents, lit(0.90)) / 100, 4).as("p90_price"),
+          round(percentile(cents, lit(0.99)) / 100, 4).as("p99_price"),
+          round(percentile(col("l_quantity"), lit(0.50)), 4).as("p50_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- time-series gap-fill: hourly resample + forward fill ----
+    QueryDef(
+      "q70_gapfill",
+      s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+         |                  ${Exact.centsSql("value")} AS vc
+         |           FROM events),
+         |h AS (SELECT event_type, hour, count(*) AS cnt, sum(vc) AS sc
+         |      FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM e),
+         |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+         |         FROM (SELECT DISTINCT event_type FROM e), b),
+         |j AS (SELECT g.event_type, g.hour, h.cnt,
+         |             round(CAST(h.sc AS DOUBLE) / 100 / h.cnt, 4) AS avg_val
+         |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour)
+         |SELECT event_type, hour, coalesce(cnt, 0) AS n_events,
+         |       last_value(avg_val IGNORE NULLS) OVER (
+         |         PARTITION BY event_type ORDER BY hour
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+         |FROM j ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+          Exact.cents(col("value")).as("vc"))
+      val hourly = ev.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("sc"))
+      val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("avg_val", round(col("sc").cast("double") / 100 / col("cnt"), 4))
+        .select(col("event_type"), col("hour"),
+          coalesce(col("cnt"), lit(0L)).as("n_events"),
+          last(col("avg_val"), ignoreNulls = true).over(w).as("filled_avg"))
+        .orderBy("event_type", "hour")
+    },
+
+    // ---- funnel analysis: staged first-event ordering per user ----
+    QueryDef(
+      "q71_funnel",
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_signup' AS stage, count(*) AS n_users FROM s0
+        |  UNION ALL SELECT '2_view', count(*) FROM s1
+        |  UNION ALL SELECT '3_click', count(*) FROM s2
+        |  UNION ALL SELECT '4_purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select("user_id", "event_type", "ts")
+      def stage(prev: org.apache.spark.sql.DataFrame, evType: String,
+                prevT: String, outT: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevT))
+          .groupBy("user_id").agg(min("ts").as(outT))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val s1 = stage(s0, "view", "t0", "t1")
+      val s2 = stage(s1, "click", "t1", "t2")
+      val s3 = stage(s2, "purchase", "t2", "t3")
+      def cnt(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(label).as("stage"), col("n_users"))
+      cnt(s0, "1_signup")
+        .unionByName(cnt(s1, "2_view"))
+        .unionByName(cnt(s2, "3_click"))
+        .unionByName(cnt(s3, "4_purchase"))
+        .orderBy("stage")
+    },
+
+    // ---- bloom-filter decontamination (scale path; exact result) ----
+    // The bloom pre-filter admits ~1% false positives; the broadcast
+    // confirm-join removes them, so the output is exactly q58's. At
+    // 100 TB the win is that the scan-side filter is a fixed ~1 MB
+    // sketch instead of the full gram dictionary.
+    QueryDef(
+      "q72_bloom_decontaminate",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |             list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |                  ELSE list_transform(range(1, len(toks) - 3),
+         |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |                            toks[i+3] || ' ' || toks[i+4]) END) AS sh
+         |      FROM t),
+         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM tr JOIN b USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams5 = array_distinct(TextAnalysis.shingles(col("text"), 5))
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(grams5).as("g")).distinct()
+      val bloom = bench.stat.bloomFilter("g", 100000L, 0.01)
+      val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
+      docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(grams5).as("g"))
+        .filter(mightContain(col("g")))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    },
+
+    // ---- chunk-level exact-substring dedup (ExactSubstr-style) ----
+    // Fixed 16-token chunks, global first-occurrence ownership by
+    // (doc_id, chunk_idx); near-identical docs (the planted twins) keep
+    // only their divergent tail chunk.
+    QueryDef(
+      "q73_chunk_dedup",
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, text || ' chunktail'
+         |           FROM documents WHERE doc_id < 10),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |c0 AS (SELECT doc_id, toks,
+         |              unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS ci
+         |       FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, ci,
+         |             ${md5LongSql("array_to_string(list_slice(toks, ci*16 + 1, ci*16 + 16), ' ')")} AS h
+         |      FROM c0),
+         |r AS (SELECT doc_id, ci, row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) AS rn
+         |      FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" chunktail")).as("text"))
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val chunks = docs.unionByName(twins)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            ceil(size(col("toks")) / 16.0).cast("int") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          TextAnalysis.md5Long(
+            concat_ws(" ", slice(col("toks"), col("ci") * 16 + 1, lit(16)))).as("h"))
+      val w = Window.partitionBy("h").orderBy("doc_id", "ci")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+
+    // ---- count-min sketch heavy hitters (exact oracle) ----
+    // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
+    // is replayed bucket-for-bucket in DuckDB, and its min-estimates are
+    // reported next to exact counts for the top-20 words.
+    QueryDef(
+      "q74_countmin",
+      s"""WITH toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (SELECT r, ${md5LongSql("r || ':' || w")} % 1024 AS b FROM toks, rs),
+         |cms AS (SELECT r, b, count(*) AS c FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT w, count(*) AS exact_cnt FROM toks GROUP BY 1),
+         |top AS (SELECT w, exact_cnt FROM exact ORDER BY exact_cnt DESC, w LIMIT 20),
+         |lk AS (SELECT w, exact_cnt, r, ${md5LongSql("r || ':' || w")} % 1024 AS b FROM top, rs)
+         |SELECT w, exact_cnt, min(c) AS cms_est
+         |FROM lk JOIN cms USING (r, b)
+         |GROUP BY w, exact_cnt
+         |ORDER BY exact_cnt DESC, w""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      def bucket(r: Int, w: org.apache.spark.sql.Column) =
+        pmod(TextAnalysis.md5Long(concat(lit(s"$r:"), w)), lit(1024)).as("b")
+      val cells = (0 until 4).map(r =>
+        toks.select(lit(r).as("r"), bucket(r, col("w")))).reduce(_ unionByName _)
+      val cms = cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      val top = exact.orderBy(col("exact_cnt").desc, col("w")).limit(20)
+      val lookups = (0 until 4).map(r =>
+        top.select(col("w"), col("exact_cnt"), lit(r).as("r"), bucket(r, col("w"))))
+        .reduce(_ unionByName _)
+      lookups.join(broadcast(cms), Seq("r", "b"))
+        .groupBy("w", "exact_cnt")
+        .agg(min("c").as("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("w"))
+    }
+  )
+}
