@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the q68–q74 advanced-analytics set — the
+  * properties that must hold beyond the DuckDB oracle's value equality.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf001) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("q68: grand total row equals the sum of the detail level") {
+    val rows = run("q68_grouping_sets").collect()
+    val detail = rows.filter(_.getAs[Long]("grp_id") == 0L)
+    val grand = rows.filter(_.getAs[Long]("grp_id") == 3L)
+    assert(grand.length == 1)
+    val detailN = detail.map(_.getAs[Long]("n")).sum
+    assert(grand.head.getAs[Long]("n") == detailN)
+    // sums agree to rounding noise (each level is independently rounded)
+    val detailSum = detail.map(_.getAs[Double]("sum_base")).sum
+    assert(math.abs(grand.head.getAs[Double]("sum_base") - detailSum) < 0.1)
+  }
+
+  test("q69: percentiles are monotone within each group") {
+    run("q69_percentiles").collect().foreach { r =>
+      val ps = Seq("p25_price", "p50_price", "p90_price", "p99_price")
+        .map(r.getAs[Double])
+      assert(ps == ps.sorted, s"non-monotone percentiles: $ps")
+    }
+  }
+
+  test("q70: gap-fill grid is complete and event counts are conserved") {
+    val out = run("q70_gapfill").cache()
+    val types = out.select("event_type").distinct().count()
+    val hours = out.select("hour").distinct().count()
+    assert(out.count() == types * hours, "grid must be the full cross product")
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    val expected = graft.tables.Tables.events(spark, sf001).count()
+    assert(total == expected, "resample must conserve the event count")
+    out.unpersist()
+  }
+
+  test("q71: funnel stage counts are non-increasing") {
+    val counts = run("q71_funnel").orderBy("stage")
+      .collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(counts.length == 4)
+    assert(counts == counts.sorted.reverse, s"funnel must narrow: $counts")
+    assert(counts.head > 0)
+  }
+
+  test("q72: bloom pre-filter changes nothing vs the exact dictionary join") {
+    val bloom = run("q72_bloom_decontaminate").collect().toSeq
+    val exact = run("q58_decontaminate").collect().toSeq
+    assert(bloom == exact, "confirm-join must cancel bloom false positives")
+  }
+
+  test("q73: planted twin docs keep only their divergent tail chunk") {
+    val out = run("q73_chunk_dedup").cache()
+    val twins = out.filter(col("doc_id") >= 1000000L).collect()
+    assert(twins.length == 10)
+    twins.foreach { r =>
+      assert(r.getAs[Long]("n_kept") == 1L,
+        s"twin ${r.getAs[Long]("doc_id")} kept ${r.getAs[Long]("n_kept")} chunks")
+    }
+    // ownership is a partition: kept never exceeds total
+    assert(out.filter(col("n_kept") > col("n_chunks")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q74: count-min never underestimates and tracks heavy hitters") {
+    val rows = run("q74_countmin").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS underestimated ${r.getAs[String]("w")}")
+    }
+  }
+}
