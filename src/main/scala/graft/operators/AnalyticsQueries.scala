@@ -71,27 +71,50 @@ object AnalyticsQueries {
     },
 
     // ---- exact percentiles (interpolated, on exact integer cents) ----
+    // The oracle replicates Spark Percentile's interpolation formula
+    // ((h-rank)*v[l] + (rank-l)*v[h]) term-for-term on a sorted list, so
+    // both engines run the same double arithmetic on the same exact ints
+    // → identical bits. Final rounding is integer-quantized at scale 0
+    // (round(x*10^k) → BIGINT → /10^k): round(x, k) is NOT portable —
+    // Spark rounds the exact decimal of the double (BigDecimal HALF_UP)
+    // while DuckDB rounds the scaled double, and they disagree on
+    // half-way inputs (observed on q70 at sf0.1).
     QueryDef(
-      "q69_percentiles",
-      s"""WITH c AS (SELECT l_returnflag, ${Exact.centsSql("l_extendedprice")} AS cents, l_quantity
-         |           FROM lineitem)
-         |SELECT l_returnflag,
-         |       round(quantile_cont(cents, 0.25) / 100, 4) AS p25_price,
-         |       round(quantile_cont(cents, 0.50) / 100, 4) AS p50_price,
-         |       round(quantile_cont(cents, 0.90) / 100, 4) AS p90_price,
-         |       round(quantile_cont(cents, 0.99) / 100, 4) AS p99_price,
-         |       round(quantile_cont(l_quantity, 0.50), 4) AS p50_qty,
-         |       count(*) AS n
-         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      "q69_percentiles", {
+        // Spark formula on a DuckDB sorted list (1-indexed):
+        def pctlSql(list: String, p: String): String =
+          s"""(CASE WHEN floor($p * (n - 1)) = ceil($p * (n - 1))
+             |      THEN CAST($list[CAST($p * (n - 1) AS BIGINT) + 1] AS DOUBLE)
+             |      ELSE (ceil($p * (n - 1)) - $p * (n - 1)) * $list[CAST(floor($p * (n - 1)) AS BIGINT) + 1]
+             |         + ($p * (n - 1) - floor($p * (n - 1))) * $list[CAST(ceil($p * (n - 1)) AS BIGINT) + 1]
+             |      END)""".stripMargin.replaceAll("\n\\s*", " ")
+        def q4(x: String): String = s"CAST(round(($x) * 10000) AS BIGINT) / 10000.0"
+        s"""WITH c AS (SELECT l_returnflag, ${Exact.centsSql("l_extendedprice")} AS cents, l_quantity
+           |           FROM lineitem),
+           |a AS (SELECT l_returnflag, count(*) AS n,
+           |             list(cents ORDER BY cents) AS pc,
+           |             list(l_quantity ORDER BY l_quantity) AS qt
+           |      FROM c GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |       ${q4(pctlSql("pc", "0.25") + " / 100")} AS p25_price,
+           |       ${q4(pctlSql("pc", "0.50") + " / 100")} AS p50_price,
+           |       ${q4(pctlSql("pc", "0.90") + " / 100")} AS p90_price,
+           |       ${q4(pctlSql("pc", "0.99") + " / 100")} AS p99_price,
+           |       ${q4(pctlSql("qt", "0.50"))} AS p50_qty,
+           |       n
+           |FROM a ORDER BY l_returnflag""".stripMargin
+      }) { (s, dir) =>
+      def q4(c: org.apache.spark.sql.Column) =
+        round(c * 10000).cast("long") / 10000.0
       val cents = Exact.cents(col("l_extendedprice"))
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          round(percentile(cents, lit(0.25)) / 100, 4).as("p25_price"),
-          round(percentile(cents, lit(0.50)) / 100, 4).as("p50_price"),
-          round(percentile(cents, lit(0.90)) / 100, 4).as("p90_price"),
-          round(percentile(cents, lit(0.99)) / 100, 4).as("p99_price"),
-          round(percentile(col("l_quantity"), lit(0.50)), 4).as("p50_qty"),
+          q4(percentile(cents, lit(0.25)) / 100).as("p25_price"),
+          q4(percentile(cents, lit(0.50)) / 100).as("p50_price"),
+          q4(percentile(cents, lit(0.90)) / 100).as("p90_price"),
+          q4(percentile(cents, lit(0.99)) / 100).as("p99_price"),
+          q4(percentile(col("l_quantity"), lit(0.50))).as("p50_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },
@@ -108,12 +131,12 @@ object AnalyticsQueries {
          |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
          |         FROM (SELECT DISTINCT event_type FROM e), b),
          |j AS (SELECT g.event_type, g.hour, h.cnt,
-         |             round(CAST(h.sc AS DOUBLE) / 100 / h.cnt, 4) AS avg_val
+         |             CAST(round(CAST(h.sc AS DOUBLE) * 100 / h.cnt) AS BIGINT) AS avg_q
          |      FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour)
          |SELECT event_type, hour, coalesce(cnt, 0) AS n_events,
-         |       last_value(avg_val IGNORE NULLS) OVER (
+         |       last_value(avg_q IGNORE NULLS) OVER (
          |         PARTITION BY event_type ORDER BY hour
-         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0 AS filled_avg
          |FROM j ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
       val ev = Tables.eventsTs(s, dir)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
@@ -128,10 +151,10 @@ object AnalyticsQueries {
       val w = Window.partitionBy("event_type").orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid.join(hourly, Seq("event_type", "hour"), "left")
-        .withColumn("avg_val", round(col("sc").cast("double") / 100 / col("cnt"), 4))
+        .withColumn("avg_q", round(col("sc").cast("double") * 100 / col("cnt")).cast("long"))
         .select(col("event_type"), col("hour"),
           coalesce(col("cnt"), lit(0L)).as("n_events"),
-          last(col("avg_val"), ignoreNulls = true).over(w).as("filled_avg"))
+          (last(col("avg_q"), ignoreNulls = true).over(w) / 10000.0).as("filled_avg"))
         .orderBy("event_type", "hour")
     },
 
@@ -249,6 +272,117 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
         .orderBy("doc_id")
+    },
+
+    // ---- lag-gap sessionization (batch; complements session_window) ----
+    // 30-minute inactivity gap splits sessions; durations in exact
+    // microseconds so both engines agree bit-for-bit.
+    QueryDef(
+      "q75_sessionize",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM o)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.eventsTs(s, dir).select("user_id", "ts", "event_id")
+      ev.withColumn("new_s",
+          when(lag(col("ts"), 1).over(w).isNull
+            || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max("ts")) - unix_micros(min("ts"))).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- sliding 7-day distinct users (contribution expansion) ----
+    // Exact rolling distinct without windowed DISTINCT (which neither
+    // engine supports): each active (type, day, user) contributes to the
+    // 7 window-end days it falls into, then a plain distinct-agg counts.
+    // Scale: ×7 row expansion of the *daily-distinct* set (small), no n²,
+    // no unbounded state — the standard scalable rolling-distinct shape.
+    QueryDef(
+      "q76_rolling_distinct",
+      """WITH p AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS d, user_id FROM events),
+        |b AS (SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1 FROM events),
+        |x AS (SELECT event_type, user_id,
+        |             unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wd
+        |      FROM p)
+        |SELECT event_type, wd, count(DISTINCT user_id) AS u7
+        |FROM x, b WHERE wd BETWEEN d0 AND d1
+        |GROUP BY event_type, wd
+        |ORDER BY event_type, wd""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("d"), col("user_id"))
+      val pairs = ev.distinct()
+      val bounds = ev.agg(min("d").as("d0"), max("d").as("d1"))
+      pairs
+        .select(col("event_type"), col("user_id"),
+          explode(sequence(col("d"),
+            col("d") + expr("interval 6 days"), expr("interval 1 day"))).as("wd"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("wd").between(col("d0"), col("d1")))
+        .groupBy("event_type", "wd")
+        .agg(countDistinct("user_id").as("u7"))
+        .orderBy("event_type", "wd")
+    },
+
+    // ---- fixed-bin histogram (portable width_bucket) ----
+    QueryDef(
+      "q77_histogram",
+      s"""WITH v AS (SELECT least(CAST(floor(CAST(${Exact.centsSql("value")} AS DOUBLE) / 500) AS BIGINT), 19) AS bucket
+         |           FROM events)
+         |SELECT bucket,
+         |       round(bucket * 5.0, 2) AS lo,
+         |       round(bucket * 5.0 + 5.0, 2) AS hi,
+         |       count(*) AS cnt
+         |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(least(floor(Exact.cents(col("value")).cast("double") / 500).cast("long"), lit(19L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"),
+          round(col("bucket") * 5.0, 2).as("lo"),
+          round(col("bucket") * 5.0 + 5.0, 2).as("hi"),
+          col("cnt"))
+        .orderBy("bucket")
+    },
+
+    // ---- unigram rarity scoring (integer perplexity stand-in) ----
+    // Rare-token-heavy documents score high: score = Σ floor(1e9 / df).
+    // All-integer arithmetic keeps it engine-portable; a real pipeline
+    // swaps the weight for -log p from a trained LM — same plan shape
+    // (token explode → df join → per-doc sum).
+    QueryDef(
+      "q78_rarity_score",
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tk GROUP BY w)
+         |SELECT doc_id, CAST(sum(CAST(floor(1000000000 / df) AS BIGINT)) AS BIGINT) AS rarity
+         |FROM tk JOIN df USING (w)
+         |GROUP BY doc_id
+         |ORDER BY rarity DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("w"))
+      val df = tk.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      tk.join(df, "w")
+        .groupBy("doc_id")
+        .agg(sum(floor(lit(1000000000L) / col("df")).cast("long")).as("rarity"))
+        .orderBy(col("rarity").desc, col("doc_id"))
+        .limit(20)
     },
 
     // ---- count-min sketch heavy hitters (exact oracle) ----

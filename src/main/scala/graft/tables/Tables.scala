@@ -37,8 +37,11 @@ object Tables {
     */
   def eventsTs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integer floor-div, NOT `/` — Spark's `/` is double division, whose
+    // round-to-nearest can land 1µs above the truncated value DuckDB's
+    // epoch_us produces (observed as an off-by-1µs q75 duration).
     events(spark, dir).withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+      timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

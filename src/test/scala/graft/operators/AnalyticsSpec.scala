@@ -70,6 +70,53 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q75: sessionization partitions all events into gap-bounded sessions") {
+    val out = run("q75_sessionize").cache()
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    assert(total == graft.tables.Tables.events(spark, sf001).count(),
+      "every event must land in exactly one session")
+    assert(out.filter(col("dur_us") < 0).count() == 0)
+    // session ids are dense from 1 per user
+    val ids = out.groupBy("user_id")
+      .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+        count(lit(1)).as("k")).collect()
+    ids.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("k"))
+    }
+    out.unpersist()
+  }
+
+  test("q76: rolling 7-day distinct dominates the daily distinct") {
+    val rolling = run("q76_rolling_distinct")
+      .withColumnRenamed("wd", "d").withColumnRenamed("u7", "u")
+    val daily = graft.tables.Tables.eventsTs(spark, sf001)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .groupBy("event_type", "d").agg(countDistinct("user_id").as("u1"))
+    val violations = rolling.join(daily, Seq("event_type", "d"))
+      .filter(col("u") < col("u1")).count()
+    assert(violations == 0, "window count must be >= its last day's count")
+  }
+
+  test("q77: histogram conserves the row count within bounded buckets") {
+    val out = run("q77_histogram").collect()
+    assert(out.map(_.getAs[Long]("cnt")).sum ==
+      graft.tables.Tables.events(spark, sf001).count())
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0 && b <= 19)
+      assert(r.getAs[Double]("hi") - r.getAs[Double]("lo") == 5.0)
+    }
+  }
+
+  test("q78: rarity ranking is descending and strictly positive") {
+    val rows = run("q78_rarity_score").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("rarity")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(scores.last > 0)
+  }
+
   test("q74: count-min never underestimates and tracks heavy hitters") {
     val rows = run("q74_countmin").collect()
     assert(rows.length == 20)
