@@ -21,6 +21,20 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within 1% of the exact percentile (q69 scale path)") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(Exact.cents($"l_extendedprice").as("cents"), $"l_returnflag")
+    val rows = li.groupBy("l_returnflag")
+      .agg(
+        approx_percentile($"cents", lit(0.5), lit(10000)).as("approx"),
+        percentile($"cents", lit(0.5)).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getLong(1).toDouble, r.getDouble(2))
+      assert(math.abs(a - e) / e < 0.01, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
   test("HLL result is deterministic under repartitioning") {
     val li = spark.read.parquet(s"$sf001/lineitem.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =
