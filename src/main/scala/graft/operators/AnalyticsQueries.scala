@@ -385,6 +385,94 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // ---- z-score anomaly ranking (exact integer moments) ----
+    // Per-type mean/std from exact integer sums (q43 pattern): both
+    // engines evaluate the identical double formula on identical exact
+    // moments, so z-scores are bit-equal before quantization. 100 TB:
+    // one partial-agg shuffle for moments, broadcast back — no second
+    // pass over the data for the ranking.
+    QueryDef(
+      "q79_anomaly",
+      s"""WITH v AS (SELECT event_id, event_type, value,
+         |                  ${Exact.centsSql("value")} AS vc FROM events),
+         |m AS (SELECT event_type, count(*) AS n,
+         |             CAST(sum(vc) AS DOUBLE) AS sx,
+         |             CAST(sum(CAST(vc AS HUGEINT) * CAST(vc AS HUGEINT)) AS DOUBLE) AS sxx
+         |      FROM v GROUP BY event_type),
+         |z AS (SELECT v.event_id, v.event_type, v.value,
+         |             CAST(round((v.vc * m.n - m.sx) / sqrt(m.n * m.sxx - m.sx * m.sx) * 10000) AS BIGINT) AS zq
+         |      FROM v JOIN m USING (event_type))
+         |SELECT event_id, event_type, value, zq / 10000.0 AS z
+         |FROM z ORDER BY abs(zq) DESC, event_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val vc = Exact.cents(col("value"))
+      val v = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"), vc.as("vc"))
+      val vcd = col("vc").cast("decimal(38,0)")
+      val m = v.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("vc").cast("double").as("sx"),
+          sum(vcd * vcd).cast("double").as("sxx"))
+      v.join(broadcast(m), "event_type")
+        .withColumn("zq",
+          round((col("vc") * col("n") - col("sx"))
+            / sqrt(col("n") * col("sxx") - col("sx") * col("sx")) * 10000).cast("long"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          (col("zq") / 10000.0).as("z"))
+        .orderBy(abs(col("zq")).desc, col("event_id"))
+        .limit(20)
+    },
+
+    // ---- PMI collocation extraction (bigram association mining) ----
+    // pmi = ln(p(ab) / (p(a)p(b))) with all counts exact integers and the
+    // ratio assembled through 128-bit products; quantized at 1e-4 like
+    // q62's tf-idf (libm vs DuckDB ln differ ≤1 ulp, far below the
+    // quantum). Two shuffles: bigram counts + unigram counts.
+    QueryDef(
+      "q80_collocations",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT array_to_string(list_slice(toks, i, i + 1), ' ') AS pair,
+         |              toks[i] AS w1, toks[i+1] AS w2
+         |       FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)),
+         |pc AS (SELECT pair, any_value(w1) AS w1, any_value(w2) AS w2, count(*) AS n_ab
+         |       FROM bg GROUP BY pair),
+         |uc AS (SELECT unnest(toks) AS w FROM t),
+         |u AS (SELECT w, count(*) AS n_w FROM uc GROUP BY w),
+         |tot AS (SELECT (SELECT count(*) FROM uc) AS nt, (SELECT count(*) FROM bg) AS np)
+         |SELECT pair, n_ab,
+         |       CAST(round(ln(CAST(CAST(n_ab AS HUGEINT) * nt * nt AS DOUBLE)
+         |                     / CAST(CAST(np AS HUGEINT) * a.n_w * b.n_w AS DOUBLE)) * 10000) AS BIGINT)
+         |         / 10000.0 AS pmi
+         |FROM pc JOIN u a ON pc.w1 = a.w JOIN u b ON pc.w2 = b.w CROSS JOIN tot
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      val bg = t.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            concat_ws(" ", slice(col("toks"), i + 1, lit(2))).as("pair"),
+            element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("b"))
+        .select("b.pair", "b.w1", "b.w2")
+      val pc = bg.groupBy("pair")
+        .agg(first("w1").as("w1"), first("w2").as("w2"), count(lit(1)).as("n_ab"))
+      val uc = t.select(explode(col("toks")).as("w"))
+      val u = uc.groupBy("w").agg(count(lit(1)).as("n_w"))
+      val tot = uc.agg(count(lit(1)).as("nt")).crossJoin(bg.agg(count(lit(1)).as("np")))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      pc.join(u.withColumnRenamed("w", "w1").withColumnRenamed("n_w", "na"), "w1")
+        .join(u.withColumnRenamed("w", "w2").withColumnRenamed("n_w", "nb"), "w2")
+        .crossJoin(broadcast(tot))
+        .filter(col("n_ab") >= 5)
+        .withColumn("pmi",
+          round(log((dec(col("n_ab")) * dec(col("nt")) * dec(col("nt"))).cast("double")
+            / (dec(col("np")) * dec(col("na")) * dec(col("nb"))).cast("double")) * 10000)
+            .cast("long") / 10000.0)
+        .select(col("pair"), col("n_ab"), col("pmi"))
+        .orderBy(col("pmi").desc, col("pair"))
+        .limit(20)
+    },
+
     // ---- count-min sketch heavy hitters (exact oracle) ----
     // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
     // is replayed bucket-for-bucket in DuckDB, and its min-estimates are

@@ -63,6 +63,27 @@ class PlanSpec extends SparkSpec {
       s"gram dictionary not broadcast (corpus would shuffle at scale):\n$plan")
   }
 
+  test("q72 bloom decontamination: bloom prefilter runs before the confirm join") {
+    val plan = planOf("q72_bloom_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"confirm join must broadcast the gram dictionary:\n$plan")
+    // the UDF bloom filter must sit below the join (scan-side pruning)
+    val fi = plan.indexOf("UDF")
+    val ji = plan.indexOf("BroadcastHashJoin")
+    assert(fi > ji, s"bloom filter must evaluate before (deeper than) the join:\n$plan")
+  }
+
+  test("q74 count-min: the sketch joins as a broadcast (never shuffled at scale)") {
+    val plan = planOf("q74_countmin")
+    assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+  }
+
+  test("q70 gap-fill: the hour grid derives from a broadcast aggregate") {
+    val plan = planOf("q70_gapfill")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"grid bounds must broadcast, not shuffle the fact table:\n$plan")
+  }
+
   test("q52 sample: sampling filter evaluates in the scan stage (no shuffle before filter)") {
     val plan = planOf("q52_sample")
     // the md5 filter can't push into parquet, but it must run map-side:

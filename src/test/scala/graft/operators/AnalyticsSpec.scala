@@ -117,6 +117,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(scores.last > 0)
   }
 
+  test("q79: anomaly ranking is by descending |z| with sane magnitudes") {
+    val rows = run("q79_anomaly").collect()
+    assert(rows.length == 20)
+    val zs = rows.map(r => math.abs(r.getAs[Double]("z"))).toSeq
+    assert(zs == zs.sorted.reverse, "must rank by |z| descending")
+    // uniform-ish event values: extreme z would mean a broken moment calc
+    assert(zs.head < 10.0 && zs.head > 0.5)
+  }
+
+  test("q80: collocations are frequent well-formed bigrams ranked by PMI") {
+    val rows = run("q80_collocations").collect()
+    assert(rows.length == 20)
+    val pmis = rows.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 5L)
+      assert(r.getAs[String]("pair").split(" ").length == 2)
+    }
+  }
+
   test("q74: count-min never underestimates and tracks heavy hitters") {
     val rows = run("q74_countmin").collect()
     assert(rows.length == 20)
