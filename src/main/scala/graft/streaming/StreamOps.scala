@@ -65,6 +65,46 @@ object StreamOps {
         col("b_ts") <= col("ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Per-user funnel progression as live state: the streaming twin of the
+    * q71 batch funnel. Each user's GroupState holds (stage, since); a
+    * micro-batch folds its events in event-time order through the same
+    * strict-ordering rule the batch CTEs use (stage k+1 requires its
+    * event strictly after stage k's time), so on in-order delivery the
+    * final states equal the batch stages exactly (FunnelStreamSpec).
+    * Out-of-order reprocessing belongs to the batch form — this surface
+    * is the low-latency dashboard path. State per user is 2 longs + an
+    * int, partitioned by user across executors and checkpointed by the
+    * state store — bounded regardless of stream length.
+    */
+  final case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+  final case class FunnelStage(userId: Long, stage: Int, sinceUs: Long)
+
+  private val funnelOrder = Vector("signup", "view", "click", "purchase")
+
+  def funnelFold(st0: FunnelStage, events: Seq[FunnelEvent]): FunnelStage =
+    events.sortBy(e => (e.tsUs, e.eventType)).foldLeft(st0) { (st, e) =>
+      if (st.stage < funnelOrder.length && e.eventType == funnelOrder(st.stage)
+          && (st.stage == 0 || e.tsUs > st.sinceUs))
+        FunnelStage(st.userId, st.stage + 1, e.tsUs)
+      else st
+    }
+
+  def funnelStages(
+      spark: org.apache.spark.sql.SparkSession,
+      events: Dataset[FunnelEvent]): Dataset[FunnelStage] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelStage]) =>
+          val st = funnelFold(
+            state.getOption.getOrElse(FunnelStage(uid, 0, Long.MinValue)),
+            it.toSeq)
+          state.update(st)
+          st
+      }
+  }
+
   /** Streaming exact dedup on a content digest: keeps the first arrival
     * of each distinct `textCol` value. With a watermark on `tsCol`,
     * dropDuplicatesWithinWatermark bounds the dedup state — entries older
