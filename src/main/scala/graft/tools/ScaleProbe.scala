@@ -44,6 +44,34 @@ object ScaleProbe {
     val (pn, tn) = time(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] pairs ratio=${pn.toDouble / p1}%.2f (expect ≈$copies), " +
       f"time ratio=${tn / t1}%.2f (linear ⇒ ≈$copies or less with fixed overhead)")
+
+    // chunk-dedup scaling: one hash shuffle + one window — the other
+    // shape SCALE.md claims is linear. Same replicated corpus.
+    def chunkKept(docs: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = graft.textops.TextAnalysis.wsTokens(col("text"))
+      val chunks = docs.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), ceil(size(col("toks")) / 16.0).cast("int") - 1)).as("ci"))
+        .select(col("doc_id"), col("ci"),
+          graft.textops.TextAnalysis.md5Long(
+            concat_ws(" ", slice(col("toks"), col("ci") * 16 + 1, lit(16)))).as("h"))
+      chunks.withColumn("rn",
+          row_number().over(Window.partitionBy("h").orderBy("doc_id", "ci")))
+        .filter(col("rn") === 1).count()
+    }
+    def timeChunks(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val kept = chunkKept(docs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] chunks-$label: kept=$kept time=$secs%.2fs")
+      secs
+    }
+    timeChunks("warmup-1x", replicate(1))
+    val c1 = timeChunks("1x", replicate(1))
+    val cn = timeChunks(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] chunk-dedup time ratio=${cn / c1}%.2f for ${copies}x data")
     spark.stop()
   }
 }
