@@ -473,6 +473,43 @@ object AnalyticsQueries {
         .limit(20)
     },
 
+    // ---- quality-weighted deterministic sampling (data mixing) ----
+    // Each doc keeps with probability = its quality score, decided by a
+    // content-addressed coin (md5 of doc_id vs quality basis points): no
+    // RNG, no coordinator, identical on any engine/partitioning — the
+    // per-document form of q52's uniform hash sampling, used for
+    // quality-proportional training mixes. The oracle re-derives the
+    // quality formula (same profile as q33's mirror; Scala source of
+    // truth is TextAnalysis.qualityScore).
+    QueryDef(
+      "q81_weighted_sample", {
+        val allStops = TextAnalysis.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+           |q AS (SELECT doc_id,
+           |             least(len(toks) / 100.0, 1.0) AS len_score,
+           |             CASE WHEN length(text) = 0 THEN 0.0
+           |                  ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+           |                       * 1.0 / length(text) END AS punct_ratio,
+           |             CASE WHEN len(toks) = 0 THEN 0.0
+           |                  ELSE CAST(len(list_filter(toks, w -> list_contains($allStops, w))) AS DOUBLE)
+           |                       / len(toks) END AS stop_ratio
+           |      FROM t),
+           |b AS (SELECT doc_id,
+           |             CAST(round(round(len_score * 0.4 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.4
+           |                  + least(stop_ratio * 5.0, 1.0) * 0.2, 4) * 10000) AS BIGINT) AS quality_bp
+           |      FROM q)
+           |SELECT doc_id, quality_bp
+           |FROM b
+           |WHERE ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 10000 < quality_bp
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("quality_bp"))
+        .filter(pmod(TextAnalysis.md5Long(col("doc_id").cast("string")), lit(10000)) < col("quality_bp"))
+        .orderBy("doc_id")
+    },
+
     // ---- count-min sketch heavy hitters (exact oracle) ----
     // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
     // is replayed bucket-for-bucket in DuckDB, and its min-estimates are

@@ -137,6 +137,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q81: weighted sample keeps ≈ the mean quality fraction, deterministically") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    val kept = run("q81_weighted_sample").count().toDouble
+    val total = docs.count().toDouble
+    val meanQ = docs
+      .agg(avg(graft.textops.TextAnalysis.qualityScore(col("text")))).head.getDouble(0)
+    // law of large numbers at n=500: keep rate within ±7pp of mean quality
+    assert(math.abs(kept / total - meanQ) < 0.07,
+      s"keep rate ${kept / total} vs mean quality $meanQ")
+    // content-addressed coin: identical under repartitioning
+    val ids1 = run("q81_weighted_sample").collect().map(_.getLong(0)).toSeq
+    val ids2 = SparkEntry.queries("q81_weighted_sample")(spark, sf001)
+      .repartition(13).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2)
+  }
+
   test("q74: count-min never underestimates and tracks heavy hitters") {
     val rows = run("q74_countmin").collect()
     assert(rows.length == 20)
