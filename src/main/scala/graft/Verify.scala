@@ -8,9 +8,9 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name prefixes — run only the
     // matching queries (local iteration; the driver always passes 2 args).
-    val selected = SparkEntry.queries.toSeq.filter { case (name, _) =>
+    val keep = (name: String) =>
       args.length < 3 || args(2).split(",").exists(name.startsWith)
-    }
+    val selected = SparkEntry.queries.toSeq.filter { case (name, _) => keep(name) }
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
     // run queries concurrently — Spark schedules jobs from multiple
@@ -44,7 +44,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // filtered runs dump only the selected oracles, so selfcheck.py
+    // doesn't flag the unselected queries as missing output
+    val json = SparkEntry.oracleSql.filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

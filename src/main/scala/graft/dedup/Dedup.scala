@@ -38,6 +38,34 @@ object Dedup {
     docs.join(keep, idCol)
   }
 
+  /** Chunk-level exact-substring dedup (ExactSubstr-style): fixed
+    * `chunkTokens`-token chunks hashed with the portable 60-bit md5;
+    * ownership rank `rn` = global first occurrence by (id, chunk index).
+    * rn == 1 rows are the kept chunks. One shuffle on the chunk hash;
+    * the ownership window reuses that same partitioning. Output columns:
+    * (idCol, ci, h, rn). q73's oracle replays this chunking exactly.
+    */
+  def chunkOwnership(
+      docs: DataFrame,
+      chunkTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val chunks = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("toks")) / chunkTokens.toDouble).cast("int") - 1)).as("ci"))
+      .select(col(idCol), col("ci"),
+        TextAnalysis.md5Long(
+          concat_ws(" ",
+            slice(col("toks"), col("ci") * chunkTokens + 1, lit(chunkTokens)))).as("h"))
+    chunks.withColumn("rn",
+      row_number().over(Window.partitionBy("h").orderBy(idCol, "ci")))
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature: for each of `numHashes` permutation stand-ins,

@@ -35,9 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
-  private val md5LongSql = (e: String) =>
-    s"CAST(('0x' || substring(md5($e), 18, 15)) AS BIGINT)"
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+  private val md5LongSql = OracleSql.md5Long _
+  private val toksSql = OracleSql.wsTokens()
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -201,28 +200,11 @@ object AnalyticsQueries {
     // 100 TB the win is that the scan-side filter is a fixed ~1 MB
     // sketch instead of the full gram dictionary.
     QueryDef(
-      "q72_bloom_decontaminate",
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id,
-         |             list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-         |                  ELSE list_transform(range(1, len(toks) - 3),
-         |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |                            toks[i+3] || ' ' || toks[i+4]) END) AS sh
-         |      FROM t),
-         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
-         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
-         |SELECT doc_id, count(*) AS n_shared_grams
-         |FROM tr JOIN b USING (g)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val grams5 = array_distinct(TextAnalysis.shingles(col("text"), 5))
-      val bench = docs.filter(col("doc_id") < 20)
-        .select(explode(grams5).as("g")).distinct()
+      "q72_bloom_decontaminate", PipelineQueries.decontaminationOracleSql) { (s, dir) =>
+      val (bench, train) = PipelineQueries.decontaminationGrams(s, dir)
       val bloom = bench.stat.bloomFilter("g", 100000L, 0.01)
       val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
-      docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(grams5).as("g"))
+      train
         .filter(mightContain(col("g")))
         .join(broadcast(bench), "g")
         .groupBy("doc_id")
@@ -238,7 +220,7 @@ object AnalyticsQueries {
       "q73_chunk_dedup",
       s"""WITH d AS (SELECT doc_id, text FROM documents
          |           UNION ALL
-         |           SELECT doc_id + 1000000, text || ' chunktail'
+         |           SELECT doc_id + 1000000, text || ' chunktail' || doc_id
          |           FROM documents WHERE doc_id < 10),
          |t AS (SELECT doc_id, $toksSql AS toks FROM d),
          |c0 AS (SELECT doc_id, toks,
@@ -253,21 +235,13 @@ object AnalyticsQueries {
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // tail salted with the source doc_id: each twin's divergent chunk is
+      // globally unique even if two sources have %16==0 token counts
+      // (where the tail chunk would otherwise be the bare marker token)
       val twins = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" chunktail")).as("text"))
-      val toks = TextAnalysis.wsTokens(col("text"))
-      val chunks = docs.unionByName(twins)
-        .select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0),
-            ceil(size(col("toks")) / 16.0).cast("int") - 1)).as("ci"))
-        .select(col("doc_id"), col("ci"),
-          TextAnalysis.md5Long(
-            concat_ws(" ", slice(col("toks"), col("ci") * 16 + 1, lit(16)))).as("h"))
-      val w = Window.partitionBy("h").orderBy("doc_id", "ci")
-      chunks.withColumn("rn", row_number().over(w))
+          concat(col("text"), lit(" chunktail"), col("doc_id")).as("text"))
+      graft.dedup.Dedup.chunkOwnership(docs.unionByName(twins), chunkTokens = 16)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
@@ -495,8 +469,8 @@ object AnalyticsQueries {
            |                       / len(toks) END AS stop_ratio
            |      FROM t),
            |b AS (SELECT doc_id,
-           |             CAST(round(round(len_score * 0.4 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.4
-           |                  + least(stop_ratio * 5.0, 1.0) * 0.2, 4) * 10000) AS BIGINT) AS quality_bp
+           |             CAST(round((len_score * 0.4 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.4
+           |                  + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) AS BIGINT) AS quality_bp
            |      FROM q)
            |SELECT doc_id, quality_bp
            |FROM b
@@ -505,7 +479,7 @@ object AnalyticsQueries {
       }) { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          round(TextAnalysis.qualityScore(col("text")) * 10000).cast("long").as("quality_bp"))
+          round(TextAnalysis.qualityScoreRaw(col("text")) * 10000).cast("long").as("quality_bp"))
         .filter(pmod(TextAnalysis.md5Long(col("doc_id").cast("string")), lit(10000)) < col("quality_bp"))
         .orderBy("doc_id")
     },
@@ -530,16 +504,17 @@ object AnalyticsQueries {
       val toks = Tables.documents(s, dir)
         .select(explode(TextAnalysis.wsTokens(col("text"))).as("w"))
       def bucket(r: Int, w: org.apache.spark.sql.Column) =
-        pmod(TextAnalysis.md5Long(concat(lit(s"$r:"), w)), lit(1024)).as("b")
-      val cells = (0 until 4).map(r =>
-        toks.select(lit(r).as("r"), bucket(r, col("w")))).reduce(_ unionByName _)
-      val cms = cells.groupBy("r", "b").agg(count(lit(1)).as("c"))
+        pmod(TextAnalysis.md5Long(concat(lit(s"$r:"), w)), lit(1024))
+      // ONE scan: each token emits its 4 (row, bucket) cells via
+      // posexplode — not 4 unioned re-scans of the corpus
+      def cellsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        df.columns.map(col) :+
+          posexplode(array((0 until 4).map(r => bucket(r, col("w"))): _*))
+            .as(Seq("r", "b")): _*)
+      val cms = cellsOf(toks).groupBy("r", "b").agg(count(lit(1)).as("c"))
       val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
       val top = exact.orderBy(col("exact_cnt").desc, col("w")).limit(20)
-      val lookups = (0 until 4).map(r =>
-        top.select(col("w"), col("exact_cnt"), lit(r).as("r"), bucket(r, col("w"))))
-        .reduce(_ unionByName _)
-      lookups.join(broadcast(cms), Seq("r", "b"))
+      cellsOf(top).join(broadcast(cms), Seq("r", "b"))
         .groupBy("w", "exact_cnt")
         .agg(min("c").as("cms_est"))
         .orderBy(col("exact_cnt").desc, col("w"))

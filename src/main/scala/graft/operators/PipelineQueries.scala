@@ -30,7 +30,7 @@ object PipelineQueries {
       "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
 
   /** DuckDB spelling of TextAnalysis.wsTokens. */
-  private val toksSql = "list_filter(string_split_regex(text, '\\s+'), w -> w <> '')"
+  private val toksSql = OracleSql.wsTokens()
 
   /** CTE: the q31/q60/q65 planted-twin corpus with whitespace tokens. */
   private def twinDocsCtes(tailToken: String): String =
@@ -333,7 +333,7 @@ object PipelineQueries {
          |h AS (
          |  SELECT doc_id,
          |         list_transform(toks,
-         |           w -> CAST(('0x' || substring(md5(w), 18, 15)) AS BIGINT)) AS lh
+         |           w -> ${OracleSql.md5Long("w")}) AS lh
          |  FROM t),
          |s AS MATERIALIZED (
          |  SELECT doc_id,
@@ -393,7 +393,7 @@ object PipelineQueries {
          |  FROM t)
          |SELECT doc_id,
          |       list_min(list_transform(sh,
-         |         x -> CAST(('0x' || substring(md5(x), 18, 15)) AS BIGINT))) AS fp
+         |         x -> ${OracleSql.md5Long("x")})) AS fp
          |FROM s
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -435,7 +435,7 @@ object PipelineQueries {
       "q46_ann_ivf",
       s"""WITH e AS (
          |  SELECT vec_id, embedding,
-         |         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS BIGINT) % 16 AS bucket
+         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS bucket
          |  FROM embeddings),
          |ex AS (
          |  SELECT bucket,
@@ -511,10 +511,10 @@ object PipelineQueries {
     //      same sample falls out on any engine/partitioning ----
     QueryDef(
       "q63_stratified_sample",
-      """SELECT doc_id, lang FROM (
+      s"""SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang
-        |           ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT),
+        |           ORDER BY ${OracleSql.md5Long("CAST(doc_id AS VARCHAR)")},
         |                    doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 20
@@ -603,7 +603,7 @@ object PipelineQueries {
       "q61_kmeans",
       s"""WITH ev AS (
          |  SELECT vec_id, embedding,
-         |         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 18, 15)) AS BIGINT) % 16 AS cluster
+         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS cluster
          |  FROM embeddings),
          |${centroidCte("ev", "cent0")},
          |${assignCte("cent0", "a1")},
@@ -693,34 +693,48 @@ object PipelineQueries {
     //      dictionary is broadcast — no shuffle of the corpus at all;
     //      each doc is checked map-side. ----
     QueryDef(
-      "q58_decontaminate",
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
-         |  FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |         list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
-         |              ELSE list_transform(range(1, len(toks) - 3),
-         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
-         |                        toks[i+3] || ' ' || toks[i+4]) END) AS sh
-         |  FROM t),
-         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
-         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
-         |SELECT doc_id, count(*) AS n_shared_grams
-         |FROM tr JOIN b USING (g)
-         |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val grams5 = array_distinct(TextAnalysis.shingles(col("text"), 5))
-      val bench = docs.filter(col("doc_id") < 20)
-        .select(explode(grams5).as("g")).distinct()
-      val train = docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(grams5).as("g"))
+      "q58_decontaminate", decontaminationOracleSql) { (s, dir) =>
+      val (bench, train) = decontaminationGrams(s, dir)
       train.join(broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy("doc_id")
     }
   )
+
+  /** q58's oracle and gram builders, shared with q72's bloom-prefilter
+    * variant (AnalyticsQueries) so the "q72 == q58" equality spec always
+    * compares ONE definition of the gram set / bench split.
+    * (def, not val: `defs` above initializes first — a val here would
+    * still be null when the QueryDefs capture it.)
+    */
+  private[operators] def decontaminationOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_transform(range(1, len(toks) - 3),
+       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+       |                        toks[i+3] || ' ' || toks[i+4]) END) AS sh
+       |  FROM t),
+       |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+       |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20)
+       |SELECT doc_id, count(*) AS n_shared_grams
+       |FROM tr JOIN b USING (g)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** (bench gram dictionary, train (doc_id, gram) stream) for q58/q72. */
+  private[operators] def decontaminationGrams(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val grams5 = array_distinct(TextAnalysis.shingles(col("text"), 5))
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(explode(grams5).as("g")).distinct()
+    val train = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(grams5).as("g"))
+    (bench, train)
+  }
 }

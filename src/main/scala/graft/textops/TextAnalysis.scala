@@ -61,16 +61,21 @@ object TextAnalysis {
           size(toks).cast("double"))
   }
 
-  /** Composite quality score in [0,1]: long-enough docs with low
-    * punctuation noise and a natural stopword share score high — the
+  /** Composite quality score in [0,1], unrounded: long-enough docs with
+    * low punctuation noise and a natural stopword share score high — the
     * standard cheap pre-filter before expensive pipeline stages.
+    * Consumers that cross the oracle boundary must quantize at scale 0
+    * (round(raw·10^k)→long), NOT round(raw, k) — see q69's Scaladoc.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreRaw(text: Column): Column = {
     val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2, 4)
+    lenScore * 0.4 + punctScore * 0.4 + stopScore * 0.2
   }
+
+  /** 4-decimal presentation form of [[qualityScoreRaw]]. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
 
   // ---------- language identification ----------
 

@@ -46,21 +46,11 @@ object ScaleProbe {
       f"time ratio=${tn / t1}%.2f (linear ⇒ ≈$copies or less with fixed overhead)")
 
     // chunk-dedup scaling: one hash shuffle + one window — the other
-    // shape SCALE.md claims is linear. Same replicated corpus.
-    def chunkKept(docs: DataFrame): Long = {
-      import org.apache.spark.sql.expressions.Window
-      val toks = graft.textops.TextAnalysis.wsTokens(col("text"))
-      val chunks = docs.select(col("doc_id"), toks.as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0), ceil(size(col("toks")) / 16.0).cast("int") - 1)).as("ci"))
-        .select(col("doc_id"), col("ci"),
-          graft.textops.TextAnalysis.md5Long(
-            concat_ws(" ", slice(col("toks"), col("ci") * 16 + 1, lit(16)))).as("h"))
-      chunks.withColumn("rn",
-          row_number().over(Window.partitionBy("h").orderBy("doc_id", "ci")))
+    // shape SCALE.md claims is linear. Same replicated corpus, same
+    // shipped operator (Dedup.chunkOwnership) the q73 numbers come from.
+    def chunkKept(docs: DataFrame): Long =
+      Dedup.chunkOwnership(docs, chunkTokens = 16)
         .filter(col("rn") === 1).count()
-    }
     def timeChunks(label: String, docs: DataFrame): Double = {
       val t0 = System.nanoTime()
       val kept = chunkKept(docs)
