@@ -76,6 +76,10 @@ class PlanSpec extends SparkSpec {
   test("q74 count-min: the sketch joins as a broadcast (never shuffled at scale)") {
     val plan = planOf("q74_countmin")
     assert(plan.contains("BroadcastHashJoin"), s"sketch not broadcast:\n$plan")
+    // one corpus scan feeds the sketch (posexplode fans out the 4 rows),
+    // one feeds the exact counts — NOT 4 unioned re-scans per side
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans <= 2, s"expected ≤2 corpus scans, found $nScans:\n$plan")
   }
 
   test("q70 gap-fill: the hour grid derives from a broadcast aggregate") {
