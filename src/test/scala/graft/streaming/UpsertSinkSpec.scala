@@ -58,6 +58,41 @@ class UpsertSinkSpec extends SparkSpec {
     assert(after == got, "replayed batch must be a no-op")
   }
 
+  test("bucketed sink == plain sink state; untouched buckets are not rewritten") {
+    val ops = mkOps(60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsertb").toString
+    // replay the op stream through changeFeed in 2 chunks, second chunk
+    // touching only one key → at most a couple of buckets
+    val changes = {
+      var st = Map.empty[String, String].withDefaultValue("")
+      ops.sortBy(_.seq).map { o =>
+        val next = KvStreaming.step(st(o.key), o)._1
+        st = st.updated(o.key, next)
+        KvStreaming.KvChange(o.seq, o.key, next)
+      }
+    }
+    val (c0, c1full) = changes.splitAt(40)
+    val c1 = c1full.filter(_.key == "k1")
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(c0.toDF(), 0L)
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(c1.toDF(), 1L)
+    val got = UpsertSink.loadBucketed(spark, dir).get
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    val expected = expectedState(ops.take(40) ++
+      ops.drop(40).filter(_.key == "k1"))
+    assert(got == expected)
+    // write amplification: v1 holds only the touched buckets' rows
+    val v1Keys = spark.read.parquet(s"$dir/v1")
+      .select("key").distinct().collect().map(_.getString(0)).toSet
+    assert(v1Keys.contains("k1") && v1Keys.size < 7,
+      s"v1 should hold only touched buckets, got keys $v1Keys")
+    // replayed bucketed batch: no-op
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(999L, "k1", "POISON")).toDF(), 1L)
+    val after = UpsertSink.loadBucketed(spark, dir).get
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(after == got)
+  }
+
   test("a fresh batch advances the version and readers see the new snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert2").toString
     UpsertSink.upsertBatch(dir)(
