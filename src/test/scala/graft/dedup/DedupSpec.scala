@@ -4,6 +4,40 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
+
+  test("chunkOwnership: kept set is a minimal exact cover of distinct chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial corpus: shared runs, exact dups, %chunk-size lengths
+    val docs = Seq(
+      0L -> (1 to 40).map(i => s"t$i").mkString(" "),          // 40 = 16+16+8
+      1L -> (1 to 40).map(i => s"t$i").mkString(" "),          // exact dup of 0
+      2L -> ((1 to 16).map(i => s"t$i") ++ (1 to 16).map(i => s"u$i")).mkString(" "),
+      3L -> (1 to 32).map(i => s"t$i").mkString(" "),          // prefix of 0, %16==0
+      4L -> "solo"                                             // sub-chunk doc
+    ).toDF("doc_id", "text")
+    val own = Dedup.chunkOwnership(docs, chunkTokens = 16).cache()
+    val total = own.count()
+    val kept = own.filter(col("rn") === 1)
+    // every distinct hash owned exactly once, nothing lost
+    assert(kept.count() == own.select("h").distinct().count())
+    assert(own.groupBy("h").agg(sum(when(col("rn") === 1, 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count() == 0)
+    // owner is the global (doc_id, ci) minimum for its hash
+    val badOwner = own.filter(col("rn") === 1).as("a")
+      .join(own.as("b"), col("a.h") === col("b.h")
+        && (col("b.doc_id") < col("a.doc_id")
+          || (col("b.doc_id") === col("a.doc_id") && col("b.ci") < col("a.ci"))))
+    assert(badOwner.count() == 0, "an earlier occurrence exists for an owner")
+    // exact dup keeps nothing; identical-prefix docs keep only their tail
+    val keptBy = kept.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!keptBy.contains(1L), "exact dup must keep 0 chunks")
+    assert(!keptBy.contains(3L), "covered prefix must keep 0 chunks")
+    assert(keptBy(0L) == 3L && keptBy(2L) == 1L && keptBy(4L) == 1L)
+    assert(total == 3 + 3 + 2 + 2 + 1)
+    own.unpersist()
+  }
   import spark.implicits._
 
   private lazy val docs = spark.read
