@@ -325,7 +325,17 @@ object Dedup {
     * sketch job is a narrow map over the scan: NO explode, NO shuffle,
     * unlike the classic explode + 64-conditional-sum formulation.
     */
-  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHashFunctions.graftSimHash(
+        TextAnalysis.wsTokens(col(textCol))).as("simhash"))
+
+  /** Composed-builtin reference form of [[simHash]] (60 filter+size
+    * traversals per doc vs the native expression's single pass) — kept
+    * as the cross-check the SimHashExpressionSpec equates bit-for-bit.
+    */
+  def simHashComposed(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val lh = transform(TextAnalysis.wsTokens(col(textCol)),
       t => TextAnalysis.md5Long(t))
     val hashed = docs.select(col(idCol), lh.as("lh"))

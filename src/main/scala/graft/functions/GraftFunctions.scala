@@ -14,7 +14,8 @@ object GraftFunctions {
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "graft_minhash" -> (exprs => MinHashSignature(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
-      exprs(2).eval().asInstanceOf[Number].intValue())))
+      exprs(2).eval().asInstanceOf[Number].intValue())),
+    "graft_simhash" -> (exprs => SimHashSketch(exprs(0))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =
