@@ -320,10 +320,12 @@ object Dedup {
 
   /** SimHash: per token-hash bit, majority vote (+1/-1 per occurrence)
     * across the doc's tokens; the sign vector packed into a long.
-    * Near-dup docs differ in few bits. Computed entirely per row — token
-    * hashes materialized once, then 60 array-filter bit counts — so the
-    * sketch job is a narrow map over the scan: NO explode, NO shuffle,
-    * unlike the classic explode + 64-conditional-sum formulation.
+    * Near-dup docs differ in few bits. Computed by the native
+    * `graft_simhash` expression — ONE pass per document (md5 each token
+    * once, update 60 counters, full codegen), so the sketch job is a
+    * narrow map over the scan: NO explode, NO shuffle, no intermediate
+    * arrays. See [[simHashComposed]] for the builtin-composed reference
+    * form the expression is spec-equated against.
     */
   def simHash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),

@@ -67,17 +67,22 @@ object SimHashSketch {
     h
   }
 
-  /** Single-pass sketch kernel, shared by eval and codegen. */
+  /** Single-pass sketch kernel, shared by eval and codegen. Null
+    * elements (possible via the SQL surface) match the composed form:
+    * they count toward the majority denominator but set no bits. */
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val cnt = new Array[Int](Bits)
     var j = 0
     while (j < n) {
-      val h = md5Long60(tokens.getUTF8String(j).getBytes)
-      var b = 0
-      while (b < Bits) {
-        if (((h >>> b) & 1L) == 1L) cnt(b) += 1
-        b += 1
+      val s = tokens.getUTF8String(j)
+      if (s != null) {
+        val h = md5Long60(s.getBytes)
+        var b = 0
+        while (b < Bits) {
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+          b += 1
+        }
       }
       j += 1
     }

@@ -11,82 +11,69 @@ import org.apache.spark.sql.functions._
   *
   * Protocol (a minimal transaction log, the same idea production table
   * formats use): each micro-batch merges into the current snapshot and
-  * writes a NEW version directory `v<batchId>`; the `_LATEST` pointer
-  * file is then swapped atomically (temp + rename). A replayed batch —
-  * Spark re-delivers the in-flight batch after a restart — sees
-  * `batchId <= latest` and is a no-op, which is exactly the idempotence
-  * foreachBatch needs for end-to-end exactly-once on a
-  * non-transactional store. Readers always load through `_LATEST`, so
-  * they never observe a half-written version.
+  * writes a NEW version directory `v<version>`; the `_LATEST` pointer
+  * file — `<version>\n<appId>\n<batchId>` — is then swapped atomically
+  * (temp + rename-with-overwrite). Readers always load through the
+  * pointer, so they never observe a half-written version.
+  *
+  * Idempotence is keyed on (appId, batchId): a re-delivered batch —
+  * Spark re-runs the in-flight batch after a restart from the SAME
+  * checkpoint — sees its own appId with `batchId <= last` and is a
+  * no-op. A DIFFERENT appId (fresh checkpoint, second query) is a new
+  * lineage: its batches always apply, versions keep incrementing —
+  * batch ids from one lineage can never silently discard another's
+  * writes. Internal version numbers are decoupled from batch ids for
+  * the same reason.
   *
   * Feeding this sink `KvStreaming.changeFeed` (per-op CDC rows)
   * materializes the same final state as `KvStore` batch replay —
   * UpsertSinkSpec asserts that equivalence, restart replay included.
   *
   * Scale: the merge is one shuffle on the key. [[upsertBatchBucketed]]
-  * is the 100 TB form: the key space is hash-bucketed and a batch
-  * rewrites ONLY the buckets it touches (untouched buckets are carried
-  * into the new version as references, not data) — write amplification
-  * drops from O(table) to O(touched buckets) while the commit protocol
-  * (versioned manifest + atomic pointer swap) is unchanged.
+  * is the 100 TB form: the key space is hash-bucketed (bucket count is
+  * RECORDED in the manifest and enforced — silently re-bucketing an
+  * existing table would orphan rows) and a batch rewrites ONLY the
+  * buckets it touches; untouched buckets carry forward as manifest
+  * references. Superseded version directories are reclaimed with
+  * [[vacuum]].
   */
 object UpsertSink {
 
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest committed batch id, if any. */
-  def latestVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+  private final case class Pointer(version: Long, appId: String, batchId: Long)
+
+  private def readPointer(spark: SparkSession, tableDir: String): Option[Pointer] = {
     val f = fs(spark, tableDir)
     val p = new Path(tableDir, "_LATEST")
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val Array(v, app, b) = text.split("\n", 3)
+      Some(Pointer(v.trim.toLong, app, b.trim.toLong))
     }
   }
 
-  /** Current snapshot (empty schema-less read is the caller's concern —
-    * returns None when no version has committed yet). */
+  /** Latest committed version, if any data version has committed. */
+  def latestVersion(spark: SparkSession, tableDir: String): Option[Long] =
+    readPointer(spark, tableDir).map(_.version).filter(_ >= 0)
+
+  /** Current snapshot of a plain (non-bucketed) table; None until a
+    * batch with data has committed. */
   def load(spark: SparkSession, tableDir: String): Option[DataFrame] =
     latestVersion(spark, tableDir).map(v =>
       spark.read.parquet(s"$tableDir/v$v"))
-
-  /** The foreachBatch hook. Usage (typed streams need the DataFrame
-    * adapter — foreachBatch infers the Dataset's row type):
-    * `stream.writeStream.foreachBatch((ds: Dataset[T], id: Long) =>
-    *   UpsertSink.upsertBatch(dir)(ds.toDF(), id))`.
-    */
-  def upsertBatch(
-      tableDir: String,
-      keyCol: String = "key",
-      seqCol: String = "seq",
-      valueCol: String = "value")(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val committed = latestVersion(spark, tableDir)
-    if (committed.exists(batchId <= _)) return // replayed batch: no-op
-    val incoming = batch.select(keyCol, seqCol, valueCol)
-    val merged = load(spark, tableDir) match {
-      case Some(cur) => cur.unionByName(incoming)
-      case None      => incoming
-    }
-    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
-    val next = merged
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-    next.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-    commitPointer(spark, tableDir, "_LATEST", batchId.toString)
-  }
 
   /** Atomic small-file commit: write aside, rename-with-overwrite (plain
     * FileSystem.rename refuses an existing destination; FileContext
     * supports the atomic overwrite semantics).
     */
-  private def commitPointer(
+  private def commitFile(
       spark: SparkSession, tableDir: String, name: String, content: String): Unit = {
     val f = fs(spark, tableDir)
+    f.mkdirs(new Path(tableDir))
     val tmp = new Path(tableDir, s"$name.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -96,80 +83,174 @@ object UpsertSink {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  private def commitPointer(
+      spark: SparkSession, tableDir: String, p: Pointer): Unit =
+    commitFile(spark, tableDir, "_LATEST", s"${p.version}\n${p.appId}\n${p.batchId}")
+
+  /** True iff this (appId, batchId) was already applied — the replay
+    * check shared by both sink forms. */
+  private def alreadyApplied(prev: Option[Pointer], appId: String, batchId: Long): Boolean =
+    prev.exists(p => p.appId == appId && batchId <= p.batchId)
+
+  /** The foreachBatch hook. Usage (typed streams need the DataFrame
+    * adapter — foreachBatch infers the Dataset's row type):
+    * `stream.writeStream.foreachBatch((ds: Dataset[T], id: Long) =>
+    *   UpsertSink.upsertBatch(dir)(ds.toDF(), id))`.
+    * Pass a stable `appId` (e.g. the checkpoint path) when more than one
+    * lineage may ever write the table.
+    */
+  def upsertBatch(
+      tableDir: String,
+      keyCol: String = "key",
+      seqCol: String = "seq",
+      valueCol: String = "value",
+      appId: String = "default")(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val prev = readPointer(spark, tableDir)
+    if (alreadyApplied(prev, appId, batchId)) return
+    val incoming = batch.select(keyCol, seqCol, valueCol)
+    if (incoming.isEmpty) {
+      // nothing to merge: advance the replay marker, keep the version
+      commitPointer(spark, tableDir,
+        Pointer(prev.map(_.version).getOrElse(-1L), appId, batchId))
+      return
+    }
+    val merged = load(spark, tableDir) match {
+      case Some(cur) => cur.unionByName(incoming)
+      case None      => incoming
+    }
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    val next = merged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val version = prev.map(_.version + 1).getOrElse(0L)
+    next.write.mode("overwrite").parquet(s"$tableDir/v$version")
+    commitPointer(spark, tableDir, Pointer(version, appId, batchId))
+  }
+
   // ---------- bucketed form (the 100 TB write-amplification fix) ----------
 
-  /** Deterministic key bucket (non-negative, engine-independent of
-    * partitioning; xxhash64 is fine here — the bucket id never crosses
-    * the oracle boundary). */
+  /** Deterministic key bucket (non-negative, independent of partitioning;
+    * xxhash64 is fine here — the bucket id never crosses the oracle
+    * boundary). */
   private def bucketOf(keyCol: String, nBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)).cast("int")
 
-  /** Manifest for version v: one line `<bucket>:<version>` per bucket —
-    * which version directory holds each bucket's current data. */
+  /** Manifest for version v: first line `buckets:<n>`, then one line
+    * `<bucket>:<version>` per bucket holding data. */
   private def readManifest(
-      spark: SparkSession, tableDir: String, v: Long): Map[Int, Long] = {
+      spark: SparkSession, tableDir: String, v: Long): (Int, Map[Int, Long]) = {
     val f = fs(spark, tableDir)
     val in = f.open(new Path(tableDir, s"_MANIFEST.v$v"))
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { line =>
+    val lines = text.split("\n").filter(_.nonEmpty)
+    val n = lines.head.stripPrefix("buckets:").toInt
+    val entries = lines.tail.map { line =>
       val Array(b, ver) = line.split(":")
       b.toInt -> ver.toLong
     }.toMap
+    (n, entries)
   }
 
-  /** Load the current snapshot of a bucketed table. Each version dir is
-    * filtered to the buckets the manifest assigns to it — a version may
-    * also hold rows for buckets a LATER version has since rewritten.
-    */
+  /** Union of the version dirs a manifest references, each filtered to
+    * its assigned buckets — a version may also hold rows for buckets a
+    * LATER version has since rewritten. Shared by snapshot reads and the
+    * merge path. */
+  private def readBuckets(
+      spark: SparkSession, tableDir: String,
+      entries: Map[Int, Long]): Option[DataFrame] =
+    entries.groupBy(_._2).map { case (ver, es) =>
+      spark.read.parquet(s"$tableDir/v$ver")
+        .filter(col("bucket").isin(es.keys.toSeq: _*))
+    }.reduceOption(_ unionByName _)
+
+  /** Current snapshot of a bucketed table; None until data committed. */
   def loadBucketed(spark: SparkSession, tableDir: String): Option[DataFrame] =
-    latestVersion(spark, tableDir).map { v =>
-      readManifest(spark, tableDir, v)
-        .groupBy(_._2).map { case (ver, entries) =>
-          spark.read.parquet(s"$tableDir/v$ver")
-            .filter(col("bucket").isin(entries.keys.toSeq: _*))
-        }.reduce(_ unionByName _)
+    latestVersion(spark, tableDir).flatMap { v =>
+      readBuckets(spark, tableDir, readManifest(spark, tableDir, v)._2)
     }
 
   /** Bucketed exactly-once upsert: only buckets the batch touches are
-    * merged and rewritten into `v<batchId>`; every other bucket's
-    * manifest entry carries forward unchanged. Same idempotence contract
-    * as [[upsertBatch]].
+    * merged and rewritten into the next version; every other bucket's
+    * manifest entry carries forward unchanged. Same (appId, batchId)
+    * idempotence as [[upsertBatch]]. The table's bucket count is fixed
+    * by its first batch; a mismatching `nBuckets` later fails fast
+    * instead of silently splitting keys across incompatible layouts.
     */
   def upsertBatchBucketed(
       tableDir: String,
       nBuckets: Int = 16,
       keyCol: String = "key",
       seqCol: String = "seq",
-      valueCol: String = "value")(batch: DataFrame, batchId: Long): Unit = {
+      valueCol: String = "value",
+      appId: String = "default")(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val committed = latestVersion(spark, tableDir)
-    if (committed.exists(batchId <= _)) return // replayed batch: no-op
+    val prev = readPointer(spark, tableDir)
+    if (alreadyApplied(prev, appId, batchId)) return
+    val prevState = prev.filter(_.version >= 0)
+      .map(p => readManifest(spark, tableDir, p.version))
+    prevState.foreach { case (n, _) =>
+      require(n == nBuckets,
+        s"table at $tableDir is bucketed $n-way; refusing nBuckets=$nBuckets " +
+          "(re-bucketing requires a rewrite, not a config change)")
+    }
     val incoming = batch.select(keyCol, seqCol, valueCol)
       .withColumn("bucket", bucketOf(keyCol, nBuckets))
     val touched = incoming.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    val prevManifest = committed.map(readManifest(spark, tableDir, _))
-      .getOrElse(Map.empty[Int, Long])
-    // current rows of ONLY the touched buckets
-    val curTouched = prevManifest.filter { case (b, _) => touched(b) }
-      .groupBy(_._2).map { case (ver, entries) =>
-        spark.read.parquet(s"$tableDir/v$ver")
-          .filter(col("bucket").isin(entries.keys.toSeq: _*))
-      }.reduceOption(_ unionByName _)
+    if (touched.isEmpty) {
+      commitPointer(spark, tableDir,
+        Pointer(prev.map(_.version).getOrElse(-1L), appId, batchId))
+      return
+    }
+    val prevManifest = prevState.map(_._2).getOrElse(Map.empty[Int, Long])
+    val curTouched = readBuckets(spark, tableDir,
+      prevManifest.filter { case (b, _) => touched(b) })
     val merged = curTouched match {
       case Some(cur) => cur.unionByName(incoming)
       case None      => incoming
     }
     val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc)
+    val version = prev.map(_.version + 1).getOrElse(0L)
     merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+      .write.mode("overwrite").parquet(s"$tableDir/v$version")
     val manifest = prevManifest.filter { case (b, _) => !touched(b) } ++
-      touched.map(_ -> batchId)
-    commitPointer(spark, tableDir, s"_MANIFEST.v$batchId",
-      manifest.toSeq.sorted.map { case (b, v) => s"$b:$v" }.mkString("\n"))
-    commitPointer(spark, tableDir, "_LATEST", batchId.toString)
+      touched.map(_ -> version)
+    commitFile(spark, tableDir, s"_MANIFEST.v$version",
+      (s"buckets:$nBuckets" +:
+        manifest.toSeq.sorted.map { case (b, v) => s"$b:$v" }).mkString("\n"))
+    commitPointer(spark, tableDir, Pointer(version, appId, batchId))
+  }
+
+  /** Reclaim version directories (and manifests) no longer reachable
+    * from the latest commit. Safe to run concurrently with writers: only
+    * versions strictly older than the latest and unreferenced by its
+    * manifest are deleted. Returns the removed version numbers.
+    */
+  def vacuum(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val f = fs(spark, tableDir)
+    readPointer(spark, tableDir) match {
+      case None => Seq.empty
+      case Some(p) =>
+        val live: Set[Long] =
+          if (p.version < 0) Set.empty
+          else if (f.exists(new Path(tableDir, s"_MANIFEST.v${p.version}")))
+            readManifest(spark, tableDir, p.version)._2.values.toSet + p.version
+          else Set(p.version)
+        val versions = f.listStatus(new Path(tableDir)).toSeq
+          .map(_.getPath.getName)
+          .filter(_.matches("v\\d+"))
+          .map(_.drop(1).toLong)
+        val dead = versions.filter(v => v < p.version && !live(v)).sorted
+        dead.foreach { v =>
+          f.delete(new Path(tableDir, s"v$v"), true)
+          f.delete(new Path(tableDir, s"_MANIFEST.v$v"), false)
+        }
+        dead
+    }
   }
 }

@@ -22,7 +22,7 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(native.values.exists(_ != 0L))
   }
 
-  test("edge cases: empty token array, single token, duplicates") {
+  test("edge cases: empty token array, single token, duplicates, null elements") {
     val df = Seq(
       (1L, ""), (2L, "solo"), (3L, "dup dup dup"), (4L, "a b")
     ).toDF("doc_id", "text")
@@ -34,7 +34,20 @@ class SimHashExpressionSpec extends SparkSpec {
     val h = df.filter($"doc_id" === 2L)
       .select(TextAnalysis.md5Long(lit("solo"))).head.getLong(0)
     assert(native(2L) == h)
-    assert(native(3L) == native.getOrElse(3L, -1L)) // deterministic
+    // deterministic on the duplicate-heavy doc: two independent runs agree
+    val rerun = Dedup.simHash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rerun == native)
+    // null array elements (SQL surface): count in the denominator, set no
+    // bits — same as the composed form
+    GraftFunctions.register(spark)
+    val withNull = spark.sql(
+      "SELECT graft_simhash(array('solo', CAST(NULL AS STRING), CAST(NULL AS STRING))) AS s")
+      .head.getLong(0)
+    assert(withNull == 0L, "1 set vote vs 3 elements is not a majority")
+    val nullMinority = spark.sql(
+      "SELECT graft_simhash(array('solo', 'solo', 'solo', CAST(NULL AS STRING))) AS s")
+      .head.getLong(0)
+    assert(nullMinority == h, "3-of-4 majority keeps the token's bits")
   }
 
   test("SQL surface: graft_simhash registered and equal to the column API") {

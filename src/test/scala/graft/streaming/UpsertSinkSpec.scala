@@ -104,4 +104,74 @@ class UpsertSinkSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
     assert(got == Map("a" -> "y", "b" -> "z"))
   }
+
+  test("a new lineage (fresh checkpoint) is never mistaken for a replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert3").toString
+    UpsertSink.upsertBatch(dir, appId = "run-1")(
+      Seq(KvStreaming.KvChange(1L, "a", "x")).toDF(), 5L)
+    // same low batchId from a DIFFERENT app: must apply, not be dropped
+    UpsertSink.upsertBatch(dir, appId = "run-2")(
+      Seq(KvStreaming.KvChange(9L, "a", "y")).toDF(), 0L)
+    val got = UpsertSink.load(spark, dir).get
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(got == Map("a" -> "y"), "fresh-lineage batch was dropped as a replay")
+    // while a true same-app replay still is a no-op
+    UpsertSink.upsertBatch(dir, appId = "run-2")(
+      Seq(KvStreaming.KvChange(99L, "a", "POISON")).toDF(), 0L)
+    assert(UpsertSink.load(spark, dir).get
+      .collect().map(_.getAs[String]("value")).toSeq == Seq("y"))
+  }
+
+  test("empty batches advance the replay marker without junk versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert4").toString
+    UpsertSink.upsertBatch(dir)(
+      Seq.empty[KvStreaming.KvChange].toDF(), 0L)
+    assert(UpsertSink.load(spark, dir).isEmpty, "no data yet -> no snapshot")
+    UpsertSink.upsertBatch(dir)(
+      Seq(KvStreaming.KvChange(1L, "a", "x")).toDF(), 1L)
+    assert(UpsertSink.load(spark, dir).get.count() == 1)
+    // bucketed form likewise
+    val dirB = java.nio.file.Files.createTempDirectory("graft-upsert5").toString
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 4)(
+      Seq.empty[KvStreaming.KvChange].toDF(), 0L)
+    assert(UpsertSink.loadBucketed(spark, dirB).isEmpty)
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 4)(
+      Seq(KvStreaming.KvChange(1L, "a", "x")).toDF(), 1L)
+    assert(UpsertSink.loadBucketed(spark, dirB).get.count() == 1)
+  }
+
+  test("bucket-count mismatch on an existing table fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert6").toString
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(1L, "a", "x")).toDF(), 0L)
+    val e = intercept[IllegalArgumentException] {
+      UpsertSink.upsertBatchBucketed(dir, nBuckets = 16)(
+        Seq(KvStreaming.KvChange(2L, "a", "y")).toDF(), 1L)
+    }
+    assert(e.getMessage.contains("bucketed 8-way"))
+  }
+
+  test("vacuum reclaims superseded versions; the snapshot is unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert7").toString
+    (0 to 3).foreach { i =>
+      UpsertSink.upsertBatch(dir)(
+        Seq(KvStreaming.KvChange(i.toLong, "k", s"v$i")).toDF(), i.toLong)
+    }
+    val before = UpsertSink.load(spark, dir).get.collect().toSeq
+    val removed = UpsertSink.vacuum(spark, dir)
+    assert(removed == Seq(0L, 1L, 2L), s"expected old versions gone, removed $removed")
+    assert(UpsertSink.load(spark, dir).get.collect().toSeq == before)
+    // bucketed: only unreferenced versions die (v0 may still hold buckets)
+    val dirB = java.nio.file.Files.createTempDirectory("graft-upsert8").toString
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      (0 until 12).map(i => KvStreaming.KvChange(i.toLong, s"k$i", "x")).toDF(), 0L)
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(100L, "k1", "y")).toDF(), 1L)
+    val snapB = UpsertSink.loadBucketed(spark, dirB).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    val removedB = UpsertSink.vacuum(spark, dirB)
+    assert(removedB.isEmpty, "v0 still holds live buckets — must survive")
+    assert(UpsertSink.loadBucketed(spark, dirB).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap == snapB)
+  }
 }
