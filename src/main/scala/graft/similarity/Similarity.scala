@@ -127,10 +127,24 @@ object Similarity {
       nBuckets: Int = 16,
       nprobe: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val centroids = coarseCentroids(corpus, nBuckets, idCol, embCol)
-    val bucketed = corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets))
-    // rank centroids per query, keep nprobe nearest
+      embCol: String = "embedding"): DataFrame =
+    probeAndSearch(
+      corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets)),
+      coarseCentroids(corpus, nBuckets, idCol, embCol),
+      queries, k, nprobe, idCol, embCol)
+
+  /** The IVF probe+search core, shared by the build-per-query form and
+    * the persisted-index form: rank centroids per query, keep the
+    * `nprobe` nearest, search only those buckets.
+    */
+  private def probeAndSearch(
+      bucketed: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      embCol: String): DataFrame = {
     val probeW = Window.partitionBy("query_id").orderBy(col("csim").desc, col("bucket"))
     val probes = queries.join(broadcast(centroids), lit(true))
       .withColumn("csim", cosine(col("q_embedding"), col("centroid")))
@@ -146,6 +160,43 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Persist an IVF index: the corpus laid out parquet-partitioned BY
+    * BUCKET (so probe-time bucket predicates prune whole partitions at
+    * the scan — at 100 TB the probe reads nprobe/nBuckets of the data,
+    * via dynamic partition pruning from the broadcast probe set) plus
+    * the centroid table. Index builds are reproducible: same corpus →
+    * same buckets, same quantized centroids, on any cluster layout.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      nBuckets: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$indexDir/corpus")
+    coarseCentroids(corpus, nBuckets, idCol, embCol)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Search a persisted IVF index — identical results to [[ivfTopK]] on
+    * the same corpus (float embeddings and centroids round-trip parquet
+    * bit-exactly; SimilaritySpec asserts equality).
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    probeAndSearch(
+      spark.read.parquet(s"$indexDir/corpus"),
+      spark.read.parquet(s"$indexDir/centroids"),
+      queries, k, nprobe, idCol, embCol)
 
   /** Squared-L2 distance as a sequential double fold (bit-exact across
     * engines, like [[dot]]).

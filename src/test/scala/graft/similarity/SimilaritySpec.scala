@@ -51,6 +51,23 @@ class SimilaritySpec extends SparkSpec {
     assert(res.head.getDouble(2) > 0.999999)
   }
 
+  test("persisted IVF index returns identical results to the in-memory build") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, dir, nBuckets = 8)
+    val direct = Similarity.ivfTopK(emb, queries, k = 5, nBuckets = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).toSet
+    assert(indexed == direct, "parquet round-trip must not change results")
+    // layout: one physical partition dir per bucket (scan-prunable)
+    val bucketDirs = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("bucket=")).length
+    assert(bucketDirs == 8)
+  }
+
   test("ivfTopK with nprobe<nBuckets returns plausible approximate results") {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
