@@ -26,23 +26,34 @@ class SchedulerParitySpec extends SparkSpec {
     while (!done && System.currentTimeMillis() < deadline) Thread.sleep(50)
   }
 
-  private class TaskProbe extends SparkListener {
+  /** Counts only tasks of stages belonging to `group`'s jobs: suites run
+    * in parallel on ONE shared SparkContext, so an unscoped listener
+    * would also count a concurrently running suite's tasks and flake the
+    * exact-count assertion. */
+  private class TaskProbe(group: String) extends SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val ended = new java.util.concurrent.atomic.AtomicInteger
     private val running = new java.util.concurrent.atomic.AtomicInteger
     val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger
-    override def onTaskStart(t: SparkListenerTaskStart): Unit = {
-      val r = running.incrementAndGet()
-      maxConcurrent.updateAndGet(m => math.max(m, r))
-    }
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      running.decrementAndGet()
-      ended.incrementAndGet()
-    }
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (Option(j.properties).exists(_.getProperty("spark.jobGroup.id") == group))
+        j.stageIds.foreach(s => stages.add(s))
+    override def onTaskStart(t: SparkListenerTaskStart): Unit =
+      if (stages.contains(t.stageId)) {
+        val r = running.incrementAndGet()
+        maxConcurrent.updateAndGet(m => math.max(m, r))
+      }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (stages.contains(t.stageId)) {
+        running.decrementAndGet()
+        ended.incrementAndGet()
+      }
   }
 
   test("jobcount parity: 8 input files -> exactly 8 map tasks, no re-execution") {
-    val probe = new TaskProbe
+    val probe = new TaskProbe("graft-jobcount")
     spark.sparkContext.addSparkListener(probe)
+    spark.sparkContext.setJobGroup("graft-jobcount", "scheduler parity probe")
     try {
       val rdd = spark.sparkContext
         .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
@@ -58,12 +69,16 @@ class SchedulerParitySpec extends SparkSpec {
       assert(mapTasks >= 2, s"want real parallelism, got $mapTasks partitions")
       assert(probe.ended.get() == expected,
         s"expected $expected task executions (no retry/speculation), got ${probe.ended.get()}")
-    } finally spark.sparkContext.removeSparkListener(probe)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(probe)
+    }
   }
 
   test("mtiming parity: map tasks run with >=2-way concurrency") {
-    val probe = new TaskProbe
+    val probe = new TaskProbe("graft-mtiming")
     spark.sparkContext.addSparkListener(probe)
+    spark.sparkContext.setJobGroup("graft-mtiming", "scheduler parity probe")
     try {
       spark.sparkContext
         .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
@@ -72,7 +87,10 @@ class SchedulerParitySpec extends SparkSpec {
       awaitListener(probe.maxConcurrent.get() >= 2)
       assert(probe.maxConcurrent.get() >= 2,
         s"max concurrency ${probe.maxConcurrent.get()}")
-    } finally spark.sparkContext.removeSparkListener(probe)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(probe)
+    }
   }
 
   test("early-exit parity: committed output is complete and atomic") {
