@@ -484,6 +484,25 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- ANN via a PERSISTED IVF index (index lifecycle) ----
+    // Build once → write bucket-partitioned parquet + centroid table →
+    // search the persisted form. Results are identical to the in-memory
+    // q46 build (floats round-trip parquet bit-exactly), so the same
+    // full-replay oracle value-checks the persisted path end to end.
+    QueryDef(
+      "q82_ann_indexed", PipelineQueries.ivfOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("graft-ivf-index").toString
+      graft.similarity.Similarity.writeIvfIndex(emb, indexDir, nBuckets = 16)
+      graft.similarity.Similarity
+        .ivfTopKIndexed(s, indexDir, queries, k = 10, nprobe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- count-min sketch heavy hitters (exact oracle) ----
     // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
     // is replayed bucket-for-bucket in DuckDB, and its min-estimates are

@@ -432,43 +432,7 @@ object PipelineQueries {
     //      replays the ENTIRE index build + probe + search in SQL:
     //      the approximation algorithm itself is value-checked. ----
     QueryDef(
-      "q46_ann_ivf",
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS bucket
-         |  FROM embeddings),
-         |ex AS (
-         |  SELECT bucket,
-         |         unnest(range(1, len(embedding) + 1)) AS i,
-         |         unnest(embedding) AS val
-         |  FROM e),
-         |ce AS (
-         |  SELECT bucket, i,
-         |         CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
-         |              / 1000000 / count(*) AS FLOAT) AS v
-         |  FROM ex GROUP BY bucket, i),
-         |cent AS (SELECT bucket, list(v ORDER BY i) AS centroid FROM ce GROUP BY bucket),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_embedding
-         |      FROM embeddings WHERE vec_id < 5),
-         |probes AS (
-         |  SELECT query_id, q_embedding, bucket FROM (
-         |    SELECT q.query_id, q.q_embedding, c.bucket,
-         |           row_number() OVER (PARTITION BY q.query_id
-         |             ORDER BY ${cosineSql("q.q_embedding", "c.centroid")} DESC, c.bucket) AS crank
-         |    FROM q CROSS JOIN cent c) t
-         |  WHERE crank <= 4),
-         |cand AS (
-         |  SELECT p.query_id, e.vec_id AS neighbor_id,
-         |         ${cosineSql("p.q_embedding", "e.embedding")} AS sim
-         |  FROM probes p
-         |  JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.query_id)
-         |SELECT query_id, neighbor_id, rank FROM (
-         |  SELECT query_id, neighbor_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM cand) t
-         |WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      "q46_ann_ivf", ivfOracleSql) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
@@ -725,6 +689,48 @@ object PipelineQueries {
        |FROM tr JOIN b USING (g)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** q46's oracle: the ENTIRE IVF index build + probe + search replayed
+    * in SQL. Shared with q82 (AnalyticsQueries), which runs the SAME
+    * search through a persisted index — identical results by contract.
+    */
+  private[operators] def ivfOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS bucket
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT bucket,
+       |         unnest(range(1, len(embedding) + 1)) AS i,
+       |         unnest(embedding) AS val
+       |  FROM e),
+       |ce AS (
+       |  SELECT bucket, i,
+       |         CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+       |              / 1000000 / count(*) AS FLOAT) AS v
+       |  FROM ex GROUP BY bucket, i),
+       |cent AS (SELECT bucket, list(v ORDER BY i) AS centroid FROM ce GROUP BY bucket),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+       |      FROM embeddings WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT query_id, q_embedding, bucket FROM (
+       |    SELECT q.query_id, q.q_embedding, c.bucket,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosineSql("q.q_embedding", "c.centroid")} DESC, c.bucket) AS crank
+       |    FROM q CROSS JOIN cent c) t
+       |  WHERE crank <= 4),
+       |cand AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("p.q_embedding", "e.embedding")} AS sim
+       |  FROM probes p
+       |  JOIN e ON e.bucket = p.bucket AND e.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand) t
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** (bench gram dictionary, train (doc_id, gram) stream) for q58/q72. */
   private[operators] def decontaminationGrams(
