@@ -503,6 +503,36 @@ object AnalyticsQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) ----
+    // q12 covers set-semantics union/intersect/except; these are the
+    // multiset forms (multiplicity-aware), aggregated to counts so the
+    // compare is order-insensitive.
+    QueryDef(
+      "q83_setops_all",
+      """WITH ea AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+        |            EXCEPT ALL
+        |            SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1),
+        |ia AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 3
+        |       INTERSECT ALL
+        |       SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2)
+        |SELECT op, l_orderkey, n FROM (
+        |  SELECT 'except_all' AS op, l_orderkey, count(*) AS n FROM ea GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'intersect_all', l_orderkey, count(*) FROM ia GROUP BY 2)
+        |ORDER BY op, l_orderkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      def keys(cond: org.apache.spark.sql.Column) =
+        li.filter(cond).select("l_orderkey")
+      val ln = col("l_linenumber")
+      val ea = keys(ln <= 2).exceptAll(keys(ln === 1))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("l_orderkey"), col("n"))
+      val ia = keys(ln <= 3).intersectAll(keys(ln >= 2))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("l_orderkey"), col("n"))
+      ea.unionByName(ia).orderBy("op", "l_orderkey")
+    },
+
     // ---- count-min sketch heavy hitters (exact oracle) ----
     // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
     // is replayed bucket-for-bucket in DuckDB, and its min-estimates are
