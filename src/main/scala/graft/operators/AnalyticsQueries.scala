@@ -533,6 +533,68 @@ object AnalyticsQueries {
       ea.unionByName(ia).orderBy("op", "l_orderkey")
     },
 
+    // ---- higher-order map functions (map_filter / transform_values) ----
+    // The Spark side genuinely manipulates MapType columns
+    // (map_from_entries → map_filter → transform_values → map_values →
+    // aggregate); the oracle computes the semantically-equal scalars with
+    // filtered aggregates, keeping map internals out of the compare.
+    QueryDef(
+      "q84_map_higher_order",
+      s"""WITH pre AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CAST(sum(${Exact.centsSql("l_extendedprice")}) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_orderkey,
+         |       count(*) AS n_entries,
+         |       CAST(count(*) FILTER (WHERE l_linenumber <= 2) AS INT) AS kept,
+         |       CAST(coalesce(sum(c) FILTER (WHERE l_linenumber <= 2), 0) AS BIGINT) AS kept_cents,
+         |       CAST(sum(c) * 2 AS BIGINT) AS doubled_cents
+         |FROM pre
+         |GROUP BY l_orderkey
+         |HAVING count(*) >= 4
+         |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val sumVals = (mm: org.apache.spark.sql.Column) =>
+        aggregate(map_values(mm), lit(0L), (acc, v) => acc + v)
+      Tables.lineitem(s, dir)
+        // line numbers repeat per order in the synthetic data; map keys
+        // must be unique → pre-aggregate per (order, linenumber)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(Exact.cents(col("l_extendedprice"))).as("c"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(
+          collect_list(struct(col("l_linenumber"), col("c")))).as("m"))
+        .filter(size(map_keys(col("m"))) >= 4)
+        .select(col("l_orderkey"),
+          size(map_keys(col("m"))).cast("long").as("n_entries"),
+          size(map_keys(map_filter(col("m"), (k, _) => k <= 2))).as("kept"),
+          sumVals(map_filter(col("m"), (k, _) => k <= 2)).as("kept_cents"),
+          sumVals(transform_values(col("m"), (_, v) => v * 2)).as("doubled_cents"))
+        .orderBy("l_orderkey")
+    },
+
+    // ---- date arithmetic breadth (add / last_day / trunc / diff) ----
+    QueryDef(
+      "q85_date_arith",
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS d,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_left
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          d.as("d"),
+          date_add(d, 30).as("plus30"),
+          last_day(d).as("eom"),
+          trunc(d, "mm").as("month_start"),
+          datediff(lit("1998-12-31").cast("date"), d).as("days_left"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- count-min sketch heavy hitters (exact oracle) ----
     // 4 rows × 1024 buckets over the portable md5-60bit hash: the sketch
     // is replayed bucket-for-bucket in DuckDB, and its min-estimates are
