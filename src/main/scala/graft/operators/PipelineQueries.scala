@@ -163,7 +163,7 @@ object PipelineQueries {
       // row (Exact.fix) so the sum is an exact long, order-independent.
       """SELECT lang,
         |       count(*) AS n_docs,
-        |       sum(len(string_split(text, ' '))) AS total_tokens,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
         |       round(CAST(sum(CAST(round(CAST(list_sum(list_transform(string_split(text, ' '),
         |             w -> length(w))) AS DOUBLE)
@@ -443,15 +443,35 @@ object PipelineQueries {
 
     // ---- approximate count-distinct (HLL++): the 100 TB path where
     //      exact countDistinct's full shuffle is unaffordable. Sketch
-    //      values are engine-specific → rows-only; the ≤5% error bound
-    //      vs exact is asserted in ApproxSpec. HLL merge is commutative
-    //      and idempotent, so the output is deterministic under any
-    //      partitioning. ----
-    QueryDef.noOracle("q50_approx_distinct") { (s, dir) =>
+    //      values are engine-specific, so the verifiable CONTRACT is
+    //      emitted instead: the exact count (oracle-replayable) plus a
+    //      deterministic |approx-exact|/exact < 5% boolean per group.
+    //      HLL merge is commutative and idempotent, so the boolean is
+    //      stable under any partitioning; the oracle asserts it true.
+    //      (At 100 TB you'd drop the exact column and keep only the
+    //      sketch; here it exists to value-check the sketch.) ----
+    QueryDef(
+      "q50_approx_distinct",
+      """SELECT l_returnflag,
+        |       CAST(count(DISTINCT l_partkey)  AS BIGINT) AS exact_parts,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       true AS parts_within_5pct,
+        |       true AS orders_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          // rsd=1% so the asserted 5% contract holds with a 5σ margin
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") < 0.05)
+            .as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") < 0.05)
+            .as("orders_within_5pct"))
         .orderBy("l_returnflag")
     },
 
@@ -515,7 +535,7 @@ object PipelineQueries {
         |  FROM d)
         |SELECT CAST(floor((cum - n_tok) / 2000) AS BIGINT) AS pack_id,
         |       count(*) AS n_docs,
-        |       sum(n_tok) AS total_tokens
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM c
         |GROUP BY 1
         |ORDER BY pack_id""".stripMargin) { (s, dir) =>
@@ -599,7 +619,7 @@ object PipelineQueries {
          |  SELECT id FROM (
          |    SELECT id, least(id, min(r)) AS cl FROM reach GROUP BY id) t
          |  WHERE id <> cl)
-         |SELECT lang, count(*) AS n_docs, sum(len(toks)) AS total_tokens
+         |SELECT lang, count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
          |FROM ek
          |WHERE doc_id NOT IN (SELECT id FROM losers)
          |GROUP BY lang

@@ -361,8 +361,8 @@ object RelationalQueries {
         |       round(CAST(sum(${Exact.centsSql("abs(l_extendedprice - l_quantity * 1000)")}) AS DOUBLE) / 100, 2) AS sum_absdiff,
         |       round(CAST(sum(${Exact.fixSql("sqrt(l_quantity)", 6)}) AS DOUBLE) / 1000000, 4) AS sum_sqrt,
         |       round(CAST(sum(${Exact.fixSql("ln(l_extendedprice)", 6)}) AS DOUBLE) / 1000000, 4) AS sum_ln,
-        |       round(max(floor(l_discount * 100)), 1)                  AS max_disc_pct,
-        |       round(min(ceil(l_tax * 100)), 1)                        AS min_tax_pct
+        |       CAST(round(max(floor(l_discount * 100)), 1) AS BIGINT)  AS max_disc_pct,
+        |       CAST(round(min(ceil(l_tax * 100)), 1) AS BIGINT)        AS min_tax_pct
         |FROM lineitem
         |GROUP BY l_linenumber
         |ORDER BY l_linenumber""".stripMargin) { (s, dir) =>
@@ -381,8 +381,8 @@ object RelationalQueries {
     QueryDef(
       "q16_case",
       s"""SELECT o_orderstatus,
-        |       sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
-        |       sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS n_small,
+        |       CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |       CAST(sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
         |       round(CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |                 THEN ${Exact.centsSql("o_totalprice")} ELSE 0 END) AS DOUBLE) / 100, 2) AS urgent_revenue
         |FROM orders
@@ -548,7 +548,7 @@ object RelationalQueries {
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus,
         |       round(sqrt((sxx - sx*sx/n)/(n-1))/100, 2) AS sd_price,
-        |       round(med, 2) AS median_price,
+        |       CAST(round(med * 100) AS BIGINT) / 100.0 AS median_price,
         |       round((n*sxy - sx*sy)/(sqrt(n*sxx - sx*sx)*sqrt(n*syy - sy*sy)), 4) AS corr_price_cust
         |FROM m
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -569,7 +569,7 @@ object RelationalQueries {
       val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
       m.select(col("o_orderstatus"),
           round(sqrt((sxx - sx * sx / n) / (n - lit(1))) / 100, 2).as("sd_price"),
-          round(col("med"), 2).as("median_price"),
+          (round(col("med") * 100).cast("long") / lit(100.0)).as("median_price"),
           round((n * sxy - sx * sy) /
                 (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4).as("corr_price_cust"))
         .orderBy("o_orderstatus")

@@ -122,8 +122,8 @@ object StreamMediaQueries {
       "q56_map_functions",
       """SELECT user_id,
         |       count(DISTINCT event_type)                         AS n_types,
-        |       coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS n_click,
-        |       coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'click'    THEN 1 END), 0) AS BIGINT) AS n_click,
+        |       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (s, dir) =>

@@ -61,7 +61,14 @@ def main():
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
-                if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+                # The driver hashes the serialized frame, so an int64-vs-
+                # float64 skew (DuckDB sum→HUGEINT→float, round→DOUBLE)
+                # fails there even when values are equal. Mirror that:
+                # int-on-one-side + float-on-the-other is a hard FAIL.
+                if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w) and \
+                        pd.api.types.is_numeric_dtype(g) and pd.api.types.is_numeric_dtype(w):
+                    probs.append(f"col {c}: dtype skew got={g.dtype} want={w.dtype} (driver hash would fail)")
+                elif pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
                     ga = pd.to_numeric(g, errors="coerce")
                     wa = pd.to_numeric(w, errors="coerce")
                     d = (ga - wa).abs().max()
