@@ -355,28 +355,45 @@ object Dedup {
 
   /** SimHash near-dup pairs: docs whose sketches agree on one of four
     * 15-bit bands are candidates (≤ maxDist differing bits verified
-    * exactly). Same bucket-join shape as MinHash-LSH. Note the output
-    * contract includes the band condition: a pair at distance ≤ maxDist
-    * whose differing bits spread across all 4 bands is (by design) not a
-    * candidate — with maxDist < 4 the pigeonhole guarantees no misses.
+    * exactly). Same collect-members shape as [[lshCandidatesWithSigs]]:
+    * ONE shuffle gathers each (band, bucket)'s members, and buckets above
+    * `maxBucket` are dropped — the skew guard that keeps a degenerate
+    * corpus (e.g. near-empty docs all sketching to the same band values)
+    * from expanding O(n²) pairs in a hot bucket, at the documented cost
+    * of recall inside dropped buckets only. Pairs colliding in several
+    * bands are deduplicated BEFORE the hamming distance is scored.
+    *
+    * Note the output contract includes the band condition: a pair at
+    * distance ≤ maxDist whose differing bits spread across all 4 bands is
+    * (by design) not a candidate — with maxDist < 4 the pigeonhole
+    * guarantees no misses.
     */
   def simHashNearDups(
       sketches: DataFrame,
       idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val bandMask = (1L << SimHashBandWidth) - 1
     val banded = sketches.select(col(idCol), col("simhash"),
       posexplode(array((0 until SimHashBands).map(i =>
         shiftright(col("simhash"), i * SimHashBandWidth).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("dist"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    // carry xor(sh_a, sh_b) per pair — order-symmetric, so the pair dedup
+    // runs on one long before bit_count scores the survivors
+    val pairsCol = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(
+          least(x.getField("id"), y.getField("id")).as("id_a"),
+          greatest(x.getField("id"), y.getField("id")).as("id_b"),
+          x.getField("sh").bitwiseXOR(y.getField("sh")).as("xr")))))
+    buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.xr").as("xr"))
       .distinct()
+      .select(col("id_a"), col("id_b"), bit_count(col("xr")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }

@@ -45,13 +45,63 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.graftCosine(a, b)
 
+  /** Partition-local (map-side) top-k on (query_id, neighbor_id, sim)
+    * rows: a NARROW pass (no exchange) keeping at most k rows per query
+    * per input partition under the (sim DESC, neighbor_id ASC) ranking,
+    * via a bounded heap per query. The per-query global window downstream
+    * then receives ≤ |queries| × numPartitions × k rows instead of the
+    * whole scored set — at 100 TB the final exchange carries k-merge
+    * inputs, not the corpus, and no reducer sorts |corpus| rows.
+    *
+    * Results are identical to ranking the unpruned set: any global top-k
+    * row is in its partition's local top-k under the same total order,
+    * and (query, neighbor) rows are unique so the cut admits no ties.
+    * Ordering edge cases are matched to Spark's sort: NaN ranks above all
+    * values (Double.compare), -0.0 is normalized to 0.0, null sim ranks
+    * last (desc → nulls last).
+    */
+  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val schema = scored.schema
+    val qi = schema.fieldIndex("query_id")
+    val ni = schema.fieldIndex("neighbor_id")
+    val si = schema.fieldIndex("sim")
+    val cmpN: (Any, Any) => Int = schema(ni).dataType match {
+      case LongType    => (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => (a, b) => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case StringType  => (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      case dt => throw new IllegalArgumentException(s"unsupported neighbor id type $dt")
+    }
+    def sim(r: Row): Double =
+      if (r.isNullAt(si)) Double.NegativeInfinity else r.getDouble(si) + 0.0
+    // heap head = WORST kept row (lowest sim, then largest neighbor id)
+    val worstFirst: Ordering[Row] = (x: Row, y: Row) => {
+      val c = java.lang.Double.compare(sim(y), sim(x))
+      if (c != 0) c else cmpN(x.get(ni), y.get(ni))
+    }
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(qi),
+          scala.collection.mutable.PriorityQueue.empty[Row](worstFirst))
+        if (h.size < k) h.enqueue(r)
+        else if (worstFirst.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
     *
     * `queries`: (query_id, q_embedding); `corpus`: (idCol, embCol).
     * The query side is broadcast — the corpus is scanned once with no
-    * shuffle; the window top-k runs on (query_id) partitions whose size
-    * is |corpus|, reduced map-side by rank pre-filtering under AQE.
-    * Self-matches (query_id == neighbor id) are excluded.
+    * shuffle, [[localTopK]] prunes each partition to k rows per query
+    * map-side, and only the ≤ parts × k survivors per query shuffle into
+    * the final window k-merge. Self-matches (query_id == neighbor id)
+    * are excluded.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -62,8 +112,7 @@ object Similarity {
     val joined = corpus.join(broadcast(queries), col("query_id") =!= col(idCol))
       .withColumn("sim", cosine(col("q_embedding"), col(embCol)))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    joined
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+    localTopK(joined.select(col("query_id"), col(idCol).as("neighbor_id"), col("sim")), k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -155,8 +204,10 @@ object Similarity {
         bucketed("bucket") === probes("bucket") && col("query_id") =!= col(idCol))
       .withColumn("sim", cosine(col("q_embedding"), col(embCol)))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    joined
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("sim"))
+    // map-side partial top-k (localTopK) before the per-query k-merge:
+    // the final exchange carries ≤ parts × k rows per query, not the
+    // whole probed bucket contents.
+    localTopK(joined.select(col("query_id"), col(idCol).as("neighbor_id"), col("sim")), k)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -250,6 +301,14 @@ object Similarity {
     * random-hyperplane LSH signature so candidate generation avoids the
     * full cross join: vectors agreeing on any `bands` of the sign-bit
     * signature meet in a bucket.
+    *
+    * Scale guards (same shape as Dedup.lshCandidatesWithSigs): bucket
+    * members are gathered in ONE shuffle and buckets above `maxBucket`
+    * are dropped — a degenerate corpus (e.g. all-zero embeddings hashing
+    * to one signature) stays bounded instead of going quadratic in a hot
+    * bucket, trading recall on pathological buckets only. Candidate
+    * pairs colliding in several bands are deduplicated BEFORE the cosine
+    * is computed, so each pair pays the dot product exactly once.
     */
   def embeddingNearDups(
       corpus: DataFrame,
@@ -257,7 +316,8 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
     val dim = corpus.select(size(col(embCol))).head.getInt(0)
     // deterministic pseudo-random hyperplanes from xxhash64(plane, dim idx)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
@@ -266,13 +326,23 @@ object Similarity {
         (h.toDouble / Int.MaxValue) // in [-1, 1]
       }
     }
+    // Plane weights as one array<array<double>> literal and the signature
+    // as array folds: the generated code is a LOOP over the data, not
+    // nPlanes × dim unrolled multiply terms — the unrolled form blew the
+    // JVM's 64 KB method limit (whole-stage codegen fell back to
+    // interpreted projection). Fold order matches the unrolled form's
+    // left-associated sum, so signatures are bit-identical.
+    val planesCol: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
     def signBits(emb: Column): Column = {
-      val bits = planes.zipWithIndex.map { case (plane, pi) =>
-        val d = (0 until dim).map(i =>
-          element_at(emb, i + 1).cast("double") * lit(plane(i))).reduce(_ + _)
-        when(d >= 0, shiftleft(lit(1L), pi)).otherwise(0L)
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
+      val dots = transform(planesCol, plane =>
+        aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, x) => acc + x))
+      aggregate(dots, struct(lit(0L).as("sig"), lit(1L).as("bit")),
+        (acc, d) => struct(
+          when(d >= 0, acc.getField("sig").bitwiseOR(acc.getField("bit")))
+            .otherwise(acc.getField("sig")).as("sig"),
+          (acc.getField("bit") * 2).as("bit")),
+        acc => acc.getField("sig"))
     }
     val rowsPerBand = nPlanes / bands
     val sigs = corpus.select(col(idCol), col(embCol), signBits(col(embCol)).as("sig"))
@@ -280,14 +350,24 @@ object Similarity {
       posexplode(array((0 until bands).map(bi =>
         shiftright(col("sig"), bi * rowsPerBand)
           .bitwiseAND((1L << rowsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col(embCol).as("emb_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairsCol = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(
+          least(x.getField("id"), y.getField("id")).as("id_a"),
+          greatest(x.getField("id"), y.getField("id")).as("id_b"),
+          when(x.getField("id") < y.getField("id"), x.getField("emb"))
+            .otherwise(y.getField("emb")).as("emb_a"),
+          when(x.getField("id") < y.getField("id"), y.getField("emb"))
+            .otherwise(x.getField("emb")).as("emb_b")))))
+    buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
-      .distinct()
       .filter(col("sim") >= threshold)
   }
 }

@@ -49,6 +49,18 @@ class PlanSpec extends SparkSpec {
       s"query set not broadcast:\n$plan")
   }
 
+  test("q29 ANN: map-side partial top-k prunes before the per-query k-merge") {
+    val plan = planOf("q29_ann_topk")
+    // localTopK's narrow mapPartitions must sit BELOW (deeper than) the
+    // window's exchange: the per-query sort receives parts×k rows per
+    // query, never the scored corpus (the 100 TB property).
+    val mp = plan.indexOf("MapPartitions")
+    val win = plan.indexOf("Window")
+    assert(mp >= 0, s"partial top-k (MapPartitions) missing from plan:\n$plan")
+    assert(win >= 0 && win < mp,
+      s"partial top-k must run below the window k-merge:\n$plan")
+  }
+
   test("q54 range join: equality prefix plans as a hash/merge join, not cartesian") {
     val plan = planOf("q54_range_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

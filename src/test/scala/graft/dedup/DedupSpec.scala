@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(d0.count() == 1)
   }
 
+  test("simHashNearDups: degenerate identical-sketch corpus is skew-guarded") {
+    import spark.implicits._
+    // 200 identical docs sketch to one value — every band bucket holds all
+    // 200 members. Without the guard that's 200²/2 pairs per band; with
+    // maxBucket=50 the hot buckets drop and the query completes empty.
+    val docs = spark.range(200)
+      .select($"id".as("doc_id"), lit("same tokens every time here").as("text"))
+    val sketches = Dedup.simHash(docs)
+    assert(Dedup.simHashNearDups(sketches, maxDist = 6, maxBucket = 50).count() == 0,
+      "hot buckets above maxBucket must be dropped")
+    // with the cap above the corpus size the full pair set comes back
+    assert(Dedup.simHashNearDups(sketches, maxDist = 6, maxBucket = 1000).count()
+      == 200L * 199 / 2)
+  }
+
   test("minhash signature is deterministic across recomputation") {
     val s1 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
     val s2 = Dedup.minHashSignatures(docs.repartition(7)).orderBy("doc_id").collect()

@@ -88,6 +88,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length == 10, s"false positives: ${pairs.filterNot(p => p._2 == p._1 + 100000L).mkString(",")}")
   }
 
+  test("localTopK: output is bounded by parts×k per query and final ranking is unchanged") {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val scored = emb.repartition(7).join(broadcast(queries), $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        Similarity.cosine($"q_embedding", $"embedding").as("sim"))
+    val pruned = Similarity.localTopK(scored, k = 5)
+    // the per-query k-merge exchange receives ≤ |queries| × parts × k rows
+    assert(pruned.count() <= 3 * 7 * 5,
+      "localTopK must cap each partition's contribution at k rows per query")
+    // and ranking the pruned set equals ranking the full scored set
+    val w = Window.partitionBy("query_id").orderBy($"sim".desc, $"neighbor_id")
+    def rank(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rank(pruned) == rank(scored), "partial top-k changed the result")
+  }
+
+  test("embeddingNearDups: degenerate identical-embedding corpus is skew-guarded") {
+    // 200 identical vectors all collide in every band bucket — without the
+    // maxBucket guard this expands 200²/2 pairs per band; with it, the hot
+    // buckets drop and the query completes with zero pairs.
+    val degenerate = spark.range(200)
+      .select($"id".as("vec_id"), array(lit(1f), lit(2f), lit(3f), lit(4f)).as("embedding"))
+    val guarded = Similarity.embeddingNearDups(
+      degenerate, threshold = 0.9, maxBucket = 50)
+    assert(guarded.count() == 0, "hot buckets above maxBucket must be dropped")
+    // sanity: with the cap above the corpus size the same pairs come back
+    val unguarded = Similarity.embeddingNearDups(
+      degenerate, threshold = 0.9, maxBucket = 1000)
+    assert(unguarded.count() == 200L * 199 / 2)
+  }
+
   test("kmeansLite is deterministic across partitionings and covers all vectors") {
     val a1 = Similarity.kmeansLite(emb, k = 8, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
