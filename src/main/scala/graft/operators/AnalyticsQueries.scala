@@ -198,14 +198,28 @@ object AnalyticsQueries {
     // The bloom pre-filter admits ~1% false positives; the broadcast
     // confirm-join removes them, so the output is exactly q58's. At
     // 100 TB the win is that the scan-side filter is a fixed ~1 MB
-    // sketch instead of the full gram dictionary.
+    // sketch instead of the full gram dictionary. The sketch is built
+    // and probed with Spark's native BloomFilterAggregate /
+    // BloomFilterMightContain expressions (the machinery behind runtime
+    // row-group filters): the build is a distributed aggregate, the
+    // probe stays in whole-stage codegen — nothing is collected to or
+    // evaluated on the driver (the former Scala-closure UDF probe was).
     QueryDef(
       "q72_bloom_decontaminate", PipelineQueries.decontaminationOracleSql) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+      import org.apache.spark.sql.graftbridge.Bridge
       val (bench, train) = PipelineQueries.decontaminationGrams(s, dir)
-      val bloom = bench.stat.bloomFilter("g", 100000L, 0.01)
-      val mightContain = udf((g: String) => g != null && bloom.mightContain(g))
+      // same sizing as the classic bloomFilter(col, n=100000, fpp=0.01)
+      val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(100000L, 0.01)
+      val bloomDf = bench.agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("g"))),
+        Literal(100000L), Literal(numBits)).toAggregateExpression()).as("bf"))
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        ScalarSubquery(bloomDf.queryExecution.analyzed),
+        Bridge.expression(xxhash64(col("g")))))
       train
-        .filter(mightContain(col("g")))
+        .filter(mightContain)
         .join(broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
@@ -494,8 +508,12 @@ object AnalyticsQueries {
       val emb = Tables.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val indexDir = java.nio.file.Files
-        .createTempDirectory("graft-ivf-index").toString
+      // deterministic per-corpus location, overwritten on re-run — a
+      // fresh temp dir per invocation would leak a full corpus copy
+      // every verify/bench pass (and an index is a durable artifact by
+      // nature: rebuilding it must land in the same place)
+      val indexDir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
       graft.similarity.Similarity.writeIvfIndex(emb, indexDir, nBuckets = 16)
       graft.similarity.Similarity
         .ivfTopKIndexed(s, indexDir, queries, k = 10, nprobe = 4)

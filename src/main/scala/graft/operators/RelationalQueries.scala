@@ -96,8 +96,14 @@ object RelationalQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      // customer is pinned broadcast: the build side prunes to two
+      // columns (c_custkey, c_mktsegment) — a fraction of the fact side
+      // at any SF where it fits an executor — and pinning keeps AQE's
+      // size estimate from flipping the plan to a full shuffle join
+      // (observed once under driver contention: 2.5× regression).
       Tables.orders(s, dir)
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(round(sum(Exact.cents(col("o_totalprice"))).cast("double") / 100, 2).as("segment_revenue"),
              count(lit(1)).as("n_orders"))

@@ -25,6 +25,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
   }
 
+  test("q3: customer side broadcasts (orders never shuffles for the dim join)") {
+    val plan = planOf("q3_join_agg")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"customer must broadcast, not shuffle the fact side:\n$plan")
+  }
+
   test("q1/q21: aggregation is partial+final (map-side combine)") {
     Seq("q1_agg", "q21_wordcount").foreach { q =>
       val plan = planOf(q)
@@ -79,10 +85,13 @@ class PlanSpec extends SparkSpec {
     val plan = planOf("q72_bloom_decontaminate")
     assert(plan.contains("BroadcastHashJoin"),
       s"confirm join must broadcast the gram dictionary:\n$plan")
-    // the UDF bloom filter must sit below the join (scan-side pruning)
-    val fi = plan.indexOf("UDF")
+    // the native might_contain probe must sit below the join (scan-side
+    // pruning) and stay out of UDF land (codegen'd expression)
+    val fi = plan.indexOf("might_contain")
     val ji = plan.indexOf("BroadcastHashJoin")
+    assert(fi >= 0, s"native bloom probe missing:\n$plan")
     assert(fi > ji, s"bloom filter must evaluate before (deeper than) the join:\n$plan")
+    assert(!plan.contains("UDF"), s"bloom probe regressed to a driver-built UDF:\n$plan")
   }
 
   test("q74 count-min: the sketch joins as a broadcast (never shuffled at scale)") {

@@ -12,8 +12,11 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // local[8, 2]: maxFailures=2 so task retry is live, as on a real
+    // cluster — the crash-parity test (SchedulerParitySpec) induces
+    // attempt-0 failures and asserts golden output after retry.
     val s = SparkSession.builder()
-      .master("local[8]")
+      .master("local[8, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")

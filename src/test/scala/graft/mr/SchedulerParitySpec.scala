@@ -35,6 +35,16 @@ class SchedulerParitySpec extends SparkSpec {
     val ended = new java.util.concurrent.atomic.AtomicInteger
     private val running = new java.util.concurrent.atomic.AtomicInteger
     val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger
+    private val runningByStage =
+      new java.util.concurrent.ConcurrentHashMap[Integer, java.util.concurrent.atomic.AtomicInteger]()
+    /** Per-stage peak concurrency — the rtiming probe reads the LAST
+      * (post-shuffle/reduce) stage's entry. */
+    val maxByStage = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+    def lastStageMax: Int = {
+      val keys = maxByStage.keySet()
+      if (keys.isEmpty) 0
+      else maxByStage.get(java.util.Collections.max(keys)).intValue()
+    }
     override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
       if (Option(j.properties).exists(_.getProperty("spark.jobGroup.id") == group))
         j.stageIds.foreach(s => stages.add(s))
@@ -42,10 +52,16 @@ class SchedulerParitySpec extends SparkSpec {
       if (stages.contains(t.stageId)) {
         val r = running.incrementAndGet()
         maxConcurrent.updateAndGet(m => math.max(m, r))
+        val rs = runningByStage
+          .computeIfAbsent(t.stageId, _ => new java.util.concurrent.atomic.AtomicInteger)
+          .incrementAndGet()
+        maxByStage.merge(t.stageId, Int.box(rs),
+          (a, b) => Int.box(math.max(a.intValue(), b.intValue())))
       }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (stages.contains(t.stageId)) {
         running.decrementAndGet()
+        runningByStage.get(t.stageId: Integer).decrementAndGet()
         ended.incrementAndGet()
       }
   }
@@ -91,6 +107,58 @@ class SchedulerParitySpec extends SparkSpec {
       spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(probe)
     }
+  }
+
+  test("rtiming parity: reduce-stage tasks run with >=2-way concurrency") {
+    // reference src/mrapps/rtiming.go:62-84 holds reduce workers open and
+    // asserts they overlap; here the post-shuffle stage sleeps per task
+    // and the probe reads that stage's peak concurrency.
+    val probe = new TaskProbe("graft-rtiming")
+    spark.sparkContext.addSparkListener(probe)
+    spark.sparkContext.setJobGroup("graft-rtiming", "scheduler parity probe")
+    try {
+      spark.sparkContext
+        .wholeTextFiles("/root/reference/src/main/pg-*.txt", minPartitions = 8)
+        .flatMap { case (f, c) => MrApps.wcMap(f, c) }
+        .map(kv => (kv.key, 1))
+        .reduceByKey(_ + _, 8)
+        .mapPartitions { it => Thread.sleep(250); it }
+        .count()
+      awaitListener(probe.lastStageMax >= 2)
+      assert(probe.lastStageMax >= 2,
+        s"reduce-stage max concurrency ${probe.lastStageMax}")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(probe)
+    }
+  }
+
+  test("crash parity: induced attempt-0 task failures still yield golden output") {
+    // reference test-mr.sh:276-322 + src/mrapps/crash.go:20-55: workers
+    // crash at random and the retried run must still match the golden
+    // output exactly. Spark analog: every even map partition throws on
+    // its first attempt (maxFailures=2 via local[8, 2] in SparkSpec), the
+    // retry succeeds, and the committed output is byte-equal to the
+    // reference's mymrout — exactly-once despite failures.
+    val crashingMap: MapReduce.MapF = { (f, c) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() % 2 == 0)
+        throw new RuntimeException("induced worker crash (crash parity)")
+      MrApps.wcMap(f, c)
+    }
+    val out = Files.createTempDirectory("graft-crash").toString + "/wc-out"
+    val result = MapReduce.run(spark, "/root/reference/src/main/pg-*.txt",
+      crashingMap, MrApps.wcReduce)
+    MapReduce.writeText(result, out, nReduce = 10)
+    val files = Files.list(Paths.get(out)).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(files.contains("_SUCCESS"))
+    assert(!files.exists(_.contains("_temporary")), s"uncommitted output: $files")
+    val lines = files.filter(_.startsWith("part-"))
+      .flatMap(f => Files.readAllLines(Paths.get(out, f)).asScala)
+    val golden = Files.readAllLines(
+      Paths.get("/root/reference/src/main/mymrout")).asScala
+    assert(lines.sorted == golden.sorted,
+      "retried run diverged from golden output")
   }
 
   test("early-exit parity: committed output is complete and atomic") {
