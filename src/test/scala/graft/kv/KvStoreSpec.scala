@@ -94,4 +94,125 @@ class KvStoreSpec extends SparkSpec with graft.PropHelper {
     assert(KvStore.shardOf("0") == '0'.toInt % 10)
     assert(KvStore.shardOf("") == 0)
   }
+
+  // ---- concurrent-history linearizability (Porcupine-style) ----
+  // The reference machine-checks OVERLAPPING client histories against the
+  // KvModel (/root/reference/src/porcupine/porcupine.go, kvraft
+  // test_test.go:369-377). Here: a generator produces interleaved client
+  // ops with invocation/response intervals (get returns taken from a
+  // hidden commit-point witness inside each interval), a backtracking
+  // checker searches for ANY admissible linearization (real-time
+  // precedence respected, get returns consistent with the KvModel step),
+  // and the found order — fed back through the engine's relational
+  // replay — must reproduce the checker's final state.
+
+  /** One invoked operation: [inv, res] interval and observed get return. */
+  private case class HOp(id: Int, op: String, key: String, value: String,
+      inv: Long, res: Long, ret: String)
+
+  /** Search for an admissible linearization: repeatedly pick an op whose
+    * interval started before every unchosen op's response (real-time
+    * order), whose get return matches the simulated state. */
+  private def linearize(history: List[HOp]): Option[List[HOp]] = {
+    def step(remaining: List[HOp], state: Map[String, String],
+        acc: List[HOp]): Option[List[HOp]] = remaining match {
+      case Nil => Some(acc.reverse)
+      case _ =>
+        val minRes = remaining.map(_.res).min
+        remaining.filter(_.inv <= minRes).sortBy(_.id).foldLeft(None: Option[List[HOp]]) {
+          case (found @ Some(_), _) => found
+          case (None, o) =>
+            val cur = state.getOrElse(o.key, "")
+            o.op match {
+              case KvOp.Get if o.ret != cur => None // inconsistent here; try next
+              case KvOp.Get =>
+                step(remaining.filterNot(_.id == o.id), state, o :: acc)
+              case KvOp.Put =>
+                step(remaining.filterNot(_.id == o.id),
+                  state.updated(o.key, o.value), o :: acc)
+              case KvOp.Append =>
+                step(remaining.filterNot(_.id == o.id),
+                  state.updated(o.key, cur + o.value), o :: acc)
+            }
+        }
+    }
+    step(history, Map.empty, Nil)
+  }
+
+  /** Overlapping histories with a hidden witness: each client runs ops
+    * sequentially, clients interleave; every op commits at a point inside
+    * its interval, and gets observe the state at their commit point. */
+  private val genHistory: Gen[List[HOp]] = for {
+    nClients <- Gen.choose(2, 4)
+    opsPer <- Gen.choose(2, 4)
+    keys = Seq("x", "y")
+    raw <- Gen.sequence[List[(Int, String, String, String, Long, Long, Long)],
+        (Int, String, String, String, Long, Long, Long)](
+      (0 until nClients).flatMap(c => (0 until opsPer).map(i => for {
+        op <- Gen.oneOf(KvOp.Get, KvOp.Put, KvOp.Append)
+        key <- Gen.oneOf(keys)
+        v <- Gen.choose(0, 9).map(d => s"$c$i$d")
+        // client-local slot [i*100, i*100+99]; random sub-interval + commit
+        a <- Gen.choose(i * 100L, i * 100L + 40)
+        b <- Gen.choose(i * 100L + 60, i * 100L + 99)
+        commit <- Gen.choose(a, b)
+      } yield (c * 100 + i, op, key, v, a, b, commit))).toList)
+  } yield {
+    // apply at commit points to fix get returns (the witness)
+    val byCommit = raw.sortBy(_._7)
+    var st = Map.empty[String, String]
+    val withRet = byCommit.map { case (id, op, key, v, a, b, _) =>
+      val cur = st.getOrElse(key, "")
+      op match {
+        case KvOp.Put    => st = st.updated(key, v);       HOp(id, op, key, v, a, b, "")
+        case KvOp.Append => st = st.updated(key, cur + v); HOp(id, op, key, v, a, b, "")
+        case KvOp.Get    =>                                HOp(id, op, key, v, a, b, cur)
+      }
+    }
+    withRet.sortBy(_.id)
+  }
+
+  test("linearizability: overlapping client histories admit a linearization matching the fold") {
+    checkProp(Prop.forAll(genHistory) { history =>
+      linearize(history) match {
+        case None => false // witness exists by construction — must be found
+        case Some(order) =>
+          // the linearization, replayed by the ENGINE in that order, must
+          // end in the same state the checker's model fold reached
+          val ops = order.zipWithIndex.map { case (o, i) =>
+            KvOp(i.toLong, o.op, o.key, o.value)
+          }
+          val mutated = ops.filter(_.op != KvOp.Get).map(_.key).toSet
+          val got = KvStore.replay(ops.toDF())
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val want = model(ops).filter { case (k, _) => mutated.contains(k) }
+          got == want
+      }
+    }, minSuccessful = 25)
+  }
+
+  test("linearizability checker rejects non-linearizable histories") {
+    // stale read: Get(x) overlapping nothing observes "" AFTER Put(x,"1")
+    // completed — no admissible order exists
+    val stale = List(
+      HOp(0, KvOp.Put, "x", "1", 0, 10, ""),
+      HOp(1, KvOp.Get, "x", "", 20, 30, ""))
+    assert(linearize(stale).isEmpty, "stale read accepted")
+    // phantom read: value never written
+    val phantom = List(
+      HOp(0, KvOp.Put, "x", "1", 0, 10, ""),
+      HOp(1, KvOp.Get, "x", "", 5, 15, "2"))
+    assert(linearize(phantom).isEmpty, "phantom read accepted")
+    // lost append: get sees the put but not the append that completed first
+    val lost = List(
+      HOp(0, KvOp.Put, "x", "1", 0, 10, ""),
+      HOp(1, KvOp.Append, "x", "2", 20, 30, ""),
+      HOp(2, KvOp.Get, "x", "", 40, 50, "1"))
+    assert(linearize(lost).isEmpty, "lost append accepted")
+    // sanity: the concurrent variant of the stale read IS linearizable
+    val concurrent = List(
+      HOp(0, KvOp.Put, "x", "1", 0, 10, ""),
+      HOp(1, KvOp.Get, "x", "", 5, 15, ""))
+    assert(linearize(concurrent).nonEmpty)
+  }
 }
