@@ -647,6 +647,100 @@ object AnalyticsQueries {
         .groupBy("w", "exact_cnt")
         .agg(min("c").as("cms_est"))
         .orderBy(col("exact_cnt").desc, col("w"))
+    },
+
+    // ---- approximate percentile (GK sketch) with a value contract ----
+    // Same pattern as q50: the sketch itself is engine-specific, so the
+    // output is the exact (oracle-replayable) quantized median plus a
+    // deterministic bound check — percentile_approx at accuracy 1000 has
+    // rank error ≤0.1%, asserted against the exact p45/p55 envelope
+    // (±5% rank, a 50× margin). At 100 TB the approx path is a fixed-size
+    // mergeable sketch per group instead of a sorted-list holistic agg.
+    QueryDef(
+      "q86_approx_quantile", {
+        def pctlSql(list: String, p: String): String =
+          s"""(CASE WHEN floor($p * (n - 1)) = ceil($p * (n - 1))
+             |      THEN CAST($list[CAST($p * (n - 1) AS BIGINT) + 1] AS DOUBLE)
+             |      ELSE (ceil($p * (n - 1)) - $p * (n - 1)) * $list[CAST(floor($p * (n - 1)) AS BIGINT) + 1]
+             |         + ($p * (n - 1) - floor($p * (n - 1))) * $list[CAST(ceil($p * (n - 1)) AS BIGINT) + 1]
+             |      END)""".stripMargin.replaceAll("\n\\s*", " ")
+        s"""WITH c AS (SELECT l_returnflag, ${Exact.centsSql("l_extendedprice")} AS cents
+           |           FROM lineitem),
+           |a AS (SELECT l_returnflag, count(*) AS n,
+           |             list(cents ORDER BY cents) AS pc
+           |      FROM c GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |       CAST(round(${pctlSql("pc", "0.5")}) AS BIGINT) AS p50_cents,
+           |       true AS approx_in_bound
+           |FROM a ORDER BY l_returnflag""".stripMargin
+      }) { (s, dir) =>
+      val cents = Exact.cents(col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(cents, lit(0.5))).cast("long").as("p50_cents"),
+          percentile_approx(cents, lit(0.5), lit(1000)).as("ap"),
+          percentile(cents, lit(0.45)).as("lo"),
+          percentile(cents, lit(0.55)).as("hi"))
+        .select(col("l_returnflag"), col("p50_cents"),
+          (col("ap") >= floor(col("lo")) && col("ap") <= ceil(col("hi")))
+            .as("approx_in_bound"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- intra-document repetition (Gopher-style quality filter) ----
+    // Fraction of duplicated 3-grams per document, in basis points —
+    // the standard "repetitive junk" signal a training-data pipeline
+    // filters on. Narrow map over the scan (no shuffle); integer
+    // quantization keeps the ratio engine-portable.
+    QueryDef(
+      "q87_repetition",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |             len(toks) - 2 AS n_grams,
+         |             len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS n_distinct
+         |      FROM t WHERE len(toks) >= 3)
+         |SELECT doc_id,
+         |       CAST(n_grams AS BIGINT) AS n_grams,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST(floor(CAST((n_grams - n_distinct) * 10000 AS DOUBLE) / n_grams) AS BIGINT) AS dup_bp
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sh = TextAnalysis.shingles(col("text"), 3)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"), sh.as("sh"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_grams"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        .withColumn("dup_bp",
+          floor((col("n_grams") - col("n_distinct")).cast("double") * 10000 / col("n_grams"))
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // ---- salted join (hot-key skew tool; result == plain join) ----
+    // Scale.saltedJoin spreads each fact row over `salts` reducers and
+    // replicates the dim side per salt — the manual fallback when a join
+    // key is hot AND the dim side is too big to broadcast (AQE skew
+    // splitting only handles sort-merge post-shuffle partitions).
+    // The oracle is the PLAIN join: salting must be invisible in results.
+    QueryDef(
+      "q88_salted_join",
+      s"""SELECT c_nationkey,
+         |       count(*) AS n_orders,
+         |       round(CAST(sum(${Exact.centsSql("o_totalprice")}) AS DOUBLE) / 100, 2) AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_nationkey
+         |ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      Scale.saltedJoin(
+        Tables.orders(s, dir),
+        Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey", salts = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(Exact.cents(col("o_totalprice"))).cast("double") / 100, 2).as("revenue"))
+        .orderBy("c_nationkey")
     }
   )
 }

@@ -44,6 +44,26 @@ object Scale {
     l.join(r, key)
   }
 
+  /** Salted fact⋈dim join for hot join keys that AQE's skew splitting
+    * can't fix (e.g. one key holding 30% of the fact side AND a dim side
+    * too large to broadcast): the fact side picks a random salt per row,
+    * the dim side is replicated once per salt value, and the join runs on
+    * (key, salt) — a hot key spreads over `salts` reducers. Result is
+    * exactly the plain inner join; cost is `salts`× the dim shuffle
+    * volume, so keep `salts` modest (8–32).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Persist a table bucketed by `key` — the on-disk co-location that
     * removes the shuffle from every future join/aggregation on that key
     * (the Spark-native analog of the reference's static R=10 hash

@@ -39,6 +39,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain join on a hot-key corpus") {
+    // hot key: 90% of fact rows hit one dim key
+    val fact = (1 to 5000).map(i =>
+      (if (i % 10 == 0) i % 37 else 7, i)).toDF("k", "v")
+    val dim = (0 until 37).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Scale.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
   test("coPartitionedJoin produces correct results") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
