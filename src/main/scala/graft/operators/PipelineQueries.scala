@@ -539,13 +539,14 @@ object PipelineQueries {
         |FROM c
         |GROUP BY 1
         |ORDER BY pack_id""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      // the running token total uses Scale.prefixSumLong — range
+      // partitioning + broadcast offsets — NOT a global window, which
+      // would drag every row into one partition (the former shape, kept
+      // only as the spec's equality reference)
+      val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+      Scale.prefixSumLong(toks, "doc_id", "n_tok")
         .select(floor((col("cum") - col("n_tok")) / 2000).as("pack_id"),
           col("n_tok"))
         .groupBy("pack_id")

@@ -44,6 +44,54 @@ object Scale {
     l.join(r, key)
   }
 
+  /** Distributed running (prefix) sum over a global order — the scale
+    * form of `sum(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING..CURRENT)`,
+    * which Spark otherwise executes in ONE partition (the WindowExec
+    * "moving all data to a single partition" warning).
+    *
+    * Shape: range-partition on the order key (global order across
+    * partitions, local order within), one tiny job sums each partition,
+    * the per-partition totals prefix-sum on the driver (O(partitions)
+    * values — the same driver-side step Spark's own RangePartitioner
+    * takes), offsets broadcast back, and every partition accumulates
+    * locally — a narrow pass. Identical results to the window form for a
+    * unique (total-order) key; `valueCol` must be LongType.
+    */
+  def prefixSumLong(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      cumCol: String = "cum",
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val schema = ranged.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    // pin the partitioning: RangePartitioner samples boundaries, so the
+    // totals job and the output job must see the SAME layout
+    val rdd = ranged.rdd.cache()
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per pid
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    // the cached RDD stays pinned until GC (ContextCleaner unpersists);
+    // an eager unpersist here would recompute `out` against freshly
+    // re-sampled range boundaries and skew the offsets
+    spark.createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
+  }
+
   /** Salted fact⋈dim join for hot join keys that AQE's skew splitting
     * can't fix (e.g. one key holding 30% of the fact side AND a dim side
     * too large to broadcast): the fact side picks a random salt per row,

@@ -39,6 +39,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("prefixSumLong equals the single-partition running-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    val df = new scala.util.Random(7).shuffle((1 to 3000).toList)
+      .map(i => (i.toLong, (i % 97).toLong)).toDF("k", "v")
+      .repartition(11)
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Scale.prefixSumLong(df, "k", "v", partitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    // and the distributed form really is distributed: >1 partition
+    assert(Scale.prefixSumLong(df, "k", "v", partitions = 8).rdd.getNumPartitions > 1)
+  }
+
   test("saltedJoin equals the plain join on a hot-key corpus") {
     // hot key: 90% of fact rows hit one dim key
     val fact = (1 to 5000).map(i =>
