@@ -62,6 +62,30 @@ object ScaleProbe {
     val c1 = timeChunks("1x", replicate(1))
     val cn = timeChunks(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] chunk-dedup time ratio=${cn / c1}%.2f for ${copies}x data")
+
+    // ANN brute-force top-k scaling: with the two-level top-k the
+    // per-query merge receives parts×k rows no matter the corpus size,
+    // so wall-clock must track the SCAN (linear), not the merge.
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    def replicateEmb(n: Int): DataFrame =
+      (0 until n).map { k =>
+        emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    def timeAnn(label: String, corpus: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.similarity.Similarity.bruteForceTopK(corpus, queries, k = 10).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] ann-$label: rows=$n time=$secs%.2fs")
+      secs
+    }
+    timeAnn("warmup-1x", replicateEmb(1))
+    val a1 = timeAnn("1x", replicateEmb(1))
+    val an = timeAnn(s"${copies}x", replicateEmb(copies))
+    println(f"[scaleprobe] ann time ratio=${an / a1}%.2f for ${copies}x corpus " +
+      "(merge input is parts×k per query at any scale)")
     spark.stop()
   }
 }
