@@ -3,6 +3,7 @@ package graft.operators
 import graft.catalog.QueryDef
 import graft.tables.Tables
 import graft.textops.TextAnalysis
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -741,6 +742,36 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(Exact.cents(col("o_totalprice"))).cast("double") / 100, 2).as("revenue"))
         .orderBy("c_nationkey")
+    },
+
+    // ---- group top-k via a bounded-heap Aggregator (holistic UDAF) ----
+    // The scalable alternative to the q8 window shape: the typed
+    // TopKAggregator ships ≤k entries per group per map task (partial
+    // TypedImperativeAggregate), where row_number() would shuffle every
+    // group row onto one reducer. The oracle IS the window form — both
+    // must agree exactly (unique ids break score ties).
+    QueryDef(
+      "q89_group_topk",
+      s"""SELECT o_orderpriority, o_orderkey, price_cents, rank FROM (
+         |  SELECT o_orderpriority, o_orderkey,
+         |         ${Exact.centsSql("o_totalprice")} AS price_cents,
+         |         row_number() OVER (PARTITION BY o_orderpriority
+         |           ORDER BY ${Exact.centsSql("o_totalprice")} DESC, o_orderkey) AS rank
+         |  FROM orders) t
+         |WHERE rank <= 3
+         |ORDER BY o_orderpriority, rank""".stripMargin) { (s, dir) =>
+      import graft.functions.{Scored, TopKAggregator}
+      val topk = udaf(new TopKAggregator(3), Encoders.product[Scored])
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          Exact.cents(col("o_totalprice")).as("price_cents"))
+        .groupBy("o_orderpriority")
+        .agg(topk(col("price_cents").cast("double"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("o_orderpriority"), col("s.id").as("o_orderkey"),
+          col("s.score").cast("long").as("price_cents"),
+          (col("pos") + 1).as("rank"))
+        .orderBy("o_orderpriority", "rank")
     }
   )
 }
