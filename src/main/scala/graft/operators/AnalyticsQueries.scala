@@ -772,6 +772,27 @@ object AnalyticsQueries {
           col("s.score").cast("long").as("price_cents"),
           (col("pos") + 1).as("rank"))
         .orderBy("o_orderpriority", "rank")
+    },
+
+    // ---- distributed global ranking (row_number without the single
+    //      partition): Scale.globalRank = prefix sum of ones over a
+    //      range-partitioned total order. The q67 global window is the
+    //      SQL-surface form; THIS is the 100 TB form — the oracle is the
+    //      window itself, so both must agree row-for-row. ----
+    QueryDef(
+      "q90_global_rank",
+      s"""SELECT o_orderkey,
+         |       row_number() OVER (ORDER BY ${Exact.centsSql("o_totalprice")} DESC,
+         |                          o_orderkey) AS price_rank
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Scale.globalRank(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (-Exact.cents(col("o_totalprice"))).as("_neg_cents")),
+        "price_rank", "_neg_cents", "o_orderkey")
+        .select("o_orderkey", "price_rank")
+        .orderBy("o_orderkey")
     }
   )
 }

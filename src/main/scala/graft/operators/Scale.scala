@@ -62,14 +62,23 @@ object Scale {
       orderCol: String,
       valueCol: String,
       cumCol: String = "cum",
+      partitions: Int = 0): DataFrame =
+    prefixSumLongBy(df, Seq(orderCol), valueCol, cumCol, partitions)
+
+  /** [[prefixSumLong]] over a composite (multi-column) total order. */
+  def prefixSumLongBy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      cumCol: String = "cum",
       partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
     val parts = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
+    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
     val schema = ranged.schema
     val vIdx = schema.fieldIndex(valueCol)
     // pin the partitioning: RangePartitioner samples boundaries, so the
@@ -91,6 +100,18 @@ object Scale {
     // re-sampled range boundaries and skew the offsets
     spark.createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
   }
+
+  /** Distributed global row numbering under a composite total order —
+    * `row_number() OVER (ORDER BY ...)` without the one-partition window:
+    * a prefix sum of ones. Order columns must form a total order (no
+    * ties) for the numbering to be well-defined.
+    */
+  def globalRank(
+      df: DataFrame,
+      rankCol: String,
+      orderCols: String*): DataFrame =
+    prefixSumLongBy(df.withColumn("_one", lit(1L)), orderCols, "_one", rankCol)
+      .drop("_one")
 
   /** Salted fact⋈dim join for hot join keys that AQE's skew splitting
     * can't fix (e.g. one key holding 30% of the fact side AND a dim side

@@ -54,6 +54,19 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.prefixSumLong(df, "k", "v", partitions = 8).rdd.getNumPartitions > 1)
   }
 
+  test("globalRank equals the global row_number window (composite order)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = new scala.util.Random(3).shuffle((1 to 2000).toList)
+      .map(i => (i.toLong, (i % 13).toLong)).toDF("id", "grp")
+      .repartition(9)
+    val w = Window.orderBy($"grp".desc, $"id")
+    val want = df.withColumn("r", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Scale.globalRank(df.withColumn("_ng", -$"grp"), "r", "_ng", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == want)
+  }
+
   test("saltedJoin equals the plain join on a hot-key corpus") {
     // hot key: 90% of fact rows hit one dim key
     val fact = (1 to 5000).map(i =>
