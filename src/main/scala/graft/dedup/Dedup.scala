@@ -161,6 +161,14 @@ object Dedup {
     * shuffle, no re-grouping. Only docs that appear in a pair pay the
     * shingle computation (semi-join prune): at scale |pairs| ≪ |corpus|,
     * so the two id-joins shuffle candidate neighborhoods only.
+    *
+    * Shingles are intersected as their portable 60-bit md5 hashes, not
+    * strings: the arrays the pair join replicates shrink ~10× (8-byte
+    * longs vs ~25-char strings) and the per-pair intersect compares
+    * longs — this was the dominant cost of the whole near-dup pipeline
+    * at sf0.1. Exactness vs the oracle is preserved because the oracle
+    * replays the identical hash: even a (≈1e-12 per pair) collision
+    * merges the same two shingles on both engines.
     */
   def ngramJaccard(
       docs: DataFrame,
@@ -171,7 +179,8 @@ object Dedup {
     val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
     val sh = docs.join(ids, col(idCol) === col("pid"), "left_semi")
       .select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.shingles(col(textCol), k)).as("sh"))
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
+          s => TextAnalysis.md5Long(s))).as("sh"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -243,6 +252,88 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     ngramJaccard(docs, plausible, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---------- exact similarity self-join (prefix filtering) ----------
+
+  /** EXACT all-pairs Jaccard similarity self-join via prefix filtering
+    * (the AllPairs/PPJoin family of algorithms): same output contract as
+    * [[nearDupPairs]] but with no LSH and hence NO recall budget — every
+    * pair at (rounded) jaccard ≥ t is guaranteed present.
+    *
+    * How it avoids n²: order every doc's distinct k-shingles by ascending
+    * global document frequency (ties broken on the shingle value — a
+    * total order shared by all docs), and index only the PREFIX of the
+    * `|s| - ⌈t·|s|⌉ + 1` rarest shingles. A pair with J(x,y) ≥ t has
+    * overlap ≥ ⌈t·max(|x|,|y|)⌉, and two sets whose overlap is ≥ α must
+    * share an element within their first `|s| - α + 1` elements of the
+    * common order (pigeonhole), so prefix collisions generate ALL true
+    * pairs. A globally-frequent shingle enters a doc's prefix only when
+    * everything else in that doc is even more frequent, so the inverted
+    * index — and the Σ bucket² pair expansion — tracks rare-shingle
+    * collision structure instead of hot-shingle buckets.
+    *
+    * Candidates then pass the length filter (J ≤ min/max, so
+    * min ≥ t·max or the pair can't reach t) before the exact
+    * intersection verify. All bounds use `t - 1e-4` because the output
+    * contract compares the 4-decimal ROUNDED jaccard (a true j of
+    * t - 0.00004 rounds up into the answer set and must not be pruned).
+    *
+    * Degenerate corpora (thousands of identical docs) produce quadratic
+    * OUTPUT — every pair really is a near-dup — so unlike the LSH paths
+    * there is no maxBucket guard to trade recall for skew; the answer
+    * itself is the bound. Run [[exactDedup]] first when that's a concern.
+    */
+  def prefixFilterNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val te = threshold - 1e-4 // rounded-contract safety margin
+    // 60-bit hashed shingles throughout — same representation the verify
+    // stage intersects, and (df, hash) is as good a canonical total order
+    // as (df, string) for the prefix lemma
+    val sh = docs
+      .select(col(idCol).as("id"),
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
+          s => TextAnalysis.md5Long(s))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
+    // global document frequency: the canonical rarity order (one agg)
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // per doc: sort shingles by (df, shingle), keep the prefix
+    val prefixes = exploded.join(freq, "g")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ordered"))
+      .select(col("id"), size(col("ordered")).as("n"),
+        transform(col("ordered"), x => x.getField("g")).as("sorted"))
+      .select(col("id"), col("n"),
+        explode(slice(col("sorted"), lit(1),
+          (col("n") - ceil(col("n") * te).cast("int") + 1))).as("g"))
+    // ONE shuffle gathers each prefix-shingle's postings; pairs expand
+    // in-bucket with the length filter applied BEFORE materialization
+    val buckets = prefixes.groupBy("g")
+      .agg(collect_list(struct(col("id"), col("n"))).as("members"))
+      .filter(size(col("members")) >= 2)
+    val pairsCol = flatten(transform(col("members"), (x, i) =>
+      filter(
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            least(x.getField("n"), y.getField("n")).as("nmin"),
+            greatest(x.getField("n"), y.getField("n")).as("nmax"))),
+        p => p.getField("nmin").cast("double") >= p.getField("nmax") * te)))
+    // localCheckpoint: the verify stage references the pair set twice
+    // (id semi-join + the attach join) — same cut as nearDupPairs
+    val cands = buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    ngramJaccard(docs, cands, idCol, textCol, k)
       .filter(col("jaccard") >= threshold)
   }
 

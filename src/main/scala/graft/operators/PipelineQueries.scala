@@ -43,15 +43,19 @@ object PipelineQueries {
        |  SELECT doc_id, $toksSql AS toks
        |  FROM d)""".stripMargin
 
-  /** CTE `s`: distinct 3-shingle sets from a relation exposing
-    * (doc_id, toks) — mirrors TextAnalysis.shingles(_, 3).
+  /** CTE `s`: distinct 3-shingle sets (as portable 60-bit md5 hashes,
+    * mirroring Dedup.ngramJaccard's hashed intersect) from a relation
+    * exposing (doc_id, toks) — mirrors
+    * array_distinct(transform(TextAnalysis.shingles(_, 3), md5Long)).
     */
   private def shingle3Cte(from: String): String =
     s"""s AS MATERIALIZED (
        |  SELECT doc_id,
-       |         list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         list_distinct(list_transform(
+       |           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |              ELSE list_transform(range(1, len(toks) - 1),
-       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+       |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END,
+       |           g -> ${OracleSql.md5Long("g")})) AS sh
        |  FROM $from)""".stripMargin
 
   /** CTEs `p` (all-pairs shingle overlap) and `pr` (pairs at/above the
@@ -296,6 +300,31 @@ object PipelineQueries {
       Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
         .orderBy("id_a", "id_b")
     }.copy(headline = true),
+
+    // ---- EXACT similarity self-join (AllPairs/PPJoin prefix filter):
+    //      same output contract as q31 but with no LSH recall budget —
+    //      candidates come from collisions among each doc's
+    //      |s|-⌈t·|s|⌉+1 globally-rarest shingles, which provably cover
+    //      every pair at jaccard ≥ t. The exact path for corpora where
+    //      a probabilistic miss is unacceptable (eval-set decontam,
+    //      benchmark dedup). Oracle: the same brute-force n² jaccard. ----
+    QueryDef(
+      "q91_prefix_jaccard",
+      s"""WITH ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")}
+         |SELECT id_a, id_b,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+         |FROM p
+         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      Dedup.prefixFilterNearDups(docs.union(twins), threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    },
 
     // ---- dedup cluster resolution: near-dup pairs → connected
     //      components (min-label propagation to fixpoint) — similarity is

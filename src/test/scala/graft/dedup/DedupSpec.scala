@@ -175,4 +175,58 @@ class DedupSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: got=$got expected=$expected")
     }
   }
+
+  test("prefixFilterNearDups equals local brute force (exact, no recall budget)") {
+    // Unlike the LSH path, the prefix filter is EXACT by construction:
+    // every brute-force pair must come back on every corpus, including
+    // heavily-mutated variants that sit just either side of the
+    // threshold. Same randomized harness as the LSH property above but
+    // with a denser mutation spread to stress the boundary.
+    val rnd = new scala.util.Random(987)
+    val vocab = Array.tabulate(60)(i => s"w$i")
+    def randDoc(): Array[String] =
+      Array.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+    def mutate(t: Array[String], nMut: Int): Array[String] = {
+      val out = t.clone()
+      (0 until nMut).foreach { _ =>
+        out(rnd.nextInt(out.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      out
+    }
+    def shingleSet(toks: Array[String]): Set[String] =
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    (1 to 3).foreach { trial =>
+      val bases = Seq.tabulate(8)(i => (i.toLong, randDoc()))
+      val variants = bases.zipWithIndex.map { case ((id, t), i) =>
+        (id + 100, mutate(t, i)) // 0..7 mutations: both sides of 0.7
+      }
+      val all = bases ++ variants
+      val expected = (for {
+        (a, ta) <- all; (b, tb) <- all if a < b
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = sa.intersect(sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.7
+      } yield (a, b)).toSet
+      val got = Dedup.prefixFilterNearDups(
+          all.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial: got=$got expected=$expected")
+    }
+  }
+
+  test("prefixFilterNearDups: identical-doc corpus returns the full quadratic answer") {
+    // The exact contract has no skew guard to trade recall — n identical
+    // docs really are n(n-1)/2 near-dup pairs, and all must come back
+    // (each doc's prefix is the same rarest shingle, so one bucket).
+    val docs = spark.range(40)
+      .select($"id".as("doc_id"),
+        lit("same tokens every time in this document body").as("text"))
+    val pairs = Dedup.prefixFilterNearDups(docs, threshold = 0.7)
+    assert(pairs.count() == 40L * 39 / 2)
+    assert(pairs.agg(min("jaccard")).head.getDouble(0) == 1.0)
+  }
 }
