@@ -1,0 +1,62 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph operators over (src, dst) edge DataFrames.
+  *
+  * Complements Dedup.connectedComponents (min-label propagation): here
+  * live the rank/centrality-style iterative operators. Everything is
+  * expressed as per-iteration join + aggregate — the shape that scales
+  * to billions of edges because each round is one shuffle on the edge
+  * key, with `localCheckpoint` truncating the otherwise
+  * doubling-per-round lineage (same reasoning as Spark ML's iterative
+  * checkpointing).
+  */
+object Graph {
+
+  /** PageRank with damping 0.85 over integer micro-units — ranks are
+    * BIGINT millionths, all arithmetic is integer (floor division,
+    * integer sums), so results are bit-identical on any engine and any
+    * partitioning/summation order (a double-summed PageRank is NOT
+    * reproducible across engines: float addition is order-dependent).
+    *
+    * rank_0 = 1_000_000 per node;
+    * contrib(e) = floor(rank(src) / outdeg(src));
+    * rank'(v) = 150_000 + floor(85 · Σ contrib / 100).
+    *
+    * Nodes appear in the output iff they occur in an edge. Dangling
+    * nodes (no out-edges) simply leak their mass — callers wanting the
+    * standard redistribute semantics should add reverse edges or a sink
+    * edge per dangling node up front (the q92 catalog query feeds a
+    * bidirectional graph, so every node has out-degree ≥ 1).
+    *
+    * Per iteration: one join of ranks onto edges (shuffle on src) and
+    * one aggregate onto dst — no driver-side state, no collect.
+    */
+  def pageRankMicro(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    (1 to iterations).foreach { _ =>
+      val contribs = e
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        // `div` keeps the whole computation in 64-bit integers — a
+        // floor(double) would lose exactness past 2^53 at hub nodes
+        .select(col("dst").as("id"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("inbox"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(inbox, 0L) * 85 div 100"))
+            .cast("long").as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -793,6 +793,139 @@ object AnalyticsQueries {
         "price_rank", "_neg_cents", "o_orderkey")
         .select("o_orderkey", "price_rank")
         .orderBy("o_orderkey")
+    },
+
+    // ---- PageRank over the supplier↔customer transaction graph:
+    //      iterative join+aggregate, 3 rounds, ALL-INTEGER micro-unit
+    //      arithmetic (floor division + long sums) so ranks are
+    //      bit-identical on any engine and partitioning — a
+    //      double-summed PageRank can't be oracle-gated because float
+    //      addition is order-dependent. The oracle unrolls the three
+    //      iterations as CTEs, mirroring Graph.pageRankMicro. ----
+    QueryDef(
+      "q92_pagerank", {
+        def iter(prev: String, out: String): String =
+          s"""i$out AS (
+             |  SELECT e.dst AS id, sum(r.rank_micro // o.outdeg) AS inbox
+             |  FROM edges e JOIN outdeg o ON e.src = o.src
+             |  JOIN $prev r ON r.id = e.src
+             |  GROUP BY e.dst),
+             |$out AS (
+             |  SELECT n.id,
+             |         CAST(150000 + coalesce(i.inbox, 0) * 85 // 100 AS BIGINT)
+             |           AS rank_micro
+             |  FROM nodes n LEFT JOIN i$out i ON n.id = i.id)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT s AS src, c AS dst FROM pairs
+           |          UNION ALL SELECT c, s FROM pairs),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT id, rank_micro FROM r3 ORDER BY id""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 10000000L).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.graph.Graph.pageRankMicro(edges, iterations = 3)
+        .orderBy("id")
+    },
+
+    // ---- contamination SCORE (q58 flags shared grams; this grades
+    //      every training doc by the FRACTION of its 5-grams found in
+    //      the eval set — the thresholded form real pipelines gate on).
+    //      Fraction in integer basis points ((10000·shared) div total):
+    //      no double division, no rounding hazard, hash-stable. Same
+    //      broadcast shape as q58 — the corpus never shuffles. ----
+    QueryDef(
+      "q93_contamination_score",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 3),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |                        toks[i+3] || ' ' || toks[i+4]) END) AS sh
+         |  FROM t),
+         |b AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id < 20),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id >= 20),
+         |tot AS (SELECT doc_id, len(sh) AS n_grams FROM s WHERE doc_id >= 20),
+         |shared AS (
+         |  SELECT doc_id, count(*) AS n_shared FROM tr JOIN b USING (g)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       CAST(t.n_grams AS BIGINT) AS n_grams,
+         |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_grams,
+         |       CAST(10000 * coalesce(s.n_shared, 0) // t.n_grams AS BIGINT) AS frac_bp,
+         |       (10000 * coalesce(s.n_shared, 0) // t.n_grams) >= 500 AS contaminated
+         |FROM tot t LEFT JOIN shared s ON t.doc_id = s.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val (bench, train) = PipelineQueries.decontaminationGrams(s, dir)
+      val totals = Tables.documents(s, dir).filter(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          size(array_distinct(TextAnalysis.shingles(col("text"), 5)))
+            .cast("long").as("n_grams"))
+      val shared = train.join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      totals.join(shared, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"),
+          expr("10000 * coalesce(n_shared, 0L) div n_grams").as("frac_bp"),
+          (expr("10000 * coalesce(n_shared, 0L) div n_grams") >= 500)
+            .as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // ---- fuzzy (edit-distance ≤ 1) lookup join via SymSpell deletion
+    //      neighborhoods: probe strings (25 part names with one char
+    //      replaced) match corpus part names without an n² distance
+    //      matrix — both sides explode into |s|+1 delete-1 variants,
+    //      candidates come from variant equality (provably complete for
+    //      ed ≤ 1), and levenshtein verifies the survivors. The probe
+    //      side broadcasts; the corpus never shuffles. Oracle: brute
+    //      probes × parts levenshtein. ----
+    QueryDef(
+      "q94_fuzzy_join",
+      s"""WITH probes AS (
+         |  SELECT p_partkey AS probe_id,
+         |         substr(p_name, 1, CAST(p_partkey % len(p_name) AS INT)) || '@' ||
+         |         substr(p_name, CAST(p_partkey % len(p_name) AS INT) + 2) AS q
+         |  FROM part WHERE p_partkey < 25)
+         |SELECT pr.probe_id, p.p_partkey,
+         |       CAST(levenshtein(pr.q, p.p_name) AS BIGINT) AS dist
+         |FROM probes pr, part p
+         |WHERE levenshtein(pr.q, p.p_name) <= 1
+         |ORDER BY pr.probe_id, p.p_partkey""".stripMargin) { (s, dir) =>
+      val part = Tables.part(s, dir).select("p_partkey", "p_name")
+      val probes = part.filter(col("p_partkey") < 25)
+        .select(col("p_partkey").as("probe_id"),
+          concat(
+            col("p_name").substr(lit(1),
+              pmod(col("p_partkey"), length(col("p_name"))).cast("int")),
+            lit("@"),
+            col("p_name").substr(
+              pmod(col("p_partkey"), length(col("p_name"))).cast("int") + 2,
+              length(col("p_name")))).as("q"))
+      val probeVars = probes.select(col("probe_id"), col("q"),
+        explode(TextAnalysis.deletionVariants(col("q"))).as("v"))
+      val corpusVars = part.select(col("p_partkey"), col("p_name"),
+        explode(TextAnalysis.deletionVariants(col("p_name"))).as("v"))
+      corpusVars.join(broadcast(probeVars), "v")
+        .select("probe_id", "q", "p_partkey", "p_name").distinct()
+        .select(col("probe_id"), col("p_partkey"),
+          levenshtein(col("q"), col("p_name")).cast("long").as("dist"))
+        .filter(col("dist") <= 1)
+        .orderBy("probe_id", "p_partkey")
     }
   )
 }

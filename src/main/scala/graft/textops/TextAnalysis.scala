@@ -137,6 +137,18 @@ object TextAnalysis {
   def fingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(shingles(text, k), s => md5Long(s)))
 
+  /** SymSpell-style deletion neighborhood: the string itself plus every
+    * delete-one-character variant. Two strings at edit distance ≤ 1
+    * (substitution, insertion, or deletion) always share at least one
+    * variant, so joining on variants generates ALL ed≤1 candidate pairs
+    * — |s|+1 index rows per string instead of an n² distance matrix.
+    */
+  def deletionVariants(s: Column): Column =
+    array_union(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i))))
+
   // ---------- retrieval / curation scoring ----------
 
   /** Top-k TF-IDF terms per document: tf·ln(N/df), quantized to 1e-4 per

@@ -93,4 +93,28 @@ class TextAnalysisSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
     assert(run(docs) == run(docs.repartition(5)))
   }
+
+  test("deletionVariants covers every edit-distance-1 pair (SymSpell completeness)") {
+    // property: a string and any single-edit mutation of it (substitute,
+    // insert, delete) must share at least one deletion variant — that's
+    // the exactness guarantee the q94 fuzzy join builds on
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefg"
+    def randStr(n: Int) = Array.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = (1 to 60).map { _ =>
+      val s = randStr(4 + rnd.nextInt(8))
+      val pos = rnd.nextInt(s.length)
+      val mutated = rnd.nextInt(3) match {
+        case 0 => s.updated(pos, 'z')                        // substitute
+        case 1 => s.substring(0, pos) + "z" + s.substring(pos) // insert
+        case 2 => s.substring(0, pos) + s.substring(pos + 1)   // delete
+      }
+      (s, mutated)
+    }
+    val df = cases.toDF("a", "b")
+      .select(TextAnalysis.deletionVariants($"a").as("va"),
+        TextAnalysis.deletionVariants($"b").as("vb"))
+      .select(size(array_intersect($"va", $"vb")).as("shared"))
+    assert(df.filter($"shared" < 1).count() == 0)
+  }
 }
