@@ -605,6 +605,45 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- three-valued logic / null semantics: NULLIF-planted nulls,
+    //      GROUP BY a nullable key (SQL groups all NULLs together),
+    //      count(col) vs count(*) null-skipping, and null-safe equality
+    //      (Spark <=> ≡ DuckDB IS NOT DISTINCT FROM). Outputs are
+    //      null-free (coalesce'd repr) so the hash compare never sees a
+    //      nullable-int → float dtype coercion. ----
+    QueryDef(
+      "q95_null_semantics",
+      s"""WITH t AS (
+         |  SELECT o_orderstatus AS grp,
+         |         nullif(o_custkey % 5, 0) AS nk,
+         |         ${Exact.centsSql("o_totalprice")} AS cents
+         |  FROM orders)
+         |SELECT grp,
+         |       coalesce(nk, -1) AS nk_repr,
+         |       count(*) AS n_all,
+         |       CAST(count(nk) AS BIGINT) AS n_nonnull,
+         |       CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |       (nk IS NOT DISTINCT FROM NULL) AS is_null_group
+         |FROM t
+         |GROUP BY grp, nk
+         |ORDER BY grp, nk_repr""".stripMargin) { (s, dir) =>
+      val t = Tables.orders(s, dir).select(
+        col("o_orderstatus").as("grp"),
+        when(pmod(col("o_custkey"), lit(5)) === 0, lit(null))
+          .otherwise(pmod(col("o_custkey"), lit(5))).as("nk"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+      t.groupBy("grp", "nk")
+        .agg(count(lit(1)).as("n_all"),
+          count(col("nk")).as("n_nonnull"),
+          sum(when(col("nk").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum("cents").as("sum_cents"))
+        .select(col("grp"), coalesce(col("nk"), lit(-1L)).as("nk_repr"),
+          col("n_all"), col("n_nonnull"), col("n_null"), col("sum_cents"),
+          (col("nk") <=> lit(null)).as("is_null_group"))
+        .orderBy("grp", "nk_repr")
+    },
+
     // ---- CUBE (full grouping-sets lattice; q17 covers ROLLUP) ----
     QueryDef(
       "q51_cube",

@@ -86,6 +86,62 @@ object ScaleProbe {
     val an = timeAnn(s"${copies}x", replicateEmb(copies))
     println(f"[scaleprobe] ann time ratio=${an / a1}%.2f for ${copies}x corpus " +
       "(merge input is parts×k per query at any scale)")
+
+    // EXACT prefix-filter similarity join scaling: the candidate set is
+    // bounded by rare-shingle collisions, so replicated corpora (zero
+    // cross-copy similarity) must scale linearly, like the LSH path but
+    // with the extra document-frequency shuffle. Tenth-size base corpus:
+    // the exact path is the expensive one by design.
+    val smallBase = base.filter(col("doc_id") % 10 === 0)
+    def replicateSmall(n: Int): DataFrame =
+      (0 until n).map { k =>
+        smallBase.select(
+          (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit(s"c$k"), t)), " ").as("text"))
+      }.reduce(_ union _)
+    def timePrefix(label: String, docs: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.prefixFilterNearDups(docs, threshold = 0.7).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] prefix-$label: pairs=$n time=$secs%.2fs")
+      (n, secs)
+    }
+    timePrefix("warmup-1x", replicateSmall(1))
+    val (pf1, tf1) = timePrefix("1x", replicateSmall(1))
+    val (pfn, tfn) = timePrefix(s"${copies}x", replicateSmall(copies))
+    println(f"[scaleprobe] prefix pairs ratio=${pfn.toDouble / math.max(pf1, 1)}%.2f, " +
+      f"time ratio=${tfn / tf1}%.2f for ${copies}x data")
+
+    // PageRank scaling: disjoint graph copies (key offsets) — per
+    // iteration one edge-shuffle join + one aggregate, so wall-clock
+    // must track edge count.
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val pairsBase = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("l_suppkey") + 10000000L).as("s"), col("o_custkey").as("c"))
+      .distinct()
+    def replicateEdges(n: Int): DataFrame =
+      (0 until n).map { k =>
+        pairsBase.select((col("s") + lit(k.toLong * 100000000L)).as("src"),
+          (col("c") + lit(k.toLong * 100000000L)).as("dst"))
+      }.reduce(_ union _)
+        .unionAll(
+          (0 until n).map { k =>
+            pairsBase.select((col("c") + lit(k.toLong * 100000000L)).as("src"),
+              (col("s") + lit(k.toLong * 100000000L)).as("dst"))
+          }.reduce(_ union _))
+    def timePr(label: String, edges: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.graph.Graph.pageRankMicro(edges, 3).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] pagerank-$label: nodes=$n time=$secs%.2fs")
+      secs
+    }
+    timePr("warmup-1x", replicateEdges(1))
+    val g1 = timePr("1x", replicateEdges(1))
+    val gn = timePr(s"${copies}x", replicateEdges(copies))
+    println(f"[scaleprobe] pagerank time ratio=${gn / g1}%.2f for ${copies}x edges")
     spark.stop()
   }
 }

@@ -48,6 +48,26 @@ class EtlSpec extends SparkSpec {
     assert(spark.read.parquet(one).count() == spark.read.parquet(many).count())
   }
 
+  test("all bundled formats round-trip losslessly (parquet/orc/csv/json)") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val src = spark.read.parquet(s"$sf0001/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val want = src.orderBy("n_nationkey").collect().toSeq
+    Seq("parquet", "orc", "json").foreach { fmt =>
+      src.write.format(fmt).save(s"$base/$fmt")
+      val got = spark.read.format(fmt).load(s"$base/$fmt")
+        .select("n_nationkey", "n_name", "n_regionkey") // json reorders cols
+        .orderBy("n_nationkey").collect().toSeq
+      assert(got == want, s"$fmt round-trip mismatch")
+    }
+    // csv needs schema on read (header carries names, not types)
+    src.write.option("header", "true").csv(s"$base/csv")
+    val gotCsv = spark.read.option("header", "true").schema(src.schema)
+      .csv(s"$base/csv").orderBy("n_nationkey").collect().toSeq
+    assert(gotCsv == want, "csv round-trip mismatch")
+  }
+
   test("zValue interleaves bits; writeZOrdered clusters both columns per file") {
     import org.apache.spark.sql.functions._
     // z(1,2): a bit0 -> pos0 (1), b bit1 -> pos3 (8) => 9; z(3,3) => 15
