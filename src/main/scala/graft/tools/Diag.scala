@@ -9,8 +9,18 @@ import org.apache.spark.sql.functions._
 object Diag {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = GraftSession.getOrCreate("graft-diag")
-    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    // optional N-fold replication with per-copy token prefixes (zero
+    // cross-copy similarity) — same corpus construction as ScaleProbe,
+    // so stage timings can be broken down at the probe's scale points
+    val docs = if (copies <= 1) base else
+      (0 until copies).map { k =>
+        base.select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          array_join(transform(split(col("text"), "\\s+"),
+            t => concat(lit(s"c$k"), t)), " ").as("text"))
+      }.reduce(_ union _)
     val t0 = System.nanoTime()
     val sigs = Dedup.minHashSignatures(docs).cache()
     println(s"docs=${docs.count()} sigs=${sigs.count()} sigT=${(System.nanoTime()-t0)/1e9}")
