@@ -104,17 +104,19 @@ object Dedup {
     * needs no re-join against the signature table (which would recompute
     * the signature scan once per join branch in a lazy DAG).
     */
-  def lshCandidatesWithSigs(
+  /** (id, sig, band, bucket) rows — one per signature band. The bucket
+    * key is xxhash64 over (band, rotl-xor fold of the band's signature
+    * rows): all numeric, no per-row string assembly (concat of H longs
+    * per doc was measurable at scale). Shift/xor only: safe under ANSI
+    * overflow checking; a fold collision just adds a candidate pair that
+    * downstream estimation/verification discards. Shared by the batch
+    * LSH join and the streaming bucket store (NearDupStream).
+    */
+  def bandBuckets(
       signatures: DataFrame,
       idCol: String = "doc_id",
-      bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    // bucket key = xxhash64 over (band, rotl-xor fold of the band's
-    // signature rows) — all numeric, no per-row string assembly (concat
-    // of H longs per doc was measurable at scale). Shift/xor only: safe
-    // under ANSI overflow checking; a fold collision just adds a
-    // candidate pair that exact verification discards.
-    val banded = signatures.select(
+      bands: Int = 16): DataFrame =
+    signatures.select(
       col(idCol), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => {
@@ -126,6 +128,13 @@ object Dedup {
           xxhash64(lit("band"), b, folded)
         }))
         .as(Seq("band", "bucket")))
+
+  def lshCandidatesWithSigs(
+      signatures: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = bandBuckets(signatures, idCol, bands)
     // ONE shuffle: gather each bucket's members, expand pairs in-bucket.
     // (A self-join on (band,bucket) would reference — and recompute — the
     // signature scan three times and shuffle every sig once per band.)

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming NEAR-duplicate dedup: the `foreachBatch` production shape,
+  * where each micro-batch is deduplicated against every document kept in
+  * any earlier batch, via a persisted MinHash band-bucket store.
+  *
+  * Why not a stateful streaming operator: near-dup needs a candidate
+  * JOIN against all history (any prior doc sharing an LSH band bucket),
+  * which doesn't fit per-key `GroupState` — the key (bucket) maps to
+  * unbounded member sets and a doc spans `bands` keys. The standard
+  * answer is foreachBatch + a persistent index, exactly like the
+  * exactly-once upsert sink ([[UpsertSink]]) — batch-granular, restart
+  * safe, and every step a plain distributed join.
+  *
+  * Store layout (under `storeDir`): `buckets/batch=N/` holds
+  * (doc_id, band, bucket) rows and `sigs/batch=N/` holds (doc_id, sig)
+  * for the docs KEPT in batch N. Idempotence needs no transaction log:
+  * a re-delivered batch N (restart replay) reads only batches < N and
+  * OVERWRITES its own `batch=N` dirs, reproducing identical output —
+  * the directory is the commit. Readers of batch N's decisions are
+  * unaffected by any in-flight rewrite of batch M > N.
+  *
+  * Decision rule (signature-estimate gated — history texts are not
+  * retained, so the exact verify stage of the batch pipeline is
+  * deliberately traded for O(signature) state):
+  *  - drop a doc if it LSH-collides with a KEPT doc from an earlier
+  *    batch and the MinHash jaccard estimate ≥ threshold;
+  *  - within a batch, drop the larger doc_id of any estimated-near-dup
+  *    candidate pair (keep-min, deterministic on any partitioning);
+  *  - everything else is kept and indexed.
+  * Estimator std is sqrt(j(1-j)/H) ≈ 0.04 at H=96, j=0.8 — the
+  * streaming contract is a recall/precision band around the threshold,
+  * vs the batch pipeline's exact verify. Callers needing exactness run
+  * the batch `Dedup.nearDupPairs` as a compaction pass.
+  *
+  * Scale: per batch, ONE shuffle joins batch band-buckets to the store
+  * (both sides keyed (band, bucket)); store size is O(kept docs ×
+  * bands) rows of three longs plus one sig array per doc — the texts
+  * themselves never enter the store.
+  */
+object NearDupStream {
+
+  /** Returns the kept subset of `batch`, deciding against (and NOT yet
+    * writing) the store — the pure core, used by [[dedupBatch]] and
+    * directly testable.
+    */
+  def keptAgainstStore(
+      spark: SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      numHashes: Int = 96,
+      bands: Int = 32): DataFrame = {
+    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, 3, numHashes)
+      .localCheckpoint() // sig scan feeds 3 consumers below; cut once
+    val banded = Dedup.bandBuckets(sigs, idCol, bands)
+      .select(col(idCol), col("band"), col("bucket"))
+
+    // history = banded index + sigs of every batch strictly before this
+    // one (re-delivery of batch N must not see N's own half-written dirs)
+    val (histBuckets, histSigs) = readStore(spark, storeDir, batchId, idCol)
+
+    val dropHist = banded
+      .join(histBuckets.withColumnRenamed(idCol, "old_id"), Seq("band", "bucket"))
+      .select(col(idCol), col("old_id")).distinct()
+      .join(sigs.withColumnRenamed("sig", "sig_new"), idCol)
+      .join(histSigs.withColumnRenamed(idCol, "old_id")
+        .withColumnRenamed("sig", "sig_old"), "old_id")
+      .filter(estimate(col("sig_new"), col("sig_old")) >= threshold)
+      .select(col(idCol)).distinct()
+
+    // within-batch: estimated near-dup pairs → keep-min (drop id_b side)
+    val dropLocal = Dedup.lshCandidatesWithSigs(sigs, idCol, bands)
+      .filter(estimate(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+
+    batch.join(dropHist.union(dropLocal).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /** foreachBatch body: dedup `batch` against the store, append the kept
+    * docs' index to the store (idempotent overwrite of this batch's
+    * dirs), and write the kept documents to `outDir/batch=N`.
+    */
+  def dedupBatch(
+      storeDir: String,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8,
+      numHashes: Int = 96,
+      bands: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val kept = keptAgainstStore(spark, storeDir, batch, batchId,
+      idCol, textCol, threshold, numHashes, bands)
+      .localCheckpoint() // decisions must not recompute after store writes
+    val keptSigs = Dedup.minHashSignatures(kept, idCol, textCol, 3, numHashes)
+      .localCheckpoint()
+    Dedup.bandBuckets(keptSigs, idCol, bands)
+      .select(col(idCol), col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/buckets/batch=$batchId")
+    keptSigs.write.mode(SaveMode.Overwrite).parquet(s"$storeDir/sigs/batch=$batchId")
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+  }
+
+  /** Fraction of equal MinHash components — the jaccard estimator. */
+  private def estimate(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / size(a).cast("double")
+
+  private def readStore(
+      spark: SparkSession,
+      storeDir: String,
+      beforeBatch: Long,
+      idCol: String): (DataFrame, DataFrame) = {
+    def read(sub: String, schema: String): DataFrame = {
+      val dir = new java.io.File(s"$storeDir/$sub")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < beforeBatch)
+        .map(_.getPath)
+      if (parts.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+      else spark.read.parquet(parts.toIndexedSeq: _*)
+    }
+    (read("buckets", s"$idCol BIGINT, band INT, bucket BIGINT"),
+      read("sigs", s"$idCol BIGINT, sig ARRAY<BIGINT>"))
+  }
+}
