@@ -116,4 +116,16 @@ class PlanSpec extends SparkSpec {
     val nExchanges = "Exchange".r.findAllIn(plan).length
     assert(nExchanges <= 2, s"sampling should add no extra shuffles:\n$plan")
   }
+
+  test("q93 contamination score: the eval gram set broadcasts (corpus never shuffles)") {
+    val plan = planOf("q93_contamination_score")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval gram dictionary must broadcast:\n$plan")
+  }
+
+  test("q94 fuzzy join: probe variants broadcast; corpus side never exchanges for the join") {
+    val plan = planOf("q94_fuzzy_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe deletion-variants must broadcast:\n$plan")
+  }
 }
