@@ -544,6 +544,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- data MIXING: hit a target language mixture under a total doc
+    //      budget. Per-language keep RATE = min(1, budget_l / available)
+    //      in integer basis points; each row flips a content-addressed
+    //      md5 coin against its language's rate — fully deterministic,
+    //      and the corpus never shuffles (the rate table is a broadcast
+    //      aggregate; the coin is map-side). q63 is the exact-quota
+    //      sampler; this is its rate-based sibling — the shape mixture
+    //      rebalancing takes at 100 TB, where realized counts are
+    //      binomial around the budget, not exact. ----
+    QueryDef(
+      "q96_mixture_sample", {
+        val caseSql = "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 " +
+          "WHEN 'fr' THEN 1500 WHEN 'es' THEN 1000 ELSE 500 END"
+        s"""WITH avail AS (
+           |  SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+           |rates AS (
+           |  SELECT lang, n_avail,
+           |         least(10000, ((200 * ($caseSql)) // 10000) * 10000 // n_avail)
+           |           AS rate_bp
+           |  FROM avail)
+           |SELECT d.lang,
+           |       CAST(r.n_avail AS BIGINT) AS n_avail,
+           |       CAST(r.rate_bp AS BIGINT) AS rate_bp,
+           |       CAST(sum(CASE WHEN ${OracleSql.md5Long("CAST(d.doc_id AS VARCHAR)")} % 10000
+           |                     < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |FROM documents d JOIN rates r ON d.lang = r.lang
+           |GROUP BY d.lang, r.n_avail, r.rate_bp
+           |ORDER BY d.lang""".stripMargin
+      }) { (s, dir) =>
+      import graft.textops.TextAnalysis.md5Long
+      val fracCase = coalesce(
+        when(col("lang") === "en", 5000)
+          .when(col("lang") === "de", 2000)
+          .when(col("lang") === "fr", 1500)
+          .when(col("lang") === "es", 1000), lit(500)).cast("long")
+      val docs = Tables.documents(s, dir)
+      val rates = docs.groupBy("lang").agg(count(lit(1)).as("n_avail"))
+        .withColumn("frac_bp", fracCase)
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("((200 * frac_bp) div 10000) * 10000 div n_avail")))
+        .select("lang", "n_avail", "rate_bp")
+      docs.select("doc_id", "lang")
+        .join(broadcast(rates), "lang")
+        .withColumn("kept",
+          pmod(md5Long(col("doc_id").cast("string")), lit(10000L)) < col("rate_bp"))
+        .groupBy(col("lang"), col("n_avail"), col("rate_bp"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select("lang", "n_avail", "rate_bp", "n_kept")
+        .orderBy("lang")
+    },
+
     // ---- token-budget sequence packing: concatenate docs in id order,
     //      split at 2000-token boundaries; each doc's pack = its start
     //      offset / budget. One window cumsum — the deterministic
