@@ -157,7 +157,10 @@ object Similarity {
       nBuckets: Int,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    // dim probe tolerates an empty corpus (routine post-filter at scale):
+    // dim=1 analyzes fine and zero rows flow through to an empty result
+    val dim = corpus.select(size(col(embCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     quantizedMeans(
       corpus.withColumn("bucket", ivfBucket(col(idCol), nBuckets)),
       "bucket", dim, embCol)
@@ -277,7 +280,8 @@ object Similarity {
       iters: Int = 2,
       idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    val dim = corpus.select(size(col(embCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus → empty result
     def assign(centroids: DataFrame): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cluster"))
       corpus.join(broadcast(centroids), lit(true))
@@ -318,7 +322,16 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       maxBucket: Int = 1000): DataFrame = {
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    // empty corpus: no row to read the dimensionality from — and no
+    // pairs to return; at scale an empty source (post-filter) is routine
+    // and must not throw
+    val firstRow = corpus.select(size(col(embCol))).head(1)
+    if (firstRow.isEmpty)
+      return corpus.sparkSession.createDataFrame(
+        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id_a BIGINT, id_b BIGINT, sim DOUBLE"))
+    val dim = firstRow.head.getInt(0)
     // deterministic pseudo-random hyperplanes from xxhash64(plane, dim idx)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       (0 until dim).map { i =>

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.graph.Graph
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: empty corpora, single rows, empty
+  * strings. At 100 TB these show up constantly as empty partitions,
+  * empty sources after a filter, and blank documents — an operator that
+  * throws on them takes the whole pipeline down.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+  private val emptyDocs = docsDf()
+
+  test("dedup family: empty and blank-document corpora") {
+    assert(Dedup.exactDedup(emptyDocs).count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs).count() == 0)
+    assert(Dedup.prefixFilterNearDups(emptyDocs).count() == 0)
+    assert(Dedup.simHashNearDups(Dedup.simHash(emptyDocs)).count() == 0)
+    assert(Dedup.chunkOwnership(emptyDocs).count() == 0)
+    // blank/whitespace docs: tokenless rows must not crash the shingle
+    // or signature paths. Two blank docs tokenize identically (empty),
+    // so they are a TRUE dup pair — both the LSH and the exact prefix
+    // paths must report exactly (1,2) and nothing touching doc 3
+    val blanks = docsDf(1L -> "", 2L -> "   ", 3L -> "one real document here")
+    val lsh = Dedup.nearDupPairs(blanks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pfx = Dedup.prefixFilterNearDups(blanks)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((1L, 2L)) && pfx == lsh,
+      s"blank-doc pairing must agree: lsh=$lsh prefix=$pfx")
+  }
+
+  test("connected components and PageRank: empty edge sets") {
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyEdges).count() == 0)
+    assert(Graph.pageRankMicro(
+      emptyEdges.select(col("id_a").as("src"), col("id_b").as("dst"))).count() == 0)
+    // self-loop only: node is its own component / rank fixpoint exists
+    val selfLoop = Seq((5L, 5L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(selfLoop).head.getLong(1) == 5L)
+    assert(Graph.pageRankMicro(
+      selfLoop.select(col("id_a").as("src"), col("id_b").as("dst"))).count() == 1)
+  }
+
+  test("similarity: empty corpus and empty query set") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneEmb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = oneEmb.select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    assert(Similarity.bruteForceTopK(emptyEmb, q, k = 5).count() == 0)
+    assert(Similarity.bruteForceTopK(oneEmb,
+      emptyEmb.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_embedding")), k = 5).count() == 0)
+    assert(Similarity.embeddingNearDups(emptyEmb, 0.9).count() == 0)
+    assert(Similarity.kmeansLite(emptyEmb, k = 4).count() == 0)
+    assert(Similarity.coarseCentroids(emptyEmb, nBuckets = 4).count() == 0)
+  }
+
+  test("mapreduce: empty input glob yields empty output, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    new java.io.File(s"$dir/empty.txt").createNewFile()
+    val out = graft.mr.MapReduce.run(spark, s"$dir/*.txt",
+      graft.mr.MrApps.wcMap, graft.mr.MrApps.wcReduce)
+    assert(out.count() == 0)
+  }
+}
