@@ -109,6 +109,43 @@ object NearDupStream {
     kept.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
   }
 
+  /** Compact the store: merge all batch dirs strictly below `upTo` into
+    * a single consolidated batch dir (named `batch=<maxMerged>`), so the
+    * per-batch file count stops growing with stream lifetime — the
+    * maintenance pass every foreachBatch sink needs ([[UpsertSink]]'s
+    * vacuum is the same idea). Decisions are unaffected: the merged dir
+    * holds exactly the union of the merged batches' rows and keeps a
+    * batch id below `upTo`, so future batches read the same history.
+    *
+    * Run BETWEEN batches (it rewrites dirs that concurrent deciders
+    * would read). Crash-safe: the consolidated dir is written to a temp
+    * name first, promoted by rename, and only then are the source dirs
+    * deleted — a crash in between leaves duplicate rows across dirs,
+    * which the decision joins tolerate (collision candidates dedup on
+    * doc id before the estimate gate).
+    */
+  def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
+    Seq("buckets", "sigs").foreach { sub =>
+      val root = new java.io.File(s"$storeDir/$sub")
+      val parts = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .filter(_.getName.stripPrefix("batch=").toLong < upTo)
+      if (parts.length > 1) {
+        val maxId = parts.map(_.getName.stripPrefix("batch=").toLong).max
+        val tmp = s"$storeDir/$sub/_compact_tmp"
+        spark.read.parquet(parts.map(_.getPath).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        parts.foreach(p => deleteRec(p))
+        new java.io.File(tmp).renameTo(new java.io.File(s"$storeDir/$sub/batch=$maxId"))
+      }
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
   /** Fraction of equal MinHash components — the jaccard estimator. */
   private def estimate(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),

@@ -66,6 +66,21 @@ class NearDupStreamSpec extends SparkSpec {
     assert(bucketDirs.toSeq == Seq("batch=0", "batch=1"))
   }
 
+  test("compactStore merges history without changing decisions") {
+    val (store, out) = freshDirs()
+    val run = NearDupStream.dedupBatch(store, out) _
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
+    run(Seq(doc(3, 300)).toDF(), 1)
+    run(Seq(doc(4, 400)).toDF(), 2)
+    NearDupStream.compactStore(spark, store, upTo = 3)
+    val dirs = new java.io.File(s"$store/buckets").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch=2"), s"merged dirs: ${dirs.toSeq}")
+    // post-compaction batch still deduplicates against ALL merged history
+    run(Seq(doc(10, 100, "A"), doc(11, 300, "B"), doc(12, 900)).toDF(), 3)
+    assert(keptIn(out, 3) == Seq(12L), "compacted store must keep full recall")
+  }
+
   test("drives end-to-end under writeStream.foreachBatch") {
     val (store, out) = freshDirs()
     implicit val sqlCtx = spark.sqlContext
