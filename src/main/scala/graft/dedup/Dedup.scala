@@ -190,10 +190,18 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
           s => TextAnalysis.md5Long(s))).as("sh"))
+    ngramJaccardOnSets(sh, pairs)
+  }
+
+  /** [[ngramJaccard]] over a PRECOMPUTED (id, sh) hashed-shingle table —
+    * for callers that already materialized the sets (the prefix-filter
+    * join), so the md5 scan isn't paid again per verify side.
+    */
+  def ngramJaccardOnSets(shSets: DataFrame, pairs: DataFrame): DataFrame = {
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", inter)
       .withColumn("jaccard",
         round(col("inter").cast("double") /
@@ -303,29 +311,45 @@ object Dedup {
     val te = threshold - 1e-4 // rounded-contract safety margin
     // 60-bit hashed shingles throughout — same representation the verify
     // stage intersects, and (df, hash) is as good a canonical total order
-    // as (df, string) for the prefix lemma
+    // as (df, string) for the prefix lemma. localCheckpoint: FIVE
+    // consumers (df count, rarity join, bucket index, both verify sides)
+    // would otherwise recompute the md5 scan — the single most expensive
+    // step — once each; the materialized table is (docs × H·8B) and
+    // spills to disk, the standard persist-the-sets step every published
+    // set-similarity-join implementation takes.
     val sh = docs
       .select(col(idCol).as("id"),
         array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
           s => TextAnalysis.md5Long(s))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
     // global document frequency: the canonical rarity order (one agg)
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
-    // per doc: sort shingles by (df, shingle), keep the prefix
+    // per doc: sort shingles by (df, shingle), keep the prefix — with
+    // each kept shingle's 1-based POSITION in the doc's full order (the
+    // PPJoin positional-filter input)
     val prefixes = exploded.join(freq, "g")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ordered"))
       .select(col("id"), size(col("ordered")).as("n"),
         transform(col("ordered"), x => x.getField("g")).as("sorted"))
       .select(col("id"), col("n"),
-        explode(slice(col("sorted"), lit(1),
-          (col("n") - ceil(col("n") * te).cast("int") + 1))).as("g"))
+        posexplode(slice(col("sorted"), lit(1),
+          (col("n") - ceil(col("n") * te).cast("int") + 1))).as(Seq("p0", "g")))
+      .select(col("id"), col("n"), col("g"), (col("p0") + 1).as("p"))
     // ONE shuffle gathers each prefix-shingle's postings; pairs expand
-    // in-bucket with the length filter applied BEFORE materialization
+    // in-bucket with the LENGTH filter (J ≤ min/max) and the PPJoin
+    // POSITIONAL filter applied BEFORE materialization: a pair colliding
+    // at positions (px, py) can overlap at most 1 + min(nx−px, ny−py)
+    // shingles, and J ≥ t needs overlap ≥ t/(1+t)·(nx+ny) — collisions
+    // that can't reach the bound never become candidates. A true pair is
+    // never lost: its FIRST common prefix shingle always passes, and
+    // distinct() keeps a pair if any collision survived.
     val buckets = prefixes.groupBy("g")
-      .agg(collect_list(struct(col("id"), col("n"))).as("members"))
+      .agg(collect_list(struct(col("id"), col("n"), col("p"))).as("members"))
       .filter(size(col("members")) >= 2)
+    val alphaNeed = te / (1 + te)
     val pairsCol = flatten(transform(col("members"), (x, i) =>
       filter(
         transform(slice(col("members"), i + 2, size(col("members"))),
@@ -333,16 +357,20 @@ object Dedup {
             least(x.getField("id"), y.getField("id")).as("id_a"),
             greatest(x.getField("id"), y.getField("id")).as("id_b"),
             least(x.getField("n"), y.getField("n")).as("nmin"),
-            greatest(x.getField("n"), y.getField("n")).as("nmax"))),
-        p => p.getField("nmin").cast("double") >= p.getField("nmax") * te)))
+            greatest(x.getField("n"), y.getField("n")).as("nmax"),
+            (lit(1) + least(x.getField("n") - x.getField("p"),
+              y.getField("n") - y.getField("p"))).as("ubound"))),
+        p => p.getField("nmin").cast("double") >= p.getField("nmax") * te
+          && p.getField("ubound").cast("double") >=
+            (p.getField("nmin") + p.getField("nmax")) * alphaNeed)))
     // localCheckpoint: the verify stage references the pair set twice
-    // (id semi-join + the attach join) — same cut as nearDupPairs
+    // (both attach joins) — same cut as nearDupPairs
     val cands = buckets
       .select(explode(pairsCol).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
       .localCheckpoint()
-    ngramJaccard(docs, cands, idCol, textCol, k)
+    ngramJaccardOnSets(sh, cands)
       .filter(col("jaccard") >= threshold)
   }
 
