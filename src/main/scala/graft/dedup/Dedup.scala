@@ -186,10 +186,15 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3): DataFrame = {
     val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
+    // localCheckpoint: both attach joins reference this table — without
+    // materialization the md5 scan runs twice. Size is bounded by the
+    // semi-join prune (docs that appear in a pair), which at scale is
+    // ≪ corpus by the candidate-generation contract.
     val sh = docs.join(ids, col(idCol) === col("pid"), "left_semi")
       .select(col(idCol).as("id"),
         array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
           s => TextAnalysis.md5Long(s))).as("sh"))
+      .localCheckpoint()
     ngramJaccardOnSets(sh, pairs)
   }
 
