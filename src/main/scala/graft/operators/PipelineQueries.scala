@@ -301,6 +301,66 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }.copy(headline = true),
 
+    // ---- WEIGHTED (multiset) jaccard — Σ min(cnt_a, cnt_b) / Σ max —
+    //      the bag-semantics similarity the set-based paths above ignore
+    //      (a doc repeating one token 100× is very unlike one mentioning
+    //      it once; set jaccard can't see that). Spark side scores pairs
+    //      with map_zip_with over token-count maps; all arithmetic is
+    //      integer (den = Σa + Σb − num), so basis points hash-match.
+    //      Pairs = the planted twins, scored directly (candidate
+    //      generation is q31/q91's job; this is the scorer). ----
+    QueryDef(
+      "q97_weighted_jaccard",
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 10),
+         |tw AS (
+         |  SELECT doc_id, toks[4:] || toks[4:8] AS toks FROM d),
+         |ga AS (SELECT doc_id, unnest(toks) AS t FROM d),
+         |gb AS (SELECT doc_id, unnest(toks) AS t FROM tw),
+         |ca AS (SELECT doc_id, t, count(*) AS c FROM ga GROUP BY 1, 2),
+         |cb AS (SELECT doc_id, t, count(*) AS c FROM gb GROUP BY 1, 2),
+         |num AS (
+         |  SELECT ca.doc_id, CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS inter_w
+         |  FROM ca JOIN cb ON ca.doc_id = cb.doc_id AND ca.t = cb.t
+         |  GROUP BY ca.doc_id),
+         |tot AS (
+         |  SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_a,
+         |         CAST(len(tw.toks) AS BIGINT) AS n_b
+         |  FROM d JOIN tw ON d.doc_id = tw.doc_id)
+         |SELECT t.doc_id, t.n_a, t.n_b, n.inter_w,
+         |       CAST(10000 * n.inter_w // (t.n_a + t.n_b - n.inter_w) AS BIGINT)
+         |         AS wj_bp
+         |FROM tot t JOIN num n ON t.doc_id = n.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), toks.as("toks"))
+      // twin: drop the first 3 tokens, duplicate tokens 4..8 — the twin
+      // both loses mass and gains mass, so Σmin is non-trivial on every
+      // token the twin duplicates or the base holds exclusively
+      val withTwin = base.select(col("doc_id"), col("toks"),
+        concat(slice(col("toks"), lit(4), size(col("toks")) - 3),
+          slice(col("toks"), 4, 5)).as("toks_b"))
+      // token-count maps built linearly: explode → count → map_from_entries
+      def counts(tokCol: String, out: String) =
+        withTwin.select(col("doc_id"), explode(col(tokCol)).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("t"), col("c")))).as(out))
+      val pairs = withTwin
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_a"),
+          size(col("toks_b")).cast("long").as("n_b"))
+        .join(counts("toks", "ma"), "doc_id")
+        .join(counts("toks_b", "mb"), "doc_id")
+      pairs.select(col("doc_id"), col("n_a"), col("n_b"),
+        aggregate(map_values(map_zip_with(col("ma"), col("mb"),
+            (_, x, y) => least(coalesce(x, lit(0L)), coalesce(y, lit(0L))))),
+          lit(0L), (acc, x) => acc + x).as("inter_w"))
+        .withColumn("wj_bp",
+          expr("CAST(10000 * inter_w div (n_a + n_b - inter_w) AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+
     // ---- EXACT similarity self-join (AllPairs/PPJoin prefix filter):
     //      same output contract as q31 but with no LSH recall budget —
     //      candidates come from collisions among each doc's
