@@ -26,11 +26,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-mode Spark = one JVM; heap IS the cluster memory. 8g starved 32
+// executor threads into GC churn on the array-heavy near-dup joins
+// (±50% run variance at sf0.1). Default = min(48g, 40% of machine RAM,
+// floored at 2g) so a memory-limited CI box isn't OOM-killed by a value
+// tuned for a 128 GiB host; SPARK_DRIVER_MEM overrides.
+def defaultHeapGb: Int = {
+  val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  val totalGb = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean =>
+      (b.getTotalMemorySize / (1L << 30)).toInt
+    case _ => 20 // unknown platform: land on 8g like the old default
+  }
+  math.max(2, math.min(48, totalGb * 2 / 5))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local-mode Spark = one JVM; heap IS the cluster memory. 8g starved
-  // 32 executor threads into GC churn on the array-heavy near-dup joins
-  // (±50% run variance at sf0.1); 48g on this 128 GiB box steadies it.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -269,7 +269,10 @@ object PipelineQueries {
           transform(col("embedding"),
             x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
       val uni = emb.union(twins)
-      Similarity.embeddingNearDups(uni, threshold = 0.99)
+      // maxBucket uncapped: this query's CONTRACT is its cap-free
+      // brute-force oracle — the skew guard is a deployment knob (the
+      // library default), not part of the verified semantics
+      Similarity.embeddingNearDups(uni, threshold = 0.99, maxBucket = Int.MaxValue)
         .select(col("id_a"), col("id_b"), round(col("sim"), 8).as("sim"))
         .orderBy("id_a", "id_b")
     },
@@ -312,7 +315,8 @@ object PipelineQueries {
     QueryDef(
       "q97_weighted_jaccard",
       s"""WITH d AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 10),
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 10 AND len($toksSql) >= 8),
          |tw AS (
          |  SELECT doc_id, toks[4:] || toks[4:8] AS toks FROM d),
          |ga AS (SELECT doc_id, unnest(toks) AS t FROM d),
@@ -333,8 +337,12 @@ object PipelineQueries {
          |FROM tot t JOIN num n ON t.doc_id = n.doc_id
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       val toks = TextAnalysis.wsTokens(col("text"))
+      // ≥8 tokens: the twin construction slices tokens 4..8, and a
+      // shorter doc would hand slice() a negative length (runtime error
+      // in Spark, silently fine in DuckDB — the worst kind of skew)
       val base = Tables.documents(s, dir).filter(col("doc_id") < 10)
         .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 8)
       // twin: drop the first 3 tokens, duplicate tokens 4..8 — the twin
       // both loses mass and gains mass, so Σmin is non-trivial on every
       // token the twin duplicates or the base holds exclusively
@@ -447,7 +455,10 @@ object PipelineQueries {
       val twins = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" planted")).as("text"))
-      Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6)
+      // maxBucket uncapped — same reasoning as q30: the oracle models no
+      // bucket cap, so the verified query doesn't apply one either
+      Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6,
+        maxBucket = Int.MaxValue)
         .orderBy("id_a", "id_b")
     },
 

@@ -95,10 +95,16 @@ object Scale {
       var acc = bc.value(pid)
       it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
     }
-    // the cached RDD stays pinned until GC (ContextCleaner unpersists);
-    // an eager unpersist here would recompute `out` against freshly
-    // re-sampled range boundaries and skew the offsets
-    spark.createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
+    // localCheckpoint pins the RESULT (eagerly), so the input cache can
+    // be released immediately — a lazy return would recompute `out`
+    // against freshly re-sampled range boundaries once the cache were
+    // gone, silently skewing the offsets; before this, the cache stayed
+    // pinned until GC and each invocation held a full-table row cache
+    val result = spark
+      .createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
+      .localCheckpoint()
+    rdd.unpersist(blocking = false)
+    result
   }
 
   /** Distributed global row numbering under a composite total order —

@@ -313,6 +313,17 @@ object Similarity {
     * bucket, trading recall on pathological buckets only. Candidate
     * pairs colliding in several bands are deduplicated BEFORE the cosine
     * is computed, so each pair pays the dot product exactly once.
+    *
+    * SIZE nPlanes TO THE CORPUS: each band has 2^(nPlanes/bands) possible
+    * bucket values, so mean bucket size ≈ n / 2^(nPlanes/bands). With the
+    * defaults (16 planes / 4 bands = 16 values per band) a corpus beyond
+    * ~16k vectors pushes every HEALTHY bucket over maxBucket=1000 and the
+    * guard would silently drop them all. Grow nPlanes by `bands` planes
+    * (one sign bit per band → 2× buckets) per corpus doubling, at a
+    * per-band recall cost of one more agreeing bit — e.g. 32 planes for
+    * ~1M vectors, 48 for ~1B — or raise maxBucket in step. The guard
+    * protects against pathological skew, not against under-provisioned
+    * bucket space.
     */
   def embeddingNearDups(
       corpus: DataFrame,
@@ -324,13 +335,12 @@ object Similarity {
       maxBucket: Int = 1000): DataFrame = {
     // empty corpus: no row to read the dimensionality from — and no
     // pairs to return; at scale an empty source (post-filter) is routine
-    // and must not throw
+    // and must not throw. The empty frame carries the caller's actual
+    // id type (idCol is generic), not a hardcoded BIGINT.
     val firstRow = corpus.select(size(col(embCol))).head(1)
     if (firstRow.isEmpty)
-      return corpus.sparkSession.createDataFrame(
-        corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id_a BIGINT, id_b BIGINT, sim DOUBLE"))
+      return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("sim")).limit(0)
     val dim = firstRow.head.getInt(0)
     // deterministic pseudo-random hyperplanes from xxhash64(plane, dim idx)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>

@@ -57,15 +57,32 @@ object NearDupStream {
       textCol: String = "text",
       threshold: Double = 0.8,
       numHashes: Int = 96,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 32): DataFrame =
+    decide(spark, storeDir, batch, batchId, idCol, textCol,
+      threshold, numHashes, bands)._1
+
+  /** (kept docs, ALL batch signatures — checkpointed) so dedupBatch can
+    * index the kept docs without re-running the minhash scan.
+    */
+  private def decide(
+      spark: SparkSession,
+      storeDir: String,
+      batch: DataFrame,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int): (DataFrame, DataFrame) = {
     val sigs = Dedup.minHashSignatures(batch, idCol, textCol, 3, numHashes)
-      .localCheckpoint() // sig scan feeds 3 consumers below; cut once
+      .localCheckpoint() // sig scan feeds every consumer below; cut once
     val banded = Dedup.bandBuckets(sigs, idCol, bands)
       .select(col(idCol), col("band"), col("bucket"))
 
     // history = banded index + sigs of every batch strictly before this
     // one (re-delivery of batch N must not see N's own half-written dirs)
-    val (histBuckets, histSigs) = readStore(spark, storeDir, batchId, idCol)
+    val (histBuckets, histSigs) =
+      readStore(spark, storeDir, batchId, idCol, batch.schema(idCol).dataType)
 
     val dropHist = banded
       .join(histBuckets.withColumnRenamed(idCol, "old_id"), Seq("band", "bucket"))
@@ -81,7 +98,8 @@ object NearDupStream {
       .filter(estimate(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
 
-    batch.join(dropHist.union(dropLocal).distinct(), Seq(idCol), "left_anti")
+    (batch.join(dropHist.union(dropLocal).distinct(), Seq(idCol), "left_anti"),
+      sigs)
   }
 
   /** foreachBatch body: dedup `batch` against the store, append the kept
@@ -97,11 +115,13 @@ object NearDupStream {
       numHashes: Int = 96,
       bands: Int = 32)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val kept = keptAgainstStore(spark, storeDir, batch, batchId,
+    val (keptRaw, sigs) = decide(spark, storeDir, batch, batchId,
       idCol, textCol, threshold, numHashes, bands)
+    val kept = keptRaw
       .localCheckpoint() // decisions must not recompute after store writes
-    val keptSigs = Dedup.minHashSignatures(kept, idCol, textCol, 3, numHashes)
-      .localCheckpoint()
+    // kept docs' signatures come from the already-checkpointed batch
+    // sigs (semi-join on kept ids) — NOT a second minhash scan
+    val keptSigs = sigs.join(kept.select(idCol), Seq(idCol), "left_semi")
     Dedup.bandBuckets(keptSigs, idCol, bands)
       .select(col(idCol), col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite).parquet(s"$storeDir/buckets/batch=$batchId")
@@ -118,11 +138,15 @@ object NearDupStream {
     * batch id below `upTo`, so future batches read the same history.
     *
     * Run BETWEEN batches (it rewrites dirs that concurrent deciders
-    * would read). Crash-safe: the consolidated dir is written to a temp
-    * name first, promoted by rename, and only then are the source dirs
-    * deleted — a crash in between leaves duplicate rows across dirs,
-    * which the decision joins tolerate (collision candidates dedup on
-    * doc id before the estimate gate).
+    * would read). Crash safety: the consolidated dir (holding EVERY
+    * merged row) is written to a temp name, the one colliding source
+    * dir is removed, the temp dir is promoted by rename (checked), and
+    * only then are the remaining source dirs deleted. A crash in the
+    * promotion window loses at most that single dir's slice of history;
+    * a crash after promotion leaves duplicate rows across dirs, which
+    * the decision joins tolerate (collision candidates dedup on doc id
+    * before the estimate gate). Compare the pre-fix ordering — deleting
+    * every source before the rename — where a crash dropped ALL history.
     */
   def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
     Seq("buckets", "sigs").foreach { sub =>
@@ -132,11 +156,14 @@ object NearDupStream {
         .filter(_.getName.stripPrefix("batch=").toLong < upTo)
       if (parts.length > 1) {
         val maxId = parts.map(_.getName.stripPrefix("batch=").toLong).max
-        val tmp = s"$storeDir/$sub/_compact_tmp"
+        val tmp = new java.io.File(s"$storeDir/$sub/_compact_tmp")
         spark.read.parquet(parts.map(_.getPath).toIndexedSeq: _*)
-          .write.mode(SaveMode.Overwrite).parquet(tmp)
-        parts.foreach(p => deleteRec(p))
-        new java.io.File(tmp).renameTo(new java.io.File(s"$storeDir/$sub/batch=$maxId"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        val target = new java.io.File(s"$storeDir/$sub/batch=$maxId")
+        deleteRec(target) // the only dir colliding with the promotion
+        require(tmp.renameTo(target),
+          s"compactStore: failed to promote $tmp to $target")
+        parts.filter(_.getName != s"batch=$maxId").foreach(deleteRec)
       }
     }
   }
@@ -155,8 +182,13 @@ object NearDupStream {
       spark: SparkSession,
       storeDir: String,
       beforeBatch: Long,
-      idCol: String): (DataFrame, DataFrame) = {
-    def read(sub: String, schema: String): DataFrame = {
+      idCol: String,
+      idType: org.apache.spark.sql.types.DataType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    // empty-store schemas carry the CALLER's id type — a hardcoded
+    // BIGINT would type the first batch's joins differently from every
+    // later batch when ids are strings
+    def read(sub: String, rest: Seq[StructField]): DataFrame = {
       val dir = new java.io.File(s"$storeDir/$sub")
       val parts = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("batch="))
@@ -164,10 +196,11 @@ object NearDupStream {
         .map(_.getPath)
       if (parts.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schema))
+        StructType(StructField(idCol, idType) +: rest))
       else spark.read.parquet(parts.toIndexedSeq: _*)
     }
-    (read("buckets", s"$idCol BIGINT, band INT, bucket BIGINT"),
-      read("sigs", s"$idCol BIGINT, sig ARRAY<BIGINT>"))
+    (read("buckets", Seq(StructField("band", IntegerType),
+      StructField("bucket", LongType))),
+      read("sigs", Seq(StructField("sig", ArrayType(LongType)))))
   }
 }
