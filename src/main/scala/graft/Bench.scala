@@ -8,23 +8,47 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // JVM/JIT/codegen + parquet-footer warmup: run every headline twice so
-    // the measurement reflects steady state (what a long-lived cluster
-    // sees), not first-call classloading and codegen compilation — the
-    // generated code of the heavier pipelines (q31's fused minhash +
-    // array kernels) needs more than one execution before C2 kicks in.
-    (1 to 2).foreach { _ =>
+    // JVM/JIT/codegen + parquet-footer warmup, ADAPTIVE: run full passes
+    // until a pass stops getting meaningfully faster (within 25% of the
+    // best pass so far), so the measurement reflects steady state (what
+    // a long-lived cluster sees) regardless of how many executions C2
+    // needs for the heavy generated kernels (q31's fused minhash + array
+    // paths ramp over ~4 runs on a cold JVM). Bounded at 5 passes.
+    // localCheckpoint blocks (the near-dup pipelines cut their DAGs with
+    // them) are only reclaimed when GC collects the RDD reference — and
+    // a large-heap JVM barely GCs, so dozens of executions pile up tens
+    // of GB of dead blocks and the storage pressure stalls later queries
+    // at random. Drop dead persistent RDDs explicitly between queries.
+    def clearBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    var prev = Double.MaxValue
+    var pass = 0
+    var settled = false
+    while (pass < 5 && !settled) {
+      val t0 = System.nanoTime()
       SparkEntry.headlines.foreach { q =>
         try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+        clearBlocks()
       }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // settled = two CONSECUTIVE passes within 15% — a still-ramping
+      // JIT drops much faster than that between passes
+      settled = pass > 0 && secs <= prev * 1.15
+      prev = secs
+      pass += 1
     }
-    // min of 2 measured runs per query: the steady-state cost, robust to
-    // one-off GC pauses / machine noise (a max would measure the noise).
+    // min of 3 measured runs per query: the steady-state cost, robust to
+    // one-off GC/cleaner stalls and machine noise (a max would measure
+    // the noise; this JVM shows occasional multi-second stalls that hit
+    // one random query per sequence).
     val results = SparkEntry.headlines.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        clearBlocks()
+        secs
       }
       q.name -> times.min
     }

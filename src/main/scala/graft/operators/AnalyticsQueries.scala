@@ -926,6 +926,54 @@ object AnalyticsQueries {
           levenshtein(col("q"), col("p_name")).cast("long").as("dist"))
         .filter(col("dist") <= 1)
         .orderBy("probe_id", "p_partkey")
+    },
+
+    // ---- snapshot diff / reconciliation: classify every key of two
+    //      table versions as added / removed / changed via one
+    //      full-outer join on the key — the audit primitive behind
+    //      incremental publishing ("what did this pipeline run change?").
+    //      The second snapshot is derived deterministically (drop keys
+    //      < 50, bump prices for keys 100..149, add back keys < 25 under
+    //      new ids). At scale both snapshots bucket by the key
+    //      (Scale.writeBucketed) and the join is exchange-free. ----
+    QueryDef(
+      "q98_snapshot_diff",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k, ${Exact.centsSql("o_totalprice")} AS c
+         |  FROM orders),
+         |snap AS (
+         |  SELECT k, CASE WHEN k BETWEEN 100 AND 149 THEN c + 7 ELSE c END AS c
+         |  FROM base WHERE k >= 50
+         |  UNION ALL
+         |  SELECT k + 10000000, c FROM base WHERE k < 25)
+         |SELECT coalesce(a.k, b.k) AS k,
+         |       CASE WHEN b.k IS NULL THEN 'removed'
+         |            WHEN a.k IS NULL THEN 'added'
+         |            ELSE 'changed' END AS status,
+         |       coalesce(a.c, -1) AS old_cents,
+         |       coalesce(b.c, -1) AS new_cents
+         |FROM base a FULL JOIN snap b ON a.k = b.k
+         |WHERE a.k IS NULL OR b.k IS NULL OR a.c <> b.c
+         |ORDER BY k""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          Exact.cents(col("o_totalprice")).as("c"))
+      val snap = base.filter(col("k") >= 50)
+        .select(col("k"),
+          when(col("k").between(100, 149), col("c") + 7).otherwise(col("c")).as("c"))
+        .union(base.filter(col("k") < 25)
+          .select((col("k") + 10000000L).as("k"), col("c")))
+      val a = base.select(col("k").as("ka"), col("c").as("ca"))
+      val b = snap.select(col("k").as("kb"), col("c").as("cb"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          when(col("kb").isNull, "removed")
+            .when(col("ka").isNull, "added")
+            .otherwise("changed").as("status"),
+          coalesce(col("ca"), lit(-1L)).as("old_cents"),
+          coalesce(col("cb"), lit(-1L)).as("new_cents"))
+        .filter(col("status") =!= "changed" || col("old_cents") =!= col("new_cents"))
+        .orderBy("k")
     }
   )
 }
