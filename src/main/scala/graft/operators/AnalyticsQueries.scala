@@ -974,6 +974,68 @@ object AnalyticsQueries {
           coalesce(col("cb"), lit(-1L)).as("new_cents"))
         .filter(col("status") =!= "changed" || col("old_cents") =!= col("new_cents"))
         .orderBy("k")
+    },
+
+    // ---- equi-depth binning (quantile buckets): ntile(10) over the
+    //      price order with a unique tie-break — the feature-engineering
+    //      twin of q77's fixed-width histogram. The global window is the
+    //      SQL-surface form (bounded here); the 100 TB path derives bin
+    //      BOUNDARIES from approx_percentile (q86) and bins map-side. ----
+    QueryDef(
+      "q99_equidepth_bins",
+      s"""WITH t AS (
+         |  SELECT ${Exact.centsSql("o_totalprice")} AS cents,
+         |         ntile(10) OVER (ORDER BY ${Exact.centsSql("o_totalprice")},
+         |                         o_orderkey) AS bin
+         |  FROM orders)
+         |SELECT bin, count(*) AS n,
+         |       min(cents) AS lo_cents, max(cents) AS hi_cents
+         |FROM t GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("cents"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents"))
+        .withColumn("bin", ntile(10).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+        .orderBy("bin")
+    },
+
+    // ---- key-skew report: the diagnostic a 100 TB deployment runs
+    //      BEFORE picking a partitioning/salting strategy — per-key
+    //      frequency concentration in pure integer arithmetic (share in
+    //      basis points, hot keys = cnt > 2×mean). One aggregation on
+    //      the key, one tiny aggregate over the counts. ----
+    QueryDef(
+      "q100_skew_report",
+      """WITH c AS (
+        |  SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM c)
+        |SELECT m.n_rows, m.n_keys, m.max_cnt,
+        |       CAST(10000 * m.max_cnt // m.n_rows AS BIGINT) AS max_share_bp,
+        |       (SELECT min(k) FROM c WHERE cnt = m.max_cnt) AS top_key,
+        |       CAST((SELECT count(*) FROM c
+        |             WHERE cnt > 2 * (m.n_rows // m.n_keys)) AS BIGINT) AS n_hot
+        |FROM m""".stripMargin) { (s, dir) =>
+      val c = Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // referenced three times below; one aggregation
+      val m = c.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"))
+      val top = c.join(broadcast(m.select("max_cnt")), col("cnt") === col("max_cnt"))
+        .agg(min("k").as("top_key"))
+      val hot = c.join(broadcast(m.select(expr("n_rows div n_keys").as("mean_cnt"))),
+          col("cnt") > col("mean_cnt") * 2)
+        .agg(count(lit(1)).as("n_hot"))
+      m.crossJoin(top).crossJoin(hot)
+        .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+          expr("10000 * max_cnt div n_rows").as("max_share_bp"),
+          col("top_key"), col("n_hot"))
     }
   )
 }
