@@ -162,4 +162,24 @@ class AnalyticsSpec extends SparkSpec {
       assert(est >= exact, s"CMS underestimated ${r.getAs[String]("w")}")
     }
   }
+
+  test("q99: equi-depth bins are balanced, ordered, and conserve rows") {
+    val rows = run("q99_equidepth_bins").collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == (1 to 10))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1, s"ntile bins must differ by <=1 row: ${ns.toSeq}")
+    // bins cover non-overlapping ascending cent ranges
+    rows.sortBy(_.getAs[Int]("bin")).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+    }
+  }
+
+  test("q100: skew report is internally consistent") {
+    val r = run("q100_skew_report").head
+    val (nRows, nKeys) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"))
+    val maxCnt = r.getAs[Long]("max_cnt")
+    assert(nKeys > 0 && nRows >= nKeys && maxCnt >= nRows / nKeys)
+    assert(r.getAs[Long]("max_share_bp") == 10000 * maxCnt / nRows)
+    assert(r.getAs[Long]("n_hot") >= 0 && r.getAs[Long]("n_hot") < nKeys)
+  }
 }
