@@ -32,9 +32,10 @@ object Bench {
         clearBlocks()
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      // settled = two CONSECUTIVE passes within 15% — a still-ramping
-      // JIT drops much faster than that between passes
-      settled = pass > 0 && secs <= prev * 1.15
+      // settled = this pass stopped getting meaningfully FASTER than the
+      // previous one (a still-ramping JIT drops >15% between passes) —
+      // note the direction: a pass that IMPROVED a lot must keep warming
+      settled = pass > 0 && secs >= prev * 0.85
       prev = secs
       pass += 1
     }
@@ -42,15 +43,19 @@ object Bench {
     // one-off GC/cleaner stalls and machine noise (a max would measure
     // the noise; this JVM shows occasional multi-second stalls that hit
     // one random query per sequence).
+    // a failed run must NOT contribute its (near-instant) duration to the
+    // min — that would report a broken query as fast. Failures are
+    // dropped; a query whose every run failed reports -1.
     val results = SparkEntry.headlines.map { q =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { q.fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        secs
+        if (ok) Some(secs) else None
       }
-      q.name -> times.min
+      q.name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -945,7 +945,7 @@ object AnalyticsQueries {
          |  SELECT k, CASE WHEN k BETWEEN 100 AND 149 THEN c + 7 ELSE c END AS c
          |  FROM base WHERE k >= 50
          |  UNION ALL
-         |  SELECT k + 10000000, c FROM base WHERE k < 25)
+         |  SELECT k + 1000000000000, c FROM base WHERE k < 25)
          |SELECT coalesce(a.k, b.k) AS k,
          |       CASE WHEN b.k IS NULL THEN 'removed'
          |            WHEN a.k IS NULL THEN 'added'
@@ -961,8 +961,11 @@ object AnalyticsQueries {
       val snap = base.filter(col("k") >= 50)
         .select(col("k"),
           when(col("k").between(100, 149), col("c") + 7).otherwise(col("c")).as("c"))
+        // offset far above the o_orderkey domain (~6e6*sf): a collision
+        // with a real key would fan out the full-outer join and leave
+        // ORDER BY k non-total
         .union(base.filter(col("k") < 25)
-          .select((col("k") + 10000000L).as("k"), col("c")))
+          .select((col("k") + 1000000000000L).as("k"), col("c")))
       val a = base.select(col("k").as("ka"), col("c").as("ca"))
       val b = snap.select(col("k").as("kb"), col("c").as("cb"))
       a.join(b, col("ka") === col("kb"), "full_outer")

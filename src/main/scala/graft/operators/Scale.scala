@@ -99,7 +99,11 @@ object Scale {
     // be released immediately — a lazy return would recompute `out`
     // against freshly re-sampled range boundaries once the cache were
     // gone, silently skewing the offsets; before this, the cache stayed
-    // pinned until GC and each invocation held a full-table row cache
+    // pinned until GC and each invocation held a full-table row cache.
+    // Transient cost: input cache + result blocks coexist (~2x the table)
+    // until the unpersist below — result blocks are MEMORY_AND_DISK, so
+    // the spike spills rather than OOMs; the steady-state footprint is
+    // unchanged (one pinned copy either way)
     val result = spark
       .createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
       .localCheckpoint()

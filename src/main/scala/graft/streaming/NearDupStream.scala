@@ -138,31 +138,50 @@ object NearDupStream {
     * batch id below `upTo`, so future batches read the same history.
     *
     * Run BETWEEN batches (it rewrites dirs that concurrent deciders
-    * would read). Crash safety: the consolidated dir (holding EVERY
-    * merged row) is written to a temp name, the one colliding source
-    * dir is removed, the temp dir is promoted by rename (checked), and
-    * only then are the remaining source dirs deleted. A crash in the
-    * promotion window loses at most that single dir's slice of history;
-    * a crash after promotion leaves duplicate rows across dirs, which
-    * the decision joins tolerate (collision candidates dedup on doc id
-    * before the estimate gate). Compare the pre-fix ordering — deleting
-    * every source before the rename — where a crash dropped ALL history.
+    * would read). Crash safety — NO window loses history:
+    *  1. recover any interrupted previous compaction (below);
+    *  2. write the consolidated dir (holding EVERY merged row) to
+    *     `_compact_tmp`;
+    *  3. rename the colliding source dir ASIDE to `_compact_old_batch=N`
+    *     (atomic, not a delete);
+    *  4. promote `_compact_tmp` → `batch=N` (atomic, checked);
+    *  5. delete the aside dir and the other merged sources.
+    * A crash between 3 and 4 is undone by recovery (the aside dir is
+    * renamed back because `batch=N` is missing); a crash after 4 leaves
+    * duplicate rows across dirs, which the decision joins tolerate
+    * (collision candidates dedup on doc id before the estimate gate) and
+    * the next compaction merges away. Stale `_compact_tmp` dirs are
+    * deleted by recovery — by then either promotion completed (tmp is
+    * gone) or the sources are all still present.
     */
   def compactStore(spark: SparkSession, storeDir: String, upTo: Long): Unit = {
     Seq("buckets", "sigs").foreach { sub =>
       val root = new java.io.File(s"$storeDir/$sub")
-      val parts = Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      def dirs(prefix: String) = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      // recovery from an interrupted run
+      dirs("_compact_old_batch=").foreach { aside =>
+        val target = new java.io.File(root, aside.getName.stripPrefix("_compact_old_"))
+        if (!target.exists()) require(aside.renameTo(target),
+          s"compactStore recovery: failed to restore $aside")
+        else deleteRec(aside) // promotion had completed; aside is a duplicate
+      }
+      dirs("_compact_tmp").foreach(deleteRec)
+
+      val parts = dirs("batch=")
         .filter(_.getName.stripPrefix("batch=").toLong < upTo)
       if (parts.length > 1) {
         val maxId = parts.map(_.getName.stripPrefix("batch=").toLong).max
-        val tmp = new java.io.File(s"$storeDir/$sub/_compact_tmp")
+        val tmp = new java.io.File(root, "_compact_tmp")
         spark.read.parquet(parts.map(_.getPath).toIndexedSeq: _*)
           .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-        val target = new java.io.File(s"$storeDir/$sub/batch=$maxId")
-        deleteRec(target) // the only dir colliding with the promotion
+        val target = new java.io.File(root, s"batch=$maxId")
+        val aside = new java.io.File(root, s"_compact_old_batch=$maxId")
+        require(target.renameTo(aside),
+          s"compactStore: failed to move $target aside")
         require(tmp.renameTo(target),
           s"compactStore: failed to promote $tmp to $target")
+        deleteRec(aside)
         parts.filter(_.getName != s"batch=$maxId").foreach(deleteRec)
       }
     }
