@@ -81,6 +81,26 @@ class NearDupStreamSpec extends SparkSpec {
     assert(keptIn(out, 3) == Seq(12L), "compacted store must keep full recall")
   }
 
+  test("compactStore recovers an interrupted promotion without losing history") {
+    val (store, out) = freshDirs()
+    val run = NearDupStream.dedupBatch(store, out) _
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
+    run(Seq(doc(3, 300)).toDF(), 1)
+    // simulate the crash window between 'rename aside' and 'promote':
+    // batch=1 was moved aside, _compact_tmp may or may not exist
+    Seq("buckets", "sigs").foreach { sub =>
+      val b1 = new java.io.File(s"$store/$sub/batch=1")
+      assert(b1.renameTo(new java.io.File(s"$store/$sub/_compact_old_batch=1")))
+    }
+    // next compaction must first restore batch=1, then merge normally
+    NearDupStream.compactStore(spark, store, upTo = 2)
+    val dirs = new java.io.File(s"$store/buckets").listFiles().map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch=1"), s"post-recovery dirs: ${dirs.toSeq}")
+    // full history intact: near-dups of BOTH pre-crash batches drop
+    run(Seq(doc(10, 100, "A"), doc(11, 300, "B"), doc(12, 900)).toDF(), 2)
+    assert(keptIn(out, 2) == Seq(12L), "recovered store must keep full recall")
+  }
+
   test("drives end-to-end under writeStream.foreachBatch") {
     val (store, out) = freshDirs()
     implicit val sqlCtx = spark.sqlContext
