@@ -101,6 +101,76 @@ class NearDupStreamSpec extends SparkSpec {
     assert(keptIn(out, 2) == Seq(12L), "recovered store must keep full recall")
   }
 
+  test("store-side hot-bucket guard bounds history fan-out") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val (store, _) = freshDirs()
+    // hand-built hot store: 5 history docs all in ONE of the probe's
+    // real (band, bucket) cells, each with the probe's exact signature
+    // (estimate 1.0 — would drop the probe if the bucket were read)
+    val probe = Seq(doc(100, 100)).toDF()
+    val sigs = Dedup.minHashSignatures(probe, "doc_id", "text", 3, 96)
+    val cell = Dedup.bandBuckets(sigs, "doc_id", 32)
+      .select("band", "bucket").head()
+    val sig = sigs.select("sig").head().getSeq[Long](0)
+    val hot = (1L to 5L).map(i => (i, cell.getInt(0), cell.getLong(1)))
+      .toDF("doc_id", "band", "bucket")
+    hot.write.parquet(s"$store/buckets/batch=0")
+    (1L to 5L).map(i => (i, sig)).toDF("doc_id", "sig")
+      .write.parquet(s"$store/sigs/batch=0")
+    // cap below the bucket's membership: bucket dropped, probe kept
+    val keptGuarded = NearDupStream.keptAgainstStore(
+      spark, store, probe, batchId = 1, maxBucket = 4)
+    assert(keptGuarded.count() == 1, "hot bucket must be dropped from history")
+    // cap above it: the same store drops the probe (guard was the cause)
+    val keptOpen = NearDupStream.keptAgainstStore(
+      spark, store, probe, batchId = 1, maxBucket = 10)
+    assert(keptOpen.count() == 0, "probe collides when the bucket is read")
+  }
+
+  test("store pins its signature scheme; mismatched params fail fast") {
+    val (store, out) = freshDirs()
+    NearDupStream.dedupBatch(store, out)(Seq(doc(1, 100)).toDF(), 0)
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.dedupBatch(store, out, numHashes = 64)(
+        Seq(doc(2, 200)).toDF(), 1)
+    }
+    assert(e.getMessage.contains("mismatched signature"))
+  }
+
+  test("re-delivery below the compaction watermark fails loudly") {
+    val (store, out) = freshDirs()
+    val run = NearDupStream.dedupBatch(store, out) _
+    run(Seq(doc(1, 100)).toDF(), 0)
+    run(Seq(doc(2, 200)).toDF(), 1)
+    NearDupStream.compactStore(spark, store, upTo = 2) // merges 0,1 → batch=1
+    // a batch id that was merged can never be re-delivered; if the caller
+    // violated the compaction contract, corruption must be refused
+    val e = intercept[IllegalArgumentException] {
+      run(Seq(doc(3, 300)).toDF(), 1)
+    }
+    assert(e.getMessage.contains("watermark"))
+    run(Seq(doc(3, 300)).toDF(), 2) // at/above the watermark: fine
+    assert(keptIn(out, 2) == Seq(3L))
+  }
+
+  test("store works through an explicit file:-scheme Hadoop FS path") {
+    val (storeLocal, outLocal) = freshDirs()
+    val (store, out) = (s"file:$storeLocal", s"file:$outLocal")
+    val run = NearDupStream.dedupBatch(store, out) _
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
+    run(Seq(doc(10, 100, "A"), doc(11, 300)).toDF(), 1)
+    assert(keptIn(out, 1) == Seq(11L), "history dedup across Hadoop-FS store")
+    NearDupStream.compactStore(spark, store, upTo = 2)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/buckets"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted
+    assert(dirs.toSeq == Seq("batch=1"), s"compacted via Hadoop FS: ${dirs.toSeq}")
+    run(Seq(doc(20, 200, "B"), doc(21, 400)).toDF(), 2)
+    assert(keptIn(out, 2) == Seq(21L), "compacted history intact")
+  }
+
   test("drives end-to-end under writeStream.foreachBatch") {
     val (store, out) = freshDirs()
     implicit val sqlCtx = spark.sqlContext
