@@ -816,7 +816,7 @@ object AnalyticsQueries {
              |           AS rank_micro
              |  FROM nodes n LEFT JOIN i$out i ON n.id = i.id)""".stripMargin
         s"""WITH pairs AS (
-           |  SELECT DISTINCT l_suppkey + 10000000 AS s, o_custkey AS c
+           |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
            |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
            |edges AS (SELECT s AS src, c AS dst FROM pairs
            |          UNION ALL SELECT c, s FROM pairs),
@@ -830,8 +830,11 @@ object AnalyticsQueries {
       }) { (s, dir) =>
       val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
       val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      // offset far above any key domain (o_custkey reaches 150000·sf, so
+      // a 1e7 offset collides at sf ≈ 67 and silently merges graph
+      // nodes) — same 1e12 margin q98 justifies
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select((col("l_suppkey") + 10000000L).as("s"), col("o_custkey").as("c"))
+        .select((col("l_suppkey") + 1000000000000L).as("s"), col("o_custkey").as("c"))
         .distinct()
       val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
         .union(pairs.select(col("c").as("src"), col("s").as("dst")))
@@ -979,11 +982,20 @@ object AnalyticsQueries {
         .orderBy("k")
     },
 
-    // ---- equi-depth binning (quantile buckets): ntile(10) over the
-    //      price order with a unique tie-break — the feature-engineering
-    //      twin of q77's fixed-width histogram. The global window is the
-    //      SQL-surface form (bounded here); the 100 TB path derives bin
-    //      BOUNDARIES from approx_percentile (q86) and bins map-side. ----
+    // ---- equi-depth binning (quantile buckets): exact ntile(10)
+    //      semantics over the price order with a unique tie-break — the
+    //      feature-engineering twin of q77's fixed-width histogram. The
+    //      oracle states it as the SQL window; the Spark side computes
+    //      the SAME assignment distributively: [[Scale.globalRank]]
+    //      range-partitions on (cents, o_orderkey) and prefix-sums row
+    //      counts (O(partitions) driver work), then the closed-form
+    //      ntile rule — first n%10 bins get ⌈n/10⌉ rows, the rest
+    //      ⌊n/10⌋ — maps each rank to its bin narrowly against the
+    //      broadcast total. No row ever enters a single-partition
+    //      WindowExec (PlanSpec asserts Window-free), so the plan
+    //      survives a fact table 100× this size; the lone
+    //      SinglePartition exchange aggregates one partial-max row per
+    //      partition for the total count. ----
     QueryDef(
       "q99_equidepth_bins",
       s"""WITH t AS (
@@ -994,11 +1006,23 @@ object AnalyticsQueries {
          |SELECT bin, count(*) AS n,
          |       min(cents) AS lo_cents, max(cents) AS hi_cents
          |FROM t GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("cents"), col("o_orderkey"))
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents"))
-        .withColumn("bin", ntile(10).over(w))
+      val ranked = Scale.globalRank(
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents")),
+        "r", "cents", "o_orderkey")
+      ranked
+        .crossJoin(broadcast(ranked.agg(max("r").as("total"))))
+        // ntile(b) closed form for rank r of n rows: with sz = n div b
+        // and rem = n mod b, ranks 1..rem·(sz+1) fall in the first rem
+        // (larger) bins; the rest advance every sz ranks
+        .withColumn("bin", expr(
+          """CAST(CASE
+            |  WHEN r <= (total % 10) * (total div 10 + 1)
+            |  THEN (r - 1) div (total div 10 + 1) + 1
+            |  ELSE (total % 10)
+            |       + (r - (total % 10) * (total div 10 + 1) - 1) div (total div 10)
+            |       + 1
+            |END AS INT)""".stripMargin))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           min("cents").as("lo_cents"), max("cents").as("hi_cents"))

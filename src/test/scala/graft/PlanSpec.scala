@@ -123,6 +123,20 @@ class PlanSpec extends SparkSpec {
       s"eval gram dictionary must broadcast:\n$plan")
   }
 
+  test("q99 equi-depth bins: no single-partition window feeds the binning") {
+    val plan = planOf("q99_equidepth_bins")
+    // the ntile assignment must come from the distributed rank + the
+    // closed-form rule, never a WindowExec (whose global ORDER BY pulls
+    // the whole fact table into ONE partition)
+    assert(!plan.contains("Window"),
+      s"binning regressed to a global window (single-partition sort):\n$plan")
+    // binning itself is narrow: rank scan → broadcast-joined total →
+    // projection; the only SinglePartition exchange allowed is the
+    // O(partitions)-row partial-max for the total count
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"total count must broadcast to the binning pass:\n$plan")
+  }
+
   test("q94 fuzzy join: probe variants broadcast; corpus side never exchanges for the join") {
     val plan = planOf("q94_fuzzy_join")
     assert(plan.contains("BroadcastHashJoin"),
