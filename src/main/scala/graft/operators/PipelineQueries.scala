@@ -245,34 +245,76 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }.copy(headline = true),
 
-    // ---- embedding near-dup: planted twins found above threshold ----
+    // ---- embedding near-dup: planted twins found above threshold.
+    //      The oracle replays the FULL guarded LSH contract, not just
+    //      the brute-force answer: it recomputes the 16 hyperplane
+    //      sign-bit signatures from the SAME MurmurHash-derived plane
+    //      constants (Similarity.planeWeight, baked into the SQL as
+    //      double literals; unrolled left-associated sums match the
+    //      Spark fold's IEEE association exactly), counts members per
+    //      (band, bucket), and admits a pair only through a band whose
+    //      bucket holds ≤ maxBucket members — so the VERIFIED
+    //      configuration is the skew-guarded library default, and a
+    //      recall loss from either banding or the cap would hash-fail
+    //      rather than hide behind a cap-free escape hatch. ----
     QueryDef(
-      "q30_embedding_neardup",
-      s"""WITH twins AS (
-         |  SELECT vec_id + 1000000 AS vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(CAST(x AS DOUBLE) * 1.01 + 0.005 AS FLOAT)) AS embedding
-         |  FROM embeddings WHERE vec_id < 30),
-         |uni AS (SELECT vec_id, embedding FROM embeddings
-         |        UNION ALL SELECT vec_id, embedding FROM twins),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         ${cosineSql("a.embedding", "b.embedding")} AS sim
-         |  FROM uni a JOIN uni b ON a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, round(sim, 8) AS sim
-         |FROM pairs
-         |WHERE sim >= 0.99
-         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      "q30_embedding_neardup", {
+        val (nPlanes, bands, dim, maxBucket) = (16, 4, 64, 1000)
+        val rowsPerBand = nPlanes / bands
+        def dotSql(p: Int): String =
+          (0 until dim).map(i =>
+            s"CAST(embedding[${i + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, i)}")
+            .mkString(" + ")
+        def bucketSql(b: Int): String =
+          (0 until rowsPerBand).map(j =>
+            s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
+            .mkString(" + ")
+        val bandCond = (0 until bands).map(k =>
+          s"""(a.b$k = b.b$k AND EXISTS (
+             |     SELECT 1 FROM live WHERE band = $k AND bucket = a.b$k))""".stripMargin)
+          .mkString("\n   OR ")
+        s"""WITH twins AS (
+           |  SELECT vec_id + 1000000 AS vec_id,
+           |         list_transform(embedding,
+           |           x -> CAST(CAST(x AS DOUBLE) * 1.01 + 0.005 AS FLOAT)) AS embedding
+           |  FROM embeddings WHERE vec_id < 30),
+           |uni AS (SELECT vec_id, embedding FROM embeddings
+           |        UNION ALL SELECT vec_id, embedding FROM twins),
+           |sg AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |${(0 until nPlanes).map(p => s"         ${dotSql(p)} AS d$p").mkString(",\n")}
+           |  FROM uni),
+           |bk AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |${(0 until bands).map(b => s"         ${bucketSql(b)} AS b$b").mkString(",\n")}
+           |  FROM sg),
+           |bc AS (
+           |  SELECT band, bucket, count(*) AS c FROM (
+           |    SELECT 0 AS band, b0 AS bucket FROM bk
+           |    UNION ALL SELECT 1, b1 FROM bk
+           |    UNION ALL SELECT 2, b2 FROM bk
+           |    UNION ALL SELECT 3, b3 FROM bk)
+           |  GROUP BY band, bucket),
+           |live AS (SELECT band, bucket FROM bc WHERE c BETWEEN 2 AND $maxBucket),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |  FROM bk a JOIN bk b ON a.vec_id < b.vec_id
+           |  WHERE $bandCond)
+           |SELECT id_a, id_b, round(sim, 8) AS sim
+           |FROM pairs
+           |WHERE sim >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin
+      }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val twins = emb.filter(col("vec_id") < 30)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
       val uni = emb.union(twins)
-      // maxBucket uncapped: this query's CONTRACT is its cap-free
-      // brute-force oracle — the skew guard is a deployment knob (the
-      // library default), not part of the verified semantics
-      Similarity.embeddingNearDups(uni, threshold = 0.99, maxBucket = Int.MaxValue)
+      // library-default maxBucket: the guard IS part of the verified
+      // semantics (the oracle models the same cap)
+      Similarity.embeddingNearDups(uni, threshold = 0.99)
         .select(col("id_a"), col("id_b"), round(col("sim"), 8).as("sim"))
         .orderBy("id_a", "id_b")
     },
@@ -438,6 +480,14 @@ object PipelineQueries {
          |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
          |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
          |  FROM h),
+         |bc AS (
+         |  SELECT band, bucket, count(*) AS c FROM (
+         |    SELECT 0 AS band, (simhash >> 0)  & 32767 AS bucket FROM s
+         |    UNION ALL SELECT 1, (simhash >> 15) & 32767 FROM s
+         |    UNION ALL SELECT 2, (simhash >> 30) & 32767 FROM s
+         |    UNION ALL SELECT 3, (simhash >> 45) & 32767 FROM s)
+         |  GROUP BY band, bucket),
+         |live AS (SELECT band, bucket FROM bc WHERE c BETWEEN 2 AND 1000),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS dist,
@@ -446,19 +496,23 @@ object PipelineQueries {
          |SELECT id_a, id_b, dist
          |FROM p
          |WHERE dist <= 6
-         |  AND (((sa >> 0)  & 32767) = ((sb >> 0)  & 32767) OR
-         |       ((sa >> 15) & 32767) = ((sb >> 15) & 32767) OR
-         |       ((sa >> 30) & 32767) = ((sb >> 30) & 32767) OR
-         |       ((sa >> 45) & 32767) = ((sb >> 45) & 32767))
+         |  AND ((((sa >> 0)  & 32767) = ((sb >> 0)  & 32767) AND EXISTS (
+         |          SELECT 1 FROM live WHERE band = 0 AND bucket = (sa >> 0)  & 32767)) OR
+         |       (((sa >> 15) & 32767) = ((sb >> 15) & 32767) AND EXISTS (
+         |          SELECT 1 FROM live WHERE band = 1 AND bucket = (sa >> 15) & 32767)) OR
+         |       (((sa >> 30) & 32767) = ((sb >> 30) & 32767) AND EXISTS (
+         |          SELECT 1 FROM live WHERE band = 2 AND bucket = (sa >> 30) & 32767)) OR
+         |       (((sa >> 45) & 32767) = ((sb >> 45) & 32767) AND EXISTS (
+         |          SELECT 1 FROM live WHERE band = 3 AND bucket = (sa >> 45) & 32767)))
          |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
       val twins = docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" planted")).as("text"))
-      // maxBucket uncapped — same reasoning as q30: the oracle models no
-      // bucket cap, so the verified query doesn't apply one either
-      Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6,
-        maxBucket = Int.MaxValue)
+      // library-default maxBucket: the oracle counts members per
+      // (band, bucket) and admits pairs only through buckets within the
+      // cap — the verified configuration is the skew-guarded one
+      Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6)
         .orderBy("id_a", "id_b")
     },
 

@@ -325,6 +325,14 @@ object Similarity {
     * protects against pathological skew, not against under-provisioned
     * bucket space.
     */
+  /** Deterministic pseudo-random hyperplane weight for plane `p`,
+    * dimension `i` — in [-1, 1]. Public so oracle builders can replay
+    * the exact bucketing ([[embeddingNearDups]] and the q30 DuckDB
+    * oracle must derive identical signatures from identical constants).
+    */
+  def planeWeight(p: Int, i: Int): Double =
+    scala.util.hashing.MurmurHash3.productHash((p, i)).toDouble / Int.MaxValue
+
   def embeddingNearDups(
       corpus: DataFrame,
       threshold: Double,
@@ -342,12 +350,8 @@ object Similarity {
       return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("sim")).limit(0)
     val dim = firstRow.head.getInt(0)
-    // deterministic pseudo-random hyperplanes from xxhash64(plane, dim idx)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, i))
-        (h.toDouble / Int.MaxValue) // in [-1, 1]
-      }
+      (0 until dim).map(i => planeWeight(p, i))
     }
     // Plane weights as one array<array<double>> literal and the signature
     // as array folds: the generated code is a LOOP over the data, not
