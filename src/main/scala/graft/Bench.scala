@@ -8,12 +8,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // JVM/JIT/codegen + parquet-footer warmup, ADAPTIVE: run full passes
-    // until a pass stops getting meaningfully faster (within 25% of the
-    // best pass so far), so the measurement reflects steady state (what
-    // a long-lived cluster sees) regardless of how many executions C2
-    // needs for the heavy generated kernels (q31's fused minhash + array
-    // paths ramp over ~4 runs on a cold JVM). Bounded at 5 passes.
+    // JVM/JIT/codegen + parquet-footer warmup, ADAPTIVE and PER-QUERY:
+    // each query warms until a run stops getting meaningfully faster
+    // than its best so far (a still-ramping JIT drops >15% between
+    // runs), bounded at 5 warmup runs. Settling on WHOLE-PASS time
+    // (the previous design) let a pass-level plateau end warmup while
+    // one query's heavy generated kernels were still ramping — q31's
+    // fused minhash + array paths need ~4 executions on a cold JVM and
+    // its driver-reported time overstated steady state 2.5× while the
+    // lighter queries plateaued the pass.
     // localCheckpoint blocks (the near-dup pipelines cut their DAGs with
     // them) are only reclaimed when GC collects the RDD reference — and
     // a large-heap JVM barely GCs, so dozens of executions pile up tens
@@ -22,23 +25,24 @@ object Bench {
     def clearBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    var prev = Double.MaxValue
-    var pass = 0
-    var settled = false
-    while (pass < 5 && !settled) {
-      val t0 = System.nanoTime()
-      SparkEntry.headlines.foreach { q =>
+    SparkEntry.headlines.foreach { q =>
+      var best = Double.MaxValue
+      var runs = 0
+      var settled = false
+      while (runs < 5 && !settled) {
+        val t0 = System.nanoTime()
         try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val secs = (System.nanoTime() - t0) / 1e9
         clearBlocks()
+        settled = runs > 0 && secs >= best * 0.85
+        best = math.min(best, secs)
+        runs += 1
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // settled = this pass stopped getting meaningfully FASTER than the
-      // previous one (a still-ramping JIT drops >15% between passes) —
-      // note the direction: a pass that IMPROVED a lot must keep warming
-      settled = pass > 0 && secs >= prev * 0.85
-      prev = secs
-      pass += 1
     }
+    // drain the warmup's garbage BEFORE measuring: the dead block and
+    // codegen-class debris otherwise surfaces as one multi-second full
+    // GC landing inside a random measured run
+    System.gc()
     // min of 3 measured runs per query: the steady-state cost, robust to
     // one-off GC/cleaner stalls and machine noise (a max would measure
     // the noise; this JVM shows occasional multi-second stalls that hit
