@@ -161,6 +161,90 @@ class SchedulerParitySpec extends SparkSpec {
       "retried run diverged from golden output")
   }
 
+  test("speculation parity: a straggler's backup attempt yields golden output, no duplicates") {
+    // reference src/mr/coordinator.go:158-186: any task in flight > 10 s
+    // is re-issued to another worker; whichever attempt finishes first
+    // wins and the output must be unchanged. Spark's analog is
+    // speculative execution — but a speculative copy only ever schedules
+    // on a DIFFERENT host than the running attempt, so this test stands
+    // up a real standalone mini-cluster with two workers bound to
+    // distinct loopback addresses (127.0.0.1 / 127.0.0.2) and drives a
+    // separate-JVM driver (SpeculationDriver) against it with one 15 s
+    // straggler attempt. Asserts: >=1 speculative attempt actually
+    // launched, and the committed output is byte-equal to the golden
+    // mymrout — exactly-once despite the duplicate in-flight attempt.
+    def freePort(): Int = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val port = freePort()
+    val masterUrl = s"spark://127.0.0.1:$port"
+    val cp = System.getProperty("java.class.path")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+    val scratch = Files.createTempDirectory("graft-speculation")
+    val out = s"$scratch/wc-out"
+    def spawn(main: String, heap: String, args: Seq[String]): Process = {
+      val log = new java.io.File(s"$scratch/${main.split('.').last}-${args.hashCode.abs}.log")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq(s"-Xmx$heap", "-cp", cp, main) ++ args): _*)
+      // the worker's executor launcher resolves its classpath through
+      // SPARK_HOME/jars and needs the scala version pinned to skip the
+      // dev-build directory probe
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      pb.start()
+    }
+    val master = spawn("org.apache.spark.deploy.master.Master", "768m",
+      Seq("--host", "127.0.0.1", "--port", port.toString, "--webui-port", "0"))
+    val workers = Seq("127.0.0.1", "127.0.0.2").map { h =>
+      spawn("org.apache.spark.deploy.worker.Worker", "768m",
+        Seq("--host", h, "--port", "0", "--webui-port", "0",
+          "--cores", "4", "--memory", "2g",
+          "--work-dir", s"$scratch/work-$h", masterUrl))
+    }
+    try {
+      val driverLog = new java.io.File(s"$scratch/driver.log")
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g", "-cp", cp,
+          "graft.mr.SpeculationDriver", masterUrl, out)): _*)
+      pb.environment().put("SPARK_HOME", "/opt/spark")
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(driverLog)
+      val driver = pb.start()
+      try {
+        assert(driver.waitFor(240, java.util.concurrent.TimeUnit.SECONDS),
+          s"speculation driver timed out; log tail:\n${tail(driverLog)}")
+        assert(driver.exitValue() == 0,
+          s"speculation driver failed; log tail:\n${tail(driverLog)}")
+      } finally driver.destroyForcibly()
+      val spec = Files.readAllLines(driverLog.toPath).asScala
+        .collectFirst { case l if l.startsWith("SPECRESULT speculative=") =>
+          l.stripPrefix("SPECRESULT speculative=").trim.toInt }
+      assert(spec.exists(_ >= 1),
+        s"no speculative attempt launched (got $spec); log tail:\n${tail(driverLog)}")
+      val files = Files.list(Paths.get(out)).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(files.contains("_SUCCESS"))
+      assert(!files.exists(_.contains("_temporary")), s"uncommitted output: $files")
+      val lines = files.filter(_.startsWith("part-"))
+        .flatMap(f => Files.readAllLines(Paths.get(out, f)).asScala)
+      val golden = Files.readAllLines(
+        Paths.get("/root/reference/src/main/mymrout")).asScala
+      assert(lines.sorted == golden.sorted,
+        "speculated run diverged from golden output (duplicate or lost rows)")
+    } finally (workers :+ master).foreach(_.destroyForcibly())
+  }
+
+  private def tail(f: java.io.File, n: Int = 30): String =
+    if (!f.exists()) "(no log)"
+    else Files.readAllLines(f.toPath).asScala.takeRight(n).mkString("\n")
+
   test("early-exit parity: committed output is complete and atomic") {
     val out = Files.createTempDirectory("graft-golden").toString + "/wc-out"
     val result = MapReduce.run(spark, "/root/reference/src/main/pg-*.txt",
