@@ -54,6 +54,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("stub codec contract: the swap point's documented behavior is pinned") {
+    // a real codec replaces StubCodec.decode with the surrounding
+    // dataflow unchanged; this pins the contract a drop-in swap must
+    // honor — samples in [0, 255], one sample per payload unit (the stub
+    // is byte-identity; a real decode keeps the per-unit shape), total
+    // determinism across calls, and empty-payload safety
+    val payload = Array[Byte](0, 127, -1, -128, 64)
+    val out1 = Multimodal.StubCodec.decode(payload)
+    val out2 = Multimodal.StubCodec.decode(payload.clone())
+    assert(out1.toSeq == Seq(0, 127, 255, 128, 64), "unsigned byte identity")
+    assert(out1.toSeq == out2.toSeq, "decode must be deterministic")
+    assert(out1.forall(s => s >= 0 && s <= 255), "samples bounded to [0,255]")
+    assert(Multimodal.StubCodec.decode(Array.empty[Byte]).isEmpty,
+      "empty payload decodes to no samples, not an error")
+  }
+
   test("feature extraction is a narrow transform (no shuffle in plan)") {
     val plan = Multimodal.extractFeatures(spark, media)
       .queryExecution.executedPlan.toString
