@@ -25,7 +25,7 @@ object Bench {
     def clearBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    SparkEntry.headlines.foreach { q =>
+    val warmBest = SparkEntry.headlines.map { q =>
       var best = Double.MaxValue
       var runs = 0
       var settled = false
@@ -38,20 +38,24 @@ object Bench {
         best = math.min(best, secs)
         runs += 1
       }
-    }
+      q.name -> best
+    }.toMap
     // drain the warmup's garbage BEFORE measuring: the dead block and
     // codegen-class debris otherwise surfaces as one multi-second full
     // GC landing inside a random measured run
     System.gc()
-    // min of 3 measured runs per query: the steady-state cost, robust to
-    // one-off GC/cleaner stalls and machine noise (a max would measure
-    // the noise; this JVM shows occasional multi-second stalls that hit
-    // one random query per sequence).
+    // min of 3 measured runs per query (5 for queries whose settled
+    // warmup exceeds 1 s — long runs expose more surface to the
+    // occasional multi-second GC stall, so the min needs more samples to
+    // reliably touch the steady-state floor): robust to one-off
+    // GC/cleaner stalls and machine noise (a max would measure the
+    // noise).
     // a failed run must NOT contribute its (near-instant) duration to the
     // min — that would report a broken query as fast. Failures are
     // dropped; a query whose every run failed reports -1.
     val results = SparkEntry.headlines.map { q =>
-      val times = (1 to 3).flatMap { _ =>
+      val nRuns = if (warmBest.getOrElse(q.name, 0.0) > 1.0) 5 else 3
+      val times = (1 to nRuns).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { q.fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
