@@ -501,6 +501,38 @@ object Dedup {
     * (by design) not a candidate — with maxDist < 4 the pigeonhole
     * guarantees no misses.
     */
+  /** Per-band LSH bucket-occupancy diagnostics: how full the (band,
+    * bucket) cells are, and what the `maxBucket` skew guard would drop —
+    * the observability counterpart of the guard itself. Every capped
+    * operator in this library trades recall inside over-full buckets for
+    * bounded fan-out; this report makes that trade measurable instead of
+    * silent (run it before picking `maxBucket`, the same way
+    * q100_skew_report sizes salting). Per band: pair-generating buckets
+    * (≥2 members), the largest bucket, buckets over the cap, candidate
+    * pairs Σ n·(n−1)/2, and the pairs surviving the cap. One shuffle on
+    * (band, bucket) then a 4-row aggregate — all-integer, oracle-exact.
+    */
+  def simHashBucketStats(
+      sketches: DataFrame,
+      idCol: String = "doc_id",
+      maxBucket: Int = 1000): DataFrame = {
+    val bandMask = (1L << SimHashBandWidth) - 1
+    val banded = sketches.select(col(idCol),
+      posexplode(array((0 until SimHashBands).map(i =>
+        shiftright(col("simhash"), i * SimHashBandWidth).bitwiseAND(bandMask)): _*))
+        .as(Seq("band", "bucket")))
+    banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("n").as("max_bucket"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_dropped"),
+        sum(expr("n * (n - 1) div 2")).as("pairs_total"),
+        sum(when(col("n") <= maxBucket, expr("n * (n - 1) div 2"))
+          .otherwise(0L)).as("pairs_within_cap"))
+      .orderBy("band")
+  }
+
   def simHashNearDups(
       sketches: DataFrame,
       idCol: String = "doc_id",

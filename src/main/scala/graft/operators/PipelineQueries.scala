@@ -58,6 +58,24 @@ object PipelineQueries {
        |           g -> ${OracleSql.md5Long("g")})) AS sh
        |  FROM $from)""".stripMargin
 
+  /** CTEs `h` (per-token 60-bit hashes) and `s` (the packed simhash
+    * sketch) over a relation exposing (doc_id, toks) — the DuckDB mirror
+    * of `Dedup.simHash`, shared by q32 and q101 so the sketch SQL cannot
+    * drift between them.
+    */
+  private def simhash60Ctes(from: String): String =
+    s"""h AS (
+       |  SELECT doc_id,
+       |         list_transform(toks,
+       |           w -> ${OracleSql.md5Long("w")}) AS lh
+       |  FROM $from),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 60), b ->
+       |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
+       |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
+
   /** CTEs `p` (all-pairs shingle overlap) and `pr` (pairs at/above the
     * rounded-jaccard threshold) — the brute-force oracle for the LSH
     * pipeline's output contract.
@@ -469,17 +487,7 @@ object PipelineQueries {
     QueryDef(
       "q32_simhash_neardup",
       s"""WITH ${twinDocsCtes("planted")},
-         |h AS (
-         |  SELECT doc_id,
-         |         list_transform(toks,
-         |           w -> ${OracleSql.md5Long("w")}) AS lh
-         |  FROM t),
-         |s AS MATERIALIZED (
-         |  SELECT doc_id,
-         |         CAST(list_sum(list_transform(range(0, 60), b ->
-         |           CASE WHEN 2 * len(list_filter(lh, h -> ((h >> b) & 1) = 1)) > len(lh)
-         |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-         |  FROM h),
+         |${simhash60Ctes("t")},
          |bc AS (
          |  SELECT band, bucket, count(*) AS c FROM (
          |    SELECT 0 AS band, (simhash >> 0)  & 32767 AS bucket FROM s
@@ -514,6 +522,41 @@ object PipelineQueries {
       // cap — the verified configuration is the skew-guarded one
       Dedup.simHashNearDups(Dedup.simHash(docs.union(twins)), maxDist = 6)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- LSH bucket-occupancy report: the observability side of every
+    //      maxBucket skew guard — per band, how full the buckets are and
+    //      exactly what a given cap drops (buckets over cap, candidate
+    //      pairs lost). A 100 TB deployment runs this BEFORE picking the
+    //      cap, the way q100 sizes salting; the guard's recall trade is
+    //      measured, never silent. All-integer → oracle-exact. ----
+    QueryDef(
+      "q101_lsh_bucket_stats",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks
+         |  FROM documents),
+         |${simhash60Ctes("t")},
+         |b AS (
+         |  SELECT band, bucket FROM (
+         |    SELECT 0 AS band, (simhash >> 0)  & 32767 AS bucket FROM s
+         |    UNION ALL SELECT 1, (simhash >> 15) & 32767 FROM s
+         |    UNION ALL SELECT 2, (simhash >> 30) & 32767 FROM s
+         |    UNION ALL SELECT 3, (simhash >> 45) & 32767 FROM s)),
+         |c AS (
+         |  SELECT band, bucket, count(*) AS n FROM b
+         |  GROUP BY band, bucket HAVING count(*) >= 2)
+         |SELECT band,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(n) AS BIGINT) AS max_bucket,
+         |       CAST(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_total,
+         |       CAST(sum(CASE WHEN n <= 50 THEN n * (n - 1) // 2 ELSE 0 END)
+         |            AS BIGINT) AS pairs_within_cap
+         |FROM c GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      Dedup.simHashBucketStats(
+        Dedup.simHash(Tables.documents(s, dir).select("doc_id", "text")),
+        maxBucket = 50)
+        .orderBy("band")
     },
 
     // ---- language-ID heuristic + quality score + BPE-ish tokens ----

@@ -116,6 +116,35 @@ class DedupSpec extends SparkSpec {
       == 200L * 199 / 2)
   }
 
+  test("simHashBucketStats quantifies exactly what a cap drops") {
+    import spark.implicits._
+    // 5 identical docs share every band bucket (one 5-member bucket per
+    // band = 10 candidate pairs); 3 distinct docs may or may not pairwise
+    // collide, but never with 5 members
+    val docs = ((1L to 5L).map(i => (i, (1 to 30).map(t => s"dup$t").mkString(" "))) ++
+      Seq((10L, "alpha beta gamma delta"), (11L, "epsilon zeta eta theta"),
+        (12L, "iota kappa lambda mu"))).toDF("doc_id", "text")
+    val stats = Dedup.simHashBucketStats(Dedup.simHash(docs), maxBucket = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(stats.keySet == Set(0, 1, 2, 3), s"one row per band: $stats")
+    stats.foreach { case (band, (nBuckets, maxB, nDropped, total, withinCap)) =>
+      assert(maxB == 5, s"band $band: the identical-doc bucket has 5 members")
+      assert(nDropped == 1, s"band $band: exactly the hot bucket is over cap 4")
+      assert(total - withinCap == 10,
+        s"band $band: the cap drops exactly the hot bucket's C(5,2) pairs")
+      assert(nBuckets >= 1 && withinCap >= 0)
+    }
+    // a cap at 5 drops nothing — the report must say so
+    val open = Dedup.simHashBucketStats(Dedup.simHash(docs), maxBucket = 5)
+      .collect()
+    open.foreach { r =>
+      assert(r.getLong(3) == 0 && r.getLong(4) == r.getLong(5),
+        "cap >= max bucket: nothing dropped, all pairs within cap")
+    }
+  }
+
   test("minhash signature is deterministic across recomputation") {
     val s1 = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
     val s2 = Dedup.minHashSignatures(docs.repartition(7)).orderBy("doc_id").collect()
