@@ -521,6 +521,17 @@ object Dedup {
       posexplode(array((0 until SimHashBands).map(i =>
         shiftright(col("simhash"), i * SimHashBandWidth).bitwiseAND(bandMask)): _*))
         .as(Seq("band", "bucket")))
+    bucketOccupancyStats(banded, maxBucket)
+  }
+
+  /** The occupancy aggregation behind [[simHashBucketStats]] and
+    * `Similarity.embeddingBucketStats`: per band, pair-generating
+    * buckets, the largest bucket, buckets over the cap, and candidate
+    * pairs before/after the cap — over any (band, bucket)-exploded
+    * frame.
+    */
+  private[graft] def bucketOccupancyStats(
+      banded: DataFrame, maxBucket: Int): DataFrame =
     banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
       .groupBy("band").agg(
@@ -531,7 +542,6 @@ object Dedup {
         sum(when(col("n") <= maxBucket, expr("n * (n - 1) div 2"))
           .otherwise(0L)).as("pairs_within_cap"))
       .orderBy("band")
-  }
 
   def simHashNearDups(
       sketches: DataFrame,

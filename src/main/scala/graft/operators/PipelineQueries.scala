@@ -76,6 +76,37 @@ object PipelineQueries {
        |                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
        |  FROM h)""".stripMargin
 
+  /** CTEs `sg` (the 16 hyperplane dot products) and `bk` (the 4
+    * sign-bit band buckets) over a relation exposing (vec_id, embedding)
+    * — the DuckDB mirror of `Similarity.hyperplaneBuckets` at the
+    * library-default geometry (16 planes / 4 bands) for the 64-dim
+    * testdata embeddings. Plane constants are baked as double literals
+    * from the SAME `Similarity.planeWeight` the engine uses; the
+    * unrolled left-associated sums match the Spark fold's IEEE
+    * association exactly. Shared by q30 and q102 so the signature SQL
+    * cannot drift.
+    */
+  private def hyperplaneSigCtes(from: String): String = {
+    val (nPlanes, bands, dim) = (16, 4, 64)
+    val rowsPerBand = nPlanes / bands
+    def dotSql(p: Int): String =
+      (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, i)}")
+        .mkString(" + ")
+    def bucketSql(b: Int): String =
+      (0 until rowsPerBand).map(j =>
+        s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    s"""sg AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |${(0 until nPlanes).map(p => s"         ${dotSql(p)} AS d$p").mkString(",\n")}
+       |  FROM $from),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |${(0 until bands).map(b => s"         ${bucketSql(b)} AS b$b").mkString(",\n")}
+       |  FROM sg)""".stripMargin
+  }
+
   /** CTEs `p` (all-pairs shingle overlap) and `pr` (pairs at/above the
     * rounded-jaccard threshold) — the brute-force oracle for the LSH
     * pipeline's output contract.
@@ -277,17 +308,8 @@ object PipelineQueries {
     //      rather than hide behind a cap-free escape hatch. ----
     QueryDef(
       "q30_embedding_neardup", {
-        val (nPlanes, bands, dim, maxBucket) = (16, 4, 64, 1000)
-        val rowsPerBand = nPlanes / bands
-        def dotSql(p: Int): String =
-          (0 until dim).map(i =>
-            s"CAST(embedding[${i + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, i)}")
-            .mkString(" + ")
-        def bucketSql(b: Int): String =
-          (0 until rowsPerBand).map(j =>
-            s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
-            .mkString(" + ")
-        val bandCond = (0 until bands).map(k =>
+        val maxBucket = 1000
+        val bandCond = (0 until 4).map(k =>
           s"""(a.b$k = b.b$k AND EXISTS (
              |     SELECT 1 FROM live WHERE band = $k AND bucket = a.b$k))""".stripMargin)
           .mkString("\n   OR ")
@@ -298,14 +320,7 @@ object PipelineQueries {
            |  FROM embeddings WHERE vec_id < 30),
            |uni AS (SELECT vec_id, embedding FROM embeddings
            |        UNION ALL SELECT vec_id, embedding FROM twins),
-           |sg AS MATERIALIZED (
-           |  SELECT vec_id, embedding,
-           |${(0 until nPlanes).map(p => s"         ${dotSql(p)} AS d$p").mkString(",\n")}
-           |  FROM uni),
-           |bk AS MATERIALIZED (
-           |  SELECT vec_id, embedding,
-           |${(0 until bands).map(b => s"         ${bucketSql(b)} AS b$b").mkString(",\n")}
-           |  FROM sg),
+           |${hyperplaneSigCtes("uni")},
            |bc AS (
            |  SELECT band, bucket, count(*) AS c FROM (
            |    SELECT 0 AS band, b0 AS bucket FROM bk
@@ -556,6 +571,34 @@ object PipelineQueries {
       Dedup.simHashBucketStats(
         Dedup.simHash(Tables.documents(s, dir).select("doc_id", "text")),
         maxBucket = 50)
+        .orderBy("band")
+    },
+
+    // ---- q101's embedding-side twin: hyperplane-LSH bucket occupancy
+    //      over the embeddings corpus, replayed exactly in SQL from the
+    //      same plane constants — sizes BOTH knobs of the ANN/near-dup
+    //      family (maxBucket cap and nPlanes-vs-corpus provisioning)
+    //      from measurement. ----
+    QueryDef(
+      "q102_embedding_bucket_stats",
+      s"""WITH ${hyperplaneSigCtes("embeddings")},
+         |c AS (
+         |  SELECT band, bucket, count(*) AS n FROM (
+         |    SELECT 0 AS band, b0 AS bucket FROM bk
+         |    UNION ALL SELECT 1, b1 FROM bk
+         |    UNION ALL SELECT 2, b2 FROM bk
+         |    UNION ALL SELECT 3, b3 FROM bk)
+         |  GROUP BY band, bucket HAVING count(*) >= 2)
+         |SELECT band,
+         |       CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(max(n) AS BIGINT) AS max_bucket,
+         |       CAST(sum(CASE WHEN n > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_total,
+         |       CAST(sum(CASE WHEN n <= 50 THEN n * (n - 1) // 2 ELSE 0 END)
+         |            AS BIGINT) AS pairs_within_cap
+         |FROM c GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      Similarity.embeddingBucketStats(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), maxBucket = 50)
         .orderBy("band")
     },
 

@@ -301,30 +301,6 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"))
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
-    * random-hyperplane LSH signature so candidate generation avoids the
-    * full cross join: vectors agreeing on any `bands` of the sign-bit
-    * signature meet in a bucket.
-    *
-    * Scale guards (same shape as Dedup.lshCandidatesWithSigs): bucket
-    * members are gathered in ONE shuffle and buckets above `maxBucket`
-    * are dropped — a degenerate corpus (e.g. all-zero embeddings hashing
-    * to one signature) stays bounded instead of going quadratic in a hot
-    * bucket, trading recall on pathological buckets only. Candidate
-    * pairs colliding in several bands are deduplicated BEFORE the cosine
-    * is computed, so each pair pays the dot product exactly once.
-    *
-    * SIZE nPlanes TO THE CORPUS: each band has 2^(nPlanes/bands) possible
-    * bucket values, so mean bucket size ≈ n / 2^(nPlanes/bands). With the
-    * defaults (16 planes / 4 bands = 16 values per band) a corpus beyond
-    * ~16k vectors pushes every HEALTHY bucket over maxBucket=1000 and the
-    * guard would silently drop them all. Grow nPlanes by `bands` planes
-    * (one sign bit per band → 2× buckets) per corpus doubling, at a
-    * per-band recall cost of one more agreeing bit — e.g. 32 planes for
-    * ~1M vectors, 48 for ~1B — or raise maxBucket in step. The guard
-    * protects against pathological skew, not against under-provisioned
-    * bucket space.
-    */
   /** Deterministic pseudo-random hyperplane weight for plane `p`,
     * dimension `i` — in [-1, 1]. Public so oracle builders can replay
     * the exact bucketing ([[embeddingNearDups]] and the q30 DuckDB
@@ -333,22 +309,23 @@ object Similarity {
   def planeWeight(p: Int, i: Int): Double =
     scala.util.hashing.MurmurHash3.productHash((p, i)).toDouble / Int.MaxValue
 
-  def embeddingNearDups(
+  /** (id, emb, band, bucket) rows — one per signature band — from
+    * random-hyperplane sign-bit signatures; the candidate-generation
+    * core shared by [[embeddingNearDups]] and the occupancy report
+    * [[embeddingBucketStats]]. Empty corpora yield an empty frame with
+    * the caller's id type (no row to read the dimensionality from; at
+    * scale an empty post-filter source is routine and must not throw).
+    */
+  def hyperplaneBuckets(
       corpus: DataFrame,
-      threshold: Double,
       nPlanes: Int = 16,
       bands: Int = 4,
       idCol: String = "vec_id",
-      embCol: String = "embedding",
-      maxBucket: Int = 1000): DataFrame = {
-    // empty corpus: no row to read the dimensionality from — and no
-    // pairs to return; at scale an empty source (post-filter) is routine
-    // and must not throw. The empty frame carries the caller's actual
-    // id type (idCol is generic), not a hardcoded BIGINT.
+      embCol: String = "embedding"): DataFrame = {
     val firstRow = corpus.select(size(col(embCol))).head(1)
     if (firstRow.isEmpty)
-      return corpus.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
-        lit(0.0).as("sim")).limit(0)
+      return corpus.select(col(idCol), col(embCol),
+        lit(0).as("band"), lit(0L).as("bucket")).limit(0)
     val dim = firstRow.head.getInt(0)
     val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
       (0 until dim).map(i => planeWeight(p, i))
@@ -373,10 +350,47 @@ object Similarity {
     }
     val rowsPerBand = nPlanes / bands
     val sigs = corpus.select(col(idCol), col(embCol), signBits(col(embCol)).as("sig"))
-    val banded = sigs.select(col(idCol), col(embCol),
+    sigs.select(col(idCol), col(embCol),
       posexplode(array((0 until bands).map(bi =>
         shiftright(col("sig"), bi * rowsPerBand)
           .bitwiseAND((1L << rowsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
+    * random-hyperplane LSH signature so candidate generation avoids the
+    * full cross join: vectors agreeing on any `bands` of the sign-bit
+    * signature meet in a bucket.
+    *
+    * Scale guards (same shape as Dedup.lshCandidatesWithSigs): bucket
+    * members are gathered in ONE shuffle and buckets above `maxBucket`
+    * are dropped — a degenerate corpus (e.g. all-zero embeddings hashing
+    * to one signature) stays bounded instead of going quadratic in a hot
+    * bucket, trading recall on pathological buckets only ([[
+    * embeddingBucketStats]] quantifies exactly what a cap drops).
+    * Candidate pairs colliding in several bands are deduplicated BEFORE
+    * the cosine is computed, so each pair pays the dot product exactly
+    * once.
+    *
+    * SIZE nPlanes TO THE CORPUS: each band has 2^(nPlanes/bands) possible
+    * bucket values, so mean bucket size ≈ n / 2^(nPlanes/bands). With the
+    * defaults (16 planes / 4 bands = 16 values per band) a corpus beyond
+    * ~16k vectors pushes every HEALTHY bucket over maxBucket=1000 and the
+    * guard would silently drop them all. Grow nPlanes by `bands` planes
+    * (one sign bit per band → 2× buckets) per corpus doubling, at a
+    * per-band recall cost of one more agreeing bit — e.g. 32 planes for
+    * ~1M vectors, 48 for ~1B — or raise maxBucket in step. The guard
+    * protects against pathological skew, not against under-provisioned
+    * bucket space.
+    */
+  def embeddingNearDups(
+      corpus: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = hyperplaneBuckets(corpus, nPlanes, bands, idCol, embCol)
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
@@ -397,4 +411,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Per-band hyperplane-LSH bucket-occupancy report — the
+    * [[embeddingNearDups]] counterpart of `Dedup.simHashBucketStats`:
+    * quantifies how full the sign-bit buckets are and what a given
+    * `maxBucket` cap would drop, so both the skew guard and the
+    * nPlanes-vs-corpus sizing (see [[embeddingNearDups]]) are tuned
+    * from measurement, not guessed.
+    */
+  def embeddingBucketStats(
+      corpus: DataFrame,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.bucketOccupancyStats(
+      hyperplaneBuckets(corpus, nPlanes, bands, idCol, embCol), maxBucket)
 }
