@@ -57,6 +57,7 @@ class EdgeCaseSpec extends SparkSpec {
       emptyEmb.select(col("vec_id").as("query_id"),
         col("embedding").as("q_embedding")), k = 5).count() == 0)
     assert(Similarity.embeddingNearDups(emptyEmb, 0.9).count() == 0)
+    assert(Similarity.embeddingBucketStats(emptyEmb).count() == 0)
     assert(Similarity.kmeansLite(emptyEmb, k = 4).count() == 0)
     assert(Similarity.coarseCentroids(emptyEmb, nBuckets = 4).count() == 0)
   }
