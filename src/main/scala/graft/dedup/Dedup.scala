@@ -524,11 +524,24 @@ object Dedup {
     bucketOccupancyStats(banded, maxBucket)
   }
 
-  /** The occupancy aggregation behind [[simHashBucketStats]] and
-    * `Similarity.embeddingBucketStats`: per band, pair-generating
-    * buckets, the largest bucket, buckets over the cap, and candidate
-    * pairs before/after the cap — over any (band, bucket)-exploded
-    * frame.
+  /** [[simHashBucketStats]] for the MinHash-LSH path: occupancy of the
+    * [[bandBuckets]] cells feeding [[lshCandidates]]. Rows-only checked
+    * (the xxhash64 bucket keys have no DuckDB spelling), but the stats
+    * core is the same oracle-verified aggregation as q101/q102.
+    */
+  def minHashBucketStats(
+      signatures: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    bucketOccupancyStats(
+      bandBuckets(signatures, idCol, bands).select("band", "bucket"), maxBucket)
+
+  /** The occupancy aggregation behind [[simHashBucketStats]],
+    * [[minHashBucketStats]] and `Similarity.embeddingBucketStats`: per
+    * band, pair-generating buckets, the largest bucket, buckets over
+    * the cap, and candidate pairs before/after the cap — over any
+    * (band, bucket)-exploded frame.
     */
   private[graft] def bucketOccupancyStats(
       banded: DataFrame, maxBucket: Int): DataFrame =

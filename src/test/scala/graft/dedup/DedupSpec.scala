@@ -143,6 +143,16 @@ class DedupSpec extends SparkSpec {
       assert(r.getLong(3) == 0 && r.getLong(4) == r.getLong(5),
         "cap >= max bucket: nothing dropped, all pairs within cap")
     }
+    // the minhash-path report shares the aggregation: identical docs
+    // fill one bucket in EVERY band (32 default bands at H=96)
+    val mh = Dedup.minHashBucketStats(
+      Dedup.minHashSignatures(docs, numHashes = 96), bands = 32, maxBucket = 4)
+      .collect()
+    assert(mh.length == 32, s"one row per band, got ${mh.length}")
+    mh.foreach { r =>
+      assert(r.getLong(2) == 5 && r.getLong(3) == 1,
+        "identical docs form the one over-cap bucket per band")
+    }
   }
 
   test("minhash signature is deterministic across recomputation") {
