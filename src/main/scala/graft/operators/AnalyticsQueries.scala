@@ -986,12 +986,10 @@ object AnalyticsQueries {
     //      semantics over the price order with a unique tie-break — the
     //      feature-engineering twin of q77's fixed-width histogram. The
     //      oracle states it as the SQL window; the Spark side computes
-    //      the SAME assignment distributively: [[Scale.globalRank]]
-    //      range-partitions on (cents, o_orderkey) and prefix-sums row
-    //      counts (O(partitions) driver work), then the closed-form
-    //      ntile rule — first n%10 bins get ⌈n/10⌉ rows, the rest
-    //      ⌊n/10⌋ — maps each rank to its bin narrowly against the
-    //      broadcast total. No row ever enters a single-partition
+    //      the SAME assignment distributively via Scale.equiDepthBins
+    //      (globalRank range-partition + prefix sum, then the
+    //      closed-form ntile rule map-side against the broadcast
+    //      total). No row ever enters a single-partition
     //      WindowExec (PlanSpec asserts Window-free), so the plan
     //      survives a fact table 100× this size; the lone
     //      SinglePartition exchange aggregates one partial-max row per
@@ -1006,23 +1004,10 @@ object AnalyticsQueries {
          |SELECT bin, count(*) AS n,
          |       min(cents) AS lo_cents, max(cents) AS hi_cents
          |FROM t GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
-      val ranked = Scale.globalRank(
+      Scale.equiDepthBins(
         Tables.orders(s, dir)
           .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents")),
-        "r", "cents", "o_orderkey")
-      ranked
-        .crossJoin(broadcast(ranked.agg(max("r").as("total"))))
-        // ntile(b) closed form for rank r of n rows: with sz = n div b
-        // and rem = n mod b, ranks 1..rem·(sz+1) fall in the first rem
-        // (larger) bins; the rest advance every sz ranks
-        .withColumn("bin", expr(
-          """CAST(CASE
-            |  WHEN r <= (total % 10) * (total div 10 + 1)
-            |  THEN (r - 1) div (total div 10 + 1) + 1
-            |  ELSE (total % 10)
-            |       + (r - (total % 10) * (total div 10 + 1) - 1) div (total div 10)
-            |       + 1
-            |END AS INT)""".stripMargin))
+        10, "cents", "o_orderkey")
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           min("cents").as("lo_cents"), max("cents").as("hi_cents"))

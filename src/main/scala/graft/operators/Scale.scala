@@ -123,6 +123,33 @@ object Scale {
     prefixSumLongBy(df.withColumn("_one", lit(1L)), orderCols, "_one", rankCol)
       .drop("_one")
 
+  /** Exact equi-depth (ntile) bin assignment over a composite total
+    * order — the scale form of `ntile(bins) OVER (ORDER BY ...)`, whose
+    * window form shuffles every row into ONE partition for the global
+    * sort. Here [[globalRank]] range-partitions and prefix-sums row
+    * counts, then the closed-form ntile rule — the first n mod bins
+    * bins get ⌈n/bins⌉ rows, the rest ⌊n/bins⌋ — maps each rank to its
+    * bin narrowly against the broadcast total. Identical assignment to
+    * the window form for a total order (no ties); adds a 1-based `bin`
+    * column.
+    */
+  def equiDepthBins(df: DataFrame, bins: Int, orderCols: String*): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val ranked = globalRank(df, "_r", orderCols: _*)
+    ranked
+      .crossJoin(broadcast(ranked.agg(max("_r").as("_total"))))
+      .withColumn("bin", expr(
+        s"""CAST(CASE
+           |  WHEN _r <= (_total % $bins) * (_total div $bins + 1)
+           |  THEN (_r - 1) div (_total div $bins + 1) + 1
+           |  ELSE (_total % $bins)
+           |       + (_r - (_total % $bins) * (_total div $bins + 1) - 1)
+           |         div (_total div $bins)
+           |       + 1
+           |END AS INT)""".stripMargin))
+      .drop("_r", "_total")
+  }
+
   /** Salted fact⋈dim join for hot join keys that AQE's skew splitting
     * can't fix (e.g. one key holding 30% of the fact side AND a dim side
     * too large to broadcast): the fact side picks a random salt per row,

@@ -67,6 +67,21 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("equiDepthBins equals the ntile window, including uneven and tiny sizes") {
+    // sizes probing every branch of the closed-form rule: n % bins == 0,
+    // n % bins != 0, n < bins (each row its own bin), n == 1
+    for ((n, bins) <- Seq((1000, 10), (997, 10), (7, 10), (1, 10), (64, 8))) {
+      val df = (1 to n).map(i => ((i * 7919) % 2711, i.toLong))
+        .toDF("v", "id")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v", "id")
+      val want = df.withColumn("bin", ntile(bins).over(w))
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      val got = Scale.equiDepthBins(df, bins, "v", "id")
+        .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+      assert(got == want, s"n=$n bins=$bins diverged from ntile")
+    }
+  }
+
   test("saltedJoin equals the plain join on a hot-key corpus") {
     // hot key: 90% of fact rows hit one dim key
     val fact = (1 to 5000).map(i =>
