@@ -142,6 +142,29 @@ object ScaleProbe {
     val g1 = timePr("1x", replicateEdges(1))
     val gn = timePr(s"${copies}x", replicateEdges(copies))
     println(f"[scaleprobe] pagerank time ratio=${gn / g1}%.2f for ${copies}x edges")
+
+    // Equi-depth binning scaling: globalRank's range-partition + narrow
+    // binning must track row count — the shape that replaced q99's
+    // single-partition ntile window.
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_totalprice") * 100).cast("long").as("cents"))
+    def replicateOrders(n: Int): DataFrame =
+      (0 until n).map { k =>
+        orders.select((col("o_orderkey") + lit(k.toLong * 1000000000L)).as("o_orderkey"),
+          col("cents"))
+      }.reduce(_ union _)
+    def timeBins(label: String, df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.operators.Scale.equiDepthBins(df, 10, "cents", "o_orderkey")
+        .groupBy("bin").count().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] equidepth-$label: bins=$n time=$secs%.2fs")
+      secs
+    }
+    timeBins("warmup-1x", replicateOrders(1))
+    val b1 = timeBins("1x", replicateOrders(1))
+    val bn = timeBins(s"${copies}x", replicateOrders(copies))
+    println(f"[scaleprobe] equidepth time ratio=${bn / b1}%.2f for ${copies}x rows")
     spark.stop()
   }
 }
