@@ -144,6 +144,13 @@ object NearDupStream {
   /** foreachBatch body: dedup `batch` against the store, append the kept
     * docs' index to the store (idempotent overwrite of this batch's
     * dirs), and write the kept documents to `outDir/batch=N`.
+    *
+    * `compactEvery > 0` runs [[compactStore]] automatically at the START
+    * of every `compactEvery`-th batch with `upTo = batchId` — the
+    * always-safe call site (every batch strictly below the in-flight one
+    * is checkpoint-committed, so no merged id can ever be re-delivered).
+    * This keeps the store's file count O(compactEvery) instead of
+    * O(stream lifetime) with no hand-rolled maintenance pass.
     */
   def dedupBatch(
       storeDir: String,
@@ -153,8 +160,11 @@ object NearDupStream {
       threshold: Double = 0.8,
       numHashes: Int = 96,
       bands: Int = 32,
-      maxBucket: Int = DefaultMaxBucket)(batch: DataFrame, batchId: Long): Unit = {
+      maxBucket: Int = DefaultMaxBucket,
+      compactEvery: Int = 0)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      compactStore(spark, storeDir, upTo = batchId)
     val (keptRaw, sigs) = decide(spark, storeDir, batch, batchId,
       idCol, textCol, threshold, numHashes, bands, maxBucket)
     val kept = keptRaw

@@ -154,6 +154,25 @@ class NearDupStreamSpec extends SparkSpec {
     assert(keptIn(out, 2) == Seq(3L))
   }
 
+  test("compactEvery self-compacts at the safe call site without changing decisions") {
+    val (store, out) = freshDirs()
+    val run = NearDupStream.dedupBatch(store, out, compactEvery = 2) _
+    // batches 0..4: compaction fires at the start of batches 2 and 4,
+    // always with upTo = the in-flight id (never merging itself)
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
+    run(Seq(doc(3, 300)).toDF(), 1)
+    run(Seq(doc(4, 400)).toDF(), 2)   // compacts {0,1} -> batch=1
+    run(Seq(doc(5, 500)).toDF(), 3)
+    run(Seq(doc(10, 100, "A"), doc(11, 500, "B"), doc(12, 900)).toDF(), 4)
+    // batch 4 first compacted {1,2,3} -> batch=3, then deduped against
+    // the FULL history: near-dups of batch-0 and batch-3 docs both drop
+    assert(keptIn(out, 4) == Seq(12L), "full recall across self-compactions")
+    val dirs = new java.io.File(s"$store/buckets").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch=3", "batch=4"),
+      s"file count stays bounded: ${dirs.toSeq}")
+  }
+
   test("store works through an explicit file:-scheme Hadoop FS path") {
     val (storeLocal, outLocal) = freshDirs()
     val (store, out) = (s"file:$storeLocal", s"file:$outLocal")
