@@ -15,6 +15,9 @@ object QTime {
       val t0 = System.nanoTime()
       val c = fn(spark, dir).count()
       println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c")
+      // drop dead localCheckpoint blocks between runs, as Bench does —
+      // accumulated blocks stall later runs by tens of seconds
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }
