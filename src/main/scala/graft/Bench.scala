@@ -8,15 +8,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    // JVM/JIT/codegen + parquet-footer warmup, ADAPTIVE and PER-QUERY:
-    // each query warms until a run stops getting meaningfully faster
-    // than its best so far (a still-ramping JIT drops >15% between
-    // runs), bounded at 5 warmup runs. Settling on WHOLE-PASS time
-    // (the previous design) let a pass-level plateau end warmup while
-    // one query's heavy generated kernels were still ramping — q31's
-    // fused minhash + array paths need ~4 executions on a cold JVM and
-    // its driver-reported time overstated steady state 2.5× while the
-    // lighter queries plateaued the pass.
     // localCheckpoint blocks (the near-dup pipelines cut their DAGs with
     // them) are only reclaimed when GC collects the RDD reference — and
     // a large-heap JVM barely GCs, so dozens of executions pile up tens
@@ -25,43 +16,36 @@ object Bench {
     def clearBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    val warmBest = SparkEntry.headlines.map { q =>
-      var best = Double.MaxValue
-      var runs = 0
-      var settled = false
-      while (runs < 5 && !settled) {
-        val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).count() catch { case _: Throwable => () }
-        val secs = (System.nanoTime() - t0) / 1e9
-        clearBlocks()
-        settled = runs > 0 && secs >= best * 0.85
-        best = math.min(best, secs)
-        runs += 1
-      }
-      q.name -> best
-    }.toMap
-    // drain the warmup's garbage BEFORE measuring: the dead block and
-    // codegen-class debris otherwise surfaces as one multi-second full
-    // GC landing inside a random measured run
-    System.gc()
-    // min of 3 measured runs per query (5 for queries whose settled
-    // warmup exceeds 1 s — long runs expose more surface to the
-    // occasional multi-second GC stall, so the min needs more samples to
-    // reliably touch the steady-state floor): robust to one-off
-    // GC/cleaner stalls and machine noise (a max would measure the
-    // noise).
-    // a failed run must NOT contribute its (near-instant) duration to the
-    // min — that would report a broken query as fast. Failures are
-    // dropped; a query whose every run failed reports -1.
+    // Per-query CONVERGENCE measurement, replacing the old separate
+    // warmup/measure phases: repeat the query until its two FASTEST runs
+    // agree within 15% (min 4 runs, cap 12), and report the min. The old
+    // scheme settled warmup when a run was "not much faster than the
+    // best so far" — but a NOISY SLOW run satisfies that too, so one GC
+    // stall during warmup froze measurement while the heavy generated
+    // kernels (q31's fused minhash + array paths need ~7 executions on a
+    // cold JVM) were still ramping, and the driver-reported number
+    // overstated steady state 2.5×. Two independent near-equal minima
+    // can't come from the ramp (it's monotone) or from one-off stalls
+    // (they'd have to strike twice with the same magnitude), so this
+    // stops exactly when the steady-state floor has been touched twice.
+    // A failed run contributes no time (a near-instant failure would
+    // report a broken query as fast); a query whose every run failed
+    // reports -1.
     val results = SparkEntry.headlines.map { q =>
-      val nRuns = if (warmBest.getOrElse(q.name, 0.0) > 1.0) 5 else 3
-      val times = (1 to nRuns).flatMap { _ =>
+      var times = Vector.empty[Double]
+      var runs = 0
+      def converged: Boolean = times.size >= 4 && {
+        val fastest = times.sorted.take(2)
+        fastest(1) <= fastest(0) * 1.15
+      }
+      while (runs < 12 && !converged) {
         val t0 = System.nanoTime()
         val ok = try { q.fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val secs = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        if (ok) Some(secs) else None
+        if (ok) times :+= secs
+        runs += 1
       }
       q.name -> (if (times.nonEmpty) times.min else -1.0)
     }

@@ -277,6 +277,90 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-dup join: every (left, right) pair with n-gram
+    * Jaccard ≥ threshold — the FUZZY decontamination primitive. Exact
+    * n-gram decontamination (shared 5-grams against a broadcast eval
+    * dictionary) misses an eval item that was lightly paraphrased into
+    * the training corpus; this catches any rewrite that keeps ≥ t of the
+    * shingle set, at LSH cost instead of |L|×|R|.
+    *
+    * Same machinery as [[nearDupPairs]] — MinHash signatures, banded
+    * buckets, estimate pre-filter, exact hashed-shingle verify — but the
+    * two sides bucket independently and only CROSS pairs are emitted
+    * (no in-corpus pairs from either side). One shuffle per side into
+    * the (band, bucket) join; per-bucket expansion is |L_b|×|R_b|,
+    * bounded by maxBucket² via the same skew guard as the self-join
+    * (both sides' over-full buckets drop — recall-for-boundedness, the
+    * guarded trade every production LSH join makes). The id spaces of
+    * the two corpora are independent (outputs are (id_a from left,
+    * id_b from right) — equal ids on both sides never collide because
+    * the sides are never unioned).
+    *
+    * Recall budget: identical to [[nearDupPairs]] — the band-collision
+    * probability depends only on (numHashes, bands, j), not on which
+    * corpus each side of a pair came from.
+    */
+  def crossNearDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 96,
+      bands: Int = 32,
+      maxBucket: Int = 1000): DataFrame = {
+    def bucketed(side: DataFrame, out: String): DataFrame =
+      bandBuckets(minHashSignatures(side, idCol, textCol, k, numHashes),
+        idCol, bands)
+        .groupBy("band", "bucket")
+        .agg(collect_list(struct(col(idCol).as("id"), col("sig").as("sig")))
+          .as(out))
+        .filter(size(col(out)).between(1, maxBucket))
+    // ONE equi-join on (band, bucket): each side pre-gathers its bucket
+    // members (the same holistic shape lshCandidatesWithSigs uses), so
+    // the signature scans execute once per side and the join exchanges
+    // one row per non-empty bucket, not one per (member × band).
+    val pairs = bucketed(left, "ml").join(bucketed(right, "mr"),
+        Seq("band", "bucket"))
+      .select(explode(flatten(transform(col("ml"), x =>
+        transform(col("mr"), y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // same pre-filter + materialization rationale as nearDupPairs: the
+    // checkpointed near-threshold pair set is referenced by both verify
+    // attach joins
+    val plausible = estimateJaccard(pairs, idCol)
+      .filter(col("est_jaccard") >= threshold - margin)
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint()
+    // per-side hashed-shingle sets, pruned to docs that appear in a pair
+    // (ngramJaccard's single-table attach can't serve here: the two id
+    // spaces may overlap without naming the same document)
+    def shSets(side: DataFrame, pairCol: String): DataFrame =
+      side.join(plausible.select(col(pairCol).as("pid")).distinct(),
+          col(idCol) === col("pid"), "left_semi")
+        .select(col(idCol).as(pairCol),
+          array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
+            s => TextAnalysis.md5Long(s))).as(s"sh_$pairCol"))
+    val inter = size(array_intersect(col("sh_id_a"), col("sh_id_b")))
+    plausible
+      .join(shSets(left, "id_a"), "id_a")
+      .join(shSets(right, "id_b"), "id_b")
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_id_a")) + size(col("sh_id_b")) - col("inter"))
+            .cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---------- exact similarity self-join (prefix filtering) ----------
 
   /** EXACT all-pairs Jaccard similarity self-join via prefix filtering

@@ -48,9 +48,16 @@ object PipelineQueries {
     * exposing (doc_id, toks) — mirrors
     * array_distinct(transform(TextAnalysis.shingles(_, 3), md5Long)).
     */
-  private def shingle3Cte(from: String): String =
-    s"""s AS MATERIALIZED (
-       |  SELECT doc_id,
+  private def shingle3Cte(from: String): String = shingleSetCte(from, "s")
+
+  /** Parameterized form of [[shingle3Cte]] for oracles that need the
+    * hashed-shingle sets of TWO relations (the cross-corpus join), with
+    * the id column carried through under its own name.
+    */
+  private def shingleSetCte(
+      from: String, out: String, idCol: String = "doc_id"): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT $idCol,
        |         list_distinct(list_transform(
        |           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
        |              ELSE list_transform(range(1, len(toks) - 1),
@@ -962,6 +969,89 @@ object PipelineQueries {
           regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
             phoneRe, "<PHONE>").as("redacted"))
         .orderBy("doc_id")
+    },
+
+    // ---- FUZZY decontamination: training docs that are NEAR-dups of an
+    //      eval item (n-gram jaccard ≥ 0.7), via the cross-corpus
+    //      MinHash-LSH join. q58's exact-gram check misses a lightly
+    //      paraphrased eval item; this catches any rewrite preserving
+    //      ≥ 70% of the shingle set, at LSH cost (one bucket join, never
+    //      |train|×|eval|). Eval set = every 37th doc with one appended
+    //      token — near its source (j ≈ (m-1)/m) but not identical, so
+    //      the exact paths would NOT flag it. Oracle: brute-force cross
+    //      jaccard over the same hashed shingle sets. ----
+    QueryDef(
+      "q103_fuzzy_decontaminate",
+      s"""WITH tr AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |ev AS (
+         |  SELECT doc_id AS eval_id,
+         |         ${OracleSql.wsTokens("text || ' graftevaltail'")} AS toks
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |${shingleSetCte("tr", "sa")},
+         |${shingleSetCte("ev", "sb", "eval_id")},
+         |p AS (
+         |  SELECT a.doc_id, b.eval_id,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS na, len(b.sh) AS nb
+         |  FROM sa a CROSS JOIN sb b)
+         |SELECT doc_id, eval_id,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+         |FROM p
+         |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.7
+         |ORDER BY doc_id, eval_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graftevaltail")).as("text"))
+      Dedup.crossNearDupPairs(docs, evalSet, threshold = 0.7)
+        .select(col("id_a").as("doc_id"), col("id_b").as("eval_id"),
+          col("jaccard"))
+        .orderBy("doc_id", "eval_id")
+    },
+
+    // ---- deterministic content-addressed train/val/test split + global
+    //      shuffle order: every training pipeline's final step. Split
+    //      assignment is a pure function of (id, salt) — stable across
+    //      engines, partitionings, and reruns; adding docs never moves an
+    //      existing doc between splits. The within-split shuffle rank is
+    //      the md5 order — a reproducible global permutation — computed
+    //      DISTRIBUTIVELY via Scale.globalRank (range partition + prefix
+    //      sum) + broadcast per-split bases, NOT a per-split window
+    //      (PARTITION BY split would sort 80% of the corpus in ONE
+    //      task). ----
+    QueryDef(
+      "q104_hash_split",
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |         md5(CAST(doc_id AS VARCHAR) || '|graftsplit') AS h
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, h,
+         |         CAST(('0x' || substring(h, 1, 6)) AS BIGINT) % 10000 AS bucket
+         |  FROM a),
+         |c AS (
+         |  SELECT doc_id, h,
+         |         CASE WHEN bucket < 8000 THEN 'train'
+         |              WHEN bucket < 9000 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM b)
+         |SELECT doc_id, split,
+         |       CAST(row_number() OVER (
+         |         PARTITION BY split ORDER BY h, doc_id) AS BIGINT)
+         |         AS shuffle_rank
+         |FROM c
+         |ORDER BY split, shuffle_rank""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val assigned = Scale.hashSplit(docs, "doc_id", "graftsplit",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      val ranked = Scale.globalRank(assigned, "grank",
+        "split", "split_hash", "doc_id")
+      val base = ranked.groupBy("split").agg(min("grank").as("base"))
+      ranked.join(broadcast(base), "split")
+        .select(col("doc_id"), col("split"),
+          (col("grank") - col("base") + 1L).as("shuffle_rank"))
+        .orderBy("split", "shuffle_rank")
     },
 
     // ---- benchmark decontamination: flag training docs sharing any

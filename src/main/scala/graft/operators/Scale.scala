@@ -150,6 +150,38 @@ object Scale {
       .drop("_r", "_total")
   }
 
+  /** Deterministic content-addressed split assignment (train/val/test):
+    * each row's split is a pure function of (id, salt), so the
+    * assignment is stable across engines, partitionings, reruns, and
+    * corpus growth — appending new documents never moves an existing
+    * one between splits (the property a random split lacks and a
+    * training pipeline cannot live without). Weights are basis points
+    * summing to 10000; the row's bucket is the first 24 bits of
+    * md5(id|salt) mod 10000 (uniform to ±2⁻¹⁴ — indistinguishable from
+    * exact at any corpus size that cares).
+    *
+    * Adds `split_hash` (the full md5 hex — a reproducible global
+    * shuffle order for downstream `repartitionByRange(split_hash)`
+    * writes) and `split`. Narrow: no shuffle, no state.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 10000,
+      s"split weights must be basis points summing to 10000, got $splits")
+    val h = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val bucket = conv(substring(h, 1, 6), 16, 10).cast("long") % 10000
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).init
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(bucket < hi, name))(_.when(bucket < hi, name)))
+      }
+      .fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn("split_hash", h).withColumn("split", assign)
+  }
+
   /** Salted fact⋈dim join for hot join keys that AQE's skew splitting
     * can't fix (e.g. one key holding 30% of the fact side AND a dim side
     * too large to broadcast): the fact side picks a random salt per row,

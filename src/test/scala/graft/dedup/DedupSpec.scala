@@ -257,6 +257,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDupPairs equals local brute force; ids overlapping across sides never merge") {
+    // Property behind the q103 oracle: the cross-corpus LSH join
+    // reproduces the brute-force |L|×|R| jaccard filter. Right-side ids
+    // deliberately COLLIDE with left-side ids while naming different
+    // texts — the join must key pairs by (side, id), not id alone.
+    val rnd = new scala.util.Random(4321)
+    val vocab = Array.tabulate(60)(i => s"w$i")
+    def randDoc(): Array[String] =
+      Array.fill(20 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length)))
+    def mutate(t: Array[String], nMut: Int): Array[String] = {
+      val out = t.clone()
+      (0 until nMut).foreach { _ =>
+        out(rnd.nextInt(out.length)) = vocab(rnd.nextInt(vocab.length))
+      }
+      out
+    }
+    def shingleSet(toks: Array[String]): Set[String] =
+      if (toks.length < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    (1 to 3).foreach { trial =>
+      val left = Seq.tabulate(8)(i => (i.toLong, randDoc()))
+      // right id i holds a mutation of LEFT doc (i+1): id equality across
+      // sides is a red herring by construction
+      val right = (0 until 6).map { i =>
+        (i.toLong, mutate(left((i + 1) % left.size)._2, i % 4))
+      } :+ (100L -> randDoc())
+      val expected = (for {
+        (a, ta) <- left; (b, tb) <- right
+        sa = shingleSet(ta); sb = shingleSet(tb)
+        inter = sa.intersect(sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.7
+      } yield (a, b)).toSet
+      val got = Dedup.crossNearDupPairs(
+          left.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          right.map { case (id, t) => (id, t.mkString(" ")) }.toDF("doc_id", "text"),
+          threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"trial $trial: got=$got expected=$expected")
+    }
+  }
+
+  test("crossNearDupPairs: degenerate hot buckets are skew-guarded on BOTH sides") {
+    // 60 identical docs per side would pair 60×60 through every band
+    // bucket; with maxBucket = 10 every over-full bucket drops on each
+    // side, the expansion never materializes, and the call completes
+    // with the documented empty answer (recall traded for boundedness).
+    val same = lit("identical text repeated across the whole corpus here")
+    val l = spark.range(60).select($"id".as("doc_id"), same.as("text"))
+    val r = spark.range(60).select(($"id" + 500).as("doc_id"), same.as("text"))
+    val out = Dedup.crossNearDupPairs(l, r, threshold = 0.7, maxBucket = 10)
+    assert(out.count() == 0)
+    // and a small clean pair still comes through alongside the hot mass
+    val l2 = l.union(Seq((1000L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"))
+    val r2 = r.union(Seq((2000L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"))
+    val kept = Dedup.crossNearDupPairs(l2, r2, threshold = 0.7, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1000L, 2000L)))
+  }
+
   test("prefixFilterNearDups: identical-doc corpus returns the full quadratic answer") {
     // The exact contract has no skew guard to trade recall — n identical
     // docs really are n(n-1)/2 near-dup pairs, and all must come back

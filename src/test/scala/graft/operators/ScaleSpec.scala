@@ -96,6 +96,37 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("hashSplit: proportional, deterministic, append-stable, and narrow") {
+    val splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    val df = spark.range(10000).select($"id")
+    val out = Scale.hashSplit(df, "id", "s1", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial sd at n=10000, p=0.8 is ~40; ±5σ bounds
+    assert(math.abs(counts("train") - 8000) < 200, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150, s"val=${counts("val")}")
+    assert(math.abs(counts("test") - 1000) < 150, s"test=${counts("test")}")
+    // pure function of (id, salt): recomputation identical, and the
+    // assignment of any subset equals the full corpus's (append never
+    // re-homes existing rows — the property that matters operationally)
+    val full = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val subset = Scale.hashSplit(
+        spark.range(1000).select($"id"), "id", "s1", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset.forall { case (id, s) => full(id) == s })
+    // a different salt reshuffles (some rows must move)
+    val other = Scale.hashSplit(df, "id", "s2", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(full.exists { case (id, s) => other(id) != s })
+    // narrow: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"hashSplit shuffled:\n$plan")
+    // malformed weights refuse loudly
+    intercept[IllegalArgumentException] {
+      Scale.hashSplit(df, "id", "s", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
   test("coPartitionedJoin produces correct results") {
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
