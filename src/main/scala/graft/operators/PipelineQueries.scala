@@ -878,6 +878,40 @@ object PipelineQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // ---- corpus-trained bigram-LM quality score (CCNet-style
+    //      perplexity filter without an external model): per-doc average
+    //      surprisal under an add-1-smoothed bigram model of the corpus
+    //      itself. Per-position surprisals quantize to integer
+    //      micro-nats BEFORE the per-doc sum (q62's pattern), so the
+    //      score hash-matches across engines. ----
+    QueryDef(
+      "q105_lm_quality",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM tk WHERE len(t) >= 2)),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT cur) AS v FROM c2),
+         |q AS (
+         |  SELECT bi.doc_id,
+         |         CAST(round(1000000 *
+         |           ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1))) AS BIGINT) AS q
+         |  FROM bi
+         |  JOIN c2 USING (prev, cur)
+         |  JOIN c1 USING (prev)
+         |  CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000, 4) AS avg_nll
+         |FROM q
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bigramNll(Tables.documents(s, dir))
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
     //      clustering for training-data mixes. md5-bucket-mean init +
     //      quantized centroid updates + tie-broken argmin make the whole

@@ -178,4 +178,52 @@ object TextAnalysis {
       .select(col(idCol), col("term"),
         (col("score_q").cast("double") / 10000).as("score"), col("rank"))
   }
+
+  /** Corpus-trained bigram LM quality score (the CCNet-family
+    * perplexity filter, self-trained so no external model ships): each
+    * doc's average negative log-likelihood under an add-1-smoothed
+    * bigram model of the WHOLE corpus. Gibberish and boilerplate score
+    * high (improbable transitions / pathologically probable ones are
+    * both visible); typical prose scores low.
+    *
+    * Engine-portable by construction: every per-position surprisal
+    * ln((c1+V)/(c2+1)) is quantized to integer micro-nats BEFORE the
+    * per-doc sum (the q62 pattern — integer sums are order-independent
+    * where double sums are not), and only the final average divides.
+    *
+    * Scale shape: two shuffles train the model (bigram counts, then
+    * context totals — both partial-aggregated map-side), one shuffle
+    * joins counts back onto the bigram stream, one keyed agg scores
+    * docs. Hot bigrams (stopword pairs) skew the count join's build
+    * side, not a single reducer — and AQE's skew split covers the probe.
+    * Returns (idCol, n_bigrams, avg_nll); docs under 2 tokens have no
+    * bigrams and are absent (callers treat missing as unscorable).
+    */
+  def bigramNll(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bi = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (p, c) => struct(p.as("prev"), c.as("cur")))).as("b"))
+      .select(col(idCol), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val c2 = bi.groupBy("prev", "cur").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("prev").agg(sum("c2").as("c1"))
+    val v = c2.agg(count_distinct(col("cur")).as("v"))
+    bi.join(c2, Seq("prev", "cur"))
+      .join(c1, "prev")
+      .crossJoin(broadcast(v))
+      .withColumn("q", round(lit(1000000) *
+        log((col("c1") + col("v")).cast("double") / (col("c2") + 1)))
+        .cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sumq"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sumq").cast("double") / col("n_bigrams") / 1000000, 4)
+          .as("avg_nll"))
+  }
 }

@@ -117,4 +117,39 @@ class TextAnalysisSpec extends SparkSpec {
       .select(size(array_intersect($"va", $"vb")).as("shared"))
     assert(df.filter($"shared" < 1).count() == 0)
   }
+
+  test("bigramNll equals a driver-side recompute; gibberish outscores prose") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat slept"),
+      (2L, "the cat sat on the mat and the dog slept"),
+      (3L, "zq xv qzk vxq zzq kqx"), // transitions seen once each
+      (4L, "one"),                   // no bigrams: must be absent
+      (5L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // driver-side model
+    val toks = Seq(
+      1L -> "the cat sat on the mat and the cat slept",
+      2L -> "the cat sat on the mat and the dog slept",
+      3L -> "zq xv qzk vxq zzq kqx",
+      5L -> "the cat sat"
+    ).map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val bi = toks.flatMap { case (id, t) => t.sliding(2).map(p => (id, p(0), p(1))) }
+    val c2 = bi.groupBy(x => (x._2, x._3)).view.mapValues(_.size).toMap
+    val c1 = bi.groupBy(_._2).view.mapValues(_.size).toMap
+    val v = c2.keySet.map(_._2).size
+    val expected = bi.groupBy(_._1).map { case (id, rows) =>
+      val qs = rows.map { case (_, p, c) =>
+        math.round(1e6 * math.log((c1(p) + v).toDouble / (c2((p, c)) + 1)))
+      }
+      id -> (rows.size.toLong,
+        BigDecimal(qs.sum.toDouble / rows.size / 1e6)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(!got.contains(4L), "a doc with no bigrams must be absent")
+    // the gibberish doc's transitions are all singletons → max surprisal
+    assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
+  }
 }
