@@ -93,7 +93,8 @@ object PipelineQueries {
     * association exactly. Shared by q30 and q102 so the signature SQL
     * cannot drift.
     */
-  private def hyperplaneSigCtes(from: String): String = {
+  private def hyperplaneSigCtes(
+      from: String, sg: String = "sg", bk: String = "bk"): String = {
     val (nPlanes, bands, dim) = (16, 4, 64)
     val rowsPerBand = nPlanes / bands
     def dotSql(p: Int): String =
@@ -104,14 +105,14 @@ object PipelineQueries {
       (0 until rowsPerBand).map(j =>
         s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
-    s"""sg AS MATERIALIZED (
+    s"""$sg AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |${(0 until nPlanes).map(p => s"         ${dotSql(p)} AS d$p").mkString(",\n")}
        |  FROM $from),
-       |bk AS MATERIALIZED (
+       |$bk AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |${(0 until bands).map(b => s"         ${bucketSql(b)} AS b$b").mkString(",\n")}
-       |  FROM sg)""".stripMargin
+       |  FROM $sg)""".stripMargin
   }
 
   /** CTEs `p` (all-pairs shingle overlap) and `pr` (pairs at/above the
@@ -876,6 +877,60 @@ object PipelineQueries {
       TextAnalysis.tfIdfTop(Tables.documents(s, dir), k = 3)
         .filter(col("doc_id") < 50)
         .orderBy("doc_id", "rank")
+    },
+
+    // ---- EMBEDDING-space fuzzy decontamination: corpus vectors whose
+    //      cosine to an eval vector is ≥ 0.99, via the cross-corpus
+    //      hyperplane-LSH join (q103's counterpart for semantic
+    //      near-dups that share no n-grams). Eval set = every 41st
+    //      vector lightly perturbed (the q30 twin transform) — close to
+    //      its source but not identical. Oracle replays the exact
+    //      bucketing incl. BOTH sides' caps, like q30. ----
+    QueryDef(
+      "q106_embedding_decontaminate", {
+        val maxBucket = 1000
+        val bandCond = (0 until 4).map(k =>
+          s"""(a.b$k = b.b$k
+             |     AND EXISTS (SELECT 1 FROM livea WHERE band = $k AND bucket = a.b$k)
+             |     AND EXISTS (SELECT 1 FROM liveb WHERE band = $k AND bucket = b.b$k))""".stripMargin)
+          .mkString("\n   OR ")
+        def bandCounts(bk: String): String =
+          s"""SELECT band, bucket, count(*) AS c FROM (
+             |    SELECT 0 AS band, b0 AS bucket FROM $bk
+             |    UNION ALL SELECT 1, b1 FROM $bk
+             |    UNION ALL SELECT 2, b2 FROM $bk
+             |    UNION ALL SELECT 3, b3 FROM $bk)
+             |  GROUP BY band, bucket""".stripMargin
+        s"""WITH ev AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding,
+           |           x -> CAST(CAST(x AS DOUBLE) * 1.01 + 0.005 AS FLOAT)) AS embedding
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |corp AS (SELECT vec_id, embedding FROM embeddings),
+           |${hyperplaneSigCtes("corp", "sga", "bka")},
+           |${hyperplaneSigCtes("ev", "sgb", "bkb")},
+           |bca AS (${bandCounts("bka")}),
+           |bcb AS (${bandCounts("bkb")}),
+           |livea AS (SELECT band, bucket FROM bca WHERE c BETWEEN 1 AND $maxBucket),
+           |liveb AS (SELECT band, bucket FROM bcb WHERE c BETWEEN 1 AND $maxBucket),
+           |pairs AS (
+           |  SELECT a.vec_id, b.vec_id AS eval_id,
+           |         ${cosineSql("a.embedding", "b.embedding")} AS sim
+           |  FROM bka a JOIN bkb b ON ($bandCond))
+           |SELECT vec_id, eval_id, round(sim, 8) AS sim
+           |FROM pairs
+           |WHERE sim >= 0.99
+           |ORDER BY vec_id, eval_id""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val evalSet = emb.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
+      Similarity.crossEmbeddingNearDups(emb, evalSet, threshold = 0.99)
+        .select(col("id_a").as("vec_id"), col("id_b").as("eval_id"),
+          round(col("sim"), 8).as("sim"))
+        .orderBy("vec_id", "eval_id")
     },
 
     // ---- corpus-trained bigram-LM quality score (CCNet-style

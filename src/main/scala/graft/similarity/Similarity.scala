@@ -412,6 +412,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Cross-corpus embedding near-dup join: every (left, right) pair
+    * with cosine ≥ threshold — embedding-space fuzzy decontamination,
+    * the [[embeddingNearDups]] counterpart of
+    * `Dedup.crossNearDupPairs`. Both sides bucket independently under
+    * the SAME hyperplanes (the geometry is data-independent, so one
+    * sign-bit disagreement breaks a band on either side identically),
+    * then ONE (band, bucket) equi-join of pre-gathered member lists
+    * emits only cross pairs; per-bucket expansion ≤ maxBucket² with the
+    * two-sided skew guard (each side's over-full buckets drop). A pair
+    * colliding in several bands pays the cosine once
+    * (dropDuplicates before scoring). Id spaces stay independent —
+    * equal ids across sides never merge. The nPlanes-vs-corpus sizing
+    * note on [[embeddingNearDups]] applies to EACH side.
+    */
+  def crossEmbeddingNearDups(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxBucket: Int = 1000): DataFrame = {
+    def bucketed(side: DataFrame, out: String): DataFrame =
+      hyperplaneBuckets(side, nPlanes, bands, idCol, embCol)
+        .groupBy("band", "bucket")
+        .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb")))
+          .as(out))
+        .filter(size(col(out)).between(1, maxBucket))
+    bucketed(left, "ml").join(bucketed(right, "mr"), Seq("band", "bucket"))
+      .select(explode(flatten(transform(col("ml"), x =>
+        transform(col("mr"), y => struct(
+          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+          x.getField("emb").as("emb_a"), y.getField("emb").as("emb_b"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Per-band hyperplane-LSH bucket-occupancy report — the
     * [[embeddingNearDups]] counterpart of `Dedup.simHashBucketStats`:
     * quantifies how full the sign-bit buckets are and what a given

@@ -151,4 +151,26 @@ class SimilaritySpec extends SparkSpec {
     val c2 = cost(run(2))
     assert(c2 <= c1 + 1e-9, s"Lloyd cost increased: iter1=$c1 iter2=$c2")
   }
+
+  test("crossEmbeddingNearDups: planted right-side twins found, ids never merge, cross-only") {
+    // right side reuses LEFT ids for DIFFERENT vectors (id collision is
+    // a red herring), plus perturbed twins of left vectors under new ids
+    val left = emb.select("vec_id", "embedding")
+    val twins = emb.filter($"vec_id" < 10)
+      .select($"vec_id",
+        transform($"embedding", x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
+    val got = Similarity.crossEmbeddingNearDups(left, twins, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each twin matches exactly its source — under the SAME id, which
+    // must still be reported as a pair (not collapsed away)
+    assert(got == (0L until 10L).map(i => (i, i)).toSet, s"got=$got")
+  }
+
+  test("crossEmbeddingNearDups: hot buckets are skew-guarded on both sides") {
+    val same = array(lit(1f), lit(2f), lit(3f), lit(4f))
+    val l = spark.range(200).select($"id".as("vec_id"), same.as("embedding"))
+    val r = spark.range(200).select(($"id" + 1000).as("vec_id"), same.as("embedding"))
+    assert(Similarity.crossEmbeddingNearDups(l, r, threshold = 0.9, maxBucket = 50).count() == 0)
+    assert(Similarity.crossEmbeddingNearDups(l, r, threshold = 0.9, maxBucket = 500).count() == 200L * 200)
+  }
 }
