@@ -165,6 +165,39 @@ object ScaleProbe {
     val b1 = timeBins("1x", replicateOrders(1))
     val bn = timeBins(s"${copies}x", replicateOrders(copies))
     println(f"[scaleprobe] equidepth time ratio=${bn / b1}%.2f for ${copies}x rows")
+
+    // Cross-corpus fuzzy decontamination scaling: the TRAIN side grows,
+    // the eval side stays fixed (the production shape) — per-bucket
+    // expansion is |train_b|×|eval_b|, so wall-clock must track the
+    // train scan + its bucket shuffle, linearly.
+    val evalSide = base.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" tail")).as("text"))
+    def timeCross(label: String, train: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.crossNearDupPairs(train, evalSide, threshold = 0.7).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] cross-$label: pairs=$n time=$secs%.2fs")
+      (n, secs)
+    }
+    timeCross("warmup-1x", replicate(1))
+    val (x1, xt1) = timeCross("1x", replicate(1))
+    val (_, xtn) = timeCross(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] cross-decon time ratio=${xtn / xt1}%.2f for ${copies}x train " +
+      f"(fixed eval side; 1x pairs=$x1)")
+
+    // Bigram-LM scoring scaling: two count aggs + one join back over the
+    // bigram stream — pure shuffle-agg shapes, must be linear.
+    def timeLm(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.textops.TextAnalysis.bigramNll(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] lm-$label: docs=$n time=$secs%.2fs")
+      secs
+    }
+    timeLm("warmup-1x", replicate(1))
+    val l1 = timeLm("1x", replicate(1))
+    val ln = timeLm(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] lm time ratio=${ln / l1}%.2f for ${copies}x docs")
     spark.stop()
   }
 }
