@@ -142,4 +142,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"probe deletion-variants must broadcast:\n$plan")
   }
+
+  test("q103/q106 cross-corpus decon: bucket equi-join, never a cartesian product") {
+    // the whole point of the LSH cross join is avoiding |train|×|eval|;
+    // a CartesianProduct (or non-broadcast nested loop) in the plan
+    // means candidate generation regressed to the brute-force shape
+    Seq("q103_fuzzy_decontaminate", "q106_embedding_decontaminate").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q pairs via cartesian product:\n$plan")
+    }
+  }
+
+  test("q104 hash split: assignment is scan-stage; no window, no single-partition sort") {
+    val plan = planOf("q104_hash_split")
+    // within-split ranks come from the distributed prefix sum + a
+    // broadcast of 3 per-split bases — a WindowExec would mean the
+    // per-split global sort (80% of the corpus in ONE task) came back
+    assert(!plan.contains("Window"),
+      s"hash split ranks regressed to a window:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"per-split bases must broadcast:\n$plan")
+  }
+
+  test("q105 LM quality: model counts aggregate partial+final (map-side combine)") {
+    val plan = planOf("q105_lm_quality")
+    assert(plan.contains("partial_count"),
+      s"bigram counts must partial-aggregate map-side:\n$plan")
+  }
 }
