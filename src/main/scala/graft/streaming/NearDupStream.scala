@@ -180,6 +180,32 @@ object NearDupStream {
     kept.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
   }
 
+  /** foreachBatch body: FUZZY-decontaminate each micro-batch against a
+    * FIXED eval set — drop every batch doc that is an n-gram near-dup
+    * (jaccard ≥ threshold, via `Dedup.crossNearDupPairs`) of any eval
+    * item, writing survivors to `outDir/batch=N`. Unlike [[dedupBatch]]
+    * there is NO store: the eval set never grows, so the operator is
+    * stateless across batches and a re-delivered batch is idempotent by
+    * the dir overwrite alone (same decision, same bytes). Eval sets are
+    * small by nature; its per-batch signature recompute is a scan-bound
+    * map over eval docs — persist `evalSet` if it is unusually large.
+    */
+  def decontaminateBatch(
+      evalSet: DataFrame,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      numHashes: Int = 96,
+      bands: Int = 32,
+      maxBucket: Int = DefaultMaxBucket)(batch: DataFrame, batchId: Long): Unit = {
+    val flagged = Dedup.crossNearDupPairs(batch, evalSet, idCol, textCol,
+        ShingleK, threshold, numHashes, bands, maxBucket)
+      .select(col("id_a").as(idCol)).distinct()
+    batch.join(flagged, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Compact the store: merge all batch dirs strictly below `upTo` into
     * a single consolidated batch dir (named `batch=<maxMerged>`), so the
     * per-batch file count stops growing with stream lifetime — the

@@ -208,4 +208,19 @@ class NearDupStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(all.toSeq == Seq(1L, 2L, 4L), s"stream dedup decisions: ${all.toSeq}")
   }
+
+  test("decontaminateBatch drops near-dups of the fixed eval set; replay idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("decon-out").toString
+    // eval item = seed-100 doc with its first token tagged (j ≈ 0.949
+    // to the untagged seed-100 doc — above the 0.7 threshold)
+    val evalSet = Seq(doc(9000, 100, "EVAL")).toDF()
+    val run = NearDupStream.decontaminateBatch(evalSet, out) _
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)   // 1 contaminated, 2 clean
+    run(Seq(doc(3, 300), doc(4, 100, "B")).toDF(), 1) // 4 also ≈ eval source
+    assert(keptIn(out, 0) == Seq(2L), "near-dup of an eval item must drop")
+    assert(keptIn(out, 1) == Seq(3L), "mutated near-dup must drop too")
+    // re-delivery: stateless operator, identical decision, overwrite
+    run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
+    assert(keptIn(out, 0) == Seq(2L), "re-delivered batch must be idempotent")
+  }
 }
