@@ -62,6 +62,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Similarity.coarseCentroids(emptyEmb, nBuckets = 4).count() == 0)
   }
 
+  test("cross-corpus / LM / split operators: empty inputs degrade to empty outputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(graft.dedup.Dedup.crossNearDupPairs(emptyDocs, someDocs, threshold = 0.7).count() == 0)
+    assert(graft.dedup.Dedup.crossNearDupPairs(someDocs, emptyDocs, threshold = 0.7).count() == 0)
+    val emptyEmb2 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val oneEmb2 = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.crossEmbeddingNearDups(emptyEmb2, oneEmb2, 0.9).count() == 0)
+    assert(Similarity.crossEmbeddingNearDups(oneEmb2, emptyEmb2, 0.9).count() == 0)
+    // bigramNll: empty corpus, and a corpus where no doc has 2+ tokens
+    assert(graft.textops.TextAnalysis.bigramNll(emptyDocs).count() == 0)
+    assert(graft.textops.TextAnalysis.bigramNll(
+      Seq((1L, "one"), (2L, "")).toDF("doc_id", "text")).count() == 0)
+    // hashSplit: empty frame keeps schema and stays narrow
+    val split = Scale.hashSplit(emptyDocs.select("doc_id"), "doc_id", "s",
+      Seq("train" -> 9000, "test" -> 1000))
+    assert(split.count() == 0 && split.columns.toSeq ==
+      Seq("doc_id", "split_hash", "split"))
+  }
+
   test("mapreduce: empty input glob yields empty output, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     new java.io.File(s"$dir/empty.txt").createNewFile()
