@@ -965,7 +965,7 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.bigramNll(Tables.documents(s, dir))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
     //      clustering for training-data mixes. md5-bucket-mean init +
@@ -1097,7 +1097,7 @@ object PipelineQueries {
         .select(col("id_a").as("doc_id"), col("id_b").as("eval_id"),
           col("jaccard"))
         .orderBy("doc_id", "eval_id")
-    },
+    }.copy(headline = true),
 
     // ---- deterministic content-addressed train/val/test split + global
     //      shuffle order: every training pipeline's final step. Split
