@@ -62,4 +62,25 @@ object Etl {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Write `df` as ONE reproducible global random permutation — the
+    * trainer-feed step after `Scale.hashSplit`: range-partition on the
+    * content hash md5(id|salt) and sort within partitions, so file k's
+    * hash range ends before file k+1's begins and a sequential reader of
+    * the part files in name order consumes exactly the md5 permutation.
+    * No single-partition sort anywhere (the ORDER BY rand() equivalent
+    * would pull the corpus into one task or leave file order undefined);
+    * same salt + same ids ⇒ byte-identical layout on any cluster.
+    */
+  def writeShuffled(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      salt: String,
+      files: Int = 8): Unit =
+    df.withColumn("__h", md5(concat(col(idCol).cast("string"), lit("|" + salt))))
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
 }

@@ -170,7 +170,11 @@ object ScaleProbe {
     // the eval side stays fixed (the production shape) — per-bucket
     // expansion is |train_b|×|eval_b|, so wall-clock must track the
     // train scan + its bucket shuffle, linearly.
-    val evalSide = base.filter(col("doc_id") % 37 === 0)
+    // eval derives from the 1× REPLICA (c0-prefixed tokens), so its docs
+    // really match copy-0 of any replicated train side and the exact
+    // verify stage has pairs to score at every scale (a raw-text eval
+    // would match nothing and leave the verify stage untimed)
+    val evalSide = replicate(1).filter(col("doc_id") % 37 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" tail")).as("text"))
     def timeCross(label: String, train: DataFrame): (Long, Double) = {
       val t0 = System.nanoTime()

@@ -105,4 +105,31 @@ class EtlSpec extends SparkSpec {
     assert(okSpans.min < okGlobal,
       s"no file clustered below the global orderkey span $okGlobal")
   }
+
+  test("writeShuffled: sequential file-order read == the global md5 permutation") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id")
+    Etl.writeShuffled(docs, s"$dir/s", "doc_id", "seed7", files = 4)
+    def h(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|seed7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // expected: ids in md5(id|salt) order — ONE deterministic permutation
+    val expected = docs.collect().map(_.getLong(0)).sortBy(h)
+    // actual: part files in name order, rows in file order
+    val fs = new java.io.File(s"$dir/s").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(fs.length >= 2, "expected multiple shuffled files")
+    val actual = fs.flatMap(f =>
+      spark.read.parquet(f.getPath).collect().map(_.getLong(0)))
+    assert(actual.toSeq == expected.toSeq,
+      "sequential read must reproduce the md5 permutation")
+    // reproducibility: a rewrite lays out byte-identical file contents
+    Etl.writeShuffled(docs, s"$dir/s2", "doc_id", "seed7", files = 4)
+    val again = new java.io.File(s"$dir/s2").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      .flatMap(f => spark.read.parquet(f.getPath).collect().map(_.getLong(0)))
+    assert(again.toSeq == actual.toSeq, "same salt must mean same layout")
+  }
 }
