@@ -503,6 +503,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- dedup observability: the cluster-SIZE distribution — how many
+    //      near-dup clusters exist at each size and how many docs dedup
+    //      would drop (Σ size−1 per cluster) — the number a pipeline
+    //      owner reads before paying for the dedup pass. Composes the
+    //      q60 clustering; two tiny aggs on the cluster table. ----
+    QueryDef(
+      "q107_dedup_report",
+      s"""WITH RECURSIVE ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes,
+         |cl AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(cluster_size - 1) AS BIGINT) AS docs_dropped
+         |FROM sz
+         |GROUP BY cluster_size
+         |ORDER BY cluster_size""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      val pairs = Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs)
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size") - 1).as("docs_dropped"))
+        .orderBy("cluster_size")
+    },
+
     // ---- SimHash sketches + near-dup distances, oracle-checked: the
     //      60-bit sketch uses the portable md5-60bit token hash, so
     //      DuckDB recomputes the identical sketches and brute-forces the
