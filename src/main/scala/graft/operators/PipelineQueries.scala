@@ -1000,6 +1000,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }.copy(headline = true),
 
+    // ---- BPE tokenizer training (Sennrich merges over the word-freq
+    //      dictionary) + segmentation with the trained table. Each
+    //      round's argmax feeds the next round's rewrite, so no single
+    //      SQL statement expresses it — rows-only driver check (like the
+    //      inherently-iterative IVF build); TextAnalysisSpec pins
+    //      equality with a driver-side reference implementation. ----
+    QueryDef.noOracle("q108_bpe_vocab") { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") < 100)
+      val table = TextAnalysis.bpeTrain(docs, merges = 12)
+      import s.implicits._
+      table.zipWithIndex
+        .map { case ((l, r), i) => (i + 1, l, r, l + r) }
+        .toDF("rank", "left", "right", "merged")
+        .orderBy("rank")
+    },
+
     // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
     //      clustering for training-data mixes. md5-bucket-mean init +
     //      quantized centroid updates + tie-broken argmin make the whole

@@ -179,6 +179,83 @@ object TextAnalysis {
         (col("score_q").cast("double") / 10000).as("score"), col("rank"))
   }
 
+  /** One greedy left-to-right merge round of BPE pair (l, r) over a
+    * symbol array, as a pure fold (no UDF): append each symbol unless
+    * the accumulator ends with `l` and the symbol is `r`, in which case
+    * the pair fuses. Greedy-correct without a merged-flag because a
+    * fused token (l+r, strictly longer than l since r is non-empty) can
+    * never equal `l` and so never re-fuses within the round.
+    */
+  private def mergeOnce(sym: Column, l: String, r: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), s))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Train a byte-pair-encoding merge table on the corpus (the Sennrich
+    * BPE algorithm): start from characters, repeatedly fuse the
+    * highest-frequency adjacent symbol pair. Statistics run over the
+    * WORD-FREQUENCY DICTIONARY — one distributed agg builds it, and each
+    * merge round is one pair-count agg plus a narrow rewrite of the
+    * dict, so the per-round cost tracks |vocab|, not |corpus| (at 100 TB
+    * the dict of a text corpus is millions of rows — driver-coordinated
+    * rounds over it are the standard practice, as is sampling the corpus
+    * first). Deterministic: ties break on (count desc, l, r) — the same
+    * table falls out on any partitioning or engine.
+    *
+    * Returns the ordered merge table. Not SQL-expressible (each round's
+    * argmax feeds the next round's rewrite), so its catalog entry is
+    * rows-only checked; the spec pins equality with a driver-side
+    * reference implementation instead.
+    */
+  def bpeTrain(
+      docs: DataFrame,
+      merges: Int,
+      textCol: String = "text"): Seq[(String, String)] = {
+    var dict = docs
+      .select(explode(wsTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(filter(split(col("w"), ""), s => s =!= "").as("sym"), col("n"))
+      .localCheckpoint()
+    val table = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (table.size < merges && !exhausted) {
+      val top = dict
+        .select(col("n"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        table += ((l, r))
+        val prev = dict
+        dict = dict.select(mergeOnce(col("sym"), l, r).as("sym"), col("n"))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+      }
+    }
+    table.toSeq
+  }
+
+  /** Segment text with a trained merge table: per token, start from
+    * characters and apply every merge in table order (the standard BPE
+    * encoder). A pure column expression — the merge table compiles into
+    * `table.size` chained folds, so segmentation is a narrow map over
+    * the corpus at any scale.
+    */
+  def bpeSegment(text: Column, table: Seq[(String, String)]): Column =
+    transform(wsTokens(text), w =>
+      table.foldLeft(filter(split(w, ""), s => s =!= "")) {
+        case (sym, (l, r)) => mergeOnce(sym, l, r)
+      })
+
   /** Corpus-trained bigram LM quality score (the CCNet-family
     * perplexity filter, self-trained so no external model ships): each
     * doc's average negative log-likelihood under an add-1-smoothed

@@ -118,6 +118,68 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.filter($"shared" < 1).count() == 0)
   }
 
+  test("bpeTrain equals the reference Sennrich algorithm; segmentation round-trips") {
+    // driver-side reference: word-freq dict → repeated (count desc, l, r)
+    // argmax + greedy left-to-right merge
+    def refTrain(words: Map[String, Long], merges: Int): Seq[(String, String)] = {
+      var dict = words.map { case (w, n) => w.map(_.toString).toVector -> n }.toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.size < merges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        dict.foreach { case (sym, n) =>
+          sym.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (l, r) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += ((l, r))
+          dict = dict.map { case (sym, n) => refMerge(sym, l, r) -> n }
+        }
+      }
+      out.toSeq
+    }
+    def refMerge(sym: Vector[String], l: String, r: String): Vector[String] =
+      sym.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (acc.last + s)
+        else acc :+ s
+      }
+    val rnd = new scala.util.Random(77)
+    (1 to 3).foreach { trial =>
+      val vocab = Seq("aba", "abab", "bcbc", "cab", "aabb", "abc", "ccc")
+      val docs = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = TextAnalysis.bpeTrain(df, merges = 8)
+      val wordFreq = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val want = refTrain(wordFreq, 8)
+      assert(got == want, s"trial $trial: got=$got want=$want")
+      // segmentation: applying the table == reference application, and
+      // concatenating segments reproduces each token exactly
+      val seg = df.select($"text", TextAnalysis.bpeSegment($"text", got).as("seg"))
+        .collect()
+      seg.foreach { row =>
+        val toks = row.getString(0).split("\\s+").toSeq
+        val segs = row.getSeq[scala.collection.Seq[String]](1)
+        assert(segs.map(_.mkString) == toks, "segments must concat back to tokens")
+        toks.zip(segs).foreach { case (w, sg) =>
+          val ref = got.foldLeft(w.map(_.toString).toVector) {
+            case (sym, (l, r)) => refMerge(sym, l, r)
+          }
+          assert(sg.toVector == ref, s"segmentation of '$w': got $sg want $ref")
+        }
+      }
+    }
+    // exhaustion: more merges requested than pairs exist must terminate
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeTrain(tiny, merges = 10)
+    assert(t == Seq(("a", "b")), s"tiny corpus table: $t")
+  }
+
   test("bigramNll equals a driver-side recompute; gibberish outscores prose") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the cat slept"),
