@@ -1204,6 +1204,91 @@ object PipelineQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy("doc_id")
+    },
+
+    // ---- per-source document cap (domain cap): keep the top-10 docs
+    //      per source by stopword density (integer ppm — a crawl
+    //      pipeline's "keep the N most natural-language pages per
+    //      domain" rule). Scale shape: the bounded-heap TopKAggregator
+    //      ships ≤10 rows per source per map task; the window form the
+    //      oracle replays would shuffle every document of a hot domain
+    //      onto one reducer. ----
+    QueryDef(
+      "q109_source_cap",
+      s"""WITH m AS (
+         |  SELECT source, doc_id,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> list_contains($stopwordsSql, w))) * 1000000
+         |           // len(string_split(text, ' ')) AS stop_ppm
+         |  FROM documents)
+         |SELECT source, doc_id, stop_ppm, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |            ORDER BY stop_ppm DESC, doc_id) AS rank
+         |  FROM m) t
+         |WHERE rank <= 10
+         |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      import graft.functions.{Scored, TopKAggregator}
+      val topk = udaf(new TopKAggregator(10), Encoders.product[Scored])
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          floor(size(filter(toks, w => w.isin(stopwords: _*))).cast("long") * 1000000L /
+            size(toks).cast("long")).cast("long").as("stop_ppm"))
+        .groupBy("source")
+        .agg(topk(col("stop_ppm").cast("double"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("source"), col("sc.id").as("doc_id"),
+          col("sc.score").cast("long").as("stop_ppm"),
+          (col("pos") + 1).as("rank"))
+        .orderBy("source", "rank")
+    },
+
+    // ---- ANN recall report: recall@10 of the IVF probe path against
+    //      the exact brute-force answer, per query. The pay-for-pruning
+    //      number an index rollout decision needs — and because BOTH
+    //      sides are deterministic with full SQL replays (q29's scan,
+    //      q46's index build+probe), the recall itself is oracle-exact:
+    //      the approximation loss is value-checked, not eyeballed. ----
+    QueryDef(
+      "q110_ann_recall",
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+         |            FROM embeddings WHERE vec_id < 5),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosineSql("q.q_embedding", "e.embedding")} DESC,
+         |                      e.vec_id) AS rank
+         |    FROM embeddings e JOIN qs q ON q.query_id <> e.vec_id) t
+         |  WHERE rank <= 10),
+         |ivf AS (SELECT query_id, neighbor_id FROM ($ivfOracleSql) t2),
+         |hits AS (
+         |  SELECT i.query_id, count(*) AS n
+         |  FROM ivf i JOIN bf b
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |  GROUP BY i.query_id)
+         |SELECT q.query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n, 0) * 1000 AS BIGINT) AS recall_bp
+         |FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = 4)
+        .select("query_id", "neighbor_id")
+      val hits = ivf.join(bf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"))
+      queries.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          (coalesce(col("n"), lit(0L)) * 1000).as("recall_bp"))
+        .orderBy("query_id")
     }
   )
 

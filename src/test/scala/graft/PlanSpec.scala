@@ -170,4 +170,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_count"),
       s"bigram counts must partial-aggregate map-side:\n$plan")
   }
+
+  test("q109 source cap: bounded-heap top-k aggregates partial+final, no window") {
+    val plan = planOf("q109_source_cap")
+    // the cap must ship ≤k rows per source per map task via the typed
+    // aggregator's partial mode — a WindowExec would shuffle every doc
+    // of a hot domain onto one reducer
+    assert(!plan.contains("Window"),
+      s"source cap regressed to a per-source window:\n$plan")
+    val nAggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2,
+      s"expected partial+final typed top-k aggregate, found $nAggs:\n$plan")
+  }
+
+  test("q110 ANN recall: both rankers keep their bounded exchanges (no corpus-sized join)") {
+    val plan = planOf("q110_ann_recall")
+    // the hit join runs over two ≤(queries×k)-row rankings; a cartesian
+    // or a corpus-side exchange would mean a ranker lost its top-k bound
+    assert(!plan.contains("CartesianProduct"),
+      s"recall join degenerated to a product:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"map-side partial top-k missing from the ranker plans:\n$plan")
+  }
 }
