@@ -1289,6 +1289,36 @@ object PipelineQueries {
           coalesce(col("n"), lit(0L)).as("n_hits"),
           (coalesce(col("n"), lit(0L)) * 1000).as("recall_bp"))
         .orderBy("query_id")
+    },
+
+    // ---- trained quality classifier: fit a ridge linear model on
+    //      exact-integer surface features (token count, stopword ppm,
+    //      distinct-token ppm) against a ±1 label, then score docs with
+    //      a pure-integer dot product. Training is ONE moment-sum
+    //      aggregate (DECIMAL(38,0) — exact at any row count) + a
+    //      driver-side d×d solve, so weights and scores are independent
+    //      of partitioning. The driver-side solve isn't a single SQL
+    //      statement — rows-only check; LinearModelSpec pins equality
+    //      with a sequential BigInt reference and partition invariance. ----
+    QueryDef.noOracle("q111_quality_classifier") { (s, dir) =>
+      import graft.ml.LinearModel
+      val toks = split(col("text"), " ")
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          lit(1L).as("f_bias"),
+          size(toks).cast("long").as("f_ntok"),
+          floor(size(filter(toks, w => w.isin(stopwords: _*))).cast("long") * 1000000L /
+            size(toks).cast("long")).cast("long").as("f_stop_ppm"),
+          floor(size(array_distinct(toks)).cast("long") * 1000000L /
+            size(toks).cast("long")).cast("long").as("f_distinct_ppm"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val fcols = Seq("f_bias", "f_ntok", "f_stop_ppm", "f_distinct_ppm")
+      val w = LinearModel.fitRidgeNano(feats, fcols, "y", lambda = 1.0)
+      feats.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("y").as("label"),
+          LinearModel.scoreNano(w, fcols).as("score_nano"))
+        .withColumn("predicted", when(col("score_nano") > 0, 1L).otherwise(-1L))
+        .orderBy("doc_id")
     }
   )
 
