@@ -1048,6 +1048,54 @@ object AnalyticsQueries {
         .select(col("n_rows"), col("n_keys"), col("max_cnt"),
           expr("10000 * max_cnt div n_rows").as("max_share_bp"),
           col("top_key"), col("n_hot"))
+    },
+
+    // ---- changelog compaction: latest state per key — the batch form
+    //      of UpsertSink's CDC fold (snapshot a feed of events down to
+    //      one row per (user, event_type)). Scale shape: ONE partial+
+    //      final max(struct) aggregate — lexicographic struct ordering
+    //      on (ts_us, event_id) makes "latest, ties to highest id"
+    //      deterministic and map-side combinable, where the window-form
+    //      oracle shuffles every version of a hot key to one reducer.
+    //      µs-truncated ts on BOTH sides (parquet is ns; see eventsTs). ----
+    QueryDef(
+      "q112_changelog_compact",
+      """SELECT user_id, event_type, event_id, ts_us, value FROM (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("event_type"),
+          col("m.event_id").as("event_id"), col("m.ts_us").as("ts_us"),
+          col("m.value").as("value"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // ---- exact uniform k-sample without replacement: the k smallest
+    //      content-addressed hashes ARE a uniform k-subset (every doc's
+    //      rank is a pure function of salt+id), and Spark plans global
+    //      ORDER BY+LIMIT as TakeOrderedAndProject — per-partition
+    //      bounded top-k then a driver k-merge, never a full sort. Same
+    //      sample under any partitioning, appends don't reshuffle
+    //      earlier picks beyond displacement. ----
+    QueryDef(
+      "q113_uniform_sample_k",
+      """SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY h, doc_id
+        |LIMIT 25""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("h"))
+        .orderBy("h", "doc_id")
+        .limit(25)
     }
   )
 }

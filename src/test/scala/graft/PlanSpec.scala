@@ -183,6 +183,23 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final typed top-k aggregate, found $nAggs:\n$plan")
   }
 
+  test("q112 changelog compact: one partial+final aggregate, no per-key window") {
+    val plan = planOf("q112_changelog_compact")
+    // latest-per-key must map-side combine via max(struct); a WindowExec
+    // would shuffle every version of a hot key onto one reducer
+    assert(!plan.contains("Window"),
+      s"compaction regressed to a per-key window:\n$plan")
+    val nAggs = "Aggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2,
+      s"expected partial+final max(struct) aggregate, found $nAggs:\n$plan")
+  }
+
+  test("q113 uniform k-sample: global order+limit plans as bounded top-k, not a full sort") {
+    val plan = planOf("q113_uniform_sample_k")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample must plan as per-partition top-k + driver k-merge:\n$plan")
+  }
+
   test("q110 ANN recall: both rankers keep their bounded exchanges (no corpus-sized join)") {
     val plan = planOf("q110_ann_recall")
     // the hit join runs over two ≤(queries×k)-row rankings; a cartesian
