@@ -3,7 +3,7 @@ package graft.operators
 import graft.catalog.QueryDef
 import graft.tables.Tables
 import graft.textops.TextAnalysis
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1096,6 +1096,36 @@ object AnalyticsQueries {
           md5(concat(lit("s42:"), col("doc_id").cast("string"))).as("h"))
         .orderBy("h", "doc_id")
         .limit(25)
+    },
+
+    // ---- incremental aggregation: fold a new batch's partial
+    //      aggregate into a persisted state table WITHOUT rescanning
+    //      history — the restartable daily-rollup shape (at 100 TB the
+    //      state table is thousands of rows where the history is the
+    //      full corpus). The algebraic contract is the whole point and
+    //      is what the oracle checks: merge(agg(old), agg(delta)) must
+    //      equal agg(old ∪ delta) exactly — integer sums, so no float
+    //      re-association can hide a broken merge. ----
+    QueryDef(
+      "q114_incremental_agg",
+      """SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
+      def partial(df: DataFrame) = df
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"))
+      val docs = Tables.documents(s, dir)
+      // state = everything aggregated so far; delta = the new batch
+      val state = partial(docs.filter(col("doc_id") < 250))
+      val delta = partial(docs.filter(col("doc_id") >= 250))
+      state.unionByName(delta)
+        .groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
+        .orderBy("lang")
     }
   )
 }

@@ -1319,6 +1319,40 @@ object PipelineQueries {
           LinearModel.scoreNano(w, fcols).as("score_nano"))
         .withColumn("predicted", when(col("score_nano") > 0, 1L).otherwise(-1L))
         .orderBy("doc_id")
+    },
+
+    // ---- overlapping token-window chunking (embedding / context-prep):
+    //      windows of 32 tokens at stride 24. A window is emitted iff it
+    //      starts at 0 or begins before len-overlap (so no pure-overlap
+    //      tail chunk). Purely narrow — one projection + one generate,
+    //      no shuffle: chunking 100 TB is exactly one scan. chunk ids
+    //      are content-independent (doc_id, start), so re-chunking after
+    //      an upstream edit only rewrites that doc's rows. ----
+    QueryDef(
+      "q115_chunk_windows",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |            FROM documents),
+         |c AS (
+         |  SELECT doc_id, i AS start_tok,
+         |         array_to_string(toks[i+1:i+32], ' ') AS chunk_text,
+         |         least(32, len(toks) - i) AS n_tokens
+         |  FROM t, unnest(range(0, greatest(len(toks) - 8, 1), 24)) AS u(i))
+         |SELECT doc_id, start_tok // 24 AS chunk_idx, start_tok, n_tokens,
+         |       chunk_text
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            greatest(size(col("toks")) - 8, lit(1)) - 1, lit(24))).as("start_tok"))
+        .select(col("doc_id"),
+          (col("start_tok") / 24).cast("long").as("chunk_idx"),
+          col("start_tok").cast("long").as("start_tok"),
+          least(lit(32), size(col("toks")) - col("start_tok")).cast("long").as("n_tokens"),
+          array_join(slice(col("toks"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 

@@ -20,6 +20,15 @@ object ScaleProbe {
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = GraftSession.getOrCreate("graft-scaleprobe")
 
+    // the near-dup/PageRank/cross-decon probes cut lineage with
+    // localCheckpoint; a large-heap JVM barely GCs, so dead blocks pile
+    // up across probes and the storage pressure stalls LATER probes at
+    // random (observed: the LM probe reading 25× after the checkpointing
+    // probes vs 2.3× standalone). Same cure as Bench.clearBlocks: drop
+    // persistent RDDs between timed sections.
+    def clearBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
     val base = Tables.documents(spark, dir).select("doc_id", "text")
 
     def replicate(n: Int): DataFrame =
@@ -35,6 +44,7 @@ object ScaleProbe {
       val n = Dedup.nearDupPairs(docs, threshold = 0.7).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] $label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
       (n, secs)
     }
 
@@ -56,6 +66,7 @@ object ScaleProbe {
       val kept = chunkKept(docs)
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] chunks-$label: kept=$kept time=$secs%.2fs")
+      clearBlocks()
       secs
     }
     timeChunks("warmup-1x", replicate(1))
@@ -79,6 +90,7 @@ object ScaleProbe {
       val n = graft.similarity.Similarity.bruteForceTopK(corpus, queries, k = 10).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] ann-$label: rows=$n time=$secs%.2fs")
+      clearBlocks()
       secs
     }
     timeAnn("warmup-1x", replicateEmb(1))
@@ -105,6 +117,7 @@ object ScaleProbe {
       val n = Dedup.prefixFilterNearDups(docs, threshold = 0.7).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] prefix-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
       (n, secs)
     }
     timePrefix("warmup-1x", replicateSmall(1))
@@ -136,6 +149,7 @@ object ScaleProbe {
       val n = graft.graph.Graph.pageRankMicro(edges, 3).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] pagerank-$label: nodes=$n time=$secs%.2fs")
+      clearBlocks()
       secs
     }
     timePr("warmup-1x", replicateEdges(1))
@@ -159,6 +173,7 @@ object ScaleProbe {
         .groupBy("bin").count().count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] equidepth-$label: bins=$n time=$secs%.2fs")
+      clearBlocks()
       secs
     }
     timeBins("warmup-1x", replicateOrders(1))
@@ -181,6 +196,7 @@ object ScaleProbe {
       val n = Dedup.crossNearDupPairs(train, evalSide, threshold = 0.7).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] cross-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
       (n, secs)
     }
     timeCross("warmup-1x", replicate(1))
@@ -196,12 +212,69 @@ object ScaleProbe {
       val n = graft.textops.TextAnalysis.bigramNll(docs).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] lm-$label: docs=$n time=$secs%.2fs")
+      clearBlocks()
       secs
     }
     timeLm("warmup-1x", replicate(1))
     val l1 = timeLm("1x", replicate(1))
     val ln = timeLm(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] lm time ratio=${ln / l1}%.2f for ${copies}x docs")
+
+    // Classifier-fit scaling: training is ONE moment-sum aggregate over
+    // the corpus (the driver solve is O(d³), constant) — wall-clock must
+    // track the scan, and the weights must be IDENTICAL at every
+    // replication (the same rows contribute the same exact-integer
+    // moments regardless of how many disjoint copies surround them —
+    // here labels/features are content-derived so each copy adds
+    // proportional moments; we check time, not weights, across scales).
+    def timeFit(label: String, docs: DataFrame): Double = {
+      val toks = split(col("text"), " ")
+      val feats = docs.select(
+        lit(1L).as("f_bias"),
+        size(toks).cast("long").as("f_ntok"),
+        floor(size(array_distinct(toks)).cast("long") * 1000000L /
+          size(toks).cast("long")).cast("long").as("f_distinct_ppm"),
+        when(col("doc_id") % 2 === 0, 1L).otherwise(-1L).as("y"))
+      val t0 = System.nanoTime()
+      graft.ml.LinearModel.fitRidgeNano(
+        feats, Seq("f_bias", "f_ntok", "f_distinct_ppm"), "y", lambda = 1.0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] fit-$label: time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeFit("warmup-1x", replicate(1))
+    val f1 = timeFit("1x", replicate(1))
+    val fn = timeFit(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] classifier-fit time ratio=${fn / f1}%.2f for ${copies}x docs")
+
+    // Changelog-compaction scaling: partial+final max(struct) — the
+    // map-side combine caps the exchange at |keys| rows per task, so
+    // wall-clock must track the scan even when every key is hot.
+    val ev = Tables.events(spark, dir)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+    def replicateEv(n: Int): DataFrame =
+      (0 until n).map { k =>
+        ev.select((col("user_id") + lit(k.toLong * 100000000L)).as("user_id"),
+          col("event_type"), col("event_id"), col("ts"), col("value"))
+      }.reduce(_ union _)
+    def timeCompact(label: String, df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = df
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+        .groupBy("user_id", "event_type")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+        .count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] compact-$label: keys=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeCompact("warmup-1x", replicateEv(1))
+    val e1 = timeCompact("1x", replicateEv(1))
+    val en = timeCompact(s"${copies}x", replicateEv(copies))
+    println(f"[scaleprobe] compaction time ratio=${en / e1}%.2f for ${copies}x events")
     spark.stop()
   }
 }

@@ -200,6 +200,12 @@ class PlanSpec extends SparkSpec {
       s"sample must plan as per-partition top-k + driver k-merge:\n$plan")
   }
 
+  test("q115 chunking: purely narrow — no join or aggregate in the plan") {
+    val plan = planOf("q115_chunk_windows")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"chunking must stay a scan+generate pipeline:\n$plan")
+  }
+
   test("q110 ANN recall: both rankers keep their bounded exchanges (no corpus-sized join)") {
     val plan = planOf("q110_ann_recall")
     // the hit join runs over two ≤(queries×k)-row rankings; a cartesian

@@ -68,6 +68,38 @@ class EtlSpec extends SparkSpec {
     assert(gotCsv == want, "csv round-trip mismatch")
   }
 
+  test("schema evolution: mergeSchema unifies batches written with added columns") {
+    // the 100 TB operational reality: a pipeline adds a column mid-corpus
+    // and historical files must keep reading (nulls), not fail or drop
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/batch=0")
+    Seq((2L, "b", 10L)).toDF("id", "v1", "v2").write.parquet(dir + "/batch=1")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("batch", "id", "v1", "v2"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2")), "old files must read v2 as null")
+    assert(rows(1).getAs[Long]("v2") == 10L)
+  }
+
+  test("malformed JSON rows are quarantined in _corrupt_record, not silently dropped") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2 "v": BROKEN
+        |{"id": 3, "v": "fine"}
+        |""".stripMargin)
+    val df = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .json(dir).cache() // corrupt-record queries need a materialized pass
+    try {
+      assert(df.count() == 3, "row count must include the quarantined line")
+      assert(df.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(df.filter($"id" === 3 && $"v" === "fine").count() == 1,
+        "rows after a corrupt line must still parse")
+    } finally df.unpersist()
+  }
+
   test("zValue interleaves bits; writeZOrdered clusters both columns per file") {
     import org.apache.spark.sql.functions._
     // z(1,2): a bit0 -> pos0 (1), b bit1 -> pos3 (8) => 9; z(3,3) => 15
