@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema (binary payload + metadata struct),
   * partition-parallel batched processing via typed mapPartitions, feature
-  * schema out — is real and tested. The codec itself is a clearly-marked
-  * deterministic STUB (`StubCodec`): this container has no image/audio
-  * libraries, so a real deployment swaps `StubCodec.decode` for e.g. a
-  * JNI JPEG decode with the surrounding dataflow unchanged.
+  * schema out — is real and tested. The codec layer is REAL for the
+  * uncompressed containers a pure JVM can parse (`RealCodec`: RIFF/PCM-16
+  * WAV and 24-bit BI_RGB BMP, dispatched on container magic); compressed
+  * formats (JPEG/mp3/h264) still route to the clearly-marked
+  * deterministic `StubCodec` — this container has no native media
+  * libraries, so a real deployment swaps that one decode call (e.g. JNI
+  * libjpeg) with the surrounding dataflow unchanged.
   *
   * Scale notes: payloads never pass through a shuffle — decode/feature
   * extraction are narrow (per-partition) transforms pipelined onto the
@@ -75,6 +78,61 @@ object Multimodal {
           MediaFeatures(id, kind, payload.length, mean, hist)
         }
       }
+  }
+
+  /** REAL-container media table from `documents`: even doc_ids become
+    * genuine RIFF/PCM-16 WAV payloads (one 0..255 sample per text byte,
+    * 16 kHz), odd doc_ids genuine 24-bit BMP payloads (a 1-row image of
+    * the first 3·⌊nb/3⌋ text bytes). The payloads are REAL files — any
+    * external WAV/BMP reader parses them — so decode below is a real
+    * container parse, not a stub. Narrow typed map; payloads never
+    * shuffle.
+    */
+  def realMediaFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (id % 2 == 0) {
+            val samples = bytes.map(b => (b & 0xff).toShort)
+            (id, "audio", RealCodec.encodeWavPcm16(samples, sampleRate = 16000))
+          } else {
+            val w = bytes.length / 3
+            require(w > 0, s"doc $id too short to image-encode (${bytes.length} bytes)")
+            (id, "image", RealCodec.encodeBmp24(bytes.take(w * 3), w, 1))
+          }
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Real-codec feature extraction: dispatch on container magic — WAV →
+    * chunk-walking PCM parse, BMP → padded bottom-up pixel parse, else
+    * the stub (compressed formats: the documented native-codec swap
+    * point). `dim` = sample rate (audio) / width (image): decoded from
+    * the CONTAINER HEADER, so the oracle cross-checks the real parse,
+    * not a metadata echo.
+    */
+  def extractRealFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, payload) =>
+          val (dim, values) =
+            if (RealCodec.isWav(payload)) {
+              val a = RealCodec.decodeWavPcm16(payload)
+              (a.sampleRate, a.samples.map(_.toInt))
+            } else if (RealCodec.isBmp(payload)) {
+              val img = RealCodec.decodeBmp24(payload)
+              (img.width, img.rgb.map(b => b & 0xff))
+            } else (0, StubCodec.decode(payload))
+          val mean = if (values.isEmpty) 0.0
+            else values.foldLeft(0L)(_ + _).toDouble / values.length
+          (id, kind, payload.length, dim, mean)
+        }
+      }
+      .toDF("media_id", "kind", "payload_bytes", "dim", "mean_intensity")
   }
 
   /** Frame sampling: keep every `stride`-th frame index of each video —

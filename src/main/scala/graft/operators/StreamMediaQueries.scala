@@ -177,6 +177,48 @@ object StreamMediaQueries {
           round(col("mean_intensity"), 4).as("mean_intensity"),
           coalesce(col("n_sampled"), lit(0)).as("n_sampled_frames"))
         .orderBy("media_id")
+    },
+
+    // ---- REAL media codec end-to-end: encode documents into genuine
+    //      WAV (even ids) / BMP (odd ids) containers, decode them back
+    //      with the chunk-walking/row-padded RealCodec parsers, emit
+    //      features. The oracle recomputes every output from the SOURCE
+    //      bytes + the container specs — payload_bytes checks the
+    //      header/padding math (44+2·nb for WAV; 54 + 4-byte-padded row
+    //      for BMP), dim checks the value decoded FROM the header
+    //      (sample rate / width), mean checks the sample parse — so a
+    //      wrong byte order, row direction, or pad would hash-fail. ----
+    QueryDef(
+      "q116_media_codec",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS odd,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, odd, nb, nb // 3 AS w,
+        |         CASE WHEN odd = 1 THEN 3 * (nb // 3) ELSE nb END AS nv,
+        |         hx
+        |  FROM m),
+        |g AS (
+        |  SELECT media_id, odd, nb, w, nv,
+        |         CAST(list_sum(list_transform(range(1, CAST(nv AS INT) + 1),
+        |              i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS INT))) AS DOUBLE)
+        |           / nv AS mean_i
+        |  FROM f)
+        |SELECT media_id,
+        |       CASE WHEN odd = 1 THEN 'image' ELSE 'audio' END AS kind,
+        |       CAST(CASE WHEN odd = 1 THEN 54 + ((3*w + 3) // 4) * 4
+        |            ELSE 44 + 2*nb END AS INT) AS payload_bytes,
+        |       CAST(CASE WHEN odd = 1 THEN w ELSE 16000 END AS INT) AS dim,
+        |       round(mean_i, 4) AS mean_intensity
+        |FROM g
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.realMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractRealFeatures(s, media)
+        .select(col("media_id"), col("kind"), col("payload_bytes"),
+          col("dim"), round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy("media_id")
     }
   )
 }

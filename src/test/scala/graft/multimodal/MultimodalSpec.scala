@@ -75,4 +75,79 @@ class MultimodalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("WAV codec: PCM-16 round-trips bit-exactly, incl. negative samples and stereo") {
+    val rnd = new scala.util.Random(42)
+    val mono = Array.fill(1001)(rnd.nextInt(65536) - 32768).map(_.toShort)
+    val a = RealCodec.decodeWavPcm16(RealCodec.encodeWavPcm16(mono, 16000))
+    assert(a.sampleRate == 16000 && a.channels == 1)
+    assert(a.samples.toSeq == mono.toSeq)
+    val stereo = Array.fill(400)(rnd.nextInt(65536) - 32768).map(_.toShort)
+    val b = RealCodec.decodeWavPcm16(RealCodec.encodeWavPcm16(stereo, 44100, channels = 2))
+    assert(b.sampleRate == 44100 && b.channels == 2)
+    assert(b.samples.toSeq == stereo.toSeq)
+  }
+
+  test("WAV codec: chunk walking skips unknown chunks before fmt/data") {
+    val samples = Array[Short](1, -2, 300)
+    val std = RealCodec.encodeWavPcm16(samples, 8000)
+    // splice a LIST chunk between WAVE and fmt — real files do this
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 'I', 'N', 'F', 'O')
+    val spliced = std.take(12) ++ extra ++ std.drop(12)
+    java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(spliced.length - 8)
+    val a = RealCodec.decodeWavPcm16(spliced)
+    assert(a.sampleRate == 8000 && a.samples.toSeq == samples.toSeq)
+  }
+
+  test("BMP codec: multi-row images round-trip through bottom-up padded storage") {
+    val rnd = new scala.util.Random(7)
+    // width 3 → row stride 12 with 3 pad bytes: exercises padding AND
+    // row order (asymmetric content would betray a flipped image)
+    for (w <- 1 to 5; h <- Seq(1, 3)) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val img = RealCodec.decodeBmp24(RealCodec.encodeBmp24(rgb, w, h))
+      assert(img.width == w && img.height == h, s"${w}x$h dims")
+      assert(img.rgb.toSeq == rgb.toSeq, s"${w}x$h pixels")
+    }
+  }
+
+  test("codecs reject malformed payloads loudly") {
+    intercept[IllegalArgumentException] {
+      RealCodec.decodeWavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII") ++ Array[Byte](1, 2))
+    }
+    intercept[IllegalArgumentException] {
+      RealCodec.decodeBmp24(Array[Byte]('B', 'M', 0, 0, 0))
+    }
+    // a data chunk whose declared size overruns the payload must not
+    // silently truncate
+    val good = RealCodec.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    intercept[IllegalArgumentException] {
+      RealCodec.decodeWavPcm16(good.dropRight(2))
+    }
+  }
+
+  test("real media table carries genuine containers; features match a driver recompute") {
+    val m = Multimodal.realMediaFromDocuments(spark, docs.limit(30))
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      if (r.getAs[String]("kind") == "audio") assert(RealCodec.isWav(payload))
+      else assert(RealCodec.isBmp(payload))
+    }
+    val feats = Multimodal.extractRealFeatures(spark, m)
+      .orderBy("media_id").collect()
+    val texts = docs.limit(30).select("doc_id", "text").orderBy("doc_id")
+      .as[(Long, String)].collect().toMap
+    feats.foreach { f =>
+      val bytes = texts(f.getAs[Long]("media_id")).getBytes("UTF-8")
+      val vals =
+        if (f.getAs[String]("kind") == "audio") bytes.map(_ & 0xff)
+        else bytes.take(bytes.length / 3 * 3).map(_ & 0xff)
+      val mean = vals.map(_.toLong).sum.toDouble / vals.length
+      assert(math.abs(f.getAs[Double]("mean_intensity") - mean) < 1e-9)
+    }
+  }
 }
