@@ -1353,6 +1353,63 @@ object PipelineQueries {
           least(lit(32), size(col("toks")) - col("start_tok")).cast("long").as("n_tokens"),
           array_join(slice(col("toks"), col("start_tok") + 1, lit(32)), " ").as("chunk_text"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- source-overlap matrix: which sources (domains) duplicate
+    //      which — pairwise shared distinct 5-grams + integer jaccard.
+    //      The curation question behind per-domain dedup priorities.
+    //      Scale shape: gram→source pairs join on the GRAM, so fan-out
+    //      per gram is (sources carrying it choose 2), bounded by the
+    //      df cap (grams in >8 sources — boilerplate — are dropped,
+    //      mirroring the LSH maxBucket trade); the corpus itself is
+    //      touched once to build the distinct (source, gram) set. ----
+    QueryDef(
+      "q117_source_overlap",
+      s"""WITH t AS (
+         |  SELECT source, $toksSql AS toks FROM documents),
+         |s AS (
+         |  SELECT DISTINCT source, g FROM (
+         |    SELECT source,
+         |           unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |                ELSE list_transform(range(1, len(toks) - 3),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+         |                          toks[i+3] || ' ' || toks[i+4]) END) AS g
+         |    FROM t) u),
+         |df AS (SELECT g, count(*) AS nsrc FROM s GROUP BY g),
+         |keep AS (SELECT s.source, s.g FROM s JOIN df USING (g)
+         |         WHERE df.nsrc BETWEEN 2 AND 8),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS shared_grams
+         |  FROM keep a JOIN keep b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source)
+         |SELECT p.src_a, p.src_b, p.shared_grams,
+         |       CAST(10000 * p.shared_grams //
+         |            (za.n + zb.n - p.shared_grams) AS BIGINT) AS jaccard_bp
+         |FROM pairs p
+         |JOIN sz za ON za.source = p.src_a
+         |JOIN sz zb ON zb.source = p.src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      val sg = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+        .distinct()
+        .localCheckpoint() // referenced three times (df, pairs, sizes)
+      val dfreq = sg.groupBy("g").agg(count(lit(1)).as("nsrc"))
+      val keep = sg.join(dfreq.filter(col("nsrc").between(2, 8)), "g")
+        .select("source", "g")
+      val pairs = keep.as("a").join(keep.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+      val sz = sg.groupBy("source").agg(count(lit(1)).as("n"))
+      pairs
+        .join(sz.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+        .join(sz.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("shared_grams"),
+          expr("10000 * shared_grams div (na + nb - shared_grams)").as("jaccard_bp"))
+        .orderBy("src_a", "src_b")
     }
   )
 
