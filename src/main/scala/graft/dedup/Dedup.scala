@@ -668,4 +668,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), bit_count(col("xr")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Exact duplicated-substring spans, the token-level dedup primitive
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): every maximal token span covered by
+    * some `l`-token window whose content occurs ≥2 times corpus-wide —
+    * ANY alignment, intra- or inter-document (unlike chunkOwnership's
+    * fixed l-token grid, which misses shifted copies). Emitted spans
+    * are what a masking/removal pass cuts.
+    *
+    * Scale shapes: stride-1 windows are a narrow generate (|tokens|
+    * rows — the cost inherent to the algorithm; suffix-array builds
+    * trade this same volume into a global sort); duplicate detection is
+    * ONE partial+final count on the window hash; the cover explode
+    * fans out ×l on DUPLICATED positions only; span merging windows
+    * per document (bounded by doc length, never corpus-wide).
+    * Output: (doc_id, span_start, span_end(exclusive), span_tokens).
+    */
+  def duplicatedSpans(docs: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val wins = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - l),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
+          .as(Seq("pos", "g")))
+    val dupGrams = wins.groupBy("g")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("g")
+    val dupPos = wins.join(dupGrams, "g").select("doc_id", "pos")
+    val covered = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (l - 1))).as("idx"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    covered
+      .withColumn("island", col("idx") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("idx").cast("long").as("span_start"),
+        (max("idx") + 1).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+  }
 }

@@ -1410,6 +1410,43 @@ object PipelineQueries {
         .select(col("src_a"), col("src_b"), col("shared_grams"),
           expr("10000 * shared_grams div (na + nb - shared_grams)").as("jaccard_bp"))
         .orderBy("src_a", "src_b")
+    },
+
+    // ---- exact duplicated-substring spans (Lee et al. 2107.06499):
+    //      maximal token spans covered by a 16-token window occurring
+    //      ≥2× corpus-wide at ANY alignment — what chunk-grid dedup
+    //      (q73) misses for shifted copies. Twin corpus plants exact
+    //      long duplicates; the oracle replays windows → counts →
+    //      cover → island merge in full. ----
+    QueryDef(
+      "q118_dup_spans",
+      s"""WITH ${twinDocsCtes("graftdupspan")},
+         |w AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |         md5(array_to_string(toks[i:i+15], ' ')) AS g
+         |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
+         |  WHERE len(toks) >= 16),
+         |dg AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
+         |dp AS (SELECT DISTINCT doc_id, pos FROM w JOIN dg USING (g)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+         |        FROM dp, unnest(range(0, 16)) AS v(j)),
+         |r AS (SELECT doc_id, idx,
+         |             idx - row_number() OVER (PARTITION BY doc_id
+         |                                      ORDER BY idx) AS island
+         |      FROM cov)
+         |SELECT doc_id,
+         |       CAST(min(idx) AS BIGINT) AS span_start,
+         |       CAST(max(idx) + 1 AS BIGINT) AS span_end,
+         |       CAST(max(idx) + 1 - min(idx) AS BIGINT) AS span_tokens
+         |FROM r
+         |GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdupspan")).as("text"))
+      Dedup.duplicatedSpans(docs.union(twins), l = 16)
+        .orderBy("doc_id", "span_start")
     }
   )
 

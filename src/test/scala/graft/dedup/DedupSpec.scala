@@ -329,4 +329,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() == 40L * 39 / 2)
     assert(pairs.agg(min("jaccard")).head.getDouble(0) == 1.0)
   }
+
+  test("duplicatedSpans finds planted cross-doc spans at exact offsets, any alignment") {
+    import spark.implicits._
+    // doc 0 carries a 20-token run R at offset 5; doc 1 carries the SAME
+    // run at offset 11 — a shifted copy the 16-token chunk grid (q73)
+    // cannot align. Everything else is unique tokens.
+    val run = (1 to 20).map(i => s"r$i")
+    val doc0 = ((1 to 5).map(i => s"a$i") ++ run ++ (1 to 7).map(i => s"b$i")).mkString(" ")
+    val doc1 = ((1 to 11).map(i => s"c$i") ++ run ++ (1 to 4).map(i => s"d$i")).mkString(" ")
+    val spans = Dedup.duplicatedSpans(
+        Seq(0L -> doc0, 1L -> doc1).toDF("doc_id", "text"), l = 16)
+      .orderBy("doc_id").collect()
+    // the duplicated 16-windows inside R are starts 0..4 of R → covered
+    // token range is exactly R itself: [5,25) in doc 0, [11,31) in doc 1
+    assert(spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 5L, 25L, 20L), (1L, 11L, 31L, 20L)))
+  }
+
+  test("duplicatedSpans: all-unique corpus yields no spans; intra-doc repeats are found") {
+    import spark.implicits._
+    val unique = (0 until 5).map(d =>
+      d.toLong -> (1 to 30).map(i => s"w${d}_$i").mkString(" ")).toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(unique, l = 16).count() == 0)
+    // one doc repeating a 16-token run back-to-back: both occurrences
+    // merge into a single island covering tokens [0, 32)
+    val rep = (1 to 16).map(i => s"x$i")
+    val intra = Seq(9L -> (rep ++ rep).mkString(" ")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(intra, l = 16).collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 32L)))
+  }
 }
