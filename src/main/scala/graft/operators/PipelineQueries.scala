@@ -1447,6 +1447,112 @@ object PipelineQueries {
           concat(col("text"), lit(" graftdupspan")).as("text"))
       Dedup.duplicatedSpans(docs.union(twins), l = 16)
         .orderBy("doc_id", "span_start")
+    },
+
+    // ---- SemDeDup (arXiv:2303.09540): semantic dedup — k-means the
+    //      embedding space, pairwise-prune ONLY within clusters. Twin
+    //      corpus plants scaled near-copies; the oracle unrolls both
+    //      k-means rounds (q61's CTEs), the cluster-size guard, the
+    //      within-cluster cosine pairs, and the keep-min drops. ----
+    QueryDef(
+      "q119_semdedup",
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |         list_transform(embedding,
+         |           x -> CAST(CAST(x AS DOUBLE) * 1.01 + 0.005 AS FLOAT))
+         |  FROM embeddings WHERE vec_id < 10),
+         |ev AS (
+         |  SELECT vec_id, embedding,
+         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS cluster
+         |  FROM corp),
+         |${centroidCte("ev", "cent0")},
+         |${assignCte("cent0", "a1")},
+         |${centroidCte("a1", "cent1")},
+         |${assignCte("cent1", "a2")},
+         |sz AS (SELECT cluster, count(*) AS csz FROM a2 GROUP BY cluster),
+         |live AS (SELECT a2.* FROM a2 JOIN sz USING (cluster) WHERE csz <= 10000),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM live a JOIN live b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.99)
+         |SELECT a2.vec_id, a2.cluster, (dup.vec_id IS NULL) AS kept
+         |FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id
+         |ORDER BY a2.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val twins = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
+      Similarity.semDedup(emb.union(twins), k = 16, iters = 2, threshold = 0.99)
+        .orderBy("vec_id")
+    },
+
+    // ---- per-source token-distribution drift: KL(source ‖ corpus) in
+    //      integer nano-nats — the mixture-design diagnostic behind
+    //      re-weighting decisions. Exact oracle: the quantized term
+    //      table is plain SQL. ----
+    QueryDef(
+      "q120_source_drift",
+      s"""WITH tk AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents),
+         |st AS MATERIALIZED (
+         |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+         |  FROM tk GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+         |ct AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         |n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+         |term AS (
+         |  SELECT st.source,
+         |         CAST(floor(1000000000 * (CAST(st.c_st AS DOUBLE) / ns.n_s *
+         |              ln(CAST(st.c_st AS DOUBLE) * n.n /
+         |                 (CAST(ns.n_s AS DOUBLE) * ct.c_t)))) AS BIGINT) AS q
+         |  FROM st JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN n)
+         |SELECT t.source, ns.n_s AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         |       CAST(sum(q) AS BIGINT) AS kl_nano
+         |FROM term t JOIN ns ON ns.source = t.source
+         |GROUP BY 1, 2
+         |ORDER BY t.source""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenDrift(Tables.documents(s, dir), groupCol = "source")
+        .orderBy("source")
+    },
+
+    // ---- DSIR importance resampling (arXiv:2302.03169): select the 50
+    //      documents whose hashed-unigram features look most like the
+    //      target domain (lang='en') relative to the raw corpus. Exact
+    //      oracle: hashed features + add-1 log-ratios replay in SQL. ----
+    QueryDef(
+      "q121_dsir_select",
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang = 'en' AS is_tgt,
+         |         ${OracleSql.md5Long("tok")} % 4096 AS b
+         |  FROM (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)),
+         |raw AS MATERIALIZED (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+         |         CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS c_tgt
+         |  FROM tk GROUP BY b),
+         |tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+         |               CAST(sum(c_tgt) AS BIGINT) AS n_tgt FROM raw),
+         |w AS (
+         |  SELECT b, CAST(floor(1000000 *
+         |           (ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + 4096)) -
+         |            ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + 4096)))) AS BIGINT) AS dw
+         |  FROM raw CROSS JOIN tot),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c_db
+         |       FROM tk GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, CAST(sum(c_db) AS BIGINT) AS n_tokens,
+         |              CAST(sum(c_db * dw) AS BIGINT) AS logweight_micro
+         |       FROM db JOIN w USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, logweight_micro
+         |FROM sc
+         |ORDER BY logweight_micro DESC, doc_id
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      TextAnalysis.dsirLogWeights(
+          Tables.documents(s, dir), isTarget = col("lang") === "en")
+        .orderBy(col("logweight_micro").desc, col("doc_id"))
+        .limit(50)
     }
   )
 

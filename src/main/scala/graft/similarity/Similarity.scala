@@ -455,6 +455,55 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC deduplication —
+    * cluster the embedding space with deterministic k-means
+    * ([[kmeansLite]]), then compare vectors pairwise ONLY within their
+    * cluster and drop every vector whose cosine to a lower-id
+    * cluster-mate reaches `threshold` (the same keep-min pair-domination
+    * contract as the LSH near-dup paths, so the whole operator replays
+    * in SQL — the q119 oracle unrolls k-means + pairs + drops).
+    * Catches paraphrase/template duplicates that share no n-grams, the
+    * gap exact and MinHash dedup both miss.
+    *
+    * Scale shape: the quadratic comparison is confined to clusters —
+    * cost is Σ cluster², never n². Size `k` to the corpus (the paper
+    * runs k ≈ n/1000, keeping mean cluster size constant); `maxCluster`
+    * is the same safety valve as the LSH paths' maxBucket: clusters the
+    * seeding leaves degenerate (e.g. an all-identical corpus collapsing
+    * into one cluster) contribute NO pairs instead of going quadratic,
+    * trading recall on pathological clusters only. Pairing is a plain
+    * cluster-keyed self-join (one shuffle), so oversized-but-capped
+    * clusters stream through the join rather than materializing a
+    * members list per bucket row.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      k: Int = 16,
+      iters: Int = 2,
+      threshold: Double = 0.95,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxCluster: Int = 10000): DataFrame = {
+    // k-means re-derives its iterations on every downstream action, and
+    // the assignment feeds three consumers (both join sides + output) —
+    // cut the lineage once.
+    val assigned = kmeansLite(corpus, k, iters, idCol, embCol)
+      .join(corpus.select(col(idCol), col(embCol)), idCol)
+      .localCheckpoint()
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val live = assigned.join(broadcast(sizes.filter(col("csz") <= maxCluster)
+      .select("cluster")), Seq("cluster"))
+    val dropped = live
+      .select(col("cluster"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+      .join(live.select(col("cluster"), col(idCol).as("id_b"),
+        col(embCol).as("emb_b")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("dup").isNull.as("kept"))
+  }
+
   /** Per-band hyperplane-LSH bucket-occupancy report — the
     * [[embeddingNearDups]] counterpart of `Dedup.simHashBucketStats`:
     * quantifies how full the sign-bit buckets are and what a given

@@ -303,4 +303,92 @@ object TextAnalysis {
         round(col("sumq").cast("double") / col("n_bigrams") / 1000000, 4)
           .as("avg_nll"))
   }
+
+  /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) in
+    * integer nano-nats, plus token volume — the mixture-design
+    * diagnostic ("which source no longer looks like the corpus") run
+    * before re-weighting sources. No smoothing is needed: every group
+    * token is a corpus token, so the log's argument is always positive.
+    *
+    * Engine-portable: each distinct (group, token) contributes
+    * floor(1e9 · p_g·ln(p_g/p_c)) — quantized BEFORE the per-group sum
+    * (floor, not round: its result is association-independent on both
+    * engines), so the sum is an exact integer fold in any order.
+    *
+    * Scale shape: one (group, token)-keyed count agg (map-side partial)
+    * is the only corpus-sized shuffle; token totals re-aggregate from
+    * it on the token dictionary, group totals and the corpus total are
+    * tiny broadcasts. The dictionary-grain count table feeds four
+    * consumers, so its lineage is cut once.
+    */
+  def tokenDrift(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(groupCol), explode(wsTokens(col(textCol))).as("tok"))
+      .groupBy(groupCol, "tok").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val ns = st.groupBy(groupCol).agg(sum("c_st").as("n_s"))
+    val ct = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val n = st.agg(sum("c_st").as("n"))
+    st.join(broadcast(ns), groupCol)
+      .join(ct, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("q", floor(lit(1000000000) *
+        (col("c_st").cast("double") / col("n_s") *
+          log(col("c_st").cast("double") * col("n") /
+            (col("n_s").cast("double") * col("c_t"))))).cast("long"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_distinct_tokens"), sum("q").as("kl_nano"))
+      .join(broadcast(ns), groupCol)
+      .select(col(groupCol), col("n_s").as("n_tokens"),
+        col("n_distinct_tokens"), col("kl_nano"))
+  }
+
+  /** DSIR importance log-weights (Xie et al., arXiv:2302.03169 — data
+    * selection with importance resampling): score every document by how
+    * much more likely its HASHED unigram features are under a target
+    * distribution than under the raw corpus,
+    * Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)], with add-1
+    * smoothing over the `buckets`-sized feature space. Selecting the
+    * top-weight documents tilts a raw crawl toward the target domain
+    * without training a classifier.
+    *
+    * Engine-portable: the per-bucket weight delta quantizes to integer
+    * micro-nats (floor) before any per-doc sum, and per-doc totals are
+    * integer folds of count×delta.
+    *
+    * Scale shape: both feature tables live on the `buckets`-sized hash
+    * space (never the open vocabulary), so model state is a broadcast
+    * at any corpus size; the only corpus-sized shuffle is the
+    * (doc, bucket) count agg. `isTarget` marks the in-domain rows
+    * (e.g. a trusted source) inside the same corpus scan.
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      buckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tk = docs
+      .select(col(idCol), isTarget.as("is_tgt"),
+        explode(wsTokens(col(textCol))).as("tok"))
+      .withColumn("b", pmod(md5Long(col("tok")), lit(buckets)))
+    val raw = tk.groupBy("b").agg(count(lit(1)).as("c_raw"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .localCheckpoint() // feeds both totals and the weight table
+    val totals = raw.agg(sum("c_raw").as("n_raw"), sum("c_tgt").as("n_tgt"))
+    val w = raw.crossJoin(broadcast(totals))
+      .withColumn("dw", floor(lit(1000000) *
+        (log((col("c_tgt") + 1).cast("double") / (col("n_tgt") + buckets)) -
+          log((col("c_raw") + 1).cast("double") / (col("n_raw") + buckets))))
+        .cast("long"))
+      .select("b", "dw")
+    tk.groupBy(idCol, "b").agg(count(lit(1)).as("c_db"))
+      .join(broadcast(w), "b")
+      .groupBy(idCol)
+      .agg(sum("c_db").as("n_tokens"),
+        sum(col("c_db") * col("dw")).as("logweight_micro"))
+  }
 }

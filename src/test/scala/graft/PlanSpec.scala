@@ -215,4 +215,25 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("MapPartitions"),
       s"map-side partial top-k missing from the ranker plans:\n$plan")
   }
+
+  test("q119 semdedup: pairing is cluster-keyed, never a cartesian product") {
+    val plan = planOf("q119_semdedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing degenerated to a product:\n$plan")
+  }
+
+  test("q120 source drift: the corpus-sized count aggregates partial+final") {
+    val plan = planOf("q120_source_drift")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2,
+      s"(source, token) counts must map-side combine:\n$plan")
+  }
+
+  test("q121 DSIR: the bucket weight model broadcasts (corpus never reshuffles for scoring)") {
+    val plan = planOf("q121_dsir_select")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤4096-row weight table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 selection must plan as bounded top-k, not a full sort:\n$plan")
+  }
 }

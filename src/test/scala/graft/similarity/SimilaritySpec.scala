@@ -173,4 +173,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.crossEmbeddingNearDups(l, r, threshold = 0.9, maxBucket = 50).count() == 0)
     assert(Similarity.crossEmbeddingNearDups(l, r, threshold = 0.9, maxBucket = 500).count() == 200L * 200)
   }
+
+  test("semDedup: planted semantic twins drop (keep-min), everything else keeps its row") {
+    val base = emb.select("vec_id", "embedding")
+    val twins = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        transform($"embedding", x => (x.cast("double") * 1.02 + 0.01).cast("float")).as("embedding"))
+    val corpus = base.union(twins)
+    val res = Similarity.semDedup(corpus, k = 4, iters = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(res.size == corpus.count(), "every input vector gets exactly one verdict row")
+    // each twin is the HIGHER id of its near-identical pair → dropped;
+    // its original (lower id) must survive unless IT pairs with some
+    // other lower id, which these embeddings don't at 0.99
+    (0L until 5L).foreach { i =>
+      assert(!res(i + 1000L), s"twin of $i not dropped")
+      assert(res(i), s"original $i wrongly dropped")
+    }
+  }
+
+  test("semDedup: a degenerate single-cluster corpus is bounded by maxCluster, empty corpus is empty") {
+    val same = array(lit(1f), lit(2f), lit(3f), lit(4f))
+    val corpus = spark.range(100).select($"id".as("vec_id"), same.as("embedding"))
+    // identical vectors collapse into one cluster after assignment; the
+    // guard must refuse the quadratic pair join and keep everything
+    val guarded = Similarity.semDedup(corpus, k = 4, threshold = 0.9, maxCluster = 50)
+    assert(guarded.filter(!col("kept")).count() == 0)
+    assert(guarded.count() == 100)
+    // with the cap lifted the same corpus dedups to one survivor
+    val open = Similarity.semDedup(corpus, k = 4, threshold = 0.9, maxCluster = 1000)
+    assert(open.filter(col("kept")).count() == 1)
+    val empty = Similarity.semDedup(corpus.limit(0), k = 4)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("vec_id", "cluster", "kept"))
+  }
 }

@@ -214,4 +214,44 @@ class TextAnalysisSpec extends SparkSpec {
     // the gibberish doc's transitions are all singletons → max surprisal
     assert(got(3L)._2 > got(1L)._2 && got(3L)._2 > got(2L)._2)
   }
+
+  test("tokenDrift: identical per-group distributions score zero, a divergent group scores positive") {
+    import spark.implicits._
+    val balanced = Seq(
+      ("a", "x y z x"), ("a", "y z"),
+      ("b", "x y z x"), ("b", "y z")).toDF("source", "text")
+    val z = TextAnalysis.tokenDrift(balanced)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // each group's token distribution IS the corpus distribution →
+    // every quantized term is floor(0.0) = 0
+    assert(z == Map("a" -> 0L, "b" -> 0L), s"got $z")
+    val skewed = Seq(
+      ("a", "x x x x x x"), ("b", "q q q q q q"))
+      .toDF("source", "text")
+    val kl = TextAnalysis.tokenDrift(skewed)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // disjoint vocabularies: each group is maximally unlike the corpus —
+    // KL = ln 2 exactly, quantized per term (one term per group)
+    val ln2nano = math.floor(1e9 * math.log(2)).toLong
+    assert(kl == Map("a" -> ln2nano, "b" -> ln2nano), s"got $kl")
+  }
+
+  test("dsirLogWeights: target-vocabulary docs outscore off-target docs, volumes are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, true, "alpha alpha beta"),   // target domain
+      (2L, true, "alpha beta beta"),
+      (3L, false, "gamma delta gamma"), // raw-only vocabulary
+      (4L, false, "alpha beta gamma")   // mixed
+    ).toDF("doc_id", "is_tgt", "text")
+    val w = TextAnalysis.dsirLogWeights(docs, isTarget = col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), "token volumes wrong")
+    val score = w.map(x => x._1 -> x._3).toMap
+    // pure-target-vocab docs beat the mixed doc, which beats the
+    // raw-only doc; importance weights order by target likeness
+    assert(score(1L) > score(4L) && score(2L) > score(4L) && score(4L) > score(3L),
+      s"got $score")
+  }
 }
