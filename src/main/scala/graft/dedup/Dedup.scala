@@ -713,4 +713,82 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
   }
+
+  /** Corpus-wide exact chunk dedup WITH document reconstruction — the
+    * C4/CCNet cleaning shape: split every document into fixed
+    * `chunkTokens`-token chunks, keep only each chunk's globally FIRST
+    * occurrence (lexicographic (doc_id, chunk_idx)), and re-assemble
+    * the surviving chunks back into a rewritten document. Unlike
+    * [[chunkOwnership]] (which reports ownership), this emits the
+    * cleaned corpus itself: one row per non-empty input doc with the
+    * rewritten text (possibly "" when every chunk is owned elsewhere).
+    *
+    * Scale shape: ownership is a per-hash MIN aggregate, not a
+    * row_number window — so a boilerplate chunk repeated across a
+    * billion documents map-side combines to one row per partition
+    * instead of sorting a billion-row window partition on one reducer.
+    * Three shuffles total (min-owner agg on the chunk hash, the
+    * hash-keyed ownership join — one lookup row per hash, no expansion —
+    * and the per-doc re-assembly agg).
+    * Reconstruction sorts only WITHIN a document (`array_sort` on
+    * (chunk_idx, chunk) structs) — never a global ordering.
+    */
+  def dedupRewrite(
+      docs: DataFrame,
+      chunkTokens: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val chunks = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          ceil(size(col("toks")) / chunkTokens.toDouble).cast("int") - 1)).as("ci"))
+      .select(col(idCol), col("ci"),
+        concat_ws(" ",
+          slice(col("toks"), col("ci") * chunkTokens + 1, lit(chunkTokens))).as("chunk"))
+      .withColumn("h", TextAnalysis.md5Long(col("chunk")))
+    val owners = chunks.groupBy("h")
+      .agg(min(struct(col(idCol).as("oid"), col("ci").as("oci"))).as("owner"))
+    chunks.join(owners, "h")
+      .withColumn("kept",
+        col("owner.oid") === col(idCol) && col("owner.oci") === col("ci"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("ci"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("new_text"))
+  }
+
+  /** Canonical-representative selection for near-dup clusters: given the
+    * [[connectedComponents]] labeling `(id, cluster)` and the document
+    * table, keep ONE document per cluster — the member scoring highest
+    * on `scoreCol` (ties broken toward the smallest id), the "keep the
+    * longest/best version" policy production dedup applies after
+    * clustering. Emits (cluster_id, rep_doc_id, rep_score, cluster_size).
+    *
+    * Scale shape: a single partial+final aggregate per cluster — argmax
+    * via `max(struct(score, -id))`, so no per-cluster window sort and a
+    * pathologically huge cluster still map-side combines.
+    */
+  def clusterRepresentatives(
+      clusters: DataFrame,
+      docs: DataFrame,
+      scoreCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = clusters.join(
+      docs.select(col(idCol).as("id"), scoreCol.cast("long").as("score")), "id")
+    scored.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("score"), (-col("id")).as("nid"))).as("m"))
+      .select(col("cluster").as("cluster_id"),
+        (-col("m.nid")).as("rep_doc_id"),
+        col("m.score").as("rep_score"),
+        col("cluster_size"))
+  }
 }

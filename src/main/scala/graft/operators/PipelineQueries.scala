@@ -1553,6 +1553,123 @@ object PipelineQueries {
           Tables.documents(s, dir), isTarget = col("lang") === "en")
         .orderBy(col("logweight_micro").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // ---- C4/CCNet-style paragraph-dedup REWRITE: drop every repeated
+    //      16-token chunk corpus-wide (first occurrence by (doc_id, ci)
+    //      owns it), re-assemble the survivors into cleaned documents.
+    //      Planted full-copy twins collapse to "". Oracle: same chunking
+    //      + row_number ownership + ordered string_agg. ----
+    QueryDef(
+      "q122_dedup_rewrite",
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 10),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |c0 AS (SELECT doc_id, toks,
+         |              unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS ci
+         |       FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, ci,
+         |             array_to_string(list_slice(toks, ci*16 + 1, ci*16 + 16), ' ') AS chunk
+         |      FROM c0),
+         |r AS (SELECT doc_id, ci, chunk,
+         |             row_number() OVER (PARTITION BY ${OracleSql.md5Long("chunk")}
+         |                                ORDER BY doc_id, ci) AS rn
+         |      FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci), '')
+         |         AS new_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.dedupRewrite(docs.union(twins), chunkTokens = 16)
+        .orderBy("doc_id")
+    },
+
+    // ---- canonical-representative selection: near-dup clusters keep
+    //      their longest member (ties → smallest id) — the "keep the
+    //      best version" policy applied after q60's clustering. Oracle:
+    //      transitive closure + per-cluster argmax window. ----
+    QueryDef(
+      "q123_cluster_reps",
+      s"""WITH RECURSIVE ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes,
+         |cl AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |sc AS (SELECT cl.cluster_id, cl.id, CAST(length(d.text) AS BIGINT) AS score
+         |       FROM cl JOIN d ON d.doc_id = cl.id)
+         |SELECT cluster_id, id AS rep_doc_id, score AS rep_score,
+         |       CAST(csz AS BIGINT) AS cluster_size
+         |FROM (SELECT cluster_id, id, score,
+         |             row_number() OVER (PARTITION BY cluster_id
+         |                                ORDER BY score DESC, id) AS rn,
+         |             count(*) OVER (PARTITION BY cluster_id) AS csz
+         |      FROM sc) x
+         |WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      val corpus = docs.union(twins)
+      val pairs = Dedup.nearDupPairs(corpus, threshold = 0.7).select("id_a", "id_b")
+      Dedup.clusterRepresentatives(
+          Dedup.connectedComponents(pairs), corpus, length(col("text")))
+        .orderBy("cluster_id")
+    },
+
+    // ---- per-source vocabulary coverage: OOV rate against the corpus
+    //      top-1000 vocabulary (count-desc, token-asc boundary) — the
+    //      tokenizer-coverage check before committing to a vocab. ----
+    QueryDef(
+      "q124_vocab_coverage",
+      s"""WITH tk AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         |vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 1000)
+         |SELECT tk.source, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(floor(1000000 *
+         |            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |            / count(*)) AS BIGINT) AS oov_micro
+         |FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+         |GROUP BY tk.source
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), vocabSize = 1000)
+        .orderBy("source")
+    },
+
+    // ---- hard-negative mining for contrastive training: per query
+    //      vector, the top-10 most-similar corpus vectors with a
+    //      DIFFERENT label — same two-level top-k machinery as q29 with
+    //      the label predicate pushed before scoring. ----
+    QueryDef(
+      "q125_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding,
+         |                  label AS q_label
+         |           FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${cosineSql("q.q_embedding", "e.embedding")} AS sim
+         |  FROM embeddings e
+         |  JOIN q ON q.query_id <> e.vec_id AND e.label <> q.q_label)
+         |SELECT query_id, neighbor_id, sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sims) t
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+          col("label").as("q_label"))
+      Similarity.bruteForceTopK(emb, queries, k = 10,
+          keep = col("label") =!= col("q_label"))
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
     }
   )
 

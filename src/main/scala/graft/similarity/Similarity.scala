@@ -108,8 +108,14 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding",
+      keep: Column = lit(true)): DataFrame = {
+    // `keep` restricts candidate (corpus row, query row) pairs BEFORE
+    // scoring — e.g. hard-negative mining keeps only rows whose label
+    // differs from the query's. Applied pre-cosine so filtered pairs
+    // never pay the dot product.
     val joined = corpus.join(broadcast(queries), col("query_id") =!= col(idCol))
+      .filter(keep)
       .withColumn("sim", cosine(col("q_embedding"), col(embCol)))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     localTopK(joined.select(col("query_id"), col(idCol).as("neighbor_id"), col("sim")), k)

@@ -391,4 +391,35 @@ object TextAnalysis {
       .agg(sum("c_db").as("n_tokens"),
         sum(col("c_db") * col("dw")).as("logweight_micro"))
   }
+
+  /** Per-group vocabulary coverage: what fraction of each group's tokens
+    * fall OUTSIDE the corpus top-`vocabSize` vocabulary (count-desc,
+    * token-asc at the boundary, so the cut is deterministic on any
+    * engine) — the tokenizer-coverage / OOV-rate check run per source
+    * before committing to a vocabulary. Rate in integer micro-units
+    * (floor), so the per-group numbers hash-compare exactly.
+    *
+    * Scale shape: the token count table aggregates with map-side
+    * partials; the top-`vocabSize` cut is a bounded TakeOrdered (never a
+    * full sort of the open vocabulary); the vocab then BROADCASTS to a
+    * narrow membership probe — the corpus-sized token stream shuffles
+    * only for the final per-group agg.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      vocabSize: Int = 1000,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tk = docs.select(col(groupCol), explode(wsTokens(col(textCol))).as("tok"))
+    val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    tk.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro",
+        floor(lit(1000000) * col("n_oov").cast("double") / col("n_tokens"))
+          .cast("long"))
+  }
 }

@@ -236,4 +236,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-50 selection must plan as bounded top-k, not a full sort:\n$plan")
   }
+
+  test("q122 rewrite: chunk ownership is a min-agg, never a per-hash window sort") {
+    val plan = planOf("q122_dedup_rewrite")
+    assert(!plan.contains("Window"),
+      s"ownership must not sort hash-partitioned windows (hot boilerplate chunks):\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"min-owner agg must map-side combine:\n$plan")
+  }
+
+  test("q124 vocab coverage: bounded top-k vocab cut, membership probe broadcasts") {
+    val plan = planOf("q124_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the vocab cut must be bounded top-k, not a full vocabulary sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1000-row vocab must broadcast to the membership probe:\n$plan")
+  }
+
+  test("q125 hard negatives: two-level top-k with the label filter, no unbounded exchange") {
+    val plan = planOf("q125_hard_negatives")
+    assert(plan.contains("MapPartitions"),
+      s"map-side partial top-k missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 5-row query side must broadcast:\n$plan")
+  }
 }

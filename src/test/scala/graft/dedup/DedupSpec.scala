@@ -359,4 +359,42 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.duplicatedSpans(intra, l = 16).collect()
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 32L)))
   }
+
+  test("dedupRewrite: exact copies collapse to empty, partial overlap keeps the divergent tail") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"t$i")               // 3 chunks: 16+16+8
+    val docs = Seq(
+      0L -> base.mkString(" "),
+      1L -> base.mkString(" "),                          // exact dup of 0
+      2L -> (base.take(16) ++ (1 to 16).map(i => s"u$i")).mkString(" "), // shares chunk 0
+      3L -> "solo little doc"                            // unique sub-chunk doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupRewrite(docs, chunkTokens = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // first occurrence reconstructs byte-identically
+    assert(out(0L) == ((3L, 3L, base.mkString(" "))))
+    // the exact copy loses every chunk and rewrites to the empty string
+    assert(out(1L) == ((3L, 0L, "")))
+    // doc 2's first chunk is owned by doc 0; only its u-tail survives
+    assert(out(2L) == ((2L, 1L, (1 to 16).map(i => s"u$i").mkString(" "))))
+    assert(out(3L) == ((1L, 1L, "solo little doc")))
+    // global invariant: total kept chunks == distinct chunk count
+    val own = Dedup.chunkOwnership(docs, chunkTokens = 16)
+    assert(out.values.map(_._2).sum == own.select("h").distinct().count())
+  }
+
+  test("clusterRepresentatives: highest score wins, ties break to the smallest id") {
+    import spark.implicits._
+    val clusters = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L))
+      .toDF("id", "cluster")
+    val docs = Seq(
+      (10L, "short"), (11L, "the longest member"), (12L, "mid one"),
+      (20L, "same len"), (21L, "len same")).toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(clusters, docs, length(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(reps(1L) == ((11L, 18L, 3L)), "longest member must represent")
+    assert(reps(2L) == ((20L, 8L, 2L)), "equal scores break toward the smaller id")
+  }
 }

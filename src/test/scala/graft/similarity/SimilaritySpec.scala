@@ -207,4 +207,26 @@ class SimilaritySpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("vec_id", "cluster", "kept"))
   }
+
+  test("bruteForceTopK keep predicate: hard negatives never share the query's label") {
+    val labeled = emb.select($"vec_id", $"embedding", $"label")
+    val queries = labeled.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"),
+        $"label".as("q_label"))
+    val negs = Similarity.bruteForceTopK(labeled, queries, k = 5,
+      keep = col("label") =!= col("q_label"))
+    assert(negs.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // no returned neighbor may carry its query's label
+    val qLabels = queries.select("query_id", "q_label")
+    val shared = negs.join(qLabels, "query_id")
+      .join(labeled.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+      .filter($"label" === $"q_label")
+    assert(shared.count() == 0)
+    // the filtered ranking is the unfiltered ranking minus same-label rows:
+    // every hard negative scores <= the same query's unfiltered rank-1 sim
+    val best = Similarity.bruteForceTopK(labeled, queries, k = 1)
+      .select($"query_id", $"sim".as("best_sim"))
+    val worse = negs.join(best, "query_id").filter($"sim" > $"best_sim")
+    assert(worse.count() == 0)
+  }
 }

@@ -254,4 +254,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(1L) > score(4L) && score(2L) > score(4L) && score(4L) > score(3L),
       s"got $score")
   }
+
+  test("vocabCoverage: boundary cut is deterministic and OOV rates are exact") {
+    import spark.implicits._
+    // counts: x→4, y→3, a→2, b→2, c→1; vocabSize=3 cuts at count 2
+    // where 'a' beats 'b' alphabetically → vocab = {x, y, a}
+    val docs = Seq(
+      ("s1", "x x y a b"), ("s2", "x x y y a b c")).toDF("source", "text")
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") == ((5L, 1L, 200000L)), s"got $got")   // b OOV: 1/5
+    assert(got("s2") == ((7L, 2L, 285714L)), s"got $got")   // b,c OOV: 2/7
+    // everything in-vocab when the vocab covers the whole vocabulary
+    val full = TextAnalysis.vocabCoverage(docs, vocabSize = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full == Map("s1" -> 0L, "s2" -> 0L))
+  }
 }
