@@ -1586,7 +1586,7 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.dedupRewrite(docs.union(twins), chunkTokens = 16)
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- canonical-representative selection: near-dup clusters keep
     //      their longest member (ties → smallest id) — the "keep the

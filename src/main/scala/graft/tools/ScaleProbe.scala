@@ -275,6 +275,42 @@ object ScaleProbe {
     val e1 = timeCompact("1x", replicateEv(1))
     val en = timeCompact(s"${copies}x", replicateEv(copies))
     println(f"[scaleprobe] compaction time ratio=${en / e1}%.2f for ${copies}x events")
+
+    // SemDeDup scaling: k scales WITH the corpus (the paper's regime —
+    // constant mean cluster size), so Σ cluster² grows linearly and
+    // wall-clock must track the scan + the k-means rounds, never n².
+    def timeSem(label: String, corpus: DataFrame, k: Int): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.similarity.Similarity
+        .semDedup(corpus, k = k, iters = 2, threshold = 0.99)
+        .filter(!col("kept")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] semdedup-$label: dropped=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeSem("warmup-1x", replicateEmb(1), k = 16)
+    val s1 = timeSem("1x", replicateEmb(1), k = 16)
+    val sn = timeSem(s"${copies}x", replicateEmb(copies), k = 16 * copies)
+    println(f"[scaleprobe] semdedup time ratio=${sn / s1}%.2f for ${copies}x corpus " +
+      "(k grows with n: constant mean cluster size)")
+
+    // Dedup-REWRITE scaling: min-owner agg + hash join + per-doc
+    // re-assembly — three shuffles, all partial-agg or equi-join; the
+    // replicated corpus (zero cross-copy chunk overlap) must be linear.
+    def timeRewrite(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = Dedup.dedupRewrite(docs, chunkTokens = 16)
+        .agg(sum("n_kept")).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] rewrite-$label: kept=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeRewrite("warmup-1x", replicate(1))
+    val w1 = timeRewrite("1x", replicate(1))
+    val wn = timeRewrite(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] rewrite time ratio=${wn / w1}%.2f for ${copies}x data")
     spark.stop()
   }
 }
