@@ -82,6 +82,26 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("doc_id", "split_hash", "split"))
   }
 
+  test("rewrite / drift / DSIR / vocab / reps: empty and blank inputs degrade to empty outputs") {
+    val someDocs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.dedupRewrite(emptyDocs).count() == 0)
+    // blank docs have no chunks: they drop out rather than crash
+    assert(Dedup.dedupRewrite(docsDf(1L -> "", 2L -> "   ")).count() == 0)
+    val emptyClusters = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    assert(Dedup.clusterRepresentatives(
+      emptyClusters, someDocs, length(col("text"))).count() == 0)
+    val emptySrc = Seq.empty[(String, String)].toDF("source", "text")
+    assert(graft.textops.TextAnalysis.tokenDrift(emptySrc).count() == 0)
+    assert(graft.textops.TextAnalysis.vocabCoverage(emptySrc).count() == 0)
+    assert(graft.textops.TextAnalysis.dsirLogWeights(
+      emptyDocs, isTarget = lit(true)).count() == 0)
+    // an all-target or all-raw corpus is legal (weights still defined
+    // through the add-1 smoothing), not a divide-by-zero
+    val allTgt = graft.textops.TextAnalysis.dsirLogWeights(
+      someDocs, isTarget = lit(true))
+    assert(allTgt.count() == 1 && !allTgt.head.isNullAt(2))
+  }
+
   test("mapreduce: empty input glob yields empty output, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
     new java.io.File(s"$dir/empty.txt").createNewFile()
