@@ -276,9 +276,18 @@ object Similarity {
     * so the final assignment is a pure function of the data, replayable
     * on any engine (the q61 oracle unrolls both rounds in SQL).
     *
-    * Scale shape: centroids broadcast (k × dim floats); each round is one
-    * corpus scan + one k-sized aggregate. Empty clusters drop out, as in
-    * classic Lloyd.
+    * Scale shape: assignment is NARROW — the centroid table packs into a
+    * single cluster-ascending array row, broadcasts, and each corpus row
+    * computes its argmin with a higher-order fold in the scan projection.
+    * No per-row k-way expansion and no corpus-wide shuffle per round
+    * (the old shape cross-joined k centroid rows and ranked them with a
+    * row_number window PARTITIONed on the vector id — a full-corpus
+    * exchange every iteration, iters× the dominant cost at 100 TB). The
+    * only exchange per round is the k-sized centroid-update aggregate
+    * (map-side partial). The fold keeps the first strictly-smaller d2
+    * over the cluster-sorted array, so ties still break to the lowest
+    * cluster id and d2 stays the same sequential IEEE fold — bit-exact
+    * with the window form and the unrolled SQL oracles (q61/q119).
     */
   def kmeansLite(
       corpus: DataFrame,
@@ -289,12 +298,17 @@ object Similarity {
     val dim = corpus.select(size(col(embCol))).head(1)
       .headOption.map(_.getInt(0)).getOrElse(1) // empty corpus → empty result
     def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("cluster"))
-      corpus.join(broadcast(centroids), lit(true))
-        .withColumn("d2", l2sq(col(embCol), col("centroid")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col(embCol), col("cluster"))
+      val packed = centroids.agg(
+        sort_array(collect_list(struct(col("cluster"), col("centroid"))))
+          .as("cents"))
+      corpus.join(broadcast(packed), lit(true))
+        .withColumn("scored", transform(col("cents"), c =>
+          struct(l2sq(col(embCol), c.getField("centroid")).as("d2"),
+            c.getField("cluster").as("cluster"))))
+        .withColumn("best", aggregate(col("scored"),
+          struct(lit(Double.PositiveInfinity).as("d2"), lit(-1L).as("cluster")),
+          (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc)))
+        .select(col(idCol), col(embCol), col("best.cluster").as("cluster"))
     }
     var centroids = quantizedMeans(
         corpus.withColumn("cluster", ivfBucket(col(idCol), k)),

@@ -253,6 +253,12 @@ class PlanSpec extends SparkSpec {
       s"the 1000-row vocab must broadcast to the membership probe:\n$plan")
   }
 
+  test("q61 kmeans: assignment is a narrow broadcast-array argmin, no per-round window shuffle") {
+    val plan = planOf("q61_kmeans")
+    assert(!plan.contains("Window"),
+      s"k-means assignment must not rank a corpus-wide window per iteration:\n$plan")
+  }
+
   test("q125 hard negatives: two-level top-k with the label filter, no unbounded exchange") {
     val plan = planOf("q125_hard_negatives")
     assert(plan.contains("MapPartitions"),
