@@ -44,6 +44,13 @@ object Dedup {
     * rn == 1 rows are the kept chunks. One shuffle on the chunk hash;
     * the ownership window reuses that same partitioning. Output columns:
     * (idCol, ci, h, rn). q73's oracle replays this chunking exactly.
+    *
+    * Scale caveat: the per-hash window SORTS each hash's occurrences on
+    * one reducer — fine for ownership REPORTS, but a boilerplate chunk
+    * repeated across a billion documents lands on a single task. When
+    * only the kept/dropped verdict is needed (not ranks), use
+    * [[dedupRewrite]]'s min-owner aggregate shape instead: it map-side
+    * combines the hot hash to one row per partition.
     */
   def chunkOwnership(
       docs: DataFrame,

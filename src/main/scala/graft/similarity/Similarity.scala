@@ -259,14 +259,25 @@ object Similarity {
       queries, k, nprobe, idCol, embCol)
 
   /** Squared-L2 distance as a sequential double fold (bit-exact across
-    * engines, like [[dot]]).
+    * engines, like [[dot]]) — composed higher-order form, kept as the
+    * executable spec of the fold order.
     */
-  def l2sq(a: Column, b: Column): Column =
+  def l2sqComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0),
       (acc, x) => acc + x)
+
+  /** Native fused-loop squared-L2 (graft.functions.L2SquaredDistance):
+    * same sequential-double-fold semantics bit-for-bit (asserted in
+    * VectorExpressionsSpec), no zipped intermediate array — the k-means
+    * assignment evaluates this k times per row inside an interpreted
+    * `transform`, where the composed form's per-element lambda dispatch
+    * and allocation dominate the round.
+    */
+  def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.graftL2sq(a, b)
 
   /** Deterministic Lloyd's k-means over an embedding column: md5-bucket
     * means as init (the same reproducible seeding as IVF), then `iters`

@@ -60,4 +60,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(!got(0).isNullAt(0))
     assert(got(1).isNullAt(0), "null input must propagate null")
   }
+
+  test("native l2sq is BIT-exact with the composed reference form, incl. inside transform") {
+    val pairs = emb.filter($"vec_id" < 40).select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(emb.filter($"vec_id" >= 40 && $"vec_id" < 80)
+        .select($"vec_id".as("ib"), $"embedding".as("eb")))
+    val diff = pairs.select(
+        Similarity.l2sq($"ea", $"eb").as("native"),
+        Similarity.l2sqComposed($"ea", $"eb").as("composed"))
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(diff == 0, s"$diff pairs differ between native and composed l2sq")
+    // the k-means shape: evaluated per element of a higher-order transform
+    val arr = pairs.limit(50)
+      .select($"ea", array($"eb", $"ea").as("cents"))
+      .select(
+        transform($"cents", c => Similarity.l2sq($"ea", c)).as("n"),
+        transform($"cents", c => Similarity.l2sqComposed($"ea", c)).as("m"))
+      .filter($"n" =!= $"m").count()
+    assert(arr == 0, "native l2sq must agree with composed inside transform lambdas")
+    // self-distance is exactly zero; nulls propagate
+    val self = emb.limit(10)
+      .select(Similarity.l2sq($"embedding", $"embedding").as("d")).collect()
+    assert(self.forall(_.getDouble(0) == 0.0))
+    val nulls = Seq((None: Option[Array[Float]], Some(Array(1f, 2f))))
+      .toDF("a", "b")
+      .select(Similarity.l2sq($"a", $"b").as("d")).collect()
+    assert(nulls(0).isNullAt(0))
+  }
+
+  test("graft_l2sq is callable from SQL") {
+    emb.createOrReplaceTempView("emb_v2")
+    val r = spark.sql(
+      """SELECT graft_l2sq(a.embedding, a.embedding) AS d
+        |FROM emb_v2 a WHERE a.vec_id < 5""".stripMargin)
+      .collect().map(_.getDouble(0))
+    assert(r.length == 5 && r.forall(_ == 0.0))
+  }
 }
