@@ -206,6 +206,32 @@ object NearDupStream {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
   }
 
+  /** foreachBatch body: SEMANTIC decontamination — the embedding-space
+    * counterpart of [[decontaminateBatch]]. Drops every batch vector
+    * whose cosine to any eval embedding reaches `threshold` (via the
+    * skew-guarded hyperplane-LSH cross join,
+    * `Similarity.crossEmbeddingNearDups`), catching paraphrased eval
+    * items that share no n-grams with the eval text. Stateless across
+    * batches for the same reason as the n-gram form: the eval side is
+    * fixed, so a re-delivered batch overwrites its own dir with the
+    * same decision.
+    */
+  def decontaminateEmbeddingBatch(
+      evalSet: DataFrame,
+      outDir: String,
+      threshold: Double = 0.95,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxBucket: Int = DefaultMaxBucket)(batch: DataFrame, batchId: Long): Unit = {
+    val flagged = graft.similarity.Similarity.crossEmbeddingNearDups(
+        batch, evalSet, threshold, nPlanes, bands, idCol, embCol, maxBucket)
+      .select(col("id_a").as(idCol)).distinct()
+    batch.join(flagged, Seq(idCol), "left_anti")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Compact the store: merge all batch dirs strictly below `upTo` into
     * a single consolidated batch dir (named `batch=<maxMerged>`), so the
     * per-batch file count stops growing with stream lifetime — the

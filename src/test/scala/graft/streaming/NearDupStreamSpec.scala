@@ -223,4 +223,26 @@ class NearDupStreamSpec extends SparkSpec {
     run(Seq(doc(1, 100), doc(2, 200)).toDF(), 0)
     assert(keptIn(out, 0) == Seq(2L), "re-delivered batch must be idempotent")
   }
+
+  test("decontaminateEmbeddingBatch drops semantic twins of eval vectors; replay idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("edecon-out").toString
+    // deterministic 8-dim unit-ish vectors: basis(i) one-hot; twin(i) a
+    // scaled+nudged copy (cosine ≈ 0.999); cross-basis cosine = 0
+    def basis(id: Long, axis: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(8)(j => if (j == axis) 1f else 0f))
+    def twin(id: Long, axis: Int): (Long, Array[Float]) =
+      (id, Array.tabulate(8)(j => if (j == axis) 1.02f else 0.01f))
+    def keptVecs(batch: Long): Seq[Long] =
+      spark.read.parquet(s"$out/batch=$batch").select("vec_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val evalSet = Seq(basis(9000L, 0)).toDF("vec_id", "embedding")
+    val run = NearDupStream.decontaminateEmbeddingBatch(evalSet, out) _
+    run(Seq(twin(1L, 0), basis(2L, 3)).toDF("vec_id", "embedding"), 0)
+    assert(keptVecs(0) == Seq(2L), "semantic twin of an eval vector must drop")
+    run(Seq(basis(3L, 0), basis(4L, 5)).toDF("vec_id", "embedding"), 1)
+    assert(keptVecs(1) == Seq(4L), "exact eval-direction vector must drop")
+    // re-delivery: stateless, identical decision, overwrite
+    run(Seq(twin(1L, 0), basis(2L, 3)).toDF("vec_id", "embedding"), 0)
+    assert(keptVecs(0) == Seq(2L), "re-delivered batch must be idempotent")
+  }
 }
