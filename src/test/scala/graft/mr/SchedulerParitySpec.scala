@@ -7,6 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.scalatest.Retries
+import org.scalatest.tagobjects.Retryable
 
 /** The reference's scheduler-semantics probes (jobcount / mtiming /
   * rtiming / early_exit — SURVEY.md §2.2) reinterpreted as assertions on
@@ -17,8 +19,18 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkLis
   *    concurrent workers),
   *  - output is atomically committed — no partial files, _SUCCESS marker
   *    (early_exit contract).
+  *
+  * The probes assert on real scheduler timing (concurrency peaks,
+  * speculative launches against live subprocess workers), which a loaded
+  * host can perturb — those tests are tagged Retryable and re-run once
+  * before failing the suite, the same allowance the reference harness
+  * gives its timing tests via test-mr-many.sh trials.
   */
-class SchedulerParitySpec extends SparkSpec {
+class SchedulerParitySpec extends SparkSpec with Retries {
+
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    if (isRetryable(test)) withRetry { super.withFixture(test) }
+    else super.withFixture(test)
 
   /** Poll until the listener bus has delivered what we expect (bounded). */
   private def awaitListener(done: => Boolean, timeoutMs: Long = 10000): Unit = {
@@ -66,7 +78,7 @@ class SchedulerParitySpec extends SparkSpec {
       }
   }
 
-  test("jobcount parity: 8 input files -> exactly 8 map tasks, no re-execution") {
+  test("jobcount parity: 8 input files -> exactly 8 map tasks, no re-execution", Retryable) {
     val probe = new TaskProbe("graft-jobcount")
     spark.sparkContext.addSparkListener(probe)
     spark.sparkContext.setJobGroup("graft-jobcount", "scheduler parity probe")
@@ -91,7 +103,7 @@ class SchedulerParitySpec extends SparkSpec {
     }
   }
 
-  test("mtiming parity: map tasks run with >=2-way concurrency") {
+  test("mtiming parity: map tasks run with >=2-way concurrency", Retryable) {
     val probe = new TaskProbe("graft-mtiming")
     spark.sparkContext.addSparkListener(probe)
     spark.sparkContext.setJobGroup("graft-mtiming", "scheduler parity probe")
@@ -109,7 +121,7 @@ class SchedulerParitySpec extends SparkSpec {
     }
   }
 
-  test("rtiming parity: reduce-stage tasks run with >=2-way concurrency") {
+  test("rtiming parity: reduce-stage tasks run with >=2-way concurrency", Retryable) {
     // reference src/mrapps/rtiming.go:62-84 holds reduce workers open and
     // asserts they overlap; here the post-shuffle stage sleeps per task
     // and the probe reads that stage's peak concurrency.
@@ -161,7 +173,7 @@ class SchedulerParitySpec extends SparkSpec {
       "retried run diverged from golden output")
   }
 
-  test("speculation parity: a straggler's backup attempt yields golden output, no duplicates") {
+  test("speculation parity: a straggler's backup attempt yields golden output, no duplicates", Retryable) {
     // reference src/mr/coordinator.go:158-186: any task in flight > 10 s
     // is re-issued to another worker; whichever attempt finishes first
     // wins and the output must be unchanged. Spark's analog is
