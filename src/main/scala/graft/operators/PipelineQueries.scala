@@ -1670,6 +1670,83 @@ object PipelineQueries {
           keep = col("label") =!= col("q_label"))
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
+    },
+
+    // ---- BM25 ranked retrieval over the corpus (Lucene-default idf
+    //      form). Per-term contributions quantize to integer micro-units
+    //      before the per-doc sum (q62/q105 pattern); the oracle replays
+    //      the identical double expression trees, so the score
+    //      hash-matches. Scale: the token stream filters to the query
+    //      terms BEFORE its only shuffle; N/avgdl/df are broadcasts; the
+    //      top-k cut is a bounded TakeOrdered on the exact integer
+    //      score. ----
+    QueryDef(
+      "q127_bm25",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (
+         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |  FROM t WHERE term IN ('join', 'vector', 'slow')
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total_dl
+         |       FROM tk),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(1000000.0
+         |           * ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |           * (tf.tf * (1.2 + 1.0)
+         |              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+         |                   / (CAST(st.total_dl AS DOUBLE) / st.n))))) AS BIGINT)
+         |           AS c_q
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         |top AS (
+         |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS score_q
+         |  FROM sc GROUP BY doc_id
+         |  ORDER BY score_q DESC, doc_id LIMIT 20)
+         |SELECT doc_id, round(CAST(score_q AS DOUBLE) / 1000000, 4) AS score
+         |FROM top ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.bm25(Tables.documents(s, dir),
+        queryTerms = Seq("join", "vector", "slow"), k = 20)
+    },
+
+    // ---- per-label embedding-centroid drift: cosine between each
+    //      label's mean embedding and the corpus mean — the
+    //      embedding-space analog of q120's lexical drift monitor.
+    //      Micro-quantized per-element sums make the centroids exact
+    //      integers; only the final cosine divides in floating point.
+    //      Scale: one (group × dim)-grain partial+final sum; the global
+    //      centroid (dims rows) broadcasts. ----
+    QueryDef(
+      "q128_embedding_drift",
+      """WITH ex AS (
+        |  SELECT label, i AS pos,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS xq
+        |  FROM (SELECT label, embedding,
+        |               unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |gm AS (
+        |  SELECT label, pos, count(*) AS c,
+        |         CAST(round(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*))
+        |              AS BIGINT) AS m
+        |  FROM ex GROUP BY label, pos),
+        |gl AS (
+        |  SELECT pos,
+        |         CAST(round(CAST(CAST(sum(xq) AS BIGINT) AS DOUBLE) / count(*))
+        |              AS BIGINT) AS mg
+        |  FROM ex GROUP BY pos)
+        |SELECT label, max(c) AS n_vecs,
+        |       round(CAST(CAST(sum(m * mg) AS BIGINT) AS DOUBLE)
+        |             / (sqrt(CAST(CAST(sum(m * m) AS BIGINT) AS DOUBLE))
+        |                * sqrt(CAST(CAST(sum(mg * mg) AS BIGINT) AS DOUBLE))), 6)
+        |         AS drift_cos
+        |FROM gm JOIN gl USING (pos)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (s, dir) =>
+      Similarity.centroidDrift(Tables.embeddings(s, dir))
+        .orderBy("label")
     }
   )
 

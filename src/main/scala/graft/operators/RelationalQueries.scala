@@ -781,6 +781,44 @@ object RelationalQueries {
         .groupBy("event_id")
         .agg(count(col("b_event_id")).as("n_following"))
         .orderBy("event_id")
+    },
+
+    // ---- interval × interval overlap join WITHOUT an equi key: click
+    //      activity windows (2 h) × view windows (1 h). The naive plan
+    //      is |A|·|B| nested-loop comparisons; Temporal.
+    //      overlapJoinBucketed explodes each interval over its 1 h time
+    //      buckets and equi-joins on the bucket (Σ bucket² cost, the
+    //      temporal LSH-band trick), keeping each pair exactly once at
+    //      the bucket containing the overlap start. Oracle replays the
+    //      quadratic overlap join directly — the bucketed plan must
+    //      reproduce it bit-for-bit. PlanSpec asserts no
+    //      BroadcastNestedLoopJoin/CartesianProduct survives. ----
+    QueryDef(
+      "q126_interval_overlap",
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+        |         epoch_us(ts) + 7200000000 AS a_e
+        |  FROM events WHERE event_type = 'click' AND user_id < 40),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+        |         epoch_us(ts) + 3600000000 AS b_e
+        |  FROM events WHERE event_type = 'view' AND user_id < 40)
+        |SELECT a_id, b_id FROM a JOIN b
+        |  ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // raw nanos → micros via integer div, matching epoch_us truncation
+      val ev = Tables.events(s, dir).filter(col("user_id") < 40)
+        .withColumn("us", expr("ts div 1000"))
+      val a = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("a_id"), col("us").as("a_s"),
+          (col("us") + lit(7200000000L)).as("a_e"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("b_id"), col("us").as("b_s"),
+          (col("us") + lit(3600000000L)).as("b_e"))
+      Temporal.overlapJoinBucketed(a, b, "a_s", "a_e", "b_s", "b_e",
+          bucketWidth = 3600000000L)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
     }
   )
 }

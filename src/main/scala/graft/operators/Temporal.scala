@@ -50,4 +50,59 @@ object Temporal {
       .filter(col("_side") === 1)
       .drop("_side")
   }
+
+  /** Interval × interval OVERLAP join with no equi key, bucketized.
+    *
+    * The naive plan for `a.s <= b.e AND b.s <= a.e` is a
+    * BroadcastNestedLoopJoin — |A|·|B| comparisons, a scale-killer the
+    * moment neither side broadcasts. This maps each interval to the
+    * fixed-width time buckets it covers (explode over
+    * `floor(s/W) .. floor(e/W)`), equi-joins on the bucket, and verifies
+    * the exact overlap predicate on the survivors — the temporal analog
+    * of the LSH band trick: cost is Σ_bucket |A_b|·|B_b|, never |A|·|B|.
+    *
+    * Each overlapping pair shares at least the bucket containing the
+    * overlap's start (`max(a.s, b.s)`), and ONLY that copy is kept
+    * (`_bk == floor(greatest(s)/W)`), so the join emits every pair
+    * exactly once with no distinct pass.
+    *
+    * Endpoints are inclusive (closed intervals, the DuckDB/SQL overlap
+    * convention). Bounds are integral (epoch micros/millis — caller's
+    * unit, `bucketWidth` in the same unit). Fan-out per row is
+    * `span/W + 1` buckets — pick W near the typical interval length so
+    * long intervals don't explode into many buckets and short ones
+    * don't crowd into few. Skew: a bucket holding m_A × m_B intervals
+    * costs m_A·m_B; intervals are bounded-duration in any real event
+    * pipeline, so per-bucket membership is arrival-rate-bounded (unlike
+    * content LSH there is no degenerate "all keys equal" corpus shape —
+    * time always advances).
+    *
+    * `a` and `b` must have disjoint column names (rename before
+    * calling); all columns of both survive.
+    */
+  def overlapJoinBucketed(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String,
+      aEnd: String,
+      bStart: String,
+      bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty, s"a/b column names must be disjoint, both have: $shared")
+    // SQL `div` (exact integer division), NOT `/` + floor: `/` is double
+    // division, and at epoch-micro magnitudes the rounded quotient can
+    // floor into the wrong bucket at exact boundaries.
+    def bdiv(c: String): Column = expr(s"`$c` div ${bucketWidth}L")
+    def bucketed(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bk", explode(sequence(bdiv(s), bdiv(e))))
+    val joined = bucketed(a, aStart, aEnd)
+      .join(bucketed(b, bStart, bEnd).withColumnRenamed("_bk", "_bkb"),
+        col("_bk") === col("_bkb"))
+    joined
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd))
+      .filter(expr(s"greatest(`$aStart`, `$bStart`) div ${bucketWidth}L") === col("_bk"))
+      .drop("_bk", "_bkb")
+  }
 }

@@ -551,4 +551,51 @@ object Similarity {
       maxBucket: Int = 1000): DataFrame =
     graft.dedup.Dedup.bucketOccupancyStats(
       hyperplaneBuckets(corpus, nPlanes, bands, idCol, embCol), maxBucket)
+
+  /** Per-group semantic centroid drift: cosine between each group's mean
+    * embedding and the whole-corpus mean — the embedding-space analog of
+    * `TextAnalysis.tokenDrift` (which watches the LEXICAL mixture). A
+    * group whose centroid swings away from the corpus centroid signals a
+    * source whose content distribution is drifting — the monitor a
+    * training-mix pipeline alarms on.
+    *
+    * Exactness: per-element values quantize to integer micro-units
+    * BEFORE any sum (the k-means/IVF pattern), so the per-dimension sums
+    * are order-independent BIGINTs; the centroid dot/norms are then
+    * exact integer products summed over the (dims-bounded) dimension
+    * axis, and only the final cosine division is floating point —
+    * bit-reproducible at any partitioning.
+    *
+    * Scale shape: the only corpus-sized shuffle is the per-(group, dim)
+    * partial+final sum — map-side combine reduces it to
+    * parts × groups × dims rows; the global centroid (dims rows)
+    * BROADCASTS into the group-grain join; everything after is
+    * groups × dims sized.
+    */
+  def centroidDrift(
+      vecs: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val ex = vecs.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xq", round(col("x").cast("double") * 1000000).cast("long"))
+    def mean(df: DataFrame, keys: String*): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum("xq").as("sq"), count(lit(1)).as("c"))
+        .withColumn("m",
+          round(col("sq").cast("double") / col("c")).cast("long"))
+    val byGroup = mean(ex, groupCol, "pos")
+    val global = mean(ex, "pos")
+      .select(col("pos"), col("m").as("mg"))
+    byGroup.join(broadcast(global), "pos")
+      .groupBy(groupCol)
+      .agg(max(col("c")).as("n_vecs"),
+        sum(col("m") * col("mg")).as("dot"),
+        sum(col("m") * col("m")).as("nl"),
+        sum(col("mg") * col("mg")).as("ng"))
+      .select(col(groupCol), col("n_vecs"),
+        round(col("dot").cast("double") /
+          (sqrt(col("nl").cast("double")) * sqrt(col("ng").cast("double"))), 6)
+          .as("drift_cos"))
+  }
 }

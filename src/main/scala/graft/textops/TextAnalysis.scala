@@ -422,4 +422,67 @@ object TextAnalysis {
         floor(lit(1000000) * col("n_oov").cast("double") / col("n_tokens"))
           .cast("long"))
   }
+
+  /** BM25 ranked retrieval: score every document against a fixed query
+    * term set and return the top `k` (Robertson/Spärck Jones; the
+    * Lucene-default `ln(1 + (N-df+0.5)/(df+0.5))` idf form, which stays
+    * positive for df > N/2 terms where the classic form goes negative).
+    *
+    * Per-term contributions are quantized to integer micro-units BEFORE
+    * the per-doc sum (the q62/q105 pattern), so the score is independent
+    * of partition/merge order and hash-matches the oracle.
+    *
+    * Scale shape: doc length is computed NARROWLY (`size(tokens)` — no
+    * shuffle, carried through the tf aggregate via `first`); the token
+    * stream is filtered to the query terms BEFORE its only shuffle, so
+    * the tf aggregate's input is |queryTerms|-bounded per doc, not
+    * corpus-token-sized; corpus stats (N, avgdl) and the per-term df
+    * table are 1-row/|queryTerms|-row broadcasts; the final top-k plans
+    * as a bounded TakeOrdered, never a full sort.
+    */
+  def bm25(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = docs.select(col(idCol),
+        size(wsTokens(col(textCol))).as("dl"),
+        explode(wsTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = toks.groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(wsTokens(col(textCol)))).as("total_dl"))
+    // identical double expression trees on both engines (left-assoc):
+    // idf = ln(1 + (n - df + 0.5) / (df + 0.5))
+    // tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // (k1 + 1) stays a symbolic double ADD (not a pre-folded Scala
+      // constant): the oracle spells `(1.2 + 1.0)` too, so both engines
+      // produce the identical double — a folded 2.2 literal can differ
+      // from the runtime sum by 1 ulp and flip the hash.
+      .withColumn("tfn",
+        col("tf") * (lit(k1) + lit(1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c_q", round(lit(1000000.0) * col("idf") * col("tfn")).cast("long"))
+    // cut on the exact integer score (deterministic ties), then re-sort
+    // the k survivors on the rounded display score for a stable output
+    scored.groupBy(idCol)
+      .agg(sum("c_q").as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("score_q").cast("double") / 1000000, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
 }

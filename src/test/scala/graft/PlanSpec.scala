@@ -266,4 +266,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"the 5-row query side must broadcast:\n$plan")
   }
+
+  test("q126 interval overlap: bucket equi-join, never a nested-loop/cartesian product") {
+    // the whole point of overlapJoinBucketed is avoiding |A|·|B|
+    // comparisons — a BroadcastNestedLoopJoin or CartesianProduct means
+    // the range predicate reached the join planner un-bucketized
+    val plan = planOf("q126_interval_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join degenerated to a product:\n$plan")
+  }
+
+  test("q127 BM25: query-term stats broadcast; top-k is bounded, not a full sort") {
+    val plan = planOf("q127_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |queryTerms|-row df table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as bounded top-k:\n$plan")
+    // the corpus-token aggregate map-side combines
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"tf aggregate must partial+final:\n$plan")
+  }
+
+  test("q128 embedding drift: per-dim sums partial+final; global centroid broadcasts") {
+    val plan = planOf("q128_embedding_drift")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dims-row global centroid must broadcast:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"(group, dim) sums must map-side combine:\n$plan")
+  }
 }

@@ -46,4 +46,53 @@ class TemporalSpec extends SparkSpec {
       Seq("order_price")).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
   }
+
+  // --- overlapJoinBucketed -------------------------------------------
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlapJoinBucketed == brute-force overlap join on randomized intervals") {
+    val rnd = new scala.util.Random(7)
+    // durations straddle the bucket width (50): some intervals cover one
+    // bucket, some several — exercises both the explode and the dedup
+    val as = (1L to 120L).map(i => (i, rnd.nextInt(1000).toLong))
+      .map { case (i, s) => (i, s, s + rnd.nextInt(140)) }
+    val bs = (1001L to 1120L).map(i => (i, rnd.nextInt(1000).toLong))
+      .map { case (i, s) => (i, s, s + rnd.nextInt(140)) }
+    val a = as.toDF("a_id", "a_s", "a_e")
+    val b = bs.toDF("b_id", "b_s", "b_e")
+    val got = pairsOf(Temporal.overlapJoinBucketed(
+      a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 50))
+    val want = (for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ai, bi)).toSet
+    assert(want.nonEmpty, "degenerate fixture: no overlaps planted")
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+  }
+
+  test("overlapJoinBucketed: multi-bucket pairs emit exactly once, endpoints closed") {
+    // both intervals span many buckets and overlap in several — the
+    // overlap-start-bucket rule must keep exactly one copy
+    val a = Seq((1L, 100L, 400L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((2L, 350L, 900L), // overlaps [350,400]
+                (3L, 400L, 500L), // touches at exactly a_e=400 (closed)
+                (4L, 401L, 500L)) // disjoint by 1 unit
+      .toDF("b_id", "b_s", "b_e")
+    val got = Temporal.overlapJoinBucketed(
+      a, b, "a_s", "a_e", "b_s", "b_e", bucketWidth = 10)
+    assert(got.count() == got.select("a_id", "b_id").distinct().count(),
+      "a pair surfaced from more than one bucket")
+    assert(pairsOf(got) == Set((1L, 2L), (1L, 3L)),
+      "closed-endpoint overlap set wrong")
+  }
+
+  test("overlapJoinBucketed rejects colliding column names") {
+    val a = Seq((1L, 1L, 2L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      Temporal.overlapJoinBucketed(a, a, "s", "e", "s", "e", 10)
+    }
+  }
 }

@@ -229,4 +229,24 @@ class SimilaritySpec extends SparkSpec {
     val worse = negs.join(best, "query_id").filter($"sim" > $"best_sim")
     assert(worse.count() == 0)
   }
+
+  test("centroidDrift: aligned group ≈ 1, orthogonal group ≈ 0, partition-invariant") {
+    // group 0: 3 vectors along +x (and so is the corpus mean direction);
+    // group 1: vectors along +y whose mean is orthogonal-ish to global
+    val rows = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (0, Array(0.9f, 0f, 0f, 0f)), (0, Array(1.1f, 0f, 0f, 0f)),
+      (0, Array(1f, 0f, 0f, 0f)), (0, Array(1f, 0f, 0f, 0f)), (0, Array(1f, 0f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)), (1, Array(0f, 0.8f, 0f, 0f)))
+    val df = rows.toDF("label", "embedding")
+    val got = Similarity.centroidDrift(df)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0)._1 == 6L && got(1)._1 == 2L, s"group sizes wrong: $got")
+    // global mean ≈ (0.75, 0.225, 0, 0): group 0 stays close, group 1 far
+    assert(got(0)._2 > 0.9, s"aligned group should be near 1: $got")
+    assert(got(1)._2 < 0.4, s"orthogonal group should be near 0: $got")
+    // exact integer basis ⇒ bit-identical at any partitioning
+    val repart = Similarity.centroidDrift(df.repartition(7))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(repart == got.view.mapValues(_._2).toMap, "drift must be partition-invariant")
+  }
 }

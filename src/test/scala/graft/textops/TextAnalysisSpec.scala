@@ -271,4 +271,39 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(full == Map("s1" -> 0L, "s2" -> 0L))
   }
+
+  test("bm25: term-stuffed doc ranks first, rare terms outweigh common, absent docs drop") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),          // stuffed with the rare query term
+      (2L, "cat filler filler filler"), // one rare-term hit
+      (3L, "dog filler filler filler"), // one common-term hit
+      (4L, "dog dog filler filler"),    // two common-term hits
+      (5L, "filler filler filler"),     // no query terms at all
+      (6L, "dog filler"), (7L, "dog x"), (8L, "dog y"), (9L, "dog z"))
+      .toDF("doc_id", "text")
+    // 'cat' df=2 (rare), 'dog' df=7 (common)
+    val got = TextAnalysis.bm25(docs, Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val rank = got.map(_._1).toSeq
+    val score = got.toMap
+    assert(!score.contains(5L), "doc without any query term must not score")
+    assert(rank.head == 1L, s"stuffed doc must rank first, got $rank")
+    assert(score(2L) > score(3L),
+      "a rare-term hit must outscore a common-term hit (idf ordering)")
+    assert(score.values.forall(_ > 0), "Lucene idf form stays positive for common terms")
+    // scores are monotone with the returned order
+    assert(rank.map(score) == rank.map(score).sorted(Ordering[Double].reverse))
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val docs = Seq(
+      (1L, "cat a b c"),
+      (2L, "cat a b c d e f g h i j k l m n o p"),
+      (3L, "pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val score = TextAnalysis.bm25(docs, Seq("cat"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(1L) > score(2L),
+      "equal tf must favor the shorter document (b-normalization)")
+  }
 }
