@@ -1682,34 +1682,85 @@ object PipelineQueries {
     //      score. ----
     QueryDef(
       "q127_bm25",
-      s"""WITH tk AS (
-         |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |t AS (
-         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
-         |tf AS (
-         |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-         |  FROM t WHERE term IN ('join', 'vector', 'slow')
-         |  GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total_dl
-         |       FROM tk),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |         CAST(round(1000000.0
-         |           * ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
-         |           * (tf.tf * (1.2 + 1.0)
-         |              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
-         |                   / (CAST(st.total_dl AS DOUBLE) / st.n))))) AS BIGINT)
-         |           AS c_q
-         |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
-         |top AS (
-         |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS score_q
-         |  FROM sc GROUP BY doc_id
-         |  ORDER BY score_q DESC, doc_id LIMIT 20)
+      s"""WITH ${bm25TopCtes(20)}
          |SELECT doc_id, round(CAST(score_q AS DOUBLE) / 1000000, 4) AS score
          |FROM top ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.bm25(Tables.documents(s, dir),
         queryTerms = Seq("join", "vector", "slow"), k = 20)
+    },
+
+    // ---- reciprocal-rank fusion (Cormack SIGIR'09): BM25 relevance ×
+    //      a length prior fused by Σ 1/(60+rank) — hybrid retrieval
+    //      without score calibration (only RANKS cross lists). Both
+    //      input rankings are top-50 bounded before fusion; the oracle
+    //      replays both rankers and the fusion sum exactly. ----
+    QueryDef(
+      "q129_rrf_fusion",
+      s"""WITH ${bm25TopCtes(50)},
+         |ra AS (
+         |  SELECT doc_id, row_number() OVER (
+         |           ORDER BY round(CAST(score_q AS DOUBLE) / 1000000, 4) DESC,
+         |                    doc_id) AS rank
+         |  FROM top),
+         |rb AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |             ORDER BY n_chars DESC, doc_id) AS rank
+         |    FROM documents) t
+         |  WHERE rank <= 50),
+         |u AS (
+         |  SELECT doc_id,
+         |         CAST(round(1000000.0 / (60.0 + rank)) AS BIGINT) AS c_q
+         |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)),
+         |fused AS (
+         |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS rrf_q,
+         |         count(*) AS n_lists
+         |  FROM u GROUP BY doc_id
+         |  ORDER BY rrf_q DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_lists,
+         |       round(CAST(rrf_q AS DOUBLE) / 1000000, 4) AS rrf
+         |FROM fused ORDER BY rrf DESC, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val bmRank = TextAnalysis.bm25(docs,
+          queryTerms = Seq("join", "vector", "slow"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      // length prior: longest docs first — a 50-row bounded ranking
+      // (orderBy+limit plans as TakeOrdered; the window then ranks only
+      // the 50 survivors, not the corpus)
+      val lenRank = docs.select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select("doc_id", "rank")
+      TextAnalysis.rrfFuse(Seq(bmRank, lenRank), k = 60, topK = 20)
+    },
+
+    // ---- one-pass ANALYZE-style table profile: null counts + exact
+    //      NDV for five lineitem columns in a SINGLE scan (Catalyst
+    //      plans multi-distinct via Expand — 5× row multiplication at
+    //      the agg, but the 100 TB fact table is read ONCE; the approx
+    //      path for wide profiles is q50's HLL contract). ----
+    QueryDef(
+      "q130_table_profile",
+      profileOracleSql(Seq(
+        "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount"))) {
+      (s, dir) =>
+        val cols = Seq(
+          "l_returnflag", "l_linestatus", "l_shipdate", "l_quantity", "l_discount")
+        val li = Tables.lineitem(s, dir)
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"))) :+ count(lit(1)).as("n_rows")
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c =>
+          s"'$c', nulls_$c, ndv_$c").mkString(", ")
+        one.select(expr(
+            s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, ndv)"),
+            col("n_rows"))
+          .orderBy("col_name")
     },
 
     // ---- per-label embedding-centroid drift: cosine between each
@@ -1749,6 +1800,53 @@ object PipelineQueries {
         .orderBy("label")
     }
   )
+
+  /** BM25 CTE chain (tk…top) shared by q127 and q129's fusion input so
+    * the scoring SQL cannot drift between them. `top` holds the
+    * `limit`-bounded (doc_id, score_q) ranking for query terms
+    * ('join','vector','slow'), k1=1.2, b=0.75 — expression trees mirror
+    * TextAnalysis.bm25 exactly (incl. the symbolic `(1.2 + 1.0)` add;
+    * see the bm25 scaladoc on ulp-safe literals).
+    * (def, not val: `defs` above initializes first.)
+    */
+  private def bm25TopCtes(limit: Int): String =
+    s"""tk AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tk),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+       |  FROM t WHERE term IN ('join', 'vector', 'slow')
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(toks)) AS BIGINT) AS total_dl
+       |       FROM tk),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         CAST(round(1000000.0
+       |           * ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+       |           * (tf.tf * (1.2 + 1.0)
+       |              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+       |                   / (CAST(st.total_dl AS DOUBLE) / st.n))))) AS BIGINT)
+       |           AS c_q
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+       |top AS (
+       |  SELECT doc_id, CAST(sum(c_q) AS BIGINT) AS score_q
+       |  FROM sc GROUP BY doc_id
+       |  ORDER BY score_q DESC, doc_id LIMIT $limit)""".stripMargin
+
+  /** q130's oracle: per-column null count + exact NDV over lineitem,
+    * one SELECT per column UNION ALLed (DuckDB side; the Spark side does
+    * it in ONE scan via Expand). (def, not val: `defs` initializes first.)
+    */
+  private def profileOracleSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |       count(*) AS n_rows
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
 
   /** q58's oracle and gram builders, shared with q72's bloom-prefilter
     * variant (AnalyticsQueries) so the "q72 == q58" equality spec always

@@ -485,4 +485,39 @@ object TextAnalysis {
         round(col("score_q").cast("double") / 1000000, 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge N ranked
+    * lists of the same id space into one ranking by
+    * `Σ_lists 1/(k + rank)` — the standard way to combine heterogeneous
+    * retrievers (BM25 × embedding ANN × quality priors) without score
+    * calibration, since only RANKS cross lists.
+    *
+    * Contributions quantize to integer micro-units before the per-id
+    * sum (order-independent); ties cut deterministically on
+    * (fused score, id).
+    *
+    * Scale shape: input rankings are top-N bounded by construction
+    * (each retriever already cut to its k), so the union + partial+final
+    * sum moves ≤ Σ|lists| rows; the final cut is a bounded TakeOrdered.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int = 60,
+      topK: Int = 20,
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contributions = rankings
+      .map(_.select(col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+      .withColumn("c_q",
+        round(lit(1000000.0) / (lit(k.toDouble) + col(rankCol))).cast("long"))
+    contributions.groupBy(idCol)
+      .agg(sum("c_q").as("rrf_q"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_q").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("n_lists"),
+        round(col("rrf_q").cast("double") / 1000000, 4).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+  }
 }

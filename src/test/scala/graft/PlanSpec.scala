@@ -294,4 +294,24 @@ class PlanSpec extends SparkSpec {
     val nAggs = "HashAggregate".r.findAllIn(plan).length
     assert(nAggs >= 2, s"(group, dim) sums must map-side combine:\n$plan")
   }
+
+  test("q129 RRF fusion: input rankings stay top-k bounded (TakeOrdered, no corpus window)") {
+    val plan = planOf("q129_rrf_fusion")
+    // the length-prior ranking must cut to 50 rows BEFORE its
+    // row_number window — a window without a preceding TakeOrdered
+    // would sort the whole corpus in one partition
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ranking inputs must be bounded top-k cuts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"fusion must be a union+agg, never a product:\n$plan")
+  }
+
+  test("q130 table profile: ONE scan feeds the multi-distinct profile (Expand, no rescan)") {
+    val plan = planOf("q130_table_profile")
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1,
+      s"profile must read the fact table once, found $nScans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan via Expand (one-pass profile):\n$plan")
+  }
 }

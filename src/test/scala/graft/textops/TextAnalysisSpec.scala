@@ -306,4 +306,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(score(1L) > score(2L),
       "equal tf must favor the shorter document (b-normalization)")
   }
+
+  test("rrfFuse: consensus docs beat single-list docs; exact RRF values") {
+    val listA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val listB = Seq((2L, 1), (4L, 2), (1L, 3)).toDF("doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(listA, listB), k = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = got.map(g => g._1 -> g).toMap
+    // docs 1 and 2 appear in both lists, 3 and 4 in one each
+    assert(byId(1L)._2 == 2 && byId(2L)._2 == 2)
+    assert(byId(3L)._2 == 1 && byId(4L)._2 == 1)
+    assert(got.take(2).map(_._1).toSet == Set(1L, 2L),
+      s"consensus docs must lead: ${got.toSeq}")
+    // exact quantized arithmetic (micro-units, then 4-dp display round)
+    def rrf4(ranks: Long*): Double =
+      BigDecimal(ranks.map(r => math.round(1e6 / (60 + r))).sum / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(1L)._3 == rrf4(1, 3), s"doc1: ${byId(1L)}")
+    assert(byId(2L)._3 == rrf4(2, 1), s"doc2: ${byId(2L)}")
+    // doc2's ranks (2,1) sum higher than doc1's (1,3) → doc2 leads
+    assert(got.head._1 == 2L)
+  }
 }
