@@ -798,4 +798,91 @@ object Dedup {
         col("m.score").as("rep_score"),
         col("cluster_size"))
   }
+
+  /** Per-document memorization-risk score (the Lee et al. 2107.06499 /
+    * Carlini 2202.07646 observation: verbatim text repeated ≥ `minCount`
+    * times corpus-wide is what models memorize first): the fraction, in
+    * exact ppm, of a document's stride-1 `l`-token windows whose window
+    * hash occurs at least `minCount` times in the corpus. Documents
+    * shorter than `l` tokens have no windows and score 0.
+    *
+    * Shares [[duplicatedSpans]]'s window machinery but returns the
+    * per-document RATE (the filter/priority signal) rather than span
+    * offsets (the surgery input).
+    *
+    * Scale shape: windows are token-grain but the count aggregate
+    * map-side combines on the window hash (hot boilerplate windows
+    * never ship their occurrences), the count table joins back on the
+    * same hash key (one shuffle each side), and the per-doc rollup is a
+    * partial+final agg — no window functions, nothing quadratic.
+    */
+  def memorizationRisk(
+      docs: DataFrame,
+      l: Int = 16,
+      minCount: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      TextAnalysis.wsTokens(col("text")).as("toks"))
+    val wins = base
+      .filter(size(col("toks")) >= l)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - l),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(l)))))).as("g"))
+    val counts = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val perDoc = wins.join(counts, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("dup_windows"))
+    base.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+      .withColumn("risk_ppm",
+        when(col("n_windows") === 0, lit(0L))
+          .otherwise(expr("1000000 * dup_windows div n_windows")))
+  }
+
+  /** Asymmetric containment join: pairs where the smaller document's
+    * distinct `k`-shingle set is ≥ `tauBp`/10000 contained in the
+    * larger's (|A∩B| / |A| with |A| ≤ |B|) — the quote/subset detector
+    * jaccard misses: a 30-token quote inside a 500-token article has
+    * jaccard ≈ 0.06 but containment 1.0. The standard signal for
+    * eval-answer leakage inside long documents.
+    *
+    * Candidate generation is the q117 shape: distinct (doc, gram) pairs
+    * join on the GRAM, with grams present in more than `dfCap` documents
+    * dropped first (boilerplate — the same bounded recall trade as the
+    * LSH maxBucket guard), so pair fan-out is Σ df² over surviving
+    * grams, never |docs|². Containment is then an integer cross-product
+    * test (`10000·shared ≥ tauBp·min(na,nb)` avoided in favor of the
+    * equivalent div form so the emitted bp value is exact).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      tauBp: Int = 8000,
+      dfCap: Int = 100): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.shingles(col("text"), k))).as("g"))
+      .localCheckpoint() // referenced three times (sizes, df, pair join)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val live = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, dfCap)).select("g"), "g")
+    live.as("a").join(live.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("ng").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("ng").as("nb")), "id_b")
+      .select(
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a"))
+          .as("container_id"),
+        col("shared"),
+        least(col("na"), col("nb")).as("n_contained"),
+        expr("10000 * shared div least(na, nb)").as("containment_bp"))
+      .filter(col("containment_bp") >= tauBp)
+  }
 }

@@ -26,7 +26,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events with `ts` normalized to Long nanos-since-epoch — the contract
+    * every downstream query was written against. The driver's generator
+    * has shipped two physical spellings of this column across rounds:
+    * parquet TIMESTAMP(NANOS) (read as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong) and parquet timestamp[us]
+    * (read as TIMESTAMP_NTZ). Both normalize here, so a regeneration
+    * flip never propagates past the load boundary. The NTZ instant is
+    * naive; with the session pinned UTC, `cast(.. as timestamp_ltz)`
+    * interprets it as UTC — exactly how DuckDB's `epoch_us(ts)` reads
+    * the same cell, keeping oracle parity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw // already Long nanos (legacy NANOS parquet)
+      case _ =>
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp_ltz)) * 1000"))
+    }
+  }
 
   /** events with `ts` as a proper TimestampType (microsecond precision).
     * The raw column is parquet TIMESTAMP(NANOS), which Spark reads as Long
@@ -48,5 +68,8 @@ object Tables {
 
   /** Register every table as a temp view so spark.sql(...) surfaces work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -520,4 +520,54 @@ object TextAnalysis {
         round(col("rrf_q").cast("double") / 1000000, 4).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol))
   }
+
+  // ---------- Gopher-style quality rule filter ----------
+
+  /** Gopher-rule quality report (Rae et al., arXiv:2112.11446 §A1.1,
+    * the heuristic pre-filter a production corpus runs before any model
+    * scoring): per document, a boolean verdict per rule plus the
+    * composed `keep` flag. Rules (defaults from the paper, bullet/
+    * ellipsis line rules omitted — the corpus is single-line):
+    *
+    *   - len_ok      minTokens ≤ n_tokens ≤ maxTokens
+    *   - mean_len_ok mean word length in [3, 10] chars
+    *   - sym_ok      symbol words ("#", "...", "…") ≤ 10% of tokens
+    *   - alpha_ok    ≥ 80% of words contain a letter
+    *   - stop_ok     ≥ 2 stopword hits (of the shared 10-word list)
+    *
+    * Every ratio test is an integer cross-product of exact token counts
+    * (`10·sym ≤ n`, `5·alpha ≥ 4·n`, `3n ≤ chars ≤ 10n`) — no float
+    * division anywhere, so verdicts are bit-stable across engines and
+    * partitionings and the whole report is one narrow codegen'd scan.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 40,
+      maxTokens: Int = 100000,
+      stops: Seq[String] =
+        Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
+      : DataFrame = {
+    val toks = wsTokens(col(textCol))
+    docs
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("word_chars"),
+        size(filter(toks, w => w.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(filter(toks, w => w.isin("#", "...", "…"))).cast("long").as("sym_words"),
+        size(filter(toks, w => w.isin(stops: _*))).cast("long").as("stop_hits"))
+      .select(
+        col(idCol), col("n_tokens"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("len_ok"),
+        (col("word_chars") >= col("n_tokens") * 3 &&
+          col("word_chars") <= col("n_tokens") * 10).as("mean_len_ok"),
+        (col("sym_words") * 10 <= col("n_tokens")).as("sym_ok"),
+        (col("alpha_words") * 5 >= col("n_tokens") * 4).as("alpha_ok"),
+        (col("stop_hits") >= 2).as("stop_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("mean_len_ok") && col("sym_ok") &&
+          col("alpha_ok") && col("stop_ok"))
+  }
 }

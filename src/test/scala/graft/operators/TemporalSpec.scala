@@ -26,8 +26,8 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("asofJoin preserves left row count (left-outer semantics)") {
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
-      .select($"event_id", $"user_id", timestamp_micros(($"ts" / 1000L).cast("long")).as("ts"))
+    val e = graft.tables.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", timestamp_micros(expr("ts div 1000")).as("ts"))
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
       .agg(max("o_totalprice").as("order_price"))
@@ -37,8 +37,8 @@ class TemporalSpec extends SparkSpec {
   }
 
   test("asofJoin plan: single shuffle on key, no non-equi join") {
-    val e = spark.read.parquet(s"$sf0001/events.parquet")
-      .select($"event_id", $"user_id", timestamp_micros(($"ts" / 1000L).cast("long")).as("ts"))
+    val e = graft.tables.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", timestamp_micros(expr("ts div 1000")).as("ts"))
     val o = spark.read.parquet(s"$sf0001/orders.parquet")
       .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
       .agg(max("o_totalprice").as("order_price"))

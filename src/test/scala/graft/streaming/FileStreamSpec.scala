@@ -21,8 +21,8 @@ class FileStreamSpec extends SparkSpec {
     val (inDir, outDir, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
     new java.io.File(inDir).mkdirs()
 
-    val events = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    val events = graft.tables.Tables.events(spark, sf0001)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // first batch of files
     events.filter($"event_id" < 500).write.parquet(s"$inDir/batch0")
 
