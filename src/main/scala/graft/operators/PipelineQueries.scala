@@ -1798,6 +1798,203 @@ object PipelineQueries {
         |ORDER BY label""".stripMargin) { (s, dir) =>
       Similarity.centroidDrift(Tables.embeddings(s, dir))
         .orderBy("label")
+    },
+
+    // ---- Gopher-rule quality filter (Rae et al. 2112.11446 §A1.1):
+    //      the heuristic pre-filter before any model scoring — per-doc
+    //      boolean verdict per rule + composed keep. Every ratio test
+    //      is an integer cross-product of token counts (no float
+    //      division), so the whole report is one narrow codegen'd scan
+    //      with bit-stable verdicts. ----
+    QueryDef(
+      "q131_gopher_rules",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
+         |              AS BIGINT) AS word_chars,
+         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+         |              AS BIGINT) AS alpha_words,
+         |         CAST(len(list_filter(toks, w -> w IN ('#', '...', '…')))
+         |              AS BIGINT) AS sym_words,
+         |         CAST(len(list_filter(toks, w -> list_contains($stopwordsSql, w)))
+         |              AS BIGINT) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |       (n_tokens >= 40 AND n_tokens <= 100000) AS len_ok,
+         |       (word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10)
+         |         AS mean_len_ok,
+         |       (sym_words * 10 <= n_tokens) AS sym_ok,
+         |       (alpha_words * 5 >= n_tokens * 4) AS alpha_ok,
+         |       (stop_hits >= 2) AS stop_ok,
+         |       (n_tokens >= 40 AND n_tokens <= 100000
+         |        AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
+         |        AND sym_words * 10 <= n_tokens
+         |        AND alpha_words * 5 >= n_tokens * 4
+         |        AND stop_hits >= 2) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), stops = stopwords)
+        .orderBy("doc_id")
+    },
+
+    // ---- memorization-risk score (Lee et al. 2107.06499 / Carlini
+    //      2202.07646): ppm of each doc's stride-1 16-token windows
+    //      whose hash repeats corpus-wide — verbatim-repeat density,
+    //      the "models memorize this first" priority signal. Twin
+    //      corpus plants suffix-extended copies so originals AND twins
+    //      score high; the oracle replays windows → counts → per-doc
+    //      rate in full. ----
+    QueryDef(
+      "q132_memorization_risk",
+      s"""WITH ${twinDocsCtes("graftmemrisk")},
+         |w AS (
+         |  SELECT doc_id, md5(array_to_string(toks[i:i+15], ' ')) AS g
+         |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
+         |  WHERE len(toks) >= 16),
+         |cnt AS (SELECT g, count(*) AS c FROM w GROUP BY g),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS dup_windows
+         |  FROM w JOIN cnt USING (g) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |       coalesce(pd.n_windows, 0) AS n_windows,
+         |       coalesce(pd.dup_windows, 0) AS dup_windows,
+         |       CAST(CASE WHEN coalesce(pd.n_windows, 0) = 0 THEN 0
+         |            ELSE 1000000 * pd.dup_windows // pd.n_windows END AS BIGINT)
+         |         AS risk_ppm
+         |FROM t LEFT JOIN pd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftmemrisk")).as("text"))
+      Dedup.memorizationRisk(docs.union(twins), l = 16, minCount = 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- MMR diverse top-k (Carbonell & Goldstein SIGIR'98): greedy
+    //      relevance-minus-redundancy selection over embeddings — the
+    //      curation primitive for "relevant AND mutually non-redundant"
+    //      training examples. The oracle unrolls all five greedy steps
+    //      (argmax with correlated max-penalty subqueries); scores are
+    //      micro-quantized so both engines cut identical argmaxes. ----
+    QueryDef(
+      "q133_mmr_select",
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |         ${cosineSql("embedding", "qv")} AS rel
+         |  FROM embeddings, q WHERE vec_id > 0 AND vec_id < 300),
+         |s1 AS (
+         |  SELECT vec_id, embedding,
+         |         CAST(round((CAST(0.7 AS DOUBLE) * rel
+         |                     - CAST(0.3 AS DOUBLE) * 0.0) * 1000000.0)
+         |              AS BIGINT) AS score_micro
+         |  FROM c ORDER BY score_micro DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, embedding FROM s1),
+         |s2 AS (
+         |  SELECT c.vec_id, c.embedding,
+         |         CAST(round((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+         |           * (SELECT max(${cosineSql("c.embedding", "s.embedding")})
+         |              FROM sel1 s)) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+         |  ORDER BY score_micro DESC, c.vec_id LIMIT 1),
+         |sel2 AS (SELECT * FROM sel1 UNION ALL
+         |         SELECT vec_id, embedding FROM s2),
+         |s3 AS (
+         |  SELECT c.vec_id, c.embedding,
+         |         CAST(round((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+         |           * (SELECT max(${cosineSql("c.embedding", "s.embedding")})
+         |              FROM sel2 s)) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+         |  ORDER BY score_micro DESC, c.vec_id LIMIT 1),
+         |sel3 AS (SELECT * FROM sel2 UNION ALL
+         |         SELECT vec_id, embedding FROM s3),
+         |s4 AS (
+         |  SELECT c.vec_id, c.embedding,
+         |         CAST(round((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+         |           * (SELECT max(${cosineSql("c.embedding", "s.embedding")})
+         |              FROM sel3 s)) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+         |  ORDER BY score_micro DESC, c.vec_id LIMIT 1),
+         |sel4 AS (SELECT * FROM sel3 UNION ALL
+         |         SELECT vec_id, embedding FROM s4),
+         |s5 AS (
+         |  SELECT c.vec_id, c.embedding,
+         |         CAST(round((CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+         |           * (SELECT max(${cosineSql("c.embedding", "s.embedding")})
+         |              FROM sel4 s)) * 1000000.0) AS BIGINT) AS score_micro
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+         |  ORDER BY score_micro DESC, c.vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, score_micro FROM s1
+         |UNION ALL SELECT 2, vec_id, score_micro FROM s2
+         |UNION ALL SELECT 3, vec_id, score_micro FROM s3
+         |UNION ALL SELECT 4, vec_id, score_micro FROM s4
+         |UNION ALL SELECT 5, vec_id, score_micro FROM s5
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.mmrSelect(
+        emb.filter(col("vec_id") > 0 && col("vec_id") < 300),
+        qv, k = 5, relWeight = 0.7, divWeight = 0.3)
+        .orderBy("rank")
+    },
+
+    // ---- asymmetric containment join: the quote/subset detector
+    //      jaccard misses (a 30-token quote inside a long article has
+    //      jaccard ≈ 0.06 but containment 1.0) — the standard signal
+    //      for eval-answer leakage inside long documents. Candidate
+    //      pairs via the q117 gram-join shape with a df cap; the
+    //      planted quotes (first 30 tokens of five docs) come out fully
+    //      contained. ----
+    QueryDef(
+      "q134_containment",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string(($toksSql)[1:30], ' ')
+         |  FROM documents WHERE doc_id < 5),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |                ELSE list_transform(range(1, len(toks) - 3),
+         |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                          || ' ' || toks[i+3] || ' ' || toks[i+4]) END) AS g
+         |    FROM t) u),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ng FROM sh GROUP BY doc_id),
+         |dfq AS (SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+         |live AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfq USING (g)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS shared
+         |  FROM live a JOIN live b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT CASE WHEN za.ng <= zb.ng THEN id_a ELSE id_b END AS contained_id,
+         |         CASE WHEN za.ng <= zb.ng THEN id_b ELSE id_a END AS container_id,
+         |         shared,
+         |         least(za.ng, zb.ng) AS n_contained,
+         |         CAST(10000 * shared // least(za.ng, zb.ng) AS BIGINT)
+         |           AS containment_bp
+         |  FROM pairs
+         |  JOIN sz za ON za.doc_id = pairs.id_a
+         |  JOIN sz zb ON zb.doc_id = pairs.id_b)
+         |SELECT * FROM j WHERE containment_bp >= 8000
+         |ORDER BY contained_id, container_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val quotes = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.wsTokens(col("text")), 1, 30))
+            .as("text"))
+      Dedup.containmentPairs(docs.union(quotes), k = 5, tauBp = 8000, dfCap = 100)
+        .orderBy("contained_id", "container_id")
     }
   )
 

@@ -598,4 +598,63 @@ object Similarity {
           (sqrt(col("nl").cast("double")) * sqrt(col("ng").cast("double"))), 6)
           .as("drift_cos"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick `k` vectors maximizing
+    * `relWeight·cos(v, query) − divWeight·max_{s∈selected} cos(v, s)` —
+    * the diverse-subset primitive behind dedup-aware retrieval and
+    * training-example curation (relevant AND mutually non-redundant).
+    *
+    * Scores quantize to integer micro-units before each argmax (ties cut
+    * on vec_id), so selection is bit-stable across engines; `relWeight`
+    * and `divWeight` must be spelled as the SAME double literals in any
+    * replaying oracle (passing e.g. 1−0.7 would differ from DuckDB's
+    * decimal-exact `1 - 0.7`).
+    *
+    * Scale shape: relevance is computed ONCE in a narrow pass and
+    * localCheckpointed; each of the k driver-loop rounds is then one
+    * bounded TakeOrdered over that cached projection with the ≤k selected
+    * vectors inlined as literals (a broadcast of k·dim floats) — no
+    * shuffle, no window, nothing quadratic in the corpus. The greedy loop
+    * is inherently sequential (step i+1's penalty needs step i's pick);
+    * k is a small constant, so this is k scan-bound jobs.
+    */
+  def mmrSelect(
+      candidates: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      relWeight: Double = 0.7,
+      divWeight: Double = 0.3,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val base = candidates
+      .select(col(idCol).cast("long").as("vec_id"), col(embCol).as("emb"))
+      .withColumn("rel", cosine(col("emb"), typedLit(queryVec)))
+      .localCheckpoint()
+    var selected = Vector.empty[(Long, Seq[Float], Long)]
+    for (_ <- 0 until k) {
+      val pens = selected.map(s => cosine(col("emb"), typedLit(s._2)))
+      val pen = pens.size match {
+        case 0 => lit(0.0)
+        case 1 => pens.head // greatest() requires ≥2 args
+        case _ => greatest(pens: _*)
+      }
+      val remaining =
+        if (selected.isEmpty) base
+        else base.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val top = remaining
+        .withColumn("score_micro",
+          round((lit(relWeight) * col("rel") - lit(divWeight) * pen) * 1e6)
+            .cast("long"))
+        .sort(col("score_micro").desc, col("vec_id"))
+        .select("vec_id", "emb", "score_micro")
+        .head()
+      selected :+= ((top.getLong(0), top.getSeq[Float](1), top.getLong(2)))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, sc), i) => (i + 1L, id, sc) }
+      .toDF("rank", "vec_id", "score_micro")
+  }
 }

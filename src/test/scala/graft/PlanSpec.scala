@@ -314,4 +314,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Expand"),
       s"multi-distinct must plan via Expand (one-pass profile):\n$plan")
   }
+
+  test("q131 gopher rules: one narrow codegen'd scan — no exchange, join, or agg") {
+    val plan = planOf("q131_gopher_rules")
+    // the report is pure per-row arithmetic; the only exchange allowed
+    // is the final presentation sort's range partitioning
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"rule verdicts must not join or aggregate:\n$plan")
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"expected a single documents scan, got $nScans:\n$plan")
+  }
+
+  test("q132 memorization risk: window counts partial+final, no per-doc window sort") {
+    val plan = planOf("q132_memorization_risk")
+    assert(!plan.contains("Window"),
+      s"per-doc rate must be an aggregate, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"count join must stay a hash equi-join:\n$plan")
+  }
+
+  test("q134 containment: gram-keyed equi-join only, never a doc×doc product") {
+    val plan = planOf("q134_containment")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairs must come from the gram equi-join:\n$plan")
+  }
 }

@@ -397,4 +397,43 @@ class DedupSpec extends SparkSpec {
     assert(reps(1L) == ((11L, 18L, 3L)), "longest member must represent")
     assert(reps(2L) == ((20L, 8L, 2L)), "equal scores break toward the smaller id")
   }
+
+  test("memorizationRisk: copies score 1e6, unique 0, short docs no windows") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val uniq = (1 to 40).map(i => s"unique$i").mkString(" ")
+    val mixed = base + " " + (1 to 24).map(i => s"tail$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, uniq), (4L, "short doc here"),
+      (5L, mixed)).toDF("doc_id", "text")
+    val r = Dedup.memorizationRisk(docs, l = 16, minCount = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((25L, 25L, 1000000L)), s"full copy: ${r(1L)}")
+    assert(r(2L) == ((25L, 25L, 1000000L)))
+    assert(r(3L) == ((25L, 0L, 0L)), "unique doc has zero repeated windows")
+    assert(r(4L) == ((0L, 0L, 0L)), "sub-l docs have no windows and score 0")
+    // mixed: 64 tokens -> 49 windows; the 25 windows inside the copied
+    // prefix repeat (docs 1/2 carry them), the 24 crossing into the tail
+    // are unique -> exact integer ppm
+    assert(r(5L) == ((49L, 25L, 1000000L * 25 / 49)), s"prefix overlap: ${r(5L)}")
+  }
+
+  test("containmentPairs: planted quote fully contained, high-df grams dropped") {
+    val art = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, art), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, k = 5, tauBp = 8000, dfCap = 100).collect()
+    assert(r.length == 1, s"exactly the quote pair: ${r.toSeq}")
+    assert(r.head.getLong(0) == 2L && r.head.getLong(1) == 1L,
+      "direction: smaller gram set is the contained side")
+    assert(r.head.getLong(r.head.fieldIndex("containment_bp")) == 10000L,
+      "every quote gram appears in the article")
+
+    // boilerplate present in MORE docs than the df cap generates no
+    // candidates at all (the recall-for-bound trade, same as maxBucket)
+    val boiler = (1 to 10).map(i =>
+      (i.toLong, "common boiler plate text here " +
+        (1 to 10).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(boiler, k = 5, tauBp = 1000, dfCap = 5).isEmpty)
+  }
 }

@@ -249,4 +249,51 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
     assert(repart == got.view.mapValues(_._2).toMap, "drift must be partition-invariant")
   }
+
+  test("mmrSelect: with diversity dominant, the redundant twin drops to last") {
+    // query along e1; ids 1/2 are near-identical high-relevance twins,
+    // id 3 is orthogonal. With divWeight > relWeight the second pick is
+    // the diverse vector even though the twin scores higher on relevance.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.011f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(vecs, Seq(1f, 0f), k = 3,
+      relWeight = 0.3, divWeight = 0.7)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+  }
+
+  test("mmrSelect matches a sequential driver reference on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i => (i, Seq.fill(8)(rnd.nextFloat())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2
+    val got = Similarity.mmrSelect(df.filter($"vec_id" > 0), q, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def qMicro(x: Double): Long =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var sel = Vector.empty[(Long, Seq[Float], Long)]
+    val cands = scala.collection.mutable.LinkedHashMap(vecs.tail: _*)
+    for (_ <- 0 until 4) {
+      val best = cands.toSeq.map { case (id, v) =>
+        val pen = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+        (id, v, qMicro(0.7 * cos(v, q) - 0.3 * pen))
+      }.minBy { case (id, _, sc) => (-sc, id) }
+      sel :+= best
+      cands.remove(best._1)
+    }
+    val want = sel.zipWithIndex.map { case ((id, _, sc), i) => (i + 1L, id, sc) }
+    assert(got == want, s"got $got want $want")
+  }
 }

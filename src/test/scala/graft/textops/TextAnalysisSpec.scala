@@ -327,4 +327,26 @@ class TextAnalysisSpec extends SparkSpec {
     // doc2's ranks (2,1) sum higher than doc1's (1,3) → doc2 leads
     assert(got.head._1 == 2L)
   }
+
+  test("gopherRules: each crafted violator trips exactly its rule") {
+    val good = ("the quick brown foxes of it jumped over these lazy " * 5).trim
+    val short = "the tiny one"
+    val meanLenLow = ("aa " * 50).trim + " the it"
+    val symbols = ("# " * 10 + "the cat sat on mat is it of a in " * 4).trim
+    val numeric = ("123 456 789 " * 20).trim + " the it"
+    val noStops = ("wonderful creatures gather quietly beneath mountains " * 10).trim
+    val df = Seq(
+      (1L, good), (2L, short), (3L, meanLenLow),
+      (4L, symbols), (5L, numeric), (6L, noStops)).toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, c: String) = rows(id).getBoolean(rows(id).fieldIndex(c))
+    assert(flag(1L, "keep"), "well-formed prose must pass all rules")
+    assert(!flag(2L, "len_ok") && flag(2L, "mean_len_ok"))
+    assert(!flag(3L, "mean_len_ok") && flag(3L, "len_ok"))
+    assert(!flag(4L, "sym_ok") && flag(4L, "stop_ok"))
+    assert(!flag(5L, "alpha_ok") && flag(5L, "stop_ok"))
+    assert(!flag(6L, "stop_ok") && flag(6L, "alpha_ok"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(id => !flag(id, "keep")))
+  }
 }
