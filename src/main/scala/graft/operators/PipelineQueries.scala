@@ -1815,7 +1815,7 @@ object PipelineQueries {
          |         CAST(len(toks) AS BIGINT) AS n_tokens,
          |         CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
          |              AS BIGINT) AS word_chars,
-         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
          |              AS BIGINT) AS alpha_words,
          |         CAST(len(list_filter(toks, w -> w IN ('#', '...', '…')))
          |              AS BIGINT) AS sym_words,

@@ -650,8 +650,12 @@ object Similarity {
             .cast("long"))
         .sort(col("score_micro").desc, col("vec_id"))
         .select("vec_id", "emb", "score_micro")
-        .head()
-      selected :+= ((top.getLong(0), top.getSeq[Float](1), top.getLong(2)))
+        .take(1)
+      if (top.isEmpty) // corpus exhausted before k picks — return what exists
+        return selected.zipWithIndex
+          .map { case ((id, _, sc), i) => (i + 1L, id, sc) }
+          .toDF("rank", "vec_id", "score_micro")
+      selected :+= ((top(0).getLong(0), top(0).getSeq[Float](1), top(0).getLong(2)))
     }
     selected.zipWithIndex
       .map { case ((id, _, sc), i) => (i + 1L, id, sc) }

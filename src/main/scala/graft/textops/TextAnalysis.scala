@@ -555,7 +555,7 @@ object TextAnalysis {
         col(idCol),
         size(toks).cast("long").as("n_tokens"),
         aggregate(toks, lit(0L), (a, w) => a + length(w)).as("word_chars"),
-        size(filter(toks, w => w.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
         size(filter(toks, w => w.isin("#", "...", "…"))).cast("long").as("sym_words"),
         size(filter(toks, w => w.isin(stops: _*))).cast("long").as("stop_hits"))
       .select(

@@ -311,6 +311,43 @@ object ScaleProbe {
     val w1 = timeRewrite("1x", replicate(1))
     val wn = timeRewrite(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] rewrite time ratio=${wn / w1}%.2f for ${copies}x data")
+
+    // Memorization-risk scaling: stride-1 window hash counts + join-back
+    // + per-doc agg — window-grain rows but every stage is a partial agg
+    // or hash equi-join, so replicated corpora (disjoint window hashes
+    // across copies) must be linear.
+    def timeMemRisk(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = Dedup.memorizationRisk(docs, l = 16, minCount = 2)
+        .agg(sum("dup_windows")).collect()(0).getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] memrisk-$label: dup_windows=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeMemRisk("warmup-1x", replicate(1))
+    val m1 = timeMemRisk("1x", replicate(1))
+    val mn = timeMemRisk(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] memrisk time ratio=${mn / m1}%.2f for ${copies}x data")
+
+    // Containment-join scaling: df-capped gram equi-join (Σ df² bound).
+    // Replicated copies share no grams (per-copy token prefixes), so
+    // candidate fan-out — and wall-clock — must stay linear. Tenth-size
+    // base corpus like the prefix-filter probe: pair joins are the
+    // expensive family by design.
+    def timeContain(label: String, docs: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.containmentPairs(docs, k = 5, tauBp = 5000, dfCap = 100).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] contain-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
+      (n, secs)
+    }
+    timeContain("warmup-1x", replicateSmall(1))
+    val (ct1pairs, ct1) = timeContain("1x", replicateSmall(1))
+    val (ctnpairs, ctn) = timeContain(s"${copies}x", replicateSmall(copies))
+    println(f"[scaleprobe] containment pairs ratio=${ctnpairs.toDouble / math.max(ct1pairs, 1)}%.2f, " +
+      f"time ratio=${ctn / ct1}%.2f for ${copies}x data")
     spark.stop()
   }
 }
