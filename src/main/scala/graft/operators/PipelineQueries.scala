@@ -1873,7 +1873,7 @@ object PipelineQueries {
           concat(col("text"), lit(" graftmemrisk")).as("text"))
       Dedup.memorizationRisk(docs.union(twins), l = 16, minCount = 2)
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- MMR diverse top-k (Carbonell & Goldstein SIGIR'98): greedy
     //      relevance-minus-redundancy selection over embeddings — the
