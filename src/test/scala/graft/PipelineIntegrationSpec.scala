@@ -44,4 +44,47 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(n > 0 && n <= docs.count())
     assert(analyzed.filter($"tokens" < 20).count() == 0)
   }
+
+  test("gopher gate -> containment de-quote -> memorization triage composes") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // pick a source whose 30-token quote ALSO passes the gopher gate, so
+    // the containment stage (not the quality gate) must do the dropping
+    val quoteText = concat_ws(" ", slice(TextAnalysis.wsTokens($"text"), 1, 30))
+    val quoteOk = TextAnalysis.gopherRules(
+      docs.select($"doc_id", quoteText.as("text")), minTokens = 20)
+      .filter($"keep").select("doc_id")
+    val srcOk = TextAnalysis.gopherRules(docs, minTokens = 20)
+      .filter($"keep" && $"n_tokens" >= 40).select("doc_id")
+    val srcId = quoteOk.join(srcOk, "doc_id").agg(min("doc_id")).head.getLong(0)
+    val quote = docs.filter($"doc_id" === srcId)
+      .select(lit(900000L).as("doc_id"), quoteText.as("text"))
+    val corpus = docs.unionByName(quote)
+
+    // 1. Gopher heuristics: structural junk never reaches dedup
+    val kept = TextAnalysis.gopherRules(corpus, minTokens = 20)
+      .filter($"keep").select("doc_id")
+    val gated = corpus.join(kept, "doc_id")
+    assert(gated.filter($"doc_id" === 900000L).count() == 1,
+      "the planted quote must reach the containment stage")
+
+    // 2. containment: drop every contained (smaller) side
+    val contained = Dedup.containmentPairs(gated, k = 5, tauBp = 8000)
+      .select($"contained_id".as("doc_id")).distinct()
+    val dequoted = gated.join(contained, Seq("doc_id"), "left_anti")
+    assert(dequoted.filter($"doc_id" === 900000L).count() == 0,
+      "planted quote must be dropped by the containment stage")
+    // the source itself may be dropped as the smaller-id side of an
+    // ORGANIC dup pair (ties keep the larger id) — but its full content
+    // always survives through the chain's maximal element
+    val srcText = docs.filter($"doc_id" === srcId).head.getString(1)
+    assert(dequoted.filter($"text" === srcText).count() >= 1,
+      "a full copy of the quoted content must survive")
+
+    // 3. memorization triage over the cleaned corpus: scores exist for
+    // every surviving doc and stay in [0, 1e6]
+    val risk = Dedup.memorizationRisk(dequoted, l = 16, minCount = 2)
+    assert(risk.count() == dequoted.count())
+    assert(risk.filter($"risk_ppm" < 0 || $"risk_ppm" > 1000000L).count() == 0)
+  }
 }
