@@ -436,4 +436,64 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.containmentPairs(boiler, k = 5, tauBp = 1000, dfCap = 5).isEmpty)
   }
+
+  test("containmentPairs == O(n^2) reference when dfCap covers the corpus") {
+    // with dfCap >= ndocs the gram join is EXACT: every pair sharing any
+    // distinct 5-gram is generated (a shared gram has df >= 2 by
+    // definition), so the operator must equal the quadratic reference
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 40).map(i => s"v$i")
+    val docs = (1L to 30L).map { i =>
+      val n = 8 + rnd.nextInt(20)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, k = 5, tauBp = 0, dfCap = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 5) Set(toks.mkString(" "))
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val want = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      shared = (sets(a) intersect sets(b)).size.toLong if shared > 0
+    } yield {
+      val (na, nb) = (sets(a).size.toLong, sets(b).size.toLong)
+      val (cid, oid) = if (na <= nb) (a, b) else (b, a)
+      val nc = math.min(na, nb)
+      (cid, oid, shared, nc, 10000L * shared / nc)
+    }).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("memorizationRisk == sequential reference on a random corpus") {
+    val rnd = new scala.util.Random(13)
+    val vocab = (1 to 25).map(i => s"w$i")
+    val docs = (1L to 25L).map { i =>
+      val n = 10 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup.memorizationRisk(docs.toDF("doc_id", "text"), l = 4, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val wins = docs.flatMap { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 4) Seq.empty
+      else toks.sliding(4).map(w => (id, w.mkString(" "))).toSeq
+    }
+    val counts = wins.groupBy(_._2).view.mapValues(_.size).toMap
+    val want = docs.map { case (id, _) =>
+      val mine = wins.filter(_._1 == id)
+      val n = mine.size.toLong
+      val dup = mine.count(w => counts(w._2) >= 2).toLong
+      id -> ((n, dup, if (n == 0) 0L else 1000000L * dup / n))
+    }.toMap
+    assert(got == want)
+  }
 }
