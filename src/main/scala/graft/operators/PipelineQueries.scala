@@ -32,6 +32,34 @@ object PipelineQueries {
   /** DuckDB spelling of TextAnalysis.wsTokens. */
   private val toksSql = OracleSql.wsTokens()
 
+  /** CTE `c`: per-doc Gopher-rule counts from a relation exposing
+    * (doc_id, toks) — ONE spelling shared by q131 (per-rule verdicts)
+    * and q135 (corpus keep count) so the rule SQL cannot drift.
+    */
+  private def gopherCountsCte(from: String): String =
+    s"""c AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
+       |              AS BIGINT) AS word_chars,
+       |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+       |              AS BIGINT) AS alpha_words,
+       |         CAST(len(list_filter(toks, w -> w IN ('#', '...', '…')))
+       |              AS BIGINT) AS sym_words,
+       |         CAST(len(list_filter(toks, w -> list_contains($stopwordsSql, w)))
+       |              AS BIGINT) AS stop_hits
+       |  FROM $from)""".stripMargin
+
+  /** The composed Gopher keep predicate over [[gopherCountsCte]]'s
+    * columns — mirrors TextAnalysis.gopherRules defaults exactly.
+    */
+  private val gopherKeepSql: String =
+    """(n_tokens >= 40 AND n_tokens <= 100000
+      |        AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
+      |        AND sym_words * 10 <= n_tokens
+      |        AND alpha_words * 5 >= n_tokens * 4
+      |        AND stop_hits >= 2)""".stripMargin
+
   /** CTE: the q31/q60/q65 planted-twin corpus with whitespace tokens. */
   private def twinDocsCtes(tailToken: String): String =
     s"""d AS (
@@ -1805,23 +1833,14 @@ object PipelineQueries {
     //      boolean verdict per rule + composed keep. Every ratio test
     //      is an integer cross-product of token counts (no float
     //      division), so the whole report is one narrow codegen'd scan
-    //      with bit-stable verdicts. ----
+    //      with bit-stable verdicts. (Rule SQL shared with q135's
+    //      dataset card via gopherCountsCte/gopherKeepSql so the two
+    //      oracles cannot drift.) ----
     QueryDef(
       "q131_gopher_rules",
       s"""WITH t AS (
          |  SELECT doc_id, $toksSql AS toks FROM documents),
-         |c AS (
-         |  SELECT doc_id,
-         |         CAST(len(toks) AS BIGINT) AS n_tokens,
-         |         CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0)
-         |              AS BIGINT) AS word_chars,
-         |         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
-         |              AS BIGINT) AS alpha_words,
-         |         CAST(len(list_filter(toks, w -> w IN ('#', '...', '…')))
-         |              AS BIGINT) AS sym_words,
-         |         CAST(len(list_filter(toks, w -> list_contains($stopwordsSql, w)))
-         |              AS BIGINT) AS stop_hits
-         |  FROM t)
+         |${gopherCountsCte("t")}
          |SELECT doc_id, n_tokens,
          |       (n_tokens >= 40 AND n_tokens <= 100000) AS len_ok,
          |       (word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10)
@@ -1829,11 +1848,7 @@ object PipelineQueries {
          |       (sym_words * 10 <= n_tokens) AS sym_ok,
          |       (alpha_words * 5 >= n_tokens * 4) AS alpha_ok,
          |       (stop_hits >= 2) AS stop_ok,
-         |       (n_tokens >= 40 AND n_tokens <= 100000
-         |        AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
-         |        AND sym_words * 10 <= n_tokens
-         |        AND alpha_words * 5 >= n_tokens * 4
-         |        AND stop_hits >= 2) AS keep
+         |       $gopherKeepSql AS keep
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir), stops = stopwords)
         .orderBy("doc_id")
@@ -1995,6 +2010,54 @@ object PipelineQueries {
             .as("text"))
       Dedup.containmentPairs(docs.union(quotes), k = 5, tauBp = 8000, dfCap = 100)
         .orderBy("contained_id", "container_id")
+    },
+
+    // ---- dataset card: the one-row-per-metric corpus summary a
+    //      training run publishes (datasheet/data-card practice) —
+    //      size, token mass, source/lang breadth, exact-dup surplus,
+    //      Gopher-keep yield. ONE scan: the gopher rule counts ride the
+    //      same projection as the raw metrics (multi-distinct plans via
+    //      Expand, the q130 contract), so the 100 TB corpus is read
+    //      once for the whole card. ----
+    QueryDef(
+      "q135_dataset_card",
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+         |${gopherCountsCte("t")},
+         |k AS (SELECT CAST(sum(CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS gopher_keep FROM c),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         |           AS dup_surplus_docs
+         |  FROM t)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM m
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM m
+         |  UNION ALL SELECT 'n_sources', n_sources FROM m
+         |  UNION ALL SELECT 'n_langs', n_langs FROM m
+         |  UNION ALL SELECT 'dup_surplus_docs', dup_surplus_docs FROM m
+         |  UNION ALL SELECT 'gopher_keep_docs', gopher_keep FROM k)
+         |ORDER BY metric""".stripMargin) { (s, dir) =>
+      val card = TextAnalysis.gopherRules(Tables.documents(s, dir),
+          stops = stopwords, passthrough = Seq("source", "lang", "text"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(md5(col("text"))))
+            .as("dup_surplus_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("gopher_keep_docs"))
+      card.select(expr(
+          "stack(6, 'n_docs', n_docs, 'n_tokens', n_tokens, " +
+            "'n_sources', n_sources, 'n_langs', n_langs, " +
+            "'dup_surplus_docs', dup_surplus_docs, " +
+            "'gopher_keep_docs', gopher_keep_docs) AS (metric, value)"))
+        .orderBy("metric")
     }
   )
 

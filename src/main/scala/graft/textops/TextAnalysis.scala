@@ -547,18 +547,23 @@ object TextAnalysis {
       minTokens: Int = 40,
       maxTokens: Int = 100000,
       stops: Seq[String] =
-        Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"))
-      : DataFrame = {
+        Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it"),
+      passthrough: Seq[String] = Nil): DataFrame = {
+    // `passthrough` columns ride the projection untouched so downstream
+    // aggregates (e.g. the q135 dataset card) stay in the SAME scan
+    // instead of re-reading the corpus to recover dropped columns
     val toks = wsTokens(col(textCol))
+    val pass = passthrough.map(col)
     docs
-      .select(
+      .select(Seq(
         col(idCol),
         size(toks).cast("long").as("n_tokens"),
         aggregate(toks, lit(0L), (a, w) => a + length(w)).as("word_chars"),
         size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long").as("alpha_words"),
         size(filter(toks, w => w.isin("#", "...", "…"))).cast("long").as("sym_words"),
         size(filter(toks, w => w.isin(stops: _*))).cast("long").as("stop_hits"))
-      .select(
+        ++ pass: _*)
+      .select(Seq(
         col(idCol), col("n_tokens"),
         (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("len_ok"),
         (col("word_chars") >= col("n_tokens") * 3 &&
@@ -566,6 +571,7 @@ object TextAnalysis {
         (col("sym_words") * 10 <= col("n_tokens")).as("sym_ok"),
         (col("alpha_words") * 5 >= col("n_tokens") * 4).as("alpha_ok"),
         (col("stop_hits") >= 2).as("stop_ok"))
+        ++ pass: _*)
       .withColumn("keep",
         col("len_ok") && col("mean_len_ok") && col("sym_ok") &&
           col("alpha_ok") && col("stop_ok"))

@@ -334,6 +334,15 @@ class PlanSpec extends SparkSpec {
       s"count join must stay a hash equi-join:\n$plan")
   }
 
+  test("q135 dataset card: ONE scan feeds every metric (gopher counts ride the projection)") {
+    val plan = planOf("q135_dataset_card")
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1,
+      s"the card must read the corpus once, found $nScans scans:\n$plan")
+    assert(plan.contains("Expand"),
+      s"multi-distinct must plan via Expand (one-pass card):\n$plan")
+  }
+
   test("q134 containment: gram-keyed equi-join only, never a doc×doc product") {
     val plan = planOf("q134_containment")
     assert(!plan.contains("CartesianProduct") &&
