@@ -122,4 +122,36 @@ object StreamOps {
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Windowed term counts over a text stream — the ingest-monitoring
+    * aggregation behind "what's trending this hour". Tokens explode
+    * map-side and the (window, term) count is a standard watermarked
+    * streaming aggregate: state is one counter per live (window, term),
+    * evicted once the watermark passes the window end. Runs identically
+    * in batch (oracle-checkable) and behind readStream.
+    */
+  def windowedTermCounts(
+      docs: DataFrame,
+      width: String = "1 hour",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      delay: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), width).as("win"),
+        explode(graft.textops.TextAnalysis.wsTokens(col(textCol))).as("term"))
+      .groupBy(col("win"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("term"), col("n"))
+
+  /** Per-window top-k cut over [[windowedTermCounts]] output — run this
+    * batch-side (or inside foreachBatch on the completed windows): a
+    * per-window row_number is only safe where the window's counts are
+    * final. Deterministic ties on (n DESC, term).
+    */
+  def topTermsPerWindow(counts: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("win_start").orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

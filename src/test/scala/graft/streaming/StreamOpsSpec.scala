@@ -140,4 +140,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(u7.toSeq == Seq(1, 3), s"got ${sess.mkString(",")}")
     assert(sess.count(_._1 == 8) == 1)
   }
+
+  test("windowed term counts: streaming (append) == batch; top-k cut is deterministic") {
+    val docs = Seq(
+      (ts(1), "spark spark flink"),
+      (ts(7), "spark duckdb"),
+      (ts(40), "flink flink flink spark"),
+      (ts(45), "duckdb"))
+    val docsDf = docs.toDF("ts", "text")
+
+    val batchRes = StreamOps.windowedTermCounts(docsDf, "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // sanity: first window counts spark 3x, flink 1x, duckdb 1x
+    val w0 = batchRes.filter(_._1 == ts(0)).map(t => t._2 -> t._3).toMap
+    assert(w0 == Map("spark" -> 3L, "flink" -> 1L, "duckdb" -> 1L), s"$w0")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Timestamp, String)]
+    val q = StreamOps.windowedTermCounts(
+        input.toDF().toDF("ts", "text"), "30 minutes")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "closer"))
+      q.processAllAvailable()
+      val streamRes = spark.sql("SELECT * FROM trending")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamRes == batchRes, s"stream $streamRes != batch $batchRes")
+    } finally q.stop()
+
+    // top-k cut: k=1 keeps the max-count term per window, ties on term
+    val top = StreamOps.topTermsPerWindow(
+        StreamOps.windowedTermCounts(docsDf, "30 minutes"), k = 1)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    assert(top == Set((ts(0), "spark"), (ts(30), "flink")), s"$top")
+  }
 }
