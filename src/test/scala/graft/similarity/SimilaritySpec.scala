@@ -296,4 +296,12 @@ class SimilaritySpec extends SparkSpec {
     val want = sel.zipWithIndex.map { case ((id, _, sc), i) => (i + 1L, id, sc) }
     assert(got == want, s"got $got want $want")
   }
+
+  test("mmrSelect: corpus smaller than k returns the full ranking, no error") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(vecs, Seq(1f, 0f), k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
+  }
 }
