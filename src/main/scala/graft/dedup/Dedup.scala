@@ -885,4 +885,46 @@ object Dedup {
         expr("10000 * shared div least(na, nb)").as("containment_bp"))
       .filter(col("containment_bp") >= tauBp)
   }
+
+  /** Threshold-calibration report: the exact jaccard distribution over a
+    * content-addressed sample of document pairs, as a basis-point
+    * histogram (bucket = jbp div 1000, so 0..10). The curation question
+    * it answers: where does THIS corpus's organic pair-similarity mass
+    * sit, i.e. where should the near-dup threshold cut? LSH bucket stats
+    * (q101/q102) report collision structure; this reports the similarity
+    * measure itself.
+    *
+    * Scale shape: the sample predicate is a content-addressed md5 permille
+    * on the id (reproducible, append-stable, evaluated in the scan stage),
+    * so downstream work is sample²/2 pairs — BOUNDED BY CONSTRUCTION, and
+    * the broadcast self-join of the sampled shingle sets is deliberate
+    * (choose `samplePermille` so the sample stays ~10⁴ docs at any corpus
+    * size; at 100 TB that's permille ≪ 1 — the estimate converges in
+    * sample size, not corpus fraction).
+    */
+  def pairSimHistogram(
+      docs: DataFrame,
+      samplePermille: Int = 40,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sampled = docs.filter(
+      pmod(TextAnalysis.md5Long(concat(lit("pairsim"), col(idCol).cast("string"))),
+        lit(1000L)) < samplePermille)
+    val sets = sampled.select(col(idCol).cast("long").as("id"),
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
+          s => TextAnalysis.md5Long(s))).as("sh"))
+      .localCheckpoint() // both sides of the self-join read this
+    val pairs = sets.as("a").join(
+      broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))),
+      col("id") < col("id_b"))
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col("sh"), col("sh_b"))).cast("long"))
+      .withColumn("jbp",
+        expr("10000 * inter div (size(sh) + size(sh_b) - inter)"))
+      .groupBy(expr("jbp div 1000").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
 }

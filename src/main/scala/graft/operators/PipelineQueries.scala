@@ -2058,6 +2058,32 @@ object PipelineQueries {
             "'dup_surplus_docs', dup_surplus_docs, " +
             "'gopher_keep_docs', gopher_keep_docs) AS (metric, value)"))
         .orderBy("metric")
+    },
+
+    // ---- pair-similarity histogram over a content-addressed sample:
+    //      the threshold-calibration report — where does this corpus's
+    //      organic pair-jaccard mass sit? Work is sample²/2 by
+    //      construction (the permille predicate rides the scan), so the
+    //      broadcast self-join is bounded at any corpus size. Exact
+    //      integer basis points; shares the hashed-3-shingle spelling
+    //      with the q31/q91 verify machinery. ----
+    QueryDef(
+      "q136_pair_sim_histogram",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE ${OracleSql.md5Long("'pairsim' || CAST(doc_id AS VARCHAR)")}
+         |        % 1000 < 40),
+         |${shingle3Cte("t")},
+         |p AS (
+         |  SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |         CAST(len(a.sh) + len(b.sh)
+         |              - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT CAST((10000 * inter // uni) // 1000 AS BIGINT) AS bucket,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Dedup.pairSimHistogram(
+        Tables.documents(s, dir), samplePermille = 40, k = 3)
     }
   )
 

@@ -349,4 +349,13 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate pairs must come from the gram equi-join:\n$plan")
   }
+
+  test("q136 pair-sim histogram: one documents scan; the self-join is the bounded broadcast") {
+    val plan = planOf("q136_pair_sim_histogram")
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans <= 1, // localCheckpoint: the shingle sets materialize once
+      s"sampled sets must come from one scan, got $nScans:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the sample-squared pair grid must broadcast (bounded by construction):\n$plan")
+  }
 }

@@ -496,4 +496,15 @@ class DedupSpec extends SparkSpec {
     }.toMap
     assert(got == want)
   }
+
+  test("pairSimHistogram: planted twins land in the top bucket, unrelated pairs at 0") {
+    // permille=1000 samples everything -> deterministic, full pair grid
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")
+    val b = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val r = Dedup.pairSimHistogram(docs, samplePermille = 1000, k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // pairs: (1,2) identical -> jbp 10000 -> bucket 10; (1,3),(2,3) disjoint -> 0
+    assert(r == Map(10L -> 1L, 0L -> 2L), s"$r")
+  }
 }
