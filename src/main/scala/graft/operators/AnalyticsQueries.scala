@@ -1126,6 +1126,51 @@ object AnalyticsQueries {
         .groupBy("lang")
         .agg(sum("n_docs").as("n_docs"), sum("total_tokens").as("total_tokens"))
         .orderBy("lang")
+    },
+
+    // ---- exact winsorization: clamp the fact-table measure at the
+    //      exact p1/p99 rank values (ceil-rank boundary, tie-order
+    //      independent), then aggregate per flag — the feature-clipping
+    //      pass with approx_percentile's error bars removed. Boundary
+    //      ranks come from Scale.globalRank (range partition + O(parts)
+    //      offsets), never a single-partition window; the oracle replays
+    //      the same ceil-rank rule with a window (fine at oracle scale).
+    //      ----
+    QueryDef(
+      "q137_winsorize",
+      s"""WITH t AS (
+         |  SELECT ${Exact.centsSql("l_extendedprice")} AS cents,
+         |         l_returnflag, l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT cents,
+         |         row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+         |           AS wr,
+         |         count(*) OVER () AS n
+         |  FROM t),
+         |b AS (
+         |  SELECT min(CASE WHEN wr = greatest(1, (10 * n + 999) // 1000)
+         |                  THEN cents END) AS lo,
+         |         max(CASE WHEN wr = least(n, (990 * n + 999) // 1000)
+         |                  THEN cents END) AS hi
+         |  FROM r)
+         |SELECT l_returnflag,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(least(greatest(cents, lo), hi)) AS BIGINT) AS sum_w,
+         |       CAST(min(least(greatest(cents, lo), hi)) AS BIGINT) AS min_w,
+         |       CAST(max(least(greatest(cents, lo), hi)) AS BIGINT) AS max_w
+         |FROM t, b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(Exact.cents(col("l_extendedprice")).as("cents"),
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      Scale.winsorize(li, "cents", loPermille = 10, hiPermille = 990,
+          "l_orderkey", "l_linenumber")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents_w").as("sum_w"),
+          min("cents_w").as("min_w"),
+          max("cents_w").as("max_w"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -217,4 +217,41 @@ object Scale {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Exact winsorization: clamp a long-typed `valueCol` at the values of
+    * the exact lo/hi percentile RANKS — the outlier-clipping pass every
+    * feature pipeline runs before normalization, with approx_percentile's
+    * error bars removed. The boundary is "the k-th smallest value" with
+    * k = ceil(permille·n/1000) clamped to [1, n]; ties share a value, so
+    * the boundary is tie-order independent even though the rank needs a
+    * tie-break (`tieCols`) to be a total order.
+    *
+    * Scale shape: one [[globalRank]] pass (range partition + O(parts)
+    * driver offsets — NO single-partition window), a 1-row boundary
+    * aggregate broadcast back, and a narrow clamp projection. Appends
+    * `<valueCol>_w`.
+    */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      loPermille: Int,
+      hiPermille: Int,
+      tieCols: String*): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo <= hi <= 1000, got ($loPermille, $hiPermille)")
+    val ranked = globalRank(df, "_wr", (valueCol +: tieCols): _*)
+    val bounds = ranked
+      .crossJoin(broadcast(ranked.agg(max("_wr").as("_n"))))
+      .withColumn("_kLo",
+        expr(s"greatest(CAST(1 AS BIGINT), ($loPermille * _n + 999) div 1000)"))
+      .withColumn("_kHi", expr(s"least(_n, ($hiPermille * _n + 999) div 1000)"))
+      .filter(col("_wr") === col("_kLo") || col("_wr") === col("_kHi"))
+      .agg(
+        min(when(col("_wr") === col("_kLo"), col(valueCol))).as("_lo"),
+        max(when(col("_wr") === col("_kHi"), col(valueCol))).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
 }

@@ -358,4 +358,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the sample-squared pair grid must broadcast (bounded by construction):\n$plan")
   }
+
+  test("q137 winsorize: no single-partition window; boundaries broadcast to the clamp") {
+    val plan = planOf("q137_winsorize")
+    assert(!plan.contains("Window"),
+      s"boundary ranks must come from the distributed prefix sum, not a window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row boundary aggregate must broadcast:\n$plan")
+  }
 }

@@ -135,4 +135,25 @@ class ScaleSpec extends SparkSpec {
     val n = Scale.coPartitionedJoin(o, c, "custkey", 8).count()
     assert(n == o.join(c, "custkey").count())
   }
+
+  test("winsorize: exact ceil-rank boundaries, ties and degenerate permilles") {
+    // values 1..100, lo=5% -> k=5 -> boundary 5; hi=95% -> k=95 -> 95
+    val df = (1L to 100L).map(v => (v, v)).toDF("v", "id")
+    val w = Scale.winsorize(df, "v", 50, 950, "id")
+      .select("v", "v_w").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(1L) == 5L && w(4L) == 5L && w(5L) == 5L, s"low clamp: ${w(1L)}")
+    assert(w(96L) == 95L && w(100L) == 95L, "high clamp")
+    assert(w(50L) == 50L, "interior values untouched")
+
+    // all-equal values: boundaries equal the value, clamp is identity
+    val flat = (1L to 10L).map(i => (7L, i)).toDF("v", "id")
+    val fw = Scale.winsorize(flat, "v", 100, 900, "id")
+      .select("v_w").collect().map(_.getLong(0)).toSet
+    assert(fw == Set(7L))
+
+    // permille 0/1000: k clamps to [1, n] -> full range, identity
+    val idy = Scale.winsorize(df, "v", 0, 1000, "id")
+      .select("v", "v_w").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(idy.forall { case (a, b) => a == b })
+  }
 }
