@@ -109,4 +109,34 @@ class EdgeCaseSpec extends SparkSpec {
       graft.mr.MrApps.wcMap, graft.mr.MrApps.wcReduce)
     assert(out.count() == 0)
   }
+
+  test("round-4 ops: empty and blank inputs degrade to empty/zero outputs") {
+    import graft.textops.TextAnalysis
+    // gopher rules: empty corpus -> empty report; blank doc -> all-false keep
+    assert(TextAnalysis.gopherRules(emptyDocs).count() == 0)
+    val blankVerdict = TextAnalysis.gopherRules(docsDf(1L -> "  ")).head()
+    assert(!blankVerdict.getBoolean(blankVerdict.fieldIndex("keep")))
+    assert(blankVerdict.getLong(blankVerdict.fieldIndex("n_tokens")) == 0L)
+
+    // memorization risk: empty corpus and sub-window docs -> zero rows/risk
+    assert(Dedup.memorizationRisk(emptyDocs).count() == 0)
+    val short = Dedup.memorizationRisk(docsDf(1L -> "too short"), l = 16).head()
+    assert(short.getLong(3) == 0L)
+
+    // containment: empty corpus -> no pairs
+    assert(Dedup.containmentPairs(emptyDocs).count() == 0)
+
+    // pair-sim histogram: empty corpus and singleton sample -> no pairs
+    assert(Dedup.pairSimHistogram(emptyDocs, samplePermille = 1000).count() == 0)
+    assert(Dedup.pairSimHistogram(docsDf(1L -> "only one doc"),
+      samplePermille = 1000).count() == 0)
+
+    // MMR: empty candidate set -> empty ranking (not an exception)
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.mmrSelect(noVecs, Seq(1f, 0f), k = 3).count() == 0)
+
+    // winsorize: empty input -> empty output (null bounds never surface)
+    val noVals = Seq.empty[(Long, Long)].toDF("v", "id")
+    assert(Scale.winsorize(noVals, "v", 10, 990, "id").count() == 0)
+  }
 }
