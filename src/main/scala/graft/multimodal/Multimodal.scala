@@ -126,6 +126,9 @@ object Multimodal {
             } else if (RealCodec.isBmp(payload)) {
               val img = RealCodec.decodeBmp24(payload)
               (img.width, img.rgb.map(b => b & 0xff))
+            } else if (RealCodec.isPng(payload)) {
+              val img = RealCodec.decodePng(payload)
+              (img.width, img.pixels.map(b => b & 0xff))
             } else (0, StubCodec.decode(payload))
           val mean = if (values.isEmpty) 0.0
             else values.foldLeft(0L)(_ + _).toDouble / values.length

@@ -2,13 +2,15 @@ package graft.multimodal
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** REAL codecs for the uncompressed media containers a pure JVM can
-  * parse without native libraries: RIFF/PCM-16 WAV audio and 24-bit
-  * BI_RGB BMP images. These replace `Multimodal.StubCodec` for payloads
-  * carrying their magic ("RIFF", "BM"); compressed formats (JPEG, mp3,
-  * h264) still need the documented native-codec swap — but the
-  * container-parsing layer, byte-order handling, row padding, and
-  * chunk-walking here are the real thing, round-trip-tested.
+/** REAL codecs for the media containers a pure JVM can parse without
+  * native libraries: RIFF/PCM-16 WAV audio, 24-bit BI_RGB BMP images,
+  * and zlib-compressed PNG (8-bit grey/RGB/RGBA, non-interlaced — the
+  * DEFLATE half is the JDK's own Inflater). These replace
+  * `Multimodal.StubCodec` for payloads carrying their magic; formats
+  * needing codecs the JVM doesn't ship (JPEG's DCT, mp3, h264) keep the
+  * documented native-codec swap — but the container parsing, byte-order
+  * handling, row padding, chunk walking, and PNG scanline unfiltering
+  * here are the real thing, round-trip / reference-decoder tested.
   *
   * Both decoders fail loudly on malformed headers (a silent zero-fill
   * would poison downstream feature stats at scale).
@@ -138,5 +140,120 @@ object RealCodec {
       System.arraycopy(payload, src, rgb, y * width * 3, width * 3)
     }
     BmpImage(width, height, rgb)
+  }
+
+  // ---------- PNG (compressed, zlib via the JDK's Inflater) ----------
+
+  final case class PngImage(
+      width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 && (0 until 8).forall(i => payload(i) == pngSig(i))
+
+  private def be32(a: Array[Byte], i: Int): Int =
+    ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
+      ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+
+  /** Chunk-walking PNG parse for the web baseline: 8-bit greyscale /
+    * RGB / RGBA, non-interlaced. The "compressed formats need native
+    * libs" boundary does NOT apply here — PNG's compression is zlib
+    * DEFLATE, which the JDK ships (`java.util.zip.Inflater`), so the
+    * whole decode (chunk walk → inflate → per-scanline unfilter with
+    * all five spec filters incl. Paeth) is pure JVM. Palette, 16-bit,
+    * and interlaced images fail loudly (the documented swap point
+    * remains for those and for JPEG/video).
+    */
+  def decodePng(payload: Array[Byte]): PngImage = {
+    require(isPng(payload), "not a PNG (bad signature)")
+    var off = 8
+    var width = -1
+    var height = -1
+    var bitDepth = -1
+    var colorType = -1
+    var seenIhdr = false
+    var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(off + 8 <= payload.length, "truncated PNG (no IEND)")
+      val len = be32(payload, off)
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 8 + len + 4 <= payload.length,
+        s"truncated PNG chunk $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          width = be32(payload, off + 8)
+          height = be32(payload, off + 12)
+          bitDepth = payload(off + 16) & 0xff
+          colorType = payload(off + 17) & 0xff
+          require((payload(off + 18) & 0xff) == 0, "unknown compression method")
+          require((payload(off + 19) & 0xff) == 0, "unknown filter method")
+          require((payload(off + 20) & 0xff) == 0, "interlaced PNG unsupported")
+          seenIhdr = true
+        case "IDAT" => idat.write(payload, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      off += 8 + len + 4 // length + type + data + crc
+    }
+    require(seenIhdr && width > 0 && height > 0, "missing/invalid IHDR")
+    require(bitDepth == 8, s"unsupported bit depth $bitDepth (8 required)")
+    val channels = colorType match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 6 => 4 // truecolor + alpha
+      case t => throw new IllegalArgumentException(
+        s"unsupported PNG color type $t (greyscale/RGB/RGBA required)")
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      require(n > 0, "truncated IDAT stream")
+      got += n
+    }
+    inf.end()
+    require(got == raw.length,
+      s"IDAT inflated to $got bytes, expected ${raw.length}")
+    val out = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val rowIn = y * (stride + 1) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val rawB = raw(rowIn + x) & 0xff
+        val left = if (x >= channels) out(rowOut + x - channels) & 0xff else 0
+        val up = if (y > 0) out(rowOut - stride + x) & 0xff else 0
+        val ul =
+          if (y > 0 && x >= channels) out(rowOut - stride + x - channels) & 0xff
+          else 0
+        val rec = filter match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case f =>
+            throw new IllegalArgumentException(s"bad scanline filter $f at row $y")
+        }
+        out(rowOut + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(width, height, channels, out)
   }
 }

@@ -150,4 +150,65 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(f.getAs[Double]("mean_intensity") - mean) < 1e-9)
     }
   }
+
+  test("PNG decode == ImageIO reference on RGB / RGBA / greyscale, all filter paths") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    val rnd = new scala.util.Random(42)
+
+    def encode(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", out), "JDK PNG writer unavailable")
+      out.toByteArray
+    }
+
+    // RGB: gradients + noise exercise Sub/Up/Average/Paeth filters the
+    // encoder picks per row; pixel-exact equality against getRGB
+    val w = 37; val h = 23 // odd sizes catch stride bugs
+    val rgb = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + y) % 256; val g = (y * 11) % 256
+      val b = rnd.nextInt(256)
+      rgb.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val decoded = RealCodec.decodePng(encode(rgb))
+    assert(decoded.width == w && decoded.height == h && decoded.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = rgb.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert((decoded.pixels(base) & 0xff) == ((px >> 16) & 0xff), s"R at ($x,$y)")
+      assert((decoded.pixels(base + 1) & 0xff) == ((px >> 8) & 0xff), s"G at ($x,$y)")
+      assert((decoded.pixels(base + 2) & 0xff) == (px & 0xff), s"B at ($x,$y)")
+    }
+
+    // RGBA: alpha channel survives
+    val rgba = new BufferedImage(8, 5, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until 5; x <- 0 until 8)
+      rgba.setRGB(x, y, (((x * 31 + y * 17) % 256) << 24) | (x << 16) | (y << 8) | 200)
+    val d4 = RealCodec.decodePng(encode(rgba))
+    assert(d4.channels == 4)
+    for (y <- 0 until 5; x <- 0 until 8) {
+      val px = rgba.getRGB(x, y)
+      val base = (y * 8 + x) * 4
+      assert((d4.pixels(base + 3) & 0xff) == ((px >> 24) & 0xff), s"A at ($x,$y)")
+    }
+
+    // greyscale
+    val grey = new BufferedImage(6, 4, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6)
+      grey.getRaster.setSample(x, y, 0, (x * 40 + y * 13) % 256)
+    val d1 = RealCodec.decodePng(encode(grey))
+    assert(d1.channels == 1)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert((d1.pixels(y * 6 + x) & 0xff) == grey.getRaster.getSample(x, y, 0),
+        s"grey at ($x,$y)")
+
+    // malformed payloads fail loudly
+    intercept[IllegalArgumentException] {
+      RealCodec.decodePng("nonsense bytes".getBytes)
+    }
+    val truncated = encode(rgb).take(60)
+    intercept[IllegalArgumentException] { RealCodec.decodePng(truncated) }
+  }
 }
