@@ -157,6 +157,51 @@ object RealCodec {
     ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
       ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
 
+  /** Minimal conforming PNG encoder: filter-0 scanlines, one zlib IDAT
+    * (JDK Deflater), CRC32 per chunk — the symmetric half of
+    * [[decodePng]], and the generator behind q138's oracle-checked
+    * round-trip. Decoders agree: ours, and the JDK's ImageIO (asserted
+    * in MultimodalSpec).
+    */
+  def encodePng(
+      pixels: Array[Byte], width: Int, height: Int, channels: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"channels must be 1/3/4, got $channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer ${pixels.length} != $width*$height*$channels")
+    val colorType = channels match { case 1 => 0; case 3 => 2; case _ => 6 }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    for (y <- 0 until height) {
+      raw(y * (stride + 1)) = 0 // filter: None
+      System.arraycopy(pixels, y * stride, raw, y * (stride + 1) + 1, stride)
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val idatOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      idatOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + data.length) // big-endian (PNG)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII"))
+      crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idatOut.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   /** Chunk-walking PNG parse for the web baseline: 8-bit greyscale /
     * RGB / RGBA, non-interlaced. The "compressed formats need native
     * libs" boundary does NOT apply here — PNG's compression is zlib

@@ -219,6 +219,51 @@ object StreamMediaQueries {
         .select(col("media_id"), col("kind"), col("payload_bytes"),
           col("dim"), round(col("mean_intensity"), 4).as("mean_intensity"))
         .orderBy("media_id")
+    },
+
+    // ---- PNG round-trip features: deterministic 1×w RGB PNGs are
+    //      ENCODED from each document's bytes (filter-0 + JDK Deflater),
+    //      then decoded by the full chunk-walk→inflate→unfilter path in
+    //      extractRealFeatures. The oracle never decompresses — it
+    //      recomputes width (nb div 3, from IHDR on the Spark side) and
+    //      pixel mean from the SAME source bytes, so a wrong inflate,
+    //      filter, or stride hash-fails. (Compressed payload size is
+    //      deflate-dependent, so unlike q116 it is not oracle-predicted;
+    //      the decode values are.) ----
+    QueryDef(
+      "q138_png_features",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 3),
+        |g AS (
+        |  SELECT media_id, nb // 3 AS w,
+        |         CAST(list_sum(list_transform(range(1, CAST(3 * (nb // 3) AS INT) + 1),
+        |              i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS INT))) AS DOUBLE)
+        |           / (3 * (nb // 3)) AS mean_i
+        |  FROM m)
+        |SELECT media_id, 'image' AS kind, CAST(w AS INT) AS dim,
+        |       round(mean_i, 4) AS mean_intensity
+        |FROM g
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length / 3
+          if (w == 0) None
+          else Some((id, "image",
+            graft.multimodal.RealCodec.encodePng(
+              java.util.Arrays.copyOf(bytes, w * 3), w, 1, channels = 3)))
+        }
+        .toDF("media_id", "kind", "payload")
+      Multimodal.extractRealFeatures(s, media)
+        .select(col("media_id"), col("kind"), col("dim"),
+          round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy("media_id")
     }
   )
 }

@@ -211,4 +211,30 @@ class MultimodalSpec extends SparkSpec {
     val truncated = encode(rgb).take(60)
     intercept[IllegalArgumentException] { RealCodec.decodePng(truncated) }
   }
+
+  test("PNG encoder round-trips through BOTH decoders (ours and ImageIO)") {
+    val rnd = new scala.util.Random(7)
+    for (channels <- Seq(1, 3, 4)) {
+      val (w, h) = (13, 9)
+      val px = Array.fill(w * h * channels)(rnd.nextInt(256).toByte)
+      val png = RealCodec.encodePng(px, w, h, channels)
+      // our decoder: exact round-trip
+      val back = RealCodec.decodePng(png)
+      assert(back.width == w && back.height == h && back.channels == channels)
+      assert(back.pixels.sameElements(px), s"round-trip mismatch at $channels ch")
+      // the JDK's independent decoder accepts our container + CRCs
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null, s"ImageIO rejected our $channels-channel PNG")
+      assert(img.getWidth == w && img.getHeight == h)
+      // spot-check pixel values through ImageIO for the RGB case
+      if (channels == 3) {
+        for (y <- 0 until h; x <- 0 until w) {
+          val base = (y * w + x) * 3
+          val want = ((px(base) & 0xff) << 16) |
+            ((px(base + 1) & 0xff) << 8) | (px(base + 2) & 0xff)
+          assert((img.getRGB(x, y) & 0xffffff) == want, s"ImageIO pixel ($x,$y)")
+        }
+      }
+    }
+  }
 }
