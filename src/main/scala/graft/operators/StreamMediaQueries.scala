@@ -264,6 +264,6 @@ object StreamMediaQueries {
         .select(col("media_id"), col("kind"), col("dim"),
           round(col("mean_intensity"), 4).as("mean_intensity"))
         .orderBy("media_id")
-    }
+    }.copy(headline = true)
   )
 }
