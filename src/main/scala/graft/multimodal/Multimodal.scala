@@ -129,6 +129,9 @@ object Multimodal {
             } else if (RealCodec.isPng(payload)) {
               val img = RealCodec.decodePng(payload)
               (img.width, img.pixels.map(b => b & 0xff))
+            } else if (RealCodec.isJpeg(payload) || RealCodec.isGif(payload)) {
+              val img = RealCodec.decodeRgbWithImageIO(payload)
+              (img.width, img.pixels.map(b => b & 0xff))
             } else (0, StubCodec.decode(payload))
           val mean = if (values.isEmpty) 0.0
             else values.foldLeft(0L)(_ + _).toDouble / values.length

@@ -142,6 +142,53 @@ object RealCodec {
     BmpImage(width, height, rgb)
   }
 
+  // ---------- JPEG/GIF (via the JDK's bundled ImageIO codecs) ----------
+
+  def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff
+
+  def isGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+
+  /** Decode JPEG/GIF through `javax.imageio` — bundled JDK codecs, no
+    * native libraries, so these formats do NOT need the stub swap point
+    * either. (We hand-roll WAV/BMP/PNG because their containers are
+    * simple enough to own outright; JPEG's entropy coding + DCT is what
+    * the JDK codec is for.) Returns row-major RGB. Fails loudly on
+    * payloads ImageIO rejects — a silent zero-fill would poison feature
+    * stats downstream.
+    */
+  def decodeRgbWithImageIO(payload: Array[Byte]): PngImage = {
+    // ImageIO reports corruption inconsistently (null OR IIOException);
+    // normalize both to the same loud failure the other decoders throw
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalArgumentException(s"corrupt media payload: $e")
+      }
+    require(img != null, "ImageIO could not decode payload (corrupt or unsupported)")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val base = (y * w + x) * 3
+        out(base) = ((px >> 16) & 0xff).toByte
+        out(base + 1) = ((px >> 8) & 0xff).toByte
+        out(base + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, 3, out)
+  }
+
   // ---------- PNG (compressed, zlib via the JDK's Inflater) ----------
 
   final case class PngImage(

@@ -237,4 +237,35 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("JPEG/GIF route through the JDK codec path, not the stub") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    // flat mid-grey: JPEG is lossy but preserves a uniform field closely,
+    // so the decoded mean must sit near 128, never at the stub's value
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", out), "JDK JPEG writer unavailable")
+    val jpeg = out.toByteArray
+    assert(RealCodec.isJpeg(jpeg))
+    val decoded = RealCodec.decodeRgbWithImageIO(jpeg)
+    assert(decoded.width == 16 && decoded.height == 16 && decoded.channels == 3)
+    val mean = decoded.pixels.map(_ & 0xff).map(_.toLong).sum.toDouble /
+      decoded.pixels.length
+    assert(math.abs(mean - 128.0) < 3.0, s"JPEG mid-grey mean drifted: $mean")
+
+    // end-to-end: the Spark feature path dispatches on the JPEG magic
+    val media = Seq((1L, "image", jpeg)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.extractRealFeatures(spark, media).head()
+    assert(f.getAs[Int]("dim") == 16, "dim must be the DECODED width")
+    assert(math.abs(f.getAs[Double]("mean_intensity") - mean) < 1e-9)
+
+    // corrupt payload with a JPEG magic fails loudly
+    intercept[IllegalArgumentException] {
+      RealCodec.decodeRgbWithImageIO(
+        Array(0xff, 0xd8, 0xff, 0x00, 0x11, 0x22).map(_.toByte))
+    }
+  }
 }
