@@ -267,5 +267,27 @@ class MultimodalSpec extends SparkSpec {
       RealCodec.decodeRgbWithImageIO(
         Array(0xff, 0xd8, 0xff, 0x00, 0x11, 0x22).map(_.toByte))
     }
+
+    // GIF: our RGB extraction equals ImageIO's own re-read of the same
+    // bytes, pixel for pixel. (The JDK GIF *writer* itself is lossy on
+    // small palettes — its own round-trip diverges from the source — so
+    // the contract here is plumbing equality with the reference reader,
+    // same as the JPEG path.)
+    val gifImg = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      gifImg.setRGB(x, y, if ((x + y) % 2 == 0) 0xff0000 else 0x0000ff)
+    val gifOut = new ByteArrayOutputStream()
+    assert(ImageIO.write(gifImg, "gif", gifOut), "JDK GIF writer unavailable")
+    val gif = gifOut.toByteArray
+    assert(RealCodec.isGif(gif))
+    val gifDec = RealCodec.decodeRgbWithImageIO(gif)
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val base = (y * 4 + x) * 3
+      val px = ref.getRGB(x, y)
+      assert((gifDec.pixels(base) & 0xff) == ((px >> 16) & 0xff) &&
+        (gifDec.pixels(base + 1) & 0xff) == ((px >> 8) & 0xff) &&
+        (gifDec.pixels(base + 2) & 0xff) == (px & 0xff), s"GIF pixel ($x,$y)")
+    }
   }
 }
