@@ -861,14 +861,26 @@ object Dedup {
       k: Int = 5,
       tauBp: Int = 8000,
       dfCap: Int = 100): DataFrame = {
+    // The exploded gram table is roughly the corpus token mass — far too
+    // large to pin in non-replicated executor block storage at the
+    // 100 TB target (an executor loss would kill the job: checkpoints
+    // drop lineage). So the explode stays LAZY (recomputed by the two
+    // jobs that consume it — a narrow projection off the scan), sizes
+    // come straight off the scan without materializing grams at all, and
+    // lineage is cut only on `live`, the df-filtered survivor set (grams
+    // in 2..dfCap docs — the boilerplate cap has already dropped the
+    // heavy tail), which both sides of the pair join read.
     val grams = docs
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.shingles(col("text"), k))).as("g"))
-      .localCheckpoint() // referenced three times (sizes, df, pair join)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val sizes = docs
+      .select(col("doc_id"),
+        size(array_distinct(TextAnalysis.shingles(col("text"), k)))
+          .cast("long").as("ng"))
     val live = grams.join(
       grams.groupBy("g").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, dfCap)).select("g"), "g")
+      .localCheckpoint()
     live.as("a").join(live.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

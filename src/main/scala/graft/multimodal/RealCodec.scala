@@ -274,6 +274,14 @@ object RealCodec {
       val typ = new String(payload, off + 4, 4, "US-ASCII")
       require(len >= 0 && off + 8 + len + 4 <= payload.length,
         s"truncated PNG chunk $typ")
+      // the spec's integrity contract: CRC32 over type+data must equal
+      // the stored trailer — without this, a bit-flipped IHDR/IDAT that
+      // still inflates to the right length decodes silently into wrong
+      // pixel stats (the encoder emits these; the decoder must check)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(payload, off + 8 + len),
+        f"PNG chunk $typ CRC mismatch (stored 0x${be32(payload, off + 8 + len)}%08x, computed 0x${crc.getValue.toInt}%08x)")
       typ match {
         case "IHDR" =>
           require(len == 13, s"bad IHDR length $len")

@@ -1171,6 +1171,6 @@ object AnalyticsQueries {
           min("cents_w").as("min_w"),
           max("cents_w").as("max_w"))
         .orderBy("l_returnflag")
-    }
+    }.copy(headline = true)
   )
 }

@@ -196,6 +196,15 @@ object PipelineQueries {
   private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Pinned q111 artifact: `LinearModel.fitRidgeNano` over the full
+    * sf0.01 documents corpus (features f_bias/f_ntok/f_stop_ppm/
+    * f_distinct_ppm, label ±1 on lang='en', λ=1), frozen so the scoring
+    * path is oracle-checkable with the same literals on both sides —
+    * training correctness is pinned separately by LinearModelSpec.
+    */
+  private[operators] val q111Weights: Array[Long] =
+    Array(-280188027L, 18465L, 1357L, 136L)
+
   /** DuckDB SQL mirroring TextAnalysis.langId / qualityScore /
     * bpeIshTokenCount, generated from the SAME profiles (see q33).
     */
@@ -1028,21 +1037,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     }.copy(headline = true),
 
-    // ---- BPE tokenizer training (Sennrich merges over the word-freq
-    //      dictionary) + segmentation with the trained table. Each
+    // ---- BPE tokenizer: train/apply split. TRAINING (Sennrich merges
+    //      over the word-freq dictionary) is inherently iterative — each
     //      round's argmax feeds the next round's rewrite, so no single
-    //      SQL statement expresses it — rows-only driver check (like the
-    //      inherently-iterative IVF build); TextAnalysisSpec pins
-    //      equality with a driver-side reference implementation. ----
-    QueryDef.noOracle("q108_bpe_vocab") { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-        .filter(col("doc_id") < 100)
-      val table = TextAnalysis.bpeTrain(docs, merges = 12)
-      import s.implicits._
-      table.zipWithIndex
-        .map { case ((l, r), i) => (i + 1, l, r, l + r) }
-        .toDF("rank", "left", "right", "merged")
-        .orderBy("rank")
+    //      SQL statement expresses it; it is pinned by
+    //      TextAnalysisSpec's reference-equality test, and its artifact
+    //      ships as TextAnalysis.pinnedMerges. The APPLY path —
+    //      segmentation of the corpus with the trained table, the step
+    //      that actually touches 100 TB — is oracle-checked END TO END
+    //      here: the oracle replays the greedy left-to-right merge fold
+    //      via the wrapped-symbol string form (each symbol as ␁sym␁, a
+    //      merge (l,r) as one non-overlapping left-to-right replace of
+    //      ␁l␁␁r␁ with ␁lr␁ — bit-identical to the fold because both
+    //      consume matches left-to-right and a fused symbol never
+    //      re-fuses within its round). ----
+    QueryDef(
+      "q108_bpe_segment", {
+        val sep = "chr(1)"
+        val wrapped = s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')"
+        val chain = TextAnalysis.pinnedMerges.foldLeft(wrapped) {
+          case (e, (l, r)) =>
+            s"replace($e, $sep || '$l' || $sep || $sep || '$r' || $sep, $sep || '$l$r' || $sep)"
+        }
+        s"""WITH tk AS (
+           |  SELECT doc_id, ${OracleSql.wsTokens("text")} AS toks
+           |  FROM documents WHERE doc_id < 100),
+           |seg AS (
+           |  SELECT doc_id, list_transform(toks, w ->
+           |    string_split(trim($chain, chr(1)), chr(1) || chr(1))) AS segs
+           |  FROM tk)
+           |SELECT doc_id,
+           |       CAST(len(segs) AS BIGINT) AS n_words,
+           |       CAST(len(flatten(segs)) AS BIGINT) AS n_symbols,
+           |       array_to_string(
+           |         list_transform(segs, a -> array_to_string(a, ' ')),
+           |         ' | ') AS seg_text
+           |FROM seg ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.bpeSegment(col("text"), TextAnalysis.pinnedMerges)
+            .as("segs"))
+        .select(col("doc_id"),
+          size(col("segs")).cast("long").as("n_words"),
+          size(flatten(col("segs"))).cast("long").as("n_symbols"),
+          array_join(transform(col("segs"), a => array_join(a, " ")), " | ")
+            .as("seg_text"))
+        .orderBy("doc_id")
     },
 
     // ---- deterministic k-means (Lloyd, 2 rounds): topic/balance
@@ -1319,16 +1360,41 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
-    // ---- trained quality classifier: fit a ridge linear model on
-    //      exact-integer surface features (token count, stopword ppm,
-    //      distinct-token ppm) against a ±1 label, then score docs with
-    //      a pure-integer dot product. Training is ONE moment-sum
-    //      aggregate (DECIMAL(38,0) — exact at any row count) + a
-    //      driver-side d×d solve, so weights and scores are independent
-    //      of partitioning. The driver-side solve isn't a single SQL
-    //      statement — rows-only check; LinearModelSpec pins equality
-    //      with a sequential BigInt reference and partition invariance. ----
-    QueryDef.noOracle("q111_quality_classifier") { (s, dir) =>
+    // ---- quality classifier: train/apply split. TRAINING (ridge over
+    //      exact-integer surface features — ONE DECIMAL(38,0) moment-sum
+    //      aggregate + a driver-side d×d solve) isn't a single SQL
+    //      statement; LinearModelSpec pins it against a sequential
+    //      BigInt reference and asserts partition invariance, and its
+    //      artifact ships as the pinned nano-weights below (fitRidgeNano
+    //      over the full sf0.01 documents corpus, λ=1). The APPLY path —
+    //      feature extraction + the pure-integer dot product, the step
+    //      that scores 100 TB — is oracle-checked end to end with the
+    //      SAME literal weights on both sides. ----
+    QueryDef(
+      "q111_quality_classifier", {
+        val Seq(wBias, wNtok, wStop, wDist) = q111Weights.toSeq
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         CAST(1 AS BIGINT) AS f_bias,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS f_ntok,
+           |         CAST(floor(CAST(len(list_filter(string_split(text, ' '),
+           |             w -> list_contains($stopwordsSql, w))) * 1000000 AS DOUBLE)
+           |           / len(string_split(text, ' '))) AS BIGINT) AS f_stop_ppm,
+           |         CAST(floor(CAST(len(list_distinct(string_split(text, ' ')))
+           |             * 1000000 AS DOUBLE)
+           |           / len(string_split(text, ' '))) AS BIGINT) AS f_distinct_ppm,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+           |  FROM documents)
+           |SELECT doc_id, CAST(y AS BIGINT) AS label,
+           |       CAST(f_bias * ($wBias) + f_ntok * ($wNtok)
+           |         + f_stop_ppm * ($wStop) + f_distinct_ppm * ($wDist)
+           |         AS BIGINT) AS score_nano,
+           |       CAST(CASE WHEN f_bias * ($wBias) + f_ntok * ($wNtok)
+           |         + f_stop_ppm * ($wStop) + f_distinct_ppm * ($wDist) > 0
+           |         THEN 1 ELSE -1 END AS BIGINT) AS predicted
+           |FROM f WHERE doc_id < 100
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
       import graft.ml.LinearModel
       val toks = split(col("text"), " ")
       val feats = Tables.documents(s, dir)
@@ -1341,10 +1407,9 @@ object PipelineQueries {
             size(toks).cast("long")).cast("long").as("f_distinct_ppm"),
           when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
       val fcols = Seq("f_bias", "f_ntok", "f_stop_ppm", "f_distinct_ppm")
-      val w = LinearModel.fitRidgeNano(feats, fcols, "y", lambda = 1.0)
       feats.filter(col("doc_id") < 100)
         .select(col("doc_id"), col("y").as("label"),
-          LinearModel.scoreNano(w, fcols).as("score_nano"))
+          LinearModel.scoreNano(q111Weights, fcols).as("score_nano"))
         .withColumn("predicted", when(col("score_nano") > 0, 1L).otherwise(-1L))
         .orderBy("doc_id")
     },
@@ -1515,7 +1580,7 @@ object PipelineQueries {
             x => (x.cast("double") * 1.01 + 0.005).cast("float")).as("embedding"))
       Similarity.semDedup(emb.union(twins), k = 16, iters = 2, threshold = 0.99)
         .orderBy("vec_id")
-    },
+    }.copy(headline = true),
 
     // ---- per-source token-distribution drift: KL(source ‖ corpus) in
     //      integer nano-nats — the mixture-design diagnostic behind
@@ -2010,7 +2075,7 @@ object PipelineQueries {
             .as("text"))
       Dedup.containmentPairs(docs.union(quotes), k = 5, tauBp = 8000, dfCap = 100)
         .orderBy("contained_id", "container_id")
-    },
+    }.copy(headline = true),
 
     // ---- dataset card: the one-row-per-metric corpus summary a
     //      training run publishes (datasheet/data-card practice) —

@@ -33,29 +33,92 @@ object PipelineRunner {
   private def committed(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir, "_SUCCESS"))
 
+  /** Marker file holding the stage's CASCADED fingerprint (written after
+    * the parquet commit; a crash between the two leaves a committed dir
+    * with no/stale marker, which safely recomputes on resume).
+    */
+  private val FingerprintFile = "_GRAFT_STAGE"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def readFingerprint(spark: SparkSession, dir: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, FingerprintFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  private def writeFingerprint(
+      spark: SparkSession, dir: String, fp: String): Unit = {
+    val out = fs(spark, dir).create(new Path(dir, FingerprintFile), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run `stages` in order. Each stage function receives the persisted
     * outputs of ALL prior stages (by name, re-read from parquet) and
     * returns the DataFrame to persist under its own name. Returns the
     * persisted outputs of every stage. Stages whose output is already
-    * committed under `workDir` are skipped (their function is never
-    * invoked) — delete the stage directory to force recomputation.
+    * committed under `workDir` AND whose fingerprint matches are skipped
+    * (their function is never invoked).
+    *
+    * The per-stage `version` string is the caller's declaration of the
+    * stage's logic + parameters (bump it when either changes). The
+    * fingerprint persisted next to `_SUCCESS` is the md5 CHAIN of
+    * (name, version) over the stage and every stage before it, so
+    * editing stage i — or reordering — invalidates stage i AND every
+    * downstream stage automatically; `_SUCCESS` alone no longer lets a
+    * rerun silently reuse output computed by different code. Every
+    * skip/recompute decision is logged, so stale reuse is visible even
+    * when the caller leaves versions at the default.
     */
-  def run(
+  def runVersioned(
       spark: SparkSession,
       workDir: String,
-      stages: Seq[(String, Map[String, DataFrame] => DataFrame)])
+      stages: Seq[(String, String, Map[String, DataFrame] => DataFrame)])
       : Map[String, DataFrame] = {
     require(stages.map(_._1).distinct.size == stages.size,
       s"duplicate stage names in ${stages.map(_._1)}")
     var outputs = Map.empty[String, DataFrame]
-    stages.foreach { case (name, stage) =>
+    var chain = ""
+    stages.foreach { case (name, version, stage) =>
+      chain = md5Hex(s"$chain|$name|$version")
       val dir = s"$workDir/$name"
-      if (!committed(spark, dir)) {
+      val stored = readFingerprint(spark, dir)
+      if (committed(spark, dir) && stored.contains(chain)) {
+        Console.err.println(
+          s"[PipelineRunner] stage $name: skipped (committed, fingerprint $chain)")
+      } else {
+        if (committed(spark, dir)) Console.err.println(
+          s"[PipelineRunner] stage $name: committed output is STALE " +
+            s"(fingerprint ${stored.getOrElse("<none>")} != $chain) — recomputing")
+        else Console.err.println(s"[PipelineRunner] stage $name: computing")
         // Overwrite clears any partial (uncommitted) output from a crash
         stage(outputs).write.mode(SaveMode.Overwrite).parquet(dir)
+        writeFingerprint(spark, dir, chain)
       }
       outputs += name -> spark.read.parquet(dir)
     }
     outputs
   }
+
+  /** [[runVersioned]] with every stage at the default version "" — the
+    * resume contract still keys on the cascaded (name-sequence)
+    * fingerprint, so reordering or renaming stages invalidates
+    * correctly; only a logic edit under an unchanged name needs a
+    * caller-supplied version to be detected.
+    */
+  def run(
+      spark: SparkSession,
+      workDir: String,
+      stages: Seq[(String, Map[String, DataFrame] => DataFrame)])
+      : Map[String, DataFrame] =
+    runVersioned(spark, workDir,
+      stages.map { case (n, f) => (n, "", f) })
 }

@@ -819,6 +819,6 @@ object RelationalQueries {
           bucketWidth = 3600000000L)
         .select("a_id", "b_id")
         .orderBy("a_id", "b_id")
-    }
+    }.copy(headline = true)
   )
 }

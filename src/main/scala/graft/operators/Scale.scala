@@ -71,7 +71,21 @@ object Scale {
       orderCols: Seq[String],
       valueCol: String,
       cumCol: String = "cum",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    prefixSumLongByWithTotal(df, orderCols, valueCol, cumCol, partitions)._1
+
+  /** [[prefixSumLongBy]], also returning the GRAND TOTAL of `valueCol`.
+    * The per-partition totals already sit on the driver (they build the
+    * broadcast offsets), so the total is free — callers that would
+    * otherwise run an `agg(max(cum))` over the result (a second full
+    * pass of the ranked lineage) should take it from here instead.
+    */
+  def prefixSumLongByWithTotal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      cumCol: String = "cum",
+      partitions: Int = 0): (DataFrame, Long) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
@@ -108,7 +122,7 @@ object Scale {
       .createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
       .localCheckpoint()
     rdd.unpersist(blocking = false)
-    result
+    (result, offsets.last)
   }
 
   /** Distributed global row numbering under a composite total order —
@@ -120,8 +134,21 @@ object Scale {
       df: DataFrame,
       rankCol: String,
       orderCols: String*): DataFrame =
-    prefixSumLongBy(df.withColumn("_one", lit(1L)), orderCols, "_one", rankCol)
-      .drop("_one")
+    globalRankWithTotal(df, rankCol, orderCols: _*)._1
+
+  /** [[globalRank]], also returning the total row count (= the max rank)
+    * — already collected on the driver by the prefix-sum offsets, so
+    * consumers that need n (equi-depth binning, winsorization bounds)
+    * skip a full re-aggregation pass over the ranked table.
+    */
+  def globalRankWithTotal(
+      df: DataFrame,
+      rankCol: String,
+      orderCols: String*): (DataFrame, Long) = {
+    val (ranked, total) = prefixSumLongByWithTotal(
+      df.withColumn("_one", lit(1L)), orderCols, "_one", rankCol)
+    (ranked.drop("_one"), total)
+  }
 
   /** Exact equi-depth (ntile) bin assignment over a composite total
     * order — the scale form of `ntile(bins) OVER (ORDER BY ...)`, whose
@@ -135,19 +162,21 @@ object Scale {
     */
   def equiDepthBins(df: DataFrame, bins: Int, orderCols: String*): DataFrame = {
     require(bins > 0, s"bins must be positive, got $bins")
-    val ranked = globalRank(df, "_r", orderCols: _*)
+    // the total is free from the prefix-sum offsets — inlining it as a
+    // literal drops the broadcast-join-with-agg(max) second pass the
+    // previous version ran over the ranked lineage
+    val (ranked, total) = globalRankWithTotal(df, "_r", orderCols: _*)
     ranked
-      .crossJoin(broadcast(ranked.agg(max("_r").as("_total"))))
       .withColumn("bin", expr(
         s"""CAST(CASE
-           |  WHEN _r <= (_total % $bins) * (_total div $bins + 1)
-           |  THEN (_r - 1) div (_total div $bins + 1) + 1
-           |  ELSE (_total % $bins)
-           |       + (_r - (_total % $bins) * (_total div $bins + 1) - 1)
-           |         div (_total div $bins)
+           |  WHEN _r <= ($total % $bins) * ($total div $bins + 1)
+           |  THEN (_r - 1) div ($total div $bins + 1) + 1
+           |  ELSE ($total % $bins)
+           |       + (_r - ($total % $bins) * ($total div $bins + 1) - 1)
+           |         div ($total div $bins)
            |       + 1
            |END AS INT)""".stripMargin))
-      .drop("_r", "_total")
+      .drop("_r")
   }
 
   /** Deterministic content-addressed split assignment (train/val/test):
@@ -239,16 +268,17 @@ object Scale {
       tieCols: String*): DataFrame = {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
       s"need 0 <= lo <= hi <= 1000, got ($loPermille, $hiPermille)")
-    val ranked = globalRank(df, "_wr", (valueCol +: tieCols): _*)
+    // n comes back with the rank pass (driver-side prefix offsets), so
+    // the boundary ranks are plain literals — no agg(max) re-pass, no
+    // broadcast-join of the total back onto the ranked table
+    val (ranked, n) = globalRankWithTotal(df, "_wr", (valueCol +: tieCols): _*)
+    val kLo = math.max(1L, (loPermille * n + 999L) / 1000L)
+    val kHi = math.min(n, (hiPermille * n + 999L) / 1000L)
     val bounds = ranked
-      .crossJoin(broadcast(ranked.agg(max("_wr").as("_n"))))
-      .withColumn("_kLo",
-        expr(s"greatest(CAST(1 AS BIGINT), ($loPermille * _n + 999) div 1000)"))
-      .withColumn("_kHi", expr(s"least(_n, ($hiPermille * _n + 999) div 1000)"))
-      .filter(col("_wr") === col("_kLo") || col("_wr") === col("_kHi"))
+      .filter(col("_wr") === kLo || col("_wr") === kHi)
       .agg(
-        min(when(col("_wr") === col("_kLo"), col(valueCol))).as("_lo"),
-        max(when(col("_wr") === col("_kHi"), col(valueCol))).as("_hi"))
+        min(when(col("_wr") === kLo, col(valueCol))).as("_lo"),
+        max(when(col("_wr") === kHi, col(valueCol))).as("_hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("_lo")), col("_hi")))

@@ -332,6 +332,51 @@ object Similarity {
     assigned.select(col(idCol), col("cluster"))
   }
 
+  /** One level of GROUPED k-means refinement for [[semDedup]]'s
+    * oversized clusters: every parent cluster P in `big` is k-way
+    * re-clustered IN ONE PASS — child centroids are keyed by the
+    * combined label (P+1)·k + sub (injective across recursion depths),
+    * and each row's argmin runs over only its own parent's k children
+    * (centroid lists packed per parent and broadcast — the centroid
+    * table is #parents·k rows, never corpus-sized). Same deterministic
+    * machinery as [[kmeansLite]]: id-hash seeding, quantized centroid
+    * sums, tie-break on child label via the sorted fold.
+    */
+  private def kmeansRefine(
+      big: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String,
+      embCol: String): DataFrame = {
+    val dim = big.select(size(col(embCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    def assign(centroids: DataFrame): DataFrame = {
+      val packed = centroids
+        .withColumn("parent", expr(s"cluster div $k - 1"))
+        .groupBy("parent")
+        .agg(sort_array(collect_list(struct(col("cluster"), col("centroid"))))
+          .as("cents"))
+      big.join(broadcast(packed), col("cluster") === col("parent"))
+        .withColumn("scored", transform(col("cents"), c =>
+          struct(l2sq(col(embCol), c.getField("centroid")).as("d2"),
+            c.getField("cluster").as("cluster"))))
+        .withColumn("best", aggregate(col("scored"),
+          struct(lit(Double.PositiveInfinity).as("d2"), lit(-1L).as("cluster")),
+          (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc)))
+        .select(col(idCol), col("best.cluster").as("cluster"), col(embCol))
+    }
+    var centroids = quantizedMeans(
+      big.select(((col("cluster") + 1) * k + ivfBucket(col(idCol), k))
+        .as("cluster"), col(embCol)),
+      "cluster", dim, embCol)
+    var out = assign(centroids)
+    (2 to iters).foreach { _ =>
+      centroids = quantizedMeans(out, "cluster", dim, embCol)
+      out = assign(centroids)
+    }
+    out
+  }
+
   /** Deterministic pseudo-random hyperplane weight for plane `p`,
     * dimension `i` — in [-1, 1]. Public so oracle builders can replay
     * the exact bucketing ([[embeddingNearDups]] and the q30 DuckDB
@@ -498,14 +543,38 @@ object Similarity {
     *
     * Scale shape: the quadratic comparison is confined to clusters —
     * cost is Σ cluster², never n². Size `k` to the corpus (the paper
-    * runs k ≈ n/1000, keeping mean cluster size constant); `maxCluster`
-    * is the same safety valve as the LSH paths' maxBucket: clusters the
-    * seeding leaves degenerate (e.g. an all-identical corpus collapsing
-    * into one cluster) contribute NO pairs instead of going quadratic,
-    * trading recall on pathological clusters only. Pairing is a plain
-    * cluster-keyed self-join (one shuffle), so oversized-but-capped
-    * clusters stream through the join rather than materializing a
-    * members list per bucket row.
+    * runs k ≈ n/1000, keeping mean cluster size constant — at 100 TB /
+    * ~10¹¹ docs that is k ≈ 10⁵⁻⁸, not this catalog-scale default of
+    * 16; see the sizing rule below). `maxCluster` is the same safety
+    * valve as the LSH paths' maxBucket, but unlike a cap it does NOT
+    * surrender recall: a cluster the seeding leaves oversized (dense
+    * regions — exactly where duplicates concentrate) is RECURSIVELY
+    * RE-CLUSTERED (k-way, up to `maxDepth` levels, all still-oversized
+    * clusters of a level re-clustered in ONE grouped pass), and a
+    * cluster still oversized after `maxDepth` (e.g. an all-identical
+    * corpus, which k-means cannot separate — every point ties to the
+    * same centroid) falls back to a deterministic id-hash SALT split
+    * into ⌈size/maxCluster⌉ groups, so duplicates are still found
+    * within each bounded group (bounded, distributed recall loss on
+    * pathological clusters instead of total exemption). Pairing is a
+    * plain cluster-keyed self-join (one shuffle), so maximal clusters
+    * stream through the join rather than materializing a members list
+    * per bucket row.
+    *
+    * Sizing rule (mirrors [[embeddingNearDups]]): pick k so n/k ≈ the
+    * cluster size you want to pair within (10²-10³); the recursion is
+    * the backstop for seeding skew, not a substitute for sizing k.
+    *
+    * Cluster labels: top-level labels are 0..k-1; a depth-d sub-cluster
+    * of parent P gets (P+1)·k + sub (injective across depths, so labels
+    * stay collision-free Longs); salt-fallback groups get the NEGATIVE
+    * label −((P+1)·S + salt + 1) with S the level's max salt count —
+    * deterministic for a given corpus, distinguishable (< 0) from
+    * k-means labels. With no oversized clusters (any corpus where
+    * n ≤ maxCluster holds per cluster, e.g. the catalog tables at the
+    * library default) the output is byte-identical to plain
+    * kmeansLite + within-cluster pairing, which is what the q119
+    * oracle replays.
     */
   def semDedup(
       corpus: DataFrame,
@@ -514,15 +583,64 @@ object Similarity {
       threshold: Double = 0.95,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      maxCluster: Int = 10000): DataFrame = {
+      maxCluster: Int = 10000,
+      maxDepth: Int = 3): DataFrame = {
     // k-means re-derives its iterations on every downstream action, and
     // the assignment feeds three consumers (both join sides + output) —
     // cut the lineage once.
-    val assigned = kmeansLite(corpus, k, iters, idCol, embCol)
+    var assigned = kmeansLite(corpus, k, iters, idCol, embCol)
       .join(corpus.select(col(idCol), col(embCol)), idCol)
+      .withColumn("cluster", col("cluster").cast("long"))
       .localCheckpoint()
+    // Recursive refinement: at each level, re-cluster ALL oversized
+    // clusters in one grouped k-means pass (centroids keyed by the
+    // combined child label (P+1)·k + sub, assignment confined to the
+    // parent's k children).
+    def oversizedIds(df: DataFrame): Array[Long] = df.groupBy("cluster")
+      .agg(count(lit(1)).as("csz")).filter(col("csz") > maxCluster)
+      .select("cluster").collect().map(_.getLong(0)).sorted
+    var depth = 0
+    var oversized = oversizedIds(assigned)
+    while (depth < maxDepth && oversized.nonEmpty) {
+      val big = assigned.filter(col("cluster").isin(oversized: _*))
+      val ok = assigned.filter(!col("cluster").isin(oversized: _*))
+      val prev = assigned
+      assigned = ok.unionByName(
+          kmeansRefine(big, k, iters, idCol, embCol)
+            .select(prev.columns.map(col).toIndexedSeq: _*))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+      depth += 1
+      oversized = oversizedIds(assigned)
+    }
+    // Salt fallback for clusters k-means cannot shrink (identical
+    // points tie-break to one centroid at every depth): deterministic
+    // id-hash split into ⌈csz/maxCluster⌉ groups — each bounded, each
+    // still paired internally.
+    if (oversized.nonEmpty) {
+      val bigSizes = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("csz"))
+        .filter(col("cluster").isin(oversized: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nSalts = bigSizes.map { case (c, sz) =>
+        c -> ((sz + maxCluster - 1) / maxCluster) }
+      val maxSalts = nSalts.values.max
+      assigned = assigned.withColumn("cluster",
+        when(col("cluster").isin(oversized: _*),
+          -((col("cluster") + 1) * maxSalts +
+            pmod(graft.textops.TextAnalysis.md5Long(col(idCol).cast("string")),
+              element_at(typedLit(nSalts), col("cluster"))) + 1))
+          .otherwise(col("cluster")))
+        .localCheckpoint()
+    }
+    // Salt-fallback groups (cluster < 0) always pair: their salt count
+    // was chosen to put the EXPECTED size at maxCluster (hash imbalance
+    // can overshoot by a small factor — work is bounded by construction
+    // either way); a positive cluster over maxCluster cannot exist here
+    // unless maxDepth recursion plus salting were both disabled.
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csz"))
-    val live = assigned.join(broadcast(sizes.filter(col("csz") <= maxCluster)
+    val live = assigned.join(broadcast(sizes
+      .filter(col("csz") <= maxCluster || col("cluster") < 0)
       .select("cluster")), Seq("cluster"))
     val dropped = live
       .select(col("cluster"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
@@ -611,13 +729,24 @@ object Similarity {
     * replaying oracle (passing e.g. 1−0.7 would differ from DuckDB's
     * decimal-exact `1 - 0.7`).
     *
-    * Scale shape: relevance is computed ONCE in a narrow pass and
-    * localCheckpointed; each of the k driver-loop rounds is then one
-    * bounded TakeOrdered over that cached projection with the ≤k selected
-    * vectors inlined as literals (a broadcast of k·dim floats) — no
-    * shuffle, no window, nothing quadratic in the corpus. The greedy loop
-    * is inherently sequential (step i+1's penalty needs step i's pick);
-    * k is a small constant, so this is k scan-bound jobs.
+    * Scale shape: relevance is computed ONCE in a narrow pass; the
+    * diversity penalty is a RUNNING column — after each pick, the
+    * frame is rewritten as `pen := max(pen, cos(emb, lastPick))` (one
+    * cosine per surviving row, the pick's dim floats inlined as a
+    * literal) and re-checkpointed, so step i costs O(n·d) and the
+    * whole selection O(k·n·d) — NOT the O(k²·n·d) a recompute-from-
+    * scratch `greatest` over all i selected vectors would cost (at
+    * k=1000 curation runs that is 1× vs ~500× corpus scans). The
+    * already-picked row is dropped by an equality filter on the single
+    * latest id (the running max makes the growing `isin` blacklist
+    * unnecessary). No shuffle, no window, nothing quadratic in the
+    * corpus; the greedy loop is inherently sequential (step i+1's
+    * penalty needs step i's pick), so this is k scan-bound jobs over
+    * checkpointed blocks.
+    *
+    * The running max is bit-identical to the recomputed form: max over
+    * doubles involves no arithmetic, and each cosine is evaluated on
+    * the same (emb, pick) float pair either way.
     */
   def mmrSelect(
       candidates: DataFrame,
@@ -629,36 +758,45 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val base = candidates
+    // pen starts at the step-1 neutral 0.0 (score = relWeight·rel); the
+    // FIRST update overwrites it with the lone cosine — not max(0, cos)
+    // — so an all-negative-cosine neighborhood penalizes exactly as the
+    // literal "max over selected" definition (and its oracle) demands.
+    var frame = candidates
       .select(col(idCol).cast("long").as("vec_id"), col(embCol).as("emb"))
       .withColumn("rel", cosine(col("emb"), typedLit(queryVec)))
+      .withColumn("pen", lit(0.0))
       .localCheckpoint()
-    var selected = Vector.empty[(Long, Seq[Float], Long)]
-    for (_ <- 0 until k) {
-      val pens = selected.map(s => cosine(col("emb"), typedLit(s._2)))
-      val pen = pens.size match {
-        case 0 => lit(0.0)
-        case 1 => pens.head // greatest() requires ≥2 args
-        case _ => greatest(pens: _*)
-      }
-      val remaining =
-        if (selected.isEmpty) base
-        else base.filter(!col("vec_id").isin(selected.map(_._1): _*))
-      val top = remaining
+    var selected = Vector.empty[(Long, Long)] // (vec_id, score_micro)
+    var exhausted = false
+    for (_ <- 0 until k if !exhausted) {
+      val top = frame
         .withColumn("score_micro",
-          round((lit(relWeight) * col("rel") - lit(divWeight) * pen) * 1e6)
+          round((lit(relWeight) * col("rel") - lit(divWeight) * col("pen")) * 1e6)
             .cast("long"))
         .sort(col("score_micro").desc, col("vec_id"))
         .select("vec_id", "emb", "score_micro")
         .take(1)
-      if (top.isEmpty) // corpus exhausted before k picks — return what exists
-        return selected.zipWithIndex
-          .map { case ((id, _, sc), i) => (i + 1L, id, sc) }
-          .toDF("rank", "vec_id", "score_micro")
-      selected :+= ((top(0).getLong(0), top(0).getSeq[Float](1), top(0).getLong(2)))
+      if (top.isEmpty) exhausted = true // corpus exhausted before k picks
+      else {
+        val pickId = top(0).getLong(0)
+        val pickEmb = top(0).getSeq[Float](1)
+        selected :+= ((pickId, top(0).getLong(2)))
+        if (selected.size < k) {
+          val prev = frame
+          val newCos = cosine(col("emb"), typedLit(pickEmb))
+          frame = frame
+            .filter(col("vec_id") =!= pickId)
+            .withColumn("pen",
+              if (selected.size == 1) newCos
+              else greatest(col("pen"), newCos))
+            .localCheckpoint()
+          prev.unpersist(blocking = false)
+        }
+      }
     }
     selected.zipWithIndex
-      .map { case ((id, _, sc), i) => (i + 1L, id, sc) }
+      .map { case ((id, sc), i) => (i + 1L, id, sc) }
       .toDF("rank", "vec_id", "score_micro")
   }
 }

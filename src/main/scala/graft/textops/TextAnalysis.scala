@@ -244,6 +244,20 @@ object TextAnalysis {
     table.toSeq
   }
 
+  /** A PINNED merge table: the output of `bpeTrain(documents WHERE
+    * doc_id < 100, merges = 12)` over the sf0.01 corpus, frozen as the
+    * trained artifact the oracle-checked q108 APPLY path segments with
+    * (training itself is inherently iterative — not one SQL statement —
+    * so it is pinned by TextAnalysisSpec's reference-equality test
+    * instead, and the artifact it produces is what ships; the standard
+    * train-once / apply-everywhere split of a production tokenizer).
+    * Stability does not depend on the corpus: both the query and its
+    * oracle apply THIS table, wherever it came from.
+    */
+  val pinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "w"), ("s", "t"), ("i", "n"), ("o", "r"), ("l", "u"),
+    ("m", "er"), ("a", "t"), ("a", "r"), ("p", "ar"), ("f", "i"), ("fi", "l"))
+
   /** Segment text with a trained merge table: per token, start from
     * characters and apply every merge in table order (the standard BPE
     * encoder). A pure column expression — the merge table compiles into

@@ -348,6 +348,59 @@ object ScaleProbe {
     val (ctnpairs, ctn) = timeContain(s"${copies}x", replicateSmall(copies))
     println(f"[scaleprobe] containment pairs ratio=${ctnpairs.toDouble / math.max(ct1pairs, 1)}%.2f, " +
       f"time ratio=${ctn / ct1}%.2f for ${copies}x data")
+
+    // Containment checkpoint footprint: lineage is cut on the
+    // df-FILTERED gram table, not the full explode — on a
+    // boilerplate-heavy corpus (shared template prefix in every doc →
+    // most grams over dfCap) the materialized bytes must be a small
+    // fraction of the exploded gram mass. Reported as the peak
+    // persistent-block footprint left by one containmentPairs run.
+    def storedBytes(): Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+    val boiler = base.limit(500).select(col("doc_id"),
+      concat(lit(("the quick brown fox jumps over the lazy dog and " * 8)),
+        col("text")).as("text"))
+    val explodedBytes = {
+      import org.apache.spark.storage.StorageLevel
+      val g = boiler.select(col("doc_id"),
+        explode(array_distinct(graft.textops.TextAnalysis
+          .shingles(col("text"), 5))).as("g")).persist(StorageLevel.MEMORY_AND_DISK)
+      g.count()
+      val b = storedBytes()
+      g.unpersist(true)
+      b
+    }
+    clearBlocks()
+    Dedup.containmentPairs(boiler, k = 5, tauBp = 5000, dfCap = 100).count()
+    val checkpointedBytes = storedBytes()
+    clearBlocks()
+    println(f"[scaleprobe] containment checkpoint bytes=$checkpointedBytes " +
+      f"vs full-explode bytes=$explodedBytes " +
+      f"(ratio=${checkpointedBytes.toDouble / math.max(explodedBytes, 1)}%.3f — " +
+      "lineage cut on the df-filtered survivor grams only)")
+
+    // MMR selection: per-step cost is O(n·d) via the running penalty
+    // column (one cosine against the latest pick), so total work — and
+    // wall-clock — must grow ~linearly in k; the recompute-from-scratch
+    // form would grow ~quadratically (step i pays i cosines per row).
+    val mmrCorpus = Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    val qv: Seq[Float] = mmrCorpus.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    def timeMmr(label: String, k: Int): Double = {
+      val t0 = System.nanoTime()
+      graft.similarity.Similarity.mmrSelect(mmrCorpus, qv, k = k).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] mmr-$label: k=$k time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeMmr("warmup", 8)
+    val mm1 = timeMmr("k8", 8)
+    val mm4 = timeMmr("k32", 32)
+    println(f"[scaleprobe] mmr time ratio=${mm4 / mm1}%.2f for 4x k " +
+      "(linear ⇒ ≈4; the recompute-from-scratch form ⇒ ≈16)")
     spark.stop()
   }
 }

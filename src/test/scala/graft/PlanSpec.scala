@@ -130,11 +130,15 @@ class PlanSpec extends SparkSpec {
     // the whole fact table into ONE partition)
     assert(!plan.contains("Window"),
       s"binning regressed to a global window (single-partition sort):\n$plan")
-    // binning itself is narrow: rank scan → broadcast-joined total →
-    // projection; the only SinglePartition exchange allowed is the
-    // O(partitions)-row partial-max for the total count
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
-      s"total count must broadcast to the binning pass:\n$plan")
+    // binning itself is narrow: the total is a DRIVER LITERAL (free
+    // from the prefix-sum offsets), so the bin rule is one projection
+    // over the single rank scan — no agg(max) re-pass, no broadcast of
+    // the total, no second read of the ranked checkpoint
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"total must be inlined as a literal, not joined back:\n$plan")
+    val rankScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rankScans <= 1,
+      s"ranked checkpoint must be read exactly once, found $rankScans:\n$plan")
   }
 
   test("q94 fuzzy join: probe variants broadcast; corpus side never exchanges for the join") {
@@ -365,5 +369,12 @@ class PlanSpec extends SparkSpec {
       s"boundary ranks must come from the distributed prefix sum, not a window:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"the 1-row boundary aggregate must broadcast:\n$plan")
+    // the boundary RANKS are driver literals (the total rides back with
+    // the prefix-sum offsets), so the ranked checkpoint feeds ONE
+    // filter+aggregate — the old agg(max)-then-join-back shape read it
+    // twice
+    val rankScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rankScans <= 1,
+      s"ranked checkpoint must be read exactly once, found $rankScans:\n$plan")
   }
 }

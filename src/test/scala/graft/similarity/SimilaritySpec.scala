@@ -192,20 +192,69 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("semDedup: a degenerate single-cluster corpus is bounded by maxCluster, empty corpus is empty") {
+  test("semDedup: degenerate all-identical corpus STILL finds duplicates via the salt fallback") {
     val same = array(lit(1f), lit(2f), lit(3f), lit(4f))
     val corpus = spark.range(100).select($"id".as("vec_id"), same.as("embedding"))
-    // identical vectors collapse into one cluster after assignment; the
-    // guard must refuse the quadratic pair join and keep everything
+    // identical vectors collapse into one cluster at every k-means depth
+    // (every point ties to the same centroid), so recursion cannot
+    // shrink it — the id-hash salt fallback must split it into
+    // ⌈100/50⌉ = 2 bounded groups and dedup WITHIN each: one survivor
+    // per group instead of the old total exemption (zero found)
     val guarded = Similarity.semDedup(corpus, k = 4, threshold = 0.9, maxCluster = 50)
-    assert(guarded.filter(!col("kept")).count() == 0)
-    assert(guarded.count() == 100)
+      .collect()
+    assert(guarded.length == 100, "every input vector gets a verdict row")
+    val saltGroups = guarded.map(_.getLong(1)).distinct
+    assert(saltGroups.forall(_ < 0), "fallback groups carry negative labels")
+    assert(saltGroups.length == 2)
+    val kept = guarded.filter(_.getBoolean(2)).map(_.getLong(0))
+    assert(kept.length == 2, s"one survivor per salt group, got ${kept.length}")
+    // keep-min within each group
+    saltGroups.foreach { g =>
+      val members = guarded.filter(_.getLong(1) == g).map(_.getLong(0))
+      assert(kept.contains(members.min))
+    }
+    // determinism: the salt assignment is content-addressed (md5 of id)
+    val again = Similarity.semDedup(corpus.repartition(7), k = 4,
+      threshold = 0.9, maxCluster = 50).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+      .sameElements(guarded.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted))
     // with the cap lifted the same corpus dedups to one survivor
     val open = Similarity.semDedup(corpus, k = 4, threshold = 0.9, maxCluster = 1000)
     assert(open.filter(col("kept")).count() == 1)
     val empty = Similarity.semDedup(corpus.limit(0), k = 4)
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("vec_id", "cluster", "kept"))
+  }
+
+  test("semDedup: oversized DISTINCT clusters are recursively split, twins still drop") {
+    // 200 points in 8 tight blobs (blob axis 1.0) with a PRIVATE axis
+    // (0.5) per point, so intra-blob cosine is exactly 0.8 — well under
+    // the 0.99 threshold — and inter-blob 0.2; + 5 EXACT-duplicate
+    // twins. k=4 seeds multi-blob clusters over maxCluster=40 → the
+    // grouped refinement must separate blobs below the cap, and because
+    // a twin is byte-equal to its base (same private axis) it ties to
+    // the same sub-cluster at every depth — recursion never costs
+    // recall on exact duplicates
+    val dim = 208
+    val base = spark.range(200).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        when(d === ($"id" % 8).cast("int"), lit(1f))
+          .when(d === ($"id" + 8).cast("int"), lit(0.5f))
+          .otherwise(lit(0f))).as("embedding"))
+    val twins = base.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val res = Similarity.semDedup(base.union(twins), k = 4, iters = 2,
+        threshold = 0.99, maxCluster = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(res.length == 205)
+    val bySize = res.groupBy(_._2).view.mapValues(_.length)
+    assert(bySize.values.max <= 40,
+      s"recursion left an oversized cluster: ${bySize.toMap}")
+    assert(res.forall(_._2 >= 0), "no salt fallback needed for distinct points")
+    (0L until 5L).foreach { i =>
+      assert(!res.find(_._1 == i + 1000L).get._3, s"twin of $i not dropped")
+      assert(res.find(_._1 == i).get._3, s"original $i wrongly dropped")
+    }
   }
 
   test("bruteForceTopK keep predicate: hard negatives never share the query's label") {
