@@ -119,10 +119,27 @@ object TextAnalysis {
     * lives in graft.dedup.
     */
   def shingles(text: Column, k: Int): Column = {
-    val toks = wsTokens(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    // Two structural rules keep this linear — higher-order functions run
+    // INTERPRETED (no codegen subexpression elimination), so:
+    //  1. the token array is BOUND ONCE via a 1-element transform (a
+    //     naive `val toks = wsTokens(text)` re-tokenizes at every use
+    //     site, and worse, a subtree referenced inside a lambda body
+    //     re-evaluates PER ELEMENT — the original index-lambda form
+    //     re-split the whole document for each shingle position:
+    //     O(tokens²) per doc, measured 5 s for a 250 k-gram explode);
+    //  2. the k-gram itself is a k-way zip of k slices (lambda bodies
+    //     touch only lambda variables), never an indexed slice of the
+    //     outer array. Output is byte-identical to the indexed form:
+    //     element j = tokens j..j+k-1 space-joined, one trailing
+    //     whole-doc shingle when the doc is shorter than k.
+    element_at(transform(array(wsTokens(text)), toks =>
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise {
+          val m = size(toks) - (k - 1)
+          (1 to k).map(i => slice(toks, lit(i), m))
+            .reduceLeft((acc, part) =>
+              zip_with(acc, part, (a, b) => concat(a, lit(" "), b)))
+        }), 1)
   }
 
   /** Lower 60 bits of md5 as a signed long: an engine-portable hash

@@ -290,4 +290,64 @@ class MultimodalSpec extends SparkSpec {
         (gifDec.pixels(base + 2) & 0xff) == (px & 0xff), s"GIF pixel ($x,$y)")
     }
   }
+
+  test("PNG decode rejects a chunk whose stored CRC32 does not match") {
+    // corrupt the stored CRC ITSELF (last 4 bytes = IEND's trailer):
+    // the payload still parses, inflates, and unfilters perfectly — the
+    // ONLY thing wrong is the integrity trailer, which is exactly the
+    // bit-flip class that used to decode silently into accepted pixels
+    val good = RealCodec.encodePng(
+      Array.tabulate(12 * 3)(i => (i * 7).toByte), 12, 1, 3)
+    assert(RealCodec.decodePng(good).width == 12, "baseline decodes")
+    val flippedCrc = good.clone()
+    flippedCrc(flippedCrc.length - 1) = (flippedCrc.last ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](RealCodec.decodePng(flippedCrc))
+    assert(e1.getMessage.contains("CRC mismatch"), e1.getMessage)
+    // and a flipped DATA bit (IHDR width byte) is caught by the CRC
+    // check before the bogus geometry can propagate
+    val flippedData = good.clone()
+    flippedData(19) = (flippedData(19) ^ 0x01).toByte // IHDR width LSB
+    val e2 = intercept[IllegalArgumentException](RealCodec.decodePng(flippedData))
+    assert(e2.getMessage.contains("CRC mismatch"), e2.getMessage)
+  }
+
+  test("dispatch contract: the stub leg is reached ONLY for unknown magic, deterministically") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import java.io.ByteArrayOutputStream
+    // one payload per real-codec leg + one with no known magic
+    val wav = RealCodec.encodeWavPcm16(Array[Short](100, -100, 3000), 8000)
+    val bmp = RealCodec.encodeBmp24(Array.tabulate(6 * 3)(i => i.toByte), 6, 1)
+    val png = RealCodec.encodePng(Array.tabulate(5)(i => (40 * i).toByte), 5, 1, 1)
+    val img = new BufferedImage(7, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 7) img.setRGB(x, y, 0x406080)
+    val jOut = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", jOut)
+    val gOut = new ByteArrayOutputStream(); ImageIO.write(img, "gif", gOut)
+    val unknown = "ID3 rest-of-an-mp3-frame".getBytes("ISO-8859-1")
+    assert(!RealCodec.isWav(unknown) && !RealCodec.isBmp(unknown) &&
+      !RealCodec.isPng(unknown) && !RealCodec.isJpeg(unknown) &&
+      !RealCodec.isGif(unknown), "test payload must carry no known magic")
+    val media = Seq(
+      (1L, "audio", wav), (2L, "image", bmp), (3L, "image", png),
+      (4L, "image", jOut.toByteArray), (5L, "image", gOut.toByteArray),
+      (6L, "audio", unknown)).toDF("media_id", "kind", "payload")
+    def run() = Multimodal.extractRealFeatures(spark, media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(3), r.getDouble(4))).toMap
+    val f = run()
+    // every known-magic payload takes a REAL decode leg: dim is the
+    // parsed header geometry (width / sample rate), never the stub's 0
+    assert(f(1L)._1 == 8000 && f(2L)._1 == 6 && f(3L)._1 == 5 &&
+      f(4L)._1 == 7 && f(5L)._1 == 7,
+      s"known container routed to the stub: $f")
+    // the unknown payload — and ONLY it — takes the stub leg: dim 0 and
+    // the stub's documented byte-identity mean
+    val stubMean = unknown.map(_ & 0xff).map(_.toLong).sum.toDouble / unknown.length
+    assert(f(6L)._1 == 0 && math.abs(f(6L)._2 - stubMean) < 1e-12,
+      s"stub leg contract violated: ${f(6L)}")
+    // deterministic: a future JNI codec swap must be provably drop-in,
+    // so the current dispatch must give the same bytes-in → values-out
+    // on every run
+    assert(run() == f, "dispatch must be deterministic across runs")
+  }
 }

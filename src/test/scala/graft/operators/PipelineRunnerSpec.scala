@@ -71,6 +71,47 @@ class PipelineRunnerSpec extends SparkSpec {
       "partial output must be overwritten by the resumed stage")
   }
 
+  test("stale committed output is detected by the stage fingerprint and recomputed") {
+    val dir = Files.createTempDirectory("graft-pipe4").toString
+    var extractRuns = 0
+    var scoreRuns = 0
+    def stages(version: String, factor: Long) = Seq(
+      ("extract", version, { (_: Map[String, org.apache.spark.sql.DataFrame]) =>
+        extractRuns += 1
+        Seq(1L, 2L).toDF("id").withColumn("v", $"id" * factor)
+      }),
+      ("score", "1", { (prev: Map[String, org.apache.spark.sql.DataFrame]) =>
+        scoreRuns += 1
+        prev("extract").withColumn("s", $"v" + 100)
+      }))
+
+    PipelineRunner.runVersioned(spark, dir, stages("1", 10))
+    assert(extractRuns == 1 && scoreRuns == 1)
+
+    // same versions -> both stages skip (the run-level regression guard)
+    PipelineRunner.runVersioned(spark, dir, stages("1", 10))
+    assert(extractRuns == 1 && scoreRuns == 1)
+
+    // the caller edits stage logic and bumps ITS version: the committed
+    // output under the old fingerprint is stale — recomputed, and the
+    // DOWNSTREAM stage recomputes too (its input changed) even though
+    // its own version string is untouched. _SUCCESS alone would have
+    // silently served factor=10 rows here.
+    val out = PipelineRunner.runVersioned(spark, dir, stages("2", 20))
+    assert(extractRuns == 2, "stale stage must recompute on version bump")
+    assert(scoreRuns == 2, "downstream of a stale stage must cascade")
+    assert(out("score").orderBy("id").collect().map(_.getLong(2)).toSeq ==
+      Seq(120L, 140L), "resumed run must serve the NEW logic's bytes")
+
+    // a committed dir with a MISSING fingerprint (e.g. crash between
+    // parquet commit and marker write, or a pre-fingerprint layout)
+    // recomputes rather than trusting _SUCCESS
+    val f = new java.io.File(s"$dir/extract/_GRAFT_STAGE")
+    assert(f.delete(), "fingerprint marker should exist on disk")
+    PipelineRunner.runVersioned(spark, dir, stages("2", 20))
+    assert(extractRuns == 3, "missing fingerprint must not be trusted")
+  }
+
   test("duplicate stage names are rejected loudly") {
     val dir = Files.createTempDirectory("graft-pipe3").toString
     val s = "x" -> { (_: Map[String, org.apache.spark.sql.DataFrame]) =>
