@@ -264,6 +264,53 @@ object StreamMediaQueries {
         .select(col("media_id"), col("kind"), col("dim"),
           round(col("mean_intensity"), 4).as("mean_intensity"))
         .orderBy("media_id")
-    }.copy(headline = true)
+    }.copy(headline = true),
+
+    // ---- REAL compressed-container walk end-to-end: documents become
+    //      genuine MP3 frame streams (even ids) / ISO-BMFF MP4 box
+    //      trees (odd ids), then extractRealFeatures PARSES the
+    //      containers back. The oracle recomputes every output from the
+    //      SOURCE bytes + the specs: payload_bytes checks the frame
+    //      math (⌈nb/413⌉ 417-byte frames) and the box layout
+    //      (ftyp 20 + moov 216 + mdat 8+nb = nb+244), dim checks the
+    //      value parsed FROM the headers (44.1 kHz; tkhd 16.16 width),
+    //      mean checks the payload-region walk (source bytes
+    //      zero-padded to the frame grid / raw mdat) — a wrong frame
+    //      stride, box size, or fixed-point shift hash-fails. Only the
+    //      entropy decode of those payload regions remains stubbed. ----
+    QueryDef(
+      "q139_container_walk",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 2 AS INT) AS odd,
+        |         hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |         n_chars
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, odd, nb, n_chars, hx,
+        |         greatest(1, (nb + 412) // 413) AS nfr
+        |  FROM m),
+        |s AS (
+        |  SELECT media_id, odd, nb, nfr, n_chars,
+        |         coalesce(list_sum(list_transform(range(1, CAST(nb AS INT) + 1),
+        |             i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS INT))), 0) AS bsum
+        |  FROM f)
+        |SELECT media_id,
+        |       CASE WHEN odd = 0 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(CASE WHEN odd = 0 THEN nfr * 417 ELSE nb + 244 END AS INT)
+        |         AS payload_bytes,
+        |       CAST(CASE WHEN odd = 0 THEN 44100
+        |            ELSE (n_chars % 640) + 16 END AS INT) AS dim,
+        |       round(CASE WHEN odd = 0 THEN CAST(bsum AS DOUBLE) / (nfr * 413)
+        |                  WHEN nb = 0 THEN 0.0
+        |                  ELSE CAST(bsum AS DOUBLE) / nb END, 4) AS mean_intensity
+        |FROM s
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.containerMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.extractRealFeatures(s, media)
+        .select(col("media_id"), col("kind"), col("payload_bytes"),
+          col("dim"), round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy("media_id")
+    }
   )
 }

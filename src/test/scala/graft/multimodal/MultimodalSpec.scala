@@ -323,14 +323,19 @@ class MultimodalSpec extends SparkSpec {
     for (y <- 0 until 2; x <- 0 until 7) img.setRGB(x, y, 0x406080)
     val jOut = new ByteArrayOutputStream(); ImageIO.write(img, "jpg", jOut)
     val gOut = new ByteArrayOutputStream(); ImageIO.write(img, "gif", gOut)
-    val unknown = "ID3 rest-of-an-mp3-frame".getBytes("ISO-8859-1")
+    val mp3 = ContainerCodec.encodeMp3Frames("payload-bytes".getBytes("US-ASCII"))
+    val mp4 = ContainerCodec.encodeMp4("frames".getBytes("US-ASCII"),
+      width = 320, height = 240, timescale = 600L, duration = 42L)
+    val unknown = "OPAQ rest-of-an-unknown-codec-payload".getBytes("ISO-8859-1")
     assert(!RealCodec.isWav(unknown) && !RealCodec.isBmp(unknown) &&
       !RealCodec.isPng(unknown) && !RealCodec.isJpeg(unknown) &&
-      !RealCodec.isGif(unknown), "test payload must carry no known magic")
+      !RealCodec.isGif(unknown) && !ContainerCodec.isMp3(unknown) &&
+      !ContainerCodec.isMp4(unknown), "test payload must carry no known magic")
     val media = Seq(
       (1L, "audio", wav), (2L, "image", bmp), (3L, "image", png),
       (4L, "image", jOut.toByteArray), (5L, "image", gOut.toByteArray),
-      (6L, "audio", unknown)).toDF("media_id", "kind", "payload")
+      (6L, "audio", unknown), (7L, "audio", mp3), (8L, "video", mp4))
+      .toDF("media_id", "kind", "payload")
     def run() = Multimodal.extractRealFeatures(spark, media)
       .collect().map(r => r.getLong(0) ->
         (r.getInt(3), r.getDouble(4))).toMap
@@ -338,7 +343,7 @@ class MultimodalSpec extends SparkSpec {
     // every known-magic payload takes a REAL decode leg: dim is the
     // parsed header geometry (width / sample rate), never the stub's 0
     assert(f(1L)._1 == 8000 && f(2L)._1 == 6 && f(3L)._1 == 5 &&
-      f(4L)._1 == 7 && f(5L)._1 == 7,
+      f(4L)._1 == 7 && f(5L)._1 == 7 && f(7L)._1 == 44100 && f(8L)._1 == 320,
       s"known container routed to the stub: $f")
     // the unknown payload — and ONLY it — takes the stub leg: dim 0 and
     // the stub's documented byte-identity mean
@@ -349,5 +354,58 @@ class MultimodalSpec extends SparkSpec {
     // so the current dispatch must give the same bytes-in → values-out
     // on every run
     assert(run() == f, "dispatch must be deterministic across runs")
+  }
+
+  test("MP3 container: frame walk recovers rate/bitrate/frames and the payload region") {
+    val data = Array.tabulate(1000)(i => (i % 251).toByte)
+    val mp3 = ContainerCodec.encodeMp3Frames(data)
+    // 1000 bytes over 413-byte frame capacity -> 3 frames of 417 bytes
+    assert(mp3.length == 3 * 417)
+    val info = ContainerCodec.parseMp3(mp3)
+    assert(info.sampleRate == 44100 && info.bitrate == 128000 && info.nFrames == 3)
+    // payload region = source bytes + zero padding to the frame grid
+    assert(info.dataBytes.length == 3 * 413)
+    assert(info.dataBytes.take(1000).sameElements(data))
+    assert(info.dataBytes.drop(1000).forall(_ == 0))
+    // an ID3v2-tagged stream parses identically (tag skipped)
+    val tagBody = "some-tag-frames".getBytes("US-ASCII")
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0,
+      0, 0, (tagBody.length >> 7).toByte, (tagBody.length & 0x7f).toByte) ++
+      tagBody ++ mp3
+    val tagged = ContainerCodec.parseMp3(id3)
+    assert(tagged.nFrames == 3 && tagged.sampleRate == 44100 &&
+      tagged.dataBytes.sameElements(info.dataBytes))
+    // malformed: truncated final frame, lost sync, reserved bitrate
+    intercept[IllegalArgumentException](ContainerCodec.parseMp3(mp3.dropRight(1)))
+    val badSync = mp3.clone(); badSync(417) = 0x00
+    intercept[IllegalArgumentException](ContainerCodec.parseMp3(badSync))
+    val badRate = mp3.clone(); badRate(2) = 0xf0.toByte // bitrate index 15
+    intercept[IllegalArgumentException](ContainerCodec.parseMp3(badRate))
+    // empty input still yields one valid (zero-padded) frame
+    val empty = ContainerCodec.parseMp3(ContainerCodec.encodeMp3Frames(Array.empty))
+    assert(empty.nFrames == 1 && empty.dataBytes.forall(_ == 0))
+  }
+
+  test("MP4 container: box walk recovers timing/geometry/mdat; malformed boxes fail loudly") {
+    val data = "h264-bitstream-stand-in".getBytes("US-ASCII")
+    val mp4 = ContainerCodec.encodeMp4(data, width = 640, height = 360,
+      timescale = 600L, duration = 1234L)
+    val info = ContainerCodec.parseMp4(mp4)
+    assert(info.timescale == 600L && info.duration == 1234L)
+    assert(info.width == 640 && info.height == 360)
+    assert(info.mdat.sameElements(data))
+    // a box whose declared size overruns its container must not parse
+    val overrun = mp4.clone()
+    overrun(0) = 0x7f // ftyp size becomes enormous
+    intercept[IllegalArgumentException](ContainerCodec.parseMp4(overrun))
+    // geometry must come from tkhd: corrupting the fixed-point width
+    // field changes the parsed width exactly (16.16 shift honored)
+    val half = ContainerCodec.parseMp4(ContainerCodec.encodeMp4(
+      data, width = 320, height = 360, timescale = 600L, duration = 1L))
+    assert(half.width == 320)
+    // truncated payload (mdat cut) fails rather than returning a
+    // shorter movie
+    intercept[IllegalArgumentException](
+      ContainerCodec.parseMp4(mp4.dropRight(1)))
   }
 }
