@@ -205,6 +205,22 @@ object PipelineQueries {
   private[operators] val q111Weights: Array[Long] =
     Array(-280188027L, 18465L, 1357L, 136L)
 
+  /** DuckDB replay of `bpeSegment(w, pinnedMerges)` for a lambda var
+    * `w`: the wrapped-symbol string form (each symbol as ␁sym␁; one
+    * merge = one non-overlapping left-to-right replace), shared by the
+    * q108 segmentation oracle and the q140 fertility oracle. Yields the
+    * segmented-symbol string; split on ␁␁ after trimming ␁ to get the
+    * symbol list.
+    */
+  private val bpeSegmentChainSql: String = {
+    val sep = "chr(1)"
+    val wrapped = s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')"
+    TextAnalysis.pinnedMerges.foldLeft(wrapped) {
+      case (e, (l, r)) =>
+        s"replace($e, $sep || '$l' || $sep || $sep || '$r' || $sep, $sep || '$l$r' || $sep)"
+    }
+  }
+
   /** DuckDB SQL mirroring TextAnalysis.langId / qualityScore /
     * bpeIshTokenCount, generated from the SAME profiles (see q33).
     */
@@ -1053,12 +1069,7 @@ object PipelineQueries {
     //      re-fuses within its round). ----
     QueryDef(
       "q108_bpe_segment", {
-        val sep = "chr(1)"
-        val wrapped = s"regexp_replace(w, '(.)', $sep || '\\1' || $sep, 'g')"
-        val chain = TextAnalysis.pinnedMerges.foldLeft(wrapped) {
-          case (e, (l, r)) =>
-            s"replace($e, $sep || '$l' || $sep || $sep || '$r' || $sep, $sep || '$l$r' || $sep)"
-        }
+        val chain = bpeSegmentChainSql
         s"""WITH tk AS (
            |  SELECT doc_id, ${OracleSql.wsTokens("text")} AS toks
            |  FROM documents WHERE doc_id < 100),
@@ -2149,6 +2160,82 @@ object PipelineQueries {
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Dedup.pairSimHistogram(
         Tables.documents(s, dir), samplePermille = 40, k = 3)
+    },
+
+    // ---- tokenizer fertility per source: subword symbols per word
+    //      under the pinned BPE table — the tokenizer-efficiency /
+    //      per-source-fairness metric (a source whose fertility is 2×
+    //      the corpus mean pays 2× the context budget per word; the
+    //      number vocab-size and language-mix decisions are made on).
+    //      Integer ppm so the report is engine-exact; the oracle
+    //      replays the full segmentation per word (the q108 replace
+    //      chain) and aggregates identically. Scale shape: segmentation
+    //      is a narrow map (chained folds), then ONE keyed agg on the
+    //      handful of sources. ----
+    QueryDef(
+      "q140_tokenizer_fertility",
+      s"""WITH tk AS (
+         |  SELECT source, $toksSql AS toks FROM documents),
+         |seg AS (
+         |  SELECT source,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks, w ->
+         |           len(string_split(trim($bpeSegmentChainSql, chr(1)),
+         |               chr(1) || chr(1))))), 0) AS BIGINT) AS n_syms
+         |  FROM tk)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_words) AS BIGINT) AS n_words,
+         |       CAST(sum(n_syms) AS BIGINT) AS n_symbols,
+         |       CAST(CASE WHEN sum(n_words) = 0 THEN 0
+         |            ELSE 1000000 * sum(n_syms) // sum(n_words)
+         |            END AS BIGINT) AS fertility_ppm
+         |FROM seg
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      val segs = TextAnalysis.bpeSegment(col("text"), TextAnalysis.pinnedMerges)
+      Tables.documents(s, dir)
+        .select(col("source"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_words"),
+          size(flatten(segs)).cast("long").as("n_syms"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_syms").as("n_symbols"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_symbols"),
+          expr("CASE WHEN n_words = 0 THEN 0 " +
+            "ELSE 1000000 * n_symbols div n_words END").as("fertility_ppm"))
+        .orderBy("source")
+    },
+
+    // ---- token-distribution entropy per document: the repetition /
+    //      diversity quality signal (template spam and keyword stuffing
+    //      score LOW — the complement of rarity/perplexity scoring,
+    //      which measures improbability, not self-repetition).
+    //      Micro-nat integer quantization per term BEFORE the per-doc
+    //      sum + integer final division = engine-exact. ----
+    QueryDef(
+      "q141_token_entropy",
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, t, count(*) AS n FROM tk GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM tf GROUP BY 1),
+         |q AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(1000000 * tf.n *
+         |           ln(CAST(tot.nt AS DOUBLE) / tf.n)) AS BIGINT) AS q,
+         |         tot.nt
+         |  FROM tf JOIN tot USING (doc_id))
+         |SELECT doc_id,
+         |       CAST(max(nt) AS BIGINT) AS n_tokens,
+         |       CAST(sum(q) // max(nt) AS BIGINT) AS ent_micronat
+         |FROM q
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")
     }
   )
 

@@ -174,6 +174,40 @@ object TextAnalysis {
     * frequency — plus a broadcast scalar N; at corpus scale the df join
     * keys on the term dictionary, which is the small side.
     */
+  /** Per-document token-distribution Shannon entropy in micro-nats:
+    * H = Σ (n/N)·ln(N/n) over the doc's token frequencies — the
+    * repetition/diversity quality signal (template spam and keyword
+    * stuffing score LOW; the complement of the rarity/perplexity family,
+    * which scores improbability, not self-repetition). Zipf-typical
+    * prose lands in a band; filters cut both tails.
+    *
+    * Exactness: each term quantizes to integer micro-nats BEFORE the
+    * per-doc sum (the q62/q105 pattern) and the final division is
+    * integer (micro-nat total div token count), so the score is
+    * bit-identical on any engine/partitioning. Docs with zero tokens
+    * are absent (unscorable, the bigramNll contract).
+    *
+    * Scale shape: two keyed aggregations ((doc,term) then doc — both
+    * partial-aggregated map-side) and one join back on the doc key;
+    * nothing corpus-quadratic, no windows, no driver state.
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("t"))
+      .groupBy(idCol, "t").agg(count(lit(1)).as("n"))
+    val tot = tf.groupBy(idCol).agg(sum("n").as("nt"))
+    tf.join(tot, idCol)
+      .withColumn("q", round(lit(1000000) * col("n") *
+        log(col("nt").cast("double") / col("n"))).cast("long"))
+      .groupBy(idCol)
+      .agg(max("nt").as("n_tokens"), sum("q").as("sq"))
+      .select(col(idCol), col("n_tokens"),
+        expr("sq div n_tokens").as("ent_micronat"))
+  }
+
   def tfIdfTop(
       docs: DataFrame,
       k: Int = 3,

@@ -349,4 +349,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!flag(6L, "stop_ok") && flag(6L, "alpha_ok"))
     assert(Seq(2L, 3L, 4L, 5L, 6L).forall(id => !flag(id, "keep")))
   }
+
+  test("tokenEntropy: repetition scores zero, uniform scores ln(k), partition-invariant") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 1 distinct → H = 0
+      (2L, "a b c d a b c d"),  // 4 tokens uniform → H = ln 4
+      (3L, "w x y z"),          // 4 distinct singletons → H = ln 4
+      (4L, ""),                 // unscorable → absent
+      (5L, "the the the cat")   // skewed: 0 < H < ln 2 + ε
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(4L), "empty doc is unscorable (absent)")
+    assert(got(1L) == (8L, 0L), "pure repetition has zero entropy")
+    val ln4micro = math.round(1e6 * math.log(4.0))
+    // uniform distribution: every term contributes n·ln(N/n) with
+    // N/n = 4; integer rounding per term then div N reproduces ln 4
+    // to within the quantization grain
+    assert(math.abs(got(2L)._2 - ln4micro) <= 2, s"got ${got(2L)}")
+    assert(math.abs(got(3L)._2 - ln4micro) <= 2, s"got ${got(3L)}")
+    assert(got(5L)._2 > 0 && got(5L)._2 < got(2L)._2,
+      "skewed distribution sits strictly between repetition and uniform")
+    // partitioning must not move a single micro-nat
+    val re = TextAnalysis.tokenEntropy(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == got)
+  }
+
+  test("bpeSegment with pinnedMerges: fold == sequential reference; fertility counts add up") {
+    // sequential reference of the greedy left-to-right merge round
+    def mergeOnceRef(sym: List[String], l: String, r: String): List[String] =
+      sym.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r)
+          acc.init :+ (l + r)
+        else acc :+ s
+      }
+    def segRef(w: String): List[String] =
+      TextAnalysis.pinnedMerges.foldLeft(w.split("").filter(_.nonEmpty).toList) {
+        case (sym, (l, r)) => mergeOnceRef(sym, l, r)
+      }
+    val words = Seq("power", "master", "partition", "filter", "merger",
+      "arat", "filfil", "xerer", "in", "a")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = df.select(
+        TextAnalysis.bpeSegment(col("text"), TextAnalysis.pinnedMerges).as("s"))
+      .head().getSeq[scala.collection.Seq[String]](0).map(_.toList).toList
+    assert(got == words.map(segRef).toList,
+      s"column fold diverged from the sequential reference:\n$got")
+    // the q140 aggregate: n_symbols over the doc == Σ per-word symbols
+    assert(got.map(_.size).sum == words.map(w => segRef(w).size).sum)
+  }
 }
