@@ -2236,6 +2236,46 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))
         .orderBy("doc_id")
+    },
+
+    // ---- int8 embedding quantization fidelity: per-dim corpus min/max
+    //      → 0..255 codes → reconstruction-error stats per vector — the
+    //      float32→int8 compression pass (4× smaller vectors for
+    //      serving/ANN) with the fidelity evidence attached. min/max
+    //      involve no arithmetic (exact anywhere); codes/reconstruction
+    //      are fixed-association double math; errors quantize to
+    //      integer micro-units before the per-vector sum — the oracle
+    //      replays every step bit-for-bit. ----
+    QueryDef(
+      "q142_embedding_quantize",
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |         unnest(range(1, len(embedding) + 1)) AS pos,
+        |         unnest(embedding) AS x
+        |  FROM embeddings),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+        |q AS (
+        |  SELECT ex.vec_id,
+        |         CASE WHEN st.mx = st.mn THEN 0
+        |              ELSE CAST(round(255 * (CAST(ex.x AS DOUBLE) - CAST(st.mn AS DOUBLE))
+        |                   / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE))) AS BIGINT)
+        |         END AS code,
+        |         CAST(ex.x AS DOUBLE) AS xd,
+        |         CAST(st.mn AS DOUBLE) AS mnd,
+        |         CAST(st.mx AS DOUBLE) AS mxd
+        |  FROM ex JOIN st USING (pos)),
+        |e AS (
+        |  SELECT vec_id,
+        |         CAST(round(1000000 *
+        |           abs(xd - (mnd + code * (mxd - mnd) / 255))) AS BIGINT) AS err
+        |  FROM q)
+        |SELECT vec_id,
+        |       CAST(count(*) AS BIGINT) AS n_dims,
+        |       CAST(max(err) AS BIGINT) AS max_err_micro,
+        |       CAST(sum(err) // count(*) AS BIGINT) AS mean_err_micro
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Similarity.int8QuantReport(Tables.embeddings(s, dir))
+        .orderBy("vec_id")
     }
   )
 

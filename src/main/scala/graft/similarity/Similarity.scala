@@ -717,6 +717,52 @@ object Similarity {
           .as("drift_cos"))
   }
 
+  /** Int8 scalar quantization report: per-dimension corpus min/max →
+    * 0..255 code per element → reconstruction-error stats per vector —
+    * the compression pass that turns 100 TB of float32 embeddings into
+    * 25 TB of int8 (the standard serving/ANN-index trade) WITH the
+    * fidelity evidence (max / mean absolute error) the decision needs.
+    *
+    * Exactness: min/max over floats involve no arithmetic (exact on any
+    * engine/partitioning); code and reconstruction are pure double
+    * arithmetic in a fixed association order, and errors quantize to
+    * integer micro-units before the per-vector sum — bit-identical in
+    * SQL replay. Degenerate dimensions (min = max) code to 0 and
+    * reconstruct exactly.
+    *
+    * Scale shape: one dims-keyed aggregation (64-ish rows out,
+    * partial-aggregated), BROADCAST back onto the element stream, one
+    * vector-keyed aggregation — two shuffles, both map-side combined;
+    * nothing corpus-quadratic.
+    */
+  def int8QuantReport(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val ex = corpus.select(col(idCol),
+      posexplode(col(embCol)).as(Seq("pos", "x")))
+    val stats = ex.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    ex.join(broadcast(stats), "pos")
+      .withColumn("xd", col("x").cast("double"))
+      .withColumn("mnd", col("mn").cast("double"))
+      .withColumn("mxd", col("mx").cast("double"))
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round(lit(255) * (col("xd") - col("mnd")) /
+            (col("mxd") - col("mnd"))).cast("long")))
+      .withColumn("recon",
+        col("mnd") + col("code") * (col("mxd") - col("mnd")) / lit(255))
+      .withColumn("err_micro",
+        round(lit(1000000) * abs(col("xd") - col("recon"))).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dims"),
+        max("err_micro").as("max_err_micro"),
+        sum("err_micro").as("sum_err_micro"))
+      .select(col(idCol), col("n_dims"), col("max_err_micro"),
+        expr("sum_err_micro div n_dims").as("mean_err_micro"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
     * SIGIR'98): greedily pick `k` vectors maximizing
     * `relWeight·cos(v, query) − divWeight·max_{s∈selected} cos(v, s)` —

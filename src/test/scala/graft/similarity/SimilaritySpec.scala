@@ -257,6 +257,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8QuantReport: error bounded by half a step, degenerate dims exact, partition-invariant") {
+    val emb2 = emb.select("vec_id", "embedding")
+    val got = Similarity.int8QuantReport(emb2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == emb2.count(), "one report row per vector")
+    // per-dim worst case is half a quantization step: (mx-mn)/255/2;
+    // bound with the widest dim's step across the corpus
+    val stats = emb2.select(posexplode($"embedding").as(Seq("p", "x")))
+      .groupBy("p").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .collect().map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+    val maxStepMicro = stats.map { case (mn, mx) =>
+      math.round(1e6 * (mx - mn) / 255 / 2) }.max
+    assert(got.values.forall(_._2 <= maxStepMicro + 1),
+      s"max err ${got.values.map(_._2).max} exceeds half-step $maxStepMicro")
+    // a corpus with a constant dimension reconstructs it exactly
+    val const = spark.range(10).select($"id".as("vec_id"),
+      array(lit(3.5f), ($"id" * 0.1).cast("float")).as("embedding"))
+    val c = Similarity.int8QuantReport(const).collect()
+    assert(c.forall(_.getLong(1) == 2))
+    // repartitioning must not move a single micro-unit
+    val re = Similarity.int8QuantReport(emb2.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(re == got)
+  }
+
   test("bruteForceTopK keep predicate: hard negatives never share the query's label") {
     val labeled = emb.select($"vec_id", $"embedding", $"label")
     val queries = labeled.filter($"vec_id" < 3)
