@@ -143,9 +143,7 @@ object ContainerCodec {
     payload.length >= 8 && payload(4) == 'f' && payload(5) == 't' &&
       payload(6) == 'y' && payload(7) == 'p'
 
-  private def be32(a: Array[Byte], i: Int): Int =
-    ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
-      ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
+  private def be32(a: Array[Byte], i: Int): Int = RealCodec.be32(a, i)
 
   private def boxType(a: Array[Byte], i: Int): String =
     new String(a, i + 4, 4, "US-ASCII")
@@ -162,6 +160,12 @@ object ContainerCodec {
       timescale: Long, duration: Long): Array[Byte] = {
     require(width > 0 && height > 0 && timescale > 0 && duration >= 0,
       s"bad mp4 geometry/time ($width x $height, $timescale, $duration)")
+    // field widths in the version-0 boxes: 16.16 fixed geometry, u32
+    // timing — overflow must fail loudly, never truncate silently
+    require(width <= 0xffff && height <= 0xffff,
+      s"geometry exceeds the 16.16 tkhd field ($width x $height)")
+    require(timescale <= 0xffffffffL && duration <= 0xffffffffL,
+      s"timing exceeds the u32 mvhd fields ($timescale, $duration)")
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
       val b = ByteBuffer.allocate(8 + body.length)
       b.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
@@ -221,6 +225,10 @@ object ContainerCodec {
     var height = -1
     var mdat: Array[Byte] = Array.emptyByteArray
     def walk(from: Int, until: Int, depth: Int): Unit = {
+      // well-formed movies nest a handful of levels (moov/trak/mdia/…);
+      // a crafted chain of nested container boxes must hit THIS loud
+      // bound, not a StackOverflowError
+      require(depth <= 16, s"box nesting deeper than 16 at offset $from")
       var off = from
       while (off < until) {
         require(off + 8 <= until, s"truncated box header at $off")

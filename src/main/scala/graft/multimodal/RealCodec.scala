@@ -200,7 +200,7 @@ object RealCodec {
   def isPng(payload: Array[Byte]): Boolean =
     payload.length >= 8 && (0 until 8).forall(i => payload(i) == pngSig(i))
 
-  private def be32(a: Array[Byte], i: Int): Int =
+  private[multimodal] def be32(a: Array[Byte], i: Int): Int =
     ((a(i) & 0xff) << 24) | ((a(i + 1) & 0xff) << 16) |
       ((a(i + 2) & 0xff) << 8) | (a(i + 3) & 0xff)
 

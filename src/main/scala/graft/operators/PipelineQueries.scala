@@ -196,11 +196,16 @@ object PipelineQueries {
   private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
   private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Pinned q111 artifact: `LinearModel.fitRidgeNano` over the full
-    * sf0.01 documents corpus (features f_bias/f_ntok/f_stop_ppm/
-    * f_distinct_ppm, label ±1 on lang='en', λ=1), frozen so the scoring
-    * path is oracle-checkable with the same literals on both sides —
-    * training correctness is pinned separately by LinearModelSpec.
+  /** Pinned q111 artifact: `LinearModel.fitRidgeNano` over the sf0.01
+    * documents corpus AS OF THE PIN DATE (2026-08-14; features
+    * f_bias/f_ntok/f_stop_ppm/f_distinct_ppm, label ±1 on lang='en',
+    * λ=1). Intentionally FROZEN and corpus-independent — the testdata
+    * regenerates between rounds, and the contract here is the standard
+    * train-once/apply-everywhere split: query and oracle score with the
+    * SAME literals wherever they came from, while training correctness
+    * is pinned separately (LinearModelSpec vs a sequential BigInt
+    * reference). Re-pin only deliberately, updating both this array and
+    * nothing else (the oracle interpolates it).
     */
   private[operators] val q111Weights: Array[Long] =
     Array(-280188027L, 18465L, 1357L, 136L)

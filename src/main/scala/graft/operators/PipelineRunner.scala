@@ -88,7 +88,11 @@ object PipelineRunner {
     var outputs = Map.empty[String, DataFrame]
     var chain = ""
     stages.foreach { case (name, version, stage) =>
-      chain = md5Hex(s"$chain|$name|$version")
+      // name and version hash SEPARATELY before folding into the chain:
+      // a '|' inside either could otherwise shift bytes between fields
+      // (("a","b|c") vs ("a|b","c")) and leave a changed pipeline with
+      // an unchanged fingerprint
+      chain = md5Hex(chain + md5Hex(name) + md5Hex(version))
       val dir = s"$workDir/$name"
       val stored = readFingerprint(spark, dir)
       if (committed(spark, dir) && stored.contains(chain)) {

@@ -585,6 +585,14 @@ object Similarity {
       embCol: String = "embedding",
       maxCluster: Int = 10000,
       maxDepth: Int = 3): DataFrame = {
+    // label space: depth-d labels grow like k^(d+1); silent Long
+    // wraparound would MERGE unrelated clusters (wrong verdicts, no
+    // error), so the bound fails loudly here. At the paper-scale
+    // k ≈ 10⁵⁻⁶ pass maxDepth 1-2 (mean cluster size is already the
+    // knob; one refinement level bounds the skew tail).
+    require(BigInt(k + 1).pow(maxDepth + 1) * 2 < BigInt(Long.MaxValue),
+      s"cluster-label space overflows Long: k=$k with maxDepth=$maxDepth " +
+        "(lower maxDepth — at large k one refinement level suffices)")
     // k-means re-derives its iterations on every downstream action, and
     // the assignment feeds three consumers (both join sides + output) —
     // cut the lineage once.
@@ -625,6 +633,13 @@ object Similarity {
       val nSalts = bigSizes.map { case (c, sz) =>
         c -> ((sz + maxCluster - 1) / maxCluster) }
       val maxSalts = nSalts.values.max
+      // fallback labels -((P+1)·S + salt + 1) are computed in Spark SQL
+      // where a Long overflow wraps silently and merges groups — bound
+      // it loudly here (P ≤ max oversized label, S = maxSalts)
+      require((BigInt(oversized.max) + 1) * maxSalts + maxSalts <
+        BigInt(Long.MaxValue),
+        s"salt-fallback label space overflows Long " +
+          s"(maxLabel=${oversized.max}, salts=$maxSalts) — raise maxCluster")
       assigned = assigned.withColumn("cluster",
         when(col("cluster").isin(oversized: _*),
           -((col("cluster") + 1) * maxSalts +

@@ -174,6 +174,28 @@ object TextAnalysis {
     * frequency — plus a broadcast scalar N; at corpus scale the df join
     * keys on the term dictionary, which is the small side.
     */
+  def tfIdfTop(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q",
+        round(col("tf") * log(col("n") / col("df")) * 10000).cast("long"))
+    val w = Window.partitionBy(idCol).orderBy(col("score_q").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"),
+        (col("score_q").cast("double") / 10000).as("score"), col("rank"))
+  }
+
   /** Per-document token-distribution Shannon entropy in micro-nats:
     * H = Σ (n/N)·ln(N/n) over the doc's token frequencies — the
     * repetition/diversity quality signal (template spam and keyword
@@ -206,28 +228,6 @@ object TextAnalysis {
       .agg(max("nt").as("n_tokens"), sum("q").as("sq"))
       .select(col(idCol), col("n_tokens"),
         expr("sq div n_tokens").as("ent_micronat"))
-  }
-
-  def tfIdfTop(
-      docs: DataFrame,
-      k: Int = 3,
-      idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(dfreq, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score_q",
-        round(col("tf") * log(col("n") / col("df")) * 10000).cast("long"))
-    val w = Window.partitionBy(idCol).orderBy(col("score_q").desc, col("term"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(idCol), col("term"),
-        (col("score_q").cast("double") / 10000).as("score"), col("rank"))
   }
 
   /** One greedy left-to-right merge round of BPE pair (l, r) over a
@@ -302,8 +302,11 @@ object TextAnalysis {
     * so it is pinned by TextAnalysisSpec's reference-equality test
     * instead, and the artifact it produces is what ships; the standard
     * train-once / apply-everywhere split of a production tokenizer).
-    * Stability does not depend on the corpus: both the query and its
-    * oracle apply THIS table, wherever it came from.
+    * Intentionally FROZEN as of the pin date (2026-08-14): the testdata
+    * regenerates between rounds, and stability must not depend on the
+    * corpus — both the query and its oracle apply THIS table, wherever
+    * it came from. Re-pin only deliberately (the q108/q140 oracles
+    * interpolate it).
     */
   val pinnedMerges: Seq[(String, String)] = Seq(
     ("e", "r"), ("o", "w"), ("s", "t"), ("i", "n"), ("o", "r"), ("l", "u"),
