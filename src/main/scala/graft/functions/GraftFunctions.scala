@@ -16,7 +16,8 @@ object GraftFunctions {
     "graft_minhash" -> (exprs => MinHashSignature(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())),
-    "graft_simhash" -> (exprs => SimHashSketch(exprs(0))))
+    "graft_simhash" -> (exprs => SimHashSketch(exprs(0))),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit =

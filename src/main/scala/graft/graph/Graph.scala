@@ -59,4 +59,53 @@ object Graph {
     }
     ranks
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the same (src, dst) edge frame. Differs from
+    * Dedup.connectedComponents in WHAT it finds: components merge
+    * through any single bridge edge, communities only where the
+    * neighbor MAJORITY agrees — the structure used for domain/topic
+    * grouping of near-dup graphs and link graphs.
+    *
+    * Classic LPA is nondeterministic (random visit order, random tie
+    * break); this variant is fully deterministic so it can be
+    * oracle-gated: all nodes update simultaneously from the previous
+    * round's labels (Jacobi, not Gauss-Seidel), label_0(v) = v, and
+    * label_{i+1}(v) = the most frequent label among v's in-neighbors,
+    * ties broken toward the SMALLEST label. The argmax is one
+    * `max(struct(cnt, -label))` partial+final aggregate — map-side
+    * combines on hot nodes, no per-node window, no driver state.
+    *
+    * Per iteration: one shuffle joining labels onto edges (on src) and
+    * one two-key aggregate — linear in |E| at any scale, lineage cut
+    * per round like [[pageRankMicro]]. Nodes with no in-edges keep
+    * their own label (left join + coalesce). A fixed small iteration
+    * count is the standard large-graph practice (labels stabilize
+    * locally long before global convergence).
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("label", col("id"))
+    (1 to iterations).foreach { _ =>
+      val counts = e
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts
+        .groupBy("id")
+        // lexicographic max over (cnt, -label) = highest count, ties to
+        // the smallest label — deterministic on any partitioning
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("new_label"))
+      labels = labels
+        .join(best, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -1171,6 +1171,102 @@ object AnalyticsQueries {
           min("cents_w").as("min_w"),
           max("cents_w").as("max_w"))
         .orderBy("l_returnflag")
-    }.copy(headline = true)
+    }.copy(headline = true),
+
+    // ---- HLL sketch persistence + incremental merge: the q114 pattern
+    //      for DISTINCT counts, where no exact partial aggregate exists.
+    //      State = one 16 KB HLL sketch per month (lgK=12); a new month
+    //      folds in by sketch union, never rescanning history — at
+    //      100 TB the state table is dozens of rows against a full-corpus
+    //      countDistinct rescan. Two contracts are asserted as booleans
+    //      the oracle expects true: (1) the merged estimate is within 5%
+    //      of exact (rse at lgK=12 is ~1.6%, so 5% is a ≥3σ margin);
+    //      (2) merge(merge(old months), merge(new months)) ==
+    //      merge(all months) EXACTLY — union is register-max, hence
+    //      associative, which is precisely what makes the incremental
+    //      fold sound. (Union is NOT numerically idempotent in
+    //      DataSketches — union(sk, sk) re-targets the gadget and can
+    //      shift the estimate — so only associativity is pinned.)
+    //      Estimates are partition-invariant (register maxes), so both
+    //      booleans are deterministic. ----
+    QueryDef(
+      "q144_hll_incremental",
+      """SELECT CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+        |         AS n_months,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       true AS merged_within_5pct,
+        |       true AS incremental_merge_exact
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(date_trunc("month", col("l_shipdate")).as("m"), col("l_partkey"))
+      val monthly = li.groupBy("m")
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+        .localCheckpoint() // the "persisted state table"; feeds 3 merges
+      val cut = lit("1999-01-01").cast("timestamp")
+      val exact = li.agg(
+        count_distinct(col("m")).as("n_months"),
+        count_distinct(col("l_partkey")).as("exact_parts"))
+      val estAll = monthly
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_all"))
+      val estTwo = monthly.filter(col("m") < cut)
+        .agg(hll_union_agg(col("sk"), lit(false)).as("u"))
+        .union(monthly.filter(col("m") >= cut)
+          .agg(hll_union_agg(col("sk"), lit(false)).as("u")))
+        .agg(hll_sketch_estimate(hll_union_agg(col("u"), lit(false))).as("est_two"))
+      exact.crossJoin(broadcast(estAll)).crossJoin(broadcast(estTwo))
+        .select(col("n_months"), col("exact_parts"),
+          (abs(col("est_all") - col("exact_parts")).cast("double") /
+            col("exact_parts") < 0.05).as("merged_within_5pct"),
+          (col("est_two") === col("est_all")).as("incremental_merge_exact"))
+    },
+
+    // ---- label-propagation communities (Raghavan 2007, deterministic
+    //      Jacobi variant) over the q92 supplier↔customer graph —
+    //      community detection where connectedComponents merges through
+    //      any bridge but LPA needs the neighbor MAJORITY to agree.
+    //      Fully deterministic (synchronous rounds, ties to the
+    //      smallest label), so the oracle unrolls all three iterations:
+    //      per-round neighbor-label counts, per-node max count,
+    //      smallest label at the max. ----
+    QueryDef(
+      "q145_label_prop", {
+        def iter(prev: String, n: Int): String =
+          s"""cnt$n AS (
+             |  SELECT e.dst AS id, l.label, count(*) AS c
+             |  FROM edges e JOIN $prev l ON l.id = e.src
+             |  GROUP BY 1, 2),
+             |mx$n AS (SELECT id, max(c) AS mc FROM cnt$n GROUP BY 1),
+             |b$n AS (
+             |  SELECT c.id, min(c.label) AS nl
+             |  FROM cnt$n c JOIN mx$n m ON c.id = m.id AND c.c = m.mc
+             |  GROUP BY 1),
+             |l$n AS (
+             |  SELECT p.id, coalesce(b$n.nl, p.label) AS label
+             |  FROM $prev p LEFT JOIN b$n ON p.id = b$n.id)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT s AS src, c AS dst FROM pairs
+           |          UNION ALL SELECT c, s FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |l0 AS (SELECT id, id AS label FROM nodes),
+           |${iter("l0", 1)},
+           |${iter("l1", 2)},
+           |${iter("l2", 3)}
+           |SELECT id, label AS community FROM l3 ORDER BY id""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      // same 1e12 node-id offset as q92 (see the justification there)
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 1000000000000L).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+      graft.graph.Graph.labelPropagation(edges, iterations = 3)
+        .select(col("id"), col("label").as("community"))
+        .orderBy("id")
+    }
   )
 }

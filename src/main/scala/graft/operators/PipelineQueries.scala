@@ -2281,6 +2281,103 @@ object PipelineQueries {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       Similarity.int8QuantReport(Tables.embeddings(s, dir))
         .orderBy("vec_id")
+    },
+
+    // ---- Unicode NFC normalization: the first pass of multilingual
+    //      cleaning (decomposed e+U+0301 and precomposed é must dedup /
+    //      tokenize / fingerprint identically). Spark has no built-in;
+    //      graft_nfc is a native codegen expression (UnicodeNormalize
+    //      .scala) with a no-allocation ASCII fast path — a UDF here
+    //      would break WholeStageCodegen around the hottest narrow scan
+    //      in the pipeline. The corpus is ASCII, so each doc gets a
+    //      deterministic decoration by doc_id residue: decomposed
+    //      (normalization must rewrite), precomposed (must pass
+    //      through), untouched ASCII (fast path) — all three legs
+    //      oracle-checked against DuckDB's utf8proc nfc_normalize,
+    //      pinning JDK-vs-utf8proc UAX #15 agreement. ----
+    QueryDef(
+      "q143_nfc_normalize",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769)
+        |              WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |              ELSE text END AS deco
+        |  FROM documents)
+        |SELECT doc_id,
+        |       nfc_normalize(deco) AS nfc_text,
+        |       CAST(length(deco) AS BIGINT) AS raw_cp,
+        |       CAST(length(nfc_normalize(deco)) AS BIGINT) AS nfc_cp,
+        |       deco <> nfc_normalize(deco) AS changed
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val deco = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" cafe\u0301")))
+        .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" caf\u00e9")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), deco.as("deco"))
+        .select(col("doc_id"),
+          graft.functions.TextNormFunctions.graftNfc(col("deco")).as("nfc_text"),
+          length(col("deco")).cast("long").as("raw_cp"),
+          length(graft.functions.TextNormFunctions.graftNfc(col("deco")))
+            .cast("long").as("nfc_cp"),
+          (col("deco") =!=
+            graft.functions.TextNormFunctions.graftNfc(col("deco"))).as("changed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- DoReMi-style domain re-weighting (arXiv:2305.10429, one-shot
+    //      excess-loss form): weight each source by its clipped excess
+    //      average bigram surprisal over the corpus mean — the mixture
+    //      knob that upweights under-modeled domains. Exact-integer end
+    //      to end (micro-nat quantization shared with q105, floor-div
+    //      averages, basis-point weights), so the whole weighting —
+    //      model, per-source averages, clipping, normalization — is
+    //      replayed by the oracle. ----
+    QueryDef(
+      "q146_domain_reweight",
+      s"""WITH tk AS (
+         |  SELECT source, $toksSql AS t FROM documents),
+         |bi AS (
+         |  SELECT source, t[i] AS prev, t[i+1] AS cur
+         |  FROM (SELECT source, t, unnest(range(1, len(t))) AS i
+         |        FROM tk WHERE len(t) >= 2)),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT cur) AS v FROM c2),
+         |q AS (
+         |  SELECT bi.source,
+         |         CAST(round(1000000 *
+         |           ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1))) AS BIGINT) AS q
+         |  FROM bi
+         |  JOIN c2 USING (prev, cur)
+         |  JOIN c1 USING (prev)
+         |  CROSS JOIN v),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(q) AS BIGINT) AS sumq
+         |  FROM q GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(sumq) // sum(n_bigrams) AS BIGINT) AS corpus_nll_micro,
+         |         count(*) AS n_sources
+         |  FROM per),
+         |ex AS (
+         |  SELECT per.source, per.n_bigrams,
+         |         CAST(per.sumq // per.n_bigrams AS BIGINT) AS src_nll_micro,
+         |         tot.corpus_nll_micro,
+         |         greatest(0, per.sumq // per.n_bigrams - tot.corpus_nll_micro)
+         |           AS excess_micro,
+         |         tot.n_sources
+         |  FROM per CROSS JOIN tot),
+         |te AS (SELECT CAST(sum(excess_micro) AS BIGINT) AS tot_excess FROM ex)
+         |SELECT source, n_bigrams, src_nll_micro, corpus_nll_micro,
+         |       CAST(excess_micro AS BIGINT) AS excess_micro,
+         |       CAST(CASE WHEN te.tot_excess > 0
+         |                 THEN 10000 * excess_micro // te.tot_excess
+         |                 ELSE 10000 // n_sources END AS BIGINT) AS weight_bp
+         |FROM ex CROSS JOIN te
+         |ORDER BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.domainReweight(Tables.documents(s, dir))
+        .orderBy("source")
     }
   )
 

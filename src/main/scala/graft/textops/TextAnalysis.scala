@@ -347,7 +347,24 @@ object TextAnalysis {
   def bigramNll(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    bigramSurprisals(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sumq"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sumq").cast("double") / col("n_bigrams") / 1000000, 4)
+          .as("avg_nll"))
+
+  /** The shared quantized-surprisal stream under [[bigramNll]] and
+    * [[domainReweight]]: one row per bigram position, keyed by `idCol`
+    * (a doc id for per-doc scoring, a source for mixture design), with
+    * `q` = round(1e6 · ln((c1+V)/(c2+1))) micro-nats under the
+    * corpus-wide add-1 bigram model.
+    */
+  private def bigramSurprisals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val bi = docs
       .select(col(idCol), wsTokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2)
@@ -365,11 +382,56 @@ object TextAnalysis {
       .withColumn("q", round(lit(1000000) *
         log((col("c1") + col("v")).cast("double") / (col("c2") + 1)))
         .cast("long"))
-      .groupBy(idCol)
+      .select(col(idCol), col("q"))
+  }
+
+  /** DoReMi-style domain re-weighting (arXiv:2305.10429's excess-loss
+    * signal, one-shot form): score every source by its average bigram
+    * surprisal under the corpus-wide LM, and weight each source
+    * proportionally to its CLIPPED EXCESS over the corpus average —
+    * sources the corpus model finds hardest get upweighted, sources at
+    * or below average get 0. (The full DoReMi runs this inside a
+    * bilevel proxy-model loop; the excess-loss weighting over a fixed
+    * reference model is its standard one-shot approximation.)
+    *
+    * Exact-integer end to end: per-position micro-nat quantization
+    * (shared with [[bigramNll]]), per-source floor-div averages,
+    * weight_bp = floor(10000 · excess / Σ excess). When NO source
+    * exceeds the corpus average (Σ excess = 0, e.g. a perfectly
+    * homogeneous corpus) every source gets the uniform
+    * floor(10000 / n_sources). Basis points may sum below 10000 (floor
+    * loss) — callers renormalize at use if they need an exact simplex.
+    *
+    * Scale shape: [[bigramSurprisals]]'s model build is the only
+    * corpus-sized work; on top of it sit one source-grain agg and a
+    * 1-row broadcast of (corpus average, Σ excess, n_sources). Sources
+    * whose docs all have <2 tokens have no bigrams and are absent.
+    */
+  def domainReweight(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = bigramSurprisals(docs, groupCol, textCol)
+      .groupBy(groupCol)
       .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sumq"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("sumq").cast("double") / col("n_bigrams") / 1000000, 4)
-          .as("avg_nll"))
+      .select(col(groupCol), col("n_bigrams"),
+        expr("sumq div n_bigrams").as("src_nll_micro"),
+        col("sumq"))
+      .localCheckpoint() // feeds the totals agg AND the final select
+    val tot = per.agg(
+      expr("sum(sumq) div sum(n_bigrams)").as("corpus_nll_micro"),
+      count(lit(1)).as("n_sources"))
+    val withExcess = per.crossJoin(broadcast(tot))
+      .withColumn("excess_micro",
+        greatest(lit(0L), col("src_nll_micro") - col("corpus_nll_micro")))
+    val totExcess = withExcess.agg(sum("excess_micro").as("tot_excess"))
+    withExcess.crossJoin(broadcast(totExcess))
+      .select(col(groupCol), col("n_bigrams"), col("src_nll_micro"),
+        col("corpus_nll_micro"), col("excess_micro"),
+        when(col("tot_excess") > 0,
+          expr("10000 * excess_micro div tot_excess"))
+          .otherwise(expr("10000 div n_sources"))
+          .cast("long").as("weight_bp"))
   }
 
   /** Per-group token-distribution drift: KL(P_group ‖ P_corpus) in

@@ -28,4 +28,36 @@ class GraphSpec extends SparkSpec {
     // full mass → fixpoint at 150000 + 85% of 1e6-ish; just pin >0
     assert(r.head > 0)
   }
+
+  test("labelPropagation: bridged triangles stay two communities (where CC would merge them)") {
+    def undirected(pairs: (Long, Long)*): Seq[(Long, Long)] =
+      pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val e = undirected(
+      (1L, 2L), (2L, 3L), (3L, 1L),      // triangle A
+      (10L, 11L), (11L, 12L), (12L, 10L), // triangle B
+      (3L, 10L)                           // single bridge
+    ).toDF("src", "dst")
+    val labels = Graph.labelPropagation(e, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val a = Set(1L, 2L, 3L).map(labels)
+    val b = Set(10L, 11L, 12L).map(labels)
+    assert(a.size == 1, s"triangle A must agree on one label: $labels")
+    assert(b.size == 1, s"triangle B must agree on one label: $labels")
+    assert(a != b, s"the bridge alone must not merge the communities: $labels")
+    // bit-deterministic across partitionings
+    val labels2 = Graph.labelPropagation(e.repartition(5), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(labels2 == labels)
+  }
+
+  test("labelPropagation: a clique converges to one community with the smallest-id label") {
+    val ids = (1L to 6L)
+    val e = (for { a <- ids; b <- ids if a != b } yield (a, b)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(e, 3)
+      .collect().map(x => x.getLong(1)).distinct
+    // round 1: every node's neighbor labels are all-distinct singles →
+    // tie → min over neighbors; node 1 takes 2, everyone else takes 1;
+    // by round 2 label 1 dominates everywhere and stays
+    assert(labels.toSeq == Seq(1L), s"clique must collapse to label 1, got ${labels.toSeq}")
+  }
 }

@@ -43,4 +43,35 @@ class ApproxSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(run(li) == run(li.repartition(13)))
   }
+
+  test("HLL sketch union is associative: incremental merge == all-at-once merge (q144 contract)") {
+    // 50k keys spread over 12 "days" via a hash mix — enough cardinality
+    // to leave coupon mode (lgK=12 promotes past ~3k) and exercise the
+    // real register-max path
+    val rows = spark.range(0, 50000)
+      .select((col("id") % 12).as("day"), xxhash64(col("id")).as("k"))
+    val daily = rows.groupBy("day")
+      .agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+      .localCheckpoint()
+    def estimate(df: org.apache.spark.sql.DataFrame): Long = df
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("e"))
+      .collect()(0).getLong(0)
+    val allAtOnce = estimate(daily)
+    // three different old/new split points, each folded as
+    // merge(merge(old days), merge(new days))
+    Seq(3L, 6L, 9L).foreach { cut =>
+      val folded = daily.filter(col("day") < cut)
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+        .union(daily.filter(col("day") >= cut)
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk")))
+      assert(estimate(folded) == allAtOnce,
+        s"incremental fold at day $cut diverged from the all-at-once union")
+    }
+    // and the estimate itself is within the lgK=12 error envelope
+    assert(math.abs(allAtOnce - 50000.0) / 50000.0 < 0.05)
+    // partition invariance of the whole incremental pipeline
+    val daily2 = rows.repartition(17).groupBy("day")
+      .agg(hll_sketch_agg(col("k"), lit(12)).as("sk"))
+    assert(estimate(daily2) == allAtOnce)
+  }
 }

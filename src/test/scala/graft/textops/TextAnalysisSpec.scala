@@ -399,4 +399,33 @@ class TextAnalysisSpec extends SparkSpec {
     // the q140 aggregate: n_symbols over the doc == Σ per-word symbols
     assert(got.map(_.size).sum == words.map(w => segRef(w).size).sum)
   }
+
+  test("domainReweight: the under-modeled source gets the weight, homogeneous corpora fall back to uniform") {
+    // "easy" docs repeat the dominant phrasing; "hard" docs use rare
+    // transitions the corpus model assigns high surprisal
+    val easy = (0 until 20).map(i => (i.toLong, "the cat sat on the mat again and again", "easy"))
+    val hard = (100 until 105).map(i => (i.toLong, "qux zorp flem wibble vex trond plik", "hard"))
+    val docs = (easy ++ hard).toDF("doc_id", "text", "source")
+    val w = TextAnalysis.domainReweight(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    val (easyNll, easyExcess, easyBp) = w("easy")
+    val (hardNll, hardExcess, hardBp) = w("hard")
+    assert(hardNll > easyNll, s"hard source must score higher NLL: $w")
+    assert(hardExcess > 0 && hardBp > 0, s"hard source must carry weight: $w")
+    assert(easyBp == 0, s"at-or-below-average source must clip to 0: $w")
+    assert(easyBp + hardBp <= 10000)
+    // identical sources → zero excess everywhere → uniform fallback
+    val same = (0 until 10).map(i =>
+      (i.toLong, "alpha beta gamma delta", if (i % 2 == 0) "s0" else "s1"))
+      .toDF("doc_id", "text", "source")
+    val u = TextAnalysis.domainReweight(same)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(u == Map("s0" -> 5000L, "s1" -> 5000L), s"uniform fallback: $u")
+    // deterministic under repartitioning (integer arithmetic end to end)
+    val w2 = TextAnalysis.domainReweight(docs.repartition(7))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(w2 == w)
+  }
 }
