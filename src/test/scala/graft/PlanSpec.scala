@@ -377,4 +377,42 @@ class PlanSpec extends SparkSpec {
     assert(rankScans <= 1,
       s"ranked checkpoint must be read exactly once, found $rankScans:\n$plan")
   }
+
+  test("q143 NFC: one pruned scan, graft_nfc inline in the projection, no join/agg") {
+    val plan = planOf("q143_nfc_normalize")
+    // normalization is a narrow codegen'd map — any exchange beyond the
+    // final presentation sort means the expression fell out of the scan
+    // pipeline (e.g. regressed to a UDF + pre-shuffle)
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"NFC pass must stay scan+project:\n$plan")
+    assert(plan.contains("graft_nfc"),
+      s"native expression missing from the projection:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns:\n$plan")
+  }
+
+  test("q144 HLL incremental: exact side is ONE Expand scan; merges are 1-row broadcasts") {
+    val plan = planOf("q144_hll_incremental")
+    // count(distinct month), count(distinct partkey) must share a scan
+    // via Expand — two separate scans doubles the 100 TB read
+    assert(plan.contains("Expand"),
+      s"multi-distinct must rewrite to Expand over one scan:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one lineitem scan, found $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row contract joins must broadcast, not product:\n$plan")
+  }
+
+  test("q146 domain reweight: totals broadcast onto the source table, no product") {
+    val plan = planOf("q146_domain_reweight")
+    assert(!plan.contains("CartesianProduct"),
+      s"normalization constants must broadcast:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"corpus-average/total-excess aggregates must broadcast:\n$plan")
+    // the corpus-sized surprisal chain sits behind the per-source
+    // checkpoint; everything after is source-grain — a corpus rescan
+    // would surface as a parquet scan here
+    assert(!plan.contains("FileScan"),
+      s"post-checkpoint weighting must not rescan the corpus:\n$plan")
+  }
 }
