@@ -2378,6 +2378,89 @@ object PipelineQueries {
          |ORDER BY source""".stripMargin) { (s, dir) =>
       TextAnalysis.domainReweight(Tables.documents(s, dir))
         .orderBy("source")
+    },
+
+    // ---- quality-signal ENSEMBLE (Borda rank fusion for curation):
+    //      real pipelines gate on a committee of weak signals, not one —
+    //      here LM surprisal (lower = better), token entropy (higher =
+    //      more diverse) and length (longer = better, the Gopher prior)
+    //      fuse by summing each doc's corpus-wide rank under the three
+    //      orders; the top-k by summed rank survives. Rank fusion is
+    //      scale-free (no signal normalization to tune) and exactly
+    //      reproducible: each rank is a `Scale.globalRank` over a
+    //      composite TOTAL order (signal, doc_id) — range partition +
+    //      prefix sum, never a single-partition window — and the fused
+    //      ranks are integers, so the oracle replays all three
+    //      row_numbers and the fusion bit-for-bit. Docs with <2 tokens
+    //      have no LM signal and are excluded by the committee (inner
+    //      join), the standard unscorable-doc rule (q105). ----
+    QueryDef(
+      "q147_quality_ensemble",
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |tku AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         |tf AS (SELECT doc_id, tok, count(*) AS n FROM tku GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt FROM tf GROUP BY 1),
+         |eq AS (
+         |  SELECT tf.doc_id,
+         |         CAST(round(1000000 * tf.n *
+         |           ln(CAST(tot.nt AS DOUBLE) / tf.n)) AS BIGINT) AS q,
+         |         tot.nt
+         |  FROM tf JOIN tot USING (doc_id)),
+         |ent AS (
+         |  SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_tokens,
+         |         CAST(sum(q) // max(nt) AS BIGINT) AS ent_micronat
+         |  FROM eq GROUP BY 1),
+         |bi AS (
+         |  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM tk WHERE len(t) >= 2)),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT cur) AS v FROM c2),
+         |nq AS (
+         |  SELECT bi.doc_id,
+         |         CAST(round(1000000 *
+         |           ln(CAST(c1.c1 + v.v AS DOUBLE) / (c2.c2 + 1))) AS BIGINT) AS q
+         |  FROM bi JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v),
+         |nll AS (
+         |  SELECT doc_id, CAST(sum(q) // count(*) AS BIGINT) AS nll_micro
+         |  FROM nq GROUP BY 1),
+         |sig AS (
+         |  SELECT ent.doc_id, nll.nll_micro, ent.ent_micronat, ent.n_tokens
+         |  FROM ent JOIN nll USING (doc_id)),
+         |rk AS (
+         |  SELECT doc_id, nll_micro, ent_micronat, n_tokens,
+         |         row_number() OVER (ORDER BY nll_micro, doc_id) AS r1,
+         |         row_number() OVER (ORDER BY ent_micronat DESC, doc_id) AS r2,
+         |         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r3
+         |  FROM sig)
+         |SELECT doc_id, nll_micro, ent_micronat, n_tokens,
+         |       CAST(r1 + r2 + r3 AS BIGINT) AS borda
+         |FROM rk
+         |ORDER BY borda, doc_id
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val ent = TextAnalysis.tokenEntropy(docs)
+      val nll = TextAnalysis.bigramNllMicro(docs).select("doc_id", "nll_micro")
+      val sig = ent.join(nll, "doc_id")
+        .select(col("doc_id"), col("nll_micro"), col("ent_micronat"),
+          col("n_tokens"),
+          (-col("ent_micronat")).as("neg_ent"),
+          (-col("n_tokens")).as("neg_len"))
+        .localCheckpoint() // both signal chains run once; 3 rank passes read this
+      def rank(colName: String, rankCol: String) =
+        Scale.globalRank(sig.select("doc_id", colName), rankCol, colName, "doc_id")
+          .select("doc_id", rankCol)
+      sig
+        .join(rank("nll_micro", "r1"), "doc_id")
+        .join(rank("neg_ent", "r2"), "doc_id")
+        .join(rank("neg_len", "r3"), "doc_id")
+        .select(col("doc_id"), col("nll_micro"), col("ent_micronat"),
+          col("n_tokens"),
+          (col("r1") + col("r2") + col("r3")).as("borda"))
+        .orderBy("borda", "doc_id")
+        .limit(50)
     }
   )
 

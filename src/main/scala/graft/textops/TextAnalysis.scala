@@ -355,6 +355,21 @@ object TextAnalysis {
         round(col("sumq").cast("double") / col("n_bigrams") / 1000000, 4)
           .as("avg_nll"))
 
+  /** [[bigramNll]] at integer grain: (idCol, n_bigrams, nll_micro) with
+    * nll_micro = floor(Σq / n) micro-nats — the form rank-based
+    * consumers (the q147 ensemble) compose without ever touching a
+    * float average.
+    */
+  def bigramNllMicro(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramSurprisals(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("q").as("sumq"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("sumq div n_bigrams").as("nll_micro"))
+
   /** The shared quantized-surprisal stream under [[bigramNll]] and
     * [[domainReweight]]: one row per bigram position, keyed by `idCol`
     * (a doc id for per-doc scoring, a source for mixture design), with

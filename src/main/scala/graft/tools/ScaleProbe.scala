@@ -401,6 +401,42 @@ object ScaleProbe {
     val mm4 = timeMmr("k32", 32)
     println(f"[scaleprobe] mmr time ratio=${mm4 / mm1}%.2f for 4x k " +
       "(linear ⇒ ≈4; the recompute-from-scratch form ⇒ ≈16)")
+
+    // Label propagation: same per-iteration join+agg shape as PageRank
+    // (one shuffle on src, one two-key aggregate), so wall-clock must
+    // track |E| linearly across the replicated disjoint copies.
+    def timeLpa(label: String, edges: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.graph.Graph.labelPropagation(edges, 3).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] lpa-$label: nodes=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeLpa("warmup-1x", replicateEdges(1))
+    val lp1 = timeLpa("1x", replicateEdges(1))
+    val lpn = timeLpa(s"${copies}x", replicateEdges(copies))
+    println(f"[scaleprobe] lpa time ratio=${lpn / lp1}%.2f for ${copies}x edges")
+
+    // Domain re-weighting: the bigram-LM chain (already probed above as
+    // lm-*) plus a source-grain agg and two 1-row broadcasts — the
+    // extra work over bigramNll must be corpus-size independent, so the
+    // ratio should match the lm probe's.
+    def withSource(docs: DataFrame): DataFrame =
+      docs.withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(20)).cast("string")))
+    def timeRw(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.textops.TextAnalysis.domainReweight(withSource(docs)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] reweight-$label: sources=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeRw("warmup-1x", replicate(1))
+    val rw1 = timeRw("1x", replicate(1))
+    val rwn = timeRw(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] reweight time ratio=${rwn / rw1}%.2f for ${copies}x docs")
     spark.stop()
   }
 }
