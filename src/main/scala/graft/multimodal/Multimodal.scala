@@ -184,6 +184,66 @@ object Multimodal {
       .toDF("media_id", "kind", "payload_bytes", "dim", "mean_intensity")
   }
 
+  /** Audio-analysis primitives over the DECODED PCM stream of each WAV
+    * row: RMS level (micro-units), MEAN-crossing rate (ppm of
+    * inter-sample steps — the dominant-frequency proxy; computed
+    * against the mean, not zero, so it is meaningful for unsigned /
+    * DC-offset material), peak/trough sample values, and duration.
+    * The real content-based audio triage pass (silence/clipping/tone
+    * detection) a multimodal pipeline gates on.
+    *
+    * Exact-integer construction so the oracle can replay every value
+    * from the SOURCE bytes while this side computes from the DECODED
+    * samples — any decode defect (endianness, chunk offset, stride)
+    * hash-fails: Σv and Σv² are exact long sums; a mean crossing at
+    * step i is sign((n·vᵢ − Σv)) ≠ sign((n·vᵢ₊₁ − Σv)) with both
+    * strictly nonzero — no division, no float mean; only the final RMS
+    * takes one sqrt on the exact (Σv², n) pair and quantizes.
+    *
+    * Scale shape: narrow mapPartitions over payload rows — payloads
+    * never shuffle; output is a handful of longs per row.
+    */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val a = RealCodec.decodeWavPcm16(payload)
+          val s = a.samples
+          val n = s.length.toLong
+          var sumv = 0L
+          var sumsq = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong; sumv += v; sumsq += v * v; i += 1
+          }
+          var mcr = 0L
+          i = 0
+          while (i < s.length - 1) {
+            // n·v ≤ ~2^31·2^15 and the product of two such deltas fits a
+            // long only because payloads here are bounded; for arbitrary
+            // inputs compare signs, don't multiply
+            val d0 = n * s(i) - sumv
+            val d1 = n * s(i + 1) - sumv
+            if ((d0 < 0 && d1 > 0) || (d0 > 0 && d1 < 0)) mcr += 1
+            i += 1
+          }
+          var peak = Long.MinValue
+          var trough = Long.MaxValue
+          s.foreach { v => peak = math.max(peak, v); trough = math.min(trough, v) }
+          val rmsMicro =
+            if (n == 0) 0L else math.round(1000000.0 * math.sqrt(sumsq.toDouble / n))
+          val mcrPpm = if (n >= 2) 1000000L * mcr / (n - 1) else 0L
+          (id, n, rmsMicro, mcrPpm,
+            if (n == 0) 0L else peak, if (n == 0) 0L else trough,
+            if (a.sampleRate > 0) 1000000L * n / a.sampleRate else 0L)
+        }
+      }
+      .toDF("media_id", "n_samples", "rms_micro", "mcr_ppm",
+        "peak", "trough", "duration_us")
+  }
+
   /** Frame sampling: keep every `stride`-th frame index of each video —
     * pure metadata transform (the real pipeline would slice the payload
     * at frame boundaries the same way).

@@ -311,6 +311,53 @@ object StreamMediaQueries {
         .select(col("media_id"), col("kind"), col("payload_bytes"),
           col("dim"), round(col("mean_intensity"), 4).as("mean_intensity"))
         .orderBy("media_id")
+    },
+
+    // ---- audio DSP triage over DECODED PCM: RMS level, mean-crossing
+    //      rate, peak/trough, duration — the silence/clipping/tone gate
+    //      of a multimodal pipeline, run on the output of the REAL WAV
+    //      chunk-walk decoder. The oracle recomputes every value from
+    //      the SOURCE bytes (samples are the text's UTF-8 bytes by
+    //      construction), so any decode defect — endianness, chunk
+    //      offset, sample stride — hash-fails. All integer except the
+    //      single final sqrt over the exact (Σv², n) pair, identical
+    //      IEEE ops on both engines. Mean crossings are sign tests on
+    //      n·vᵢ − Σv (no float mean, no division). ----
+    QueryDef(
+      "q148_audio_stats",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v AS (
+        |  SELECT media_id, nb,
+        |         list_transform(range(1, CAST(nb AS INT) + 1),
+        |           i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS BIGINT)) AS vs
+        |  FROM m),
+        |s AS (
+        |  SELECT media_id, nb, vs,
+        |         CAST(list_sum(vs) AS BIGINT) AS sumv,
+        |         CAST(list_sum(list_transform(vs, x -> x * x)) AS BIGINT) AS sumsq
+        |  FROM v),
+        |c AS (
+        |  SELECT media_id, nb, sumv, sumsq,
+        |         CAST(coalesce(list_sum(list_transform(range(1, CAST(nb AS INT)),
+        |           i -> CASE WHEN (nb * vs[i] - sumv) * (nb * vs[i+1] - sumv) < 0
+        |                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS mcr,
+        |         CAST(list_max(vs) AS BIGINT) AS peak,
+        |         CAST(list_min(vs) AS BIGINT) AS trough
+        |  FROM s)
+        |SELECT media_id, nb AS n_samples,
+        |       CAST(round(1000000 * sqrt(CAST(sumsq AS DOUBLE) / nb)) AS BIGINT)
+        |         AS rms_micro,
+        |       CAST(CASE WHEN nb >= 2 THEN 1000000 * mcr // (nb - 1)
+        |                 ELSE 0 END AS BIGINT) AS mcr_ppm,
+        |       peak, trough,
+        |       CAST(1000000 * nb // 16000 AS BIGINT) AS duration_us
+        |FROM c ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.realMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.audioStats(s, media)
+        .orderBy("media_id")
     }
   )
 }

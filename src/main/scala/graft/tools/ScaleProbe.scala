@@ -26,8 +26,14 @@ object ScaleProbe {
     // random (observed: the LM probe reading 25× after the checkpointing
     // probes vs 2.3× standalone). Same cure as Bench.clearBlocks: drop
     // persistent RDDs between timed sections.
-    def clearBlocks(): Unit =
+    def clearBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // ContextCleaner only deletes dead shuffle files after the driver
+      // GCs their references; without a nudge, tens of GB of shuffle
+      // spill from earlier sections linger and skew later sections
+      // (observed: pagerank-10x read 66 s in-sequence vs 21 s isolated)
+      System.gc()
+    }
 
     val base = Tables.documents(spark, dir).select("doc_id", "text")
 

@@ -408,4 +408,36 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       ContainerCodec.parseMp4(mp4.dropRight(1)))
   }
+
+  test("audioStats: hand-computed DSP values on crafted signals; decoded == source-derived") {
+    // square-ish wave [0,100,0,100]: mean 50, every step crosses it
+    val sq = RealCodec.encodeWavPcm16(Array[Short](0, 100, 0, 100), 16000)
+    // constant [5,5,5]: zero crossings, rms = value exactly
+    val flat = RealCodec.encodeWavPcm16(Array[Short](5, 5, 5), 16000)
+    val df = Seq((1L, "audio", sq), (2L, "audio", flat), (3L, "image", sq))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.audioStats(spark, df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // rms(sq) = 1e6*sqrt((0+1e4+0+1e4)/4) = round(70710678.1...)
+    assert(got(1L) == ((4L, 70710678L, 1000000L, 100L, 0L, 250L)), s"$got")
+    assert(got(2L) == ((3L, 5000000L, 0L, 5L, 5L, 187L)), s"$got")
+    assert(!got.contains(3L), "non-audio rows must be excluded")
+    // real corpus rows: stats recomputed from the SOURCE bytes must
+    // equal stats computed from the DECODED samples (the q148 contract)
+    val m = Multimodal.realMediaFromDocuments(spark, docs.limit(20))
+    val stats = Multimodal.audioStats(spark, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = docs.limit(20).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 2 == 0)
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8").map(b => (b & 0xff).toLong)
+        val n = bytes.length.toLong
+        val rms = math.round(1000000.0 * math.sqrt(
+          bytes.map(v => v * v).sum.toDouble / n))
+        r.getLong(0) -> (n, rms)
+      }.toMap
+    assert(stats == src, "decoded-sample stats diverged from source bytes")
+  }
 }
