@@ -1,0 +1,48 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for quality scores / classifiers, exact at any
+  * scale — the audit step between training a filter (q111) and trusting
+  * it to gate a 100 TB corpus.
+  */
+object Eval {
+
+  /** Exact ROC-AUC as an integer U-statistic (Mann-Whitney): with
+    * positives expected to score HIGH,
+    * 2U = Σ_s nPos(s)·(2·cumNeg(<s) + nNeg(s)) — each positive counts 2
+    * per negative strictly below it and 1 per tied negative — and
+    * AUC = U / (nPos·nNeg). Everything before the final basis-point
+    * division is exact long arithmetic, so the result is
+    * partition-order-independent and engine-exact (no trapezoid
+    * approximation, no float ranks).
+    *
+    * Scale shape: one partial-agg shuffle builds the score histogram
+    * (one row per DISTINCT score — for integer ppm scores that is ≤1e6
+    * rows regardless of corpus size), the cumulative negative count is a
+    * [[graft.operators.Scale.prefixSumLongBy]] over that bounded
+    * histogram (range partition + broadcast offsets, no one-partition
+    * window), and the finale is a scalar aggregate. The corpus itself
+    * is scanned once and never re-shuffled.
+    *
+    * `scoreCol` must be an integral/orderable column; `posCol` boolean.
+    * Returns one row: (n_pos, n_neg, u2, auc_bp) with auc_bp null when
+    * either class is empty.
+    */
+  def aucExact(scored: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val hist = scored.groupBy(scoreCol).agg(
+      sum(when(col(posCol), 1L).otherwise(0L)).as("npos"),
+      sum(when(col(posCol), 0L).otherwise(1L)).as("nneg"))
+    val cum = graft.operators.Scale.prefixSumLongBy(
+      hist, Seq(scoreCol), "nneg", "cumneg")
+    cum.agg(
+        sum("npos").as("n_pos"),
+        sum("nneg").as("n_neg"),
+        sum(col("npos") * (col("cumneg") * 2 - col("nneg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(expr("(10000 * u2) DIV (2 * n_pos * n_neg)"))
+          .cast("long").as("auc_bp"))
+  }
+}

@@ -268,4 +268,117 @@ object Multimodal {
         round(w * scale).cast("int").as("target_width"),
         round(h * scale).cast("int").as("target_height"))
   }
+
+  /** Deterministic 9×8 grayscale BMP test images, one per document:
+    * pixel (x,y) is an integer formula of (doc_id % 40) — so documents
+    * sharing a base render IDENTICAL images — and every third doc bumps
+    * exactly one pixel, planting near-duplicates that differ in ≤2 dHash
+    * bits. Real files (any BMP reader opens them); narrow map.
+    */
+  def syntheticImagesFromDocuments(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (9, 8)
+    docs.select("doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = (id % 40).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bump =
+                if (id % 3 == 0 && x == (id % 9).toInt && y == (id % 8).toInt) 40
+                else 0
+              val g = (((x + 1) * (base + 2) + (y + 1) * (base + 5) + bump) % 256).toByte
+              val p = (y * w + x) * 3
+              rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+              x += 1
+            }
+            y += 1
+          }
+          (id, "image", RealCodec.encodeBmp24(rgb, w, h))
+        }
+      }
+      .toDF("media_id", "kind", "payload")
+  }
+
+  /** Difference hash (dHash) over the DECODED pixels of each image: the
+    * standard perceptual fingerprint for image near-dup detection —
+    * bit (y,x) set iff brightness increases from column x to x+1 on the
+    * (here already 8×9) grayscale grid; a real pipeline average-pools
+    * any image down to that grid first, which changes none of the
+    * machinery below. The 64 bits ship as four 16-bit band values
+    * (b0..b3) rather than one packed long so downstream banding needs no
+    * bit slicing and no sign-bit edge cases cross engines.
+    *
+    * Decode is the REAL container parse ([[RealCodec.decodeBmp24]]) —
+    * the q150 oracle recomputes the hash from the pixel FORMULA, so a
+    * decode defect (stride, padding, bottom-up flip) hash-fails.
+    * Narrow mapPartitions; payloads never shuffle.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = RealCodec.decodeBmp24(payload)
+          val (w, h) = (img.width, img.height)
+          require(w >= 9 && h >= 8, s"image $id too small for dHash ($w x $h)")
+          def gray(x: Int, y: Int): Int = img.rgb((y * w + x) * 3) & 0xff
+          val bands = new Array[Int](4)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) {
+                val bit = y * 8 + x
+                bands(bit / 16) |= 1 << (bit % 16)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+  }
+
+  /** Image near-dup pairs by banded dHash: candidates join on any equal
+    * 16-bit band, then the full 64-bit Hamming distance verifies. For
+    * `maxHamming` ≤ 3 the 4-band pigeonhole makes this EXACT — ≤3
+    * differing bits cannot touch all 4 bands, so every qualifying pair
+    * shares a band — which is why the q150 oracle can brute-force
+    * all-pairs and still expect hash equality with this banded plan.
+    *
+    * Scale shape: one shuffle on (band, value); candidate volume is
+    * Σ bucket² over band buckets, never n². Identical images all land in
+    * the same buckets — run exact payload dedup (q28) FIRST at corpus
+    * scale so bucket sizes track near-dup density, not copy counts.
+    */
+  def imageNearDupPairs(
+      spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"banded dHash join is only exact for maxHamming <= 3, got $maxHamming")
+    val bands = hashes.select(col("media_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    def side(alias: String, idOut: String) = hashes.select(
+      col("media_id").as(idOut),
+      col("b0").as(s"${alias}0"), col("b1").as(s"${alias}1"),
+      col("b2").as(s"${alias}2"), col("b3").as(s"${alias}3"))
+    cand.join(side("a", "id_a"), "id_a").join(side("b", "id_b"), "id_b")
+      .withColumn("hamming",
+        expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -1267,6 +1267,87 @@ object AnalyticsQueries {
       graft.graph.Graph.labelPropagation(edges, iterations = 3)
         .select(col("id"), col("label").as("community"))
         .orderBy("id")
+    },
+
+    // ---- exact ROC-AUC of a quality signal (q151): does stopword
+    //      density actually separate English from non-English docs? The
+    //      Mann-Whitney U-statistic in exact long arithmetic — the audit
+    //      a pipeline runs before trusting any learned/heuristic filter
+    //      to gate the corpus. Scale shape: the corpus aggregates once
+    //      into a ≤1e6-row score histogram; the cumulative-negative pass
+    //      is a range-partitioned prefix sum over THAT, never a
+    //      one-partition window over rows (Eval.aucExact). ----
+    QueryDef(
+      "q151_auc",
+      s"""WITH m AS (
+         |  SELECT lang = 'en' AS pos,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> list_contains(${PipelineQueries.stopwordsSql}, w))) * 1000000
+         |           // len(string_split(text, ' ')) AS score
+         |  FROM documents),
+         |h AS (
+         |  SELECT score,
+         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS npos,
+         |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nneg
+         |  FROM m GROUP BY 1),
+         |c AS (SELECT *, sum(nneg) OVER (ORDER BY score) AS cumneg FROM h)
+         |SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+         |       CAST(sum(nneg) AS BIGINT) AS n_neg,
+         |       CAST(sum(npos * (2 * cumneg - nneg)) AS BIGINT) AS u2,
+         |       CAST(CASE WHEN sum(npos) = 0 OR sum(nneg) = 0 THEN NULL
+         |            ELSE (10000 * sum(npos * (2 * cumneg - nneg)))
+         |                 // (2 * sum(npos) * sum(nneg)) END AS BIGINT) AS auc_bp
+         |FROM c""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val m = Tables.documents(s, dir).select(
+        (col("lang") === "en").as("pos"),
+        floor(size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 1000000L / size(toks).cast("long"))
+          .cast("long").as("score"))
+      graft.ml.Eval.aucExact(m, "score", "pos")
+    },
+
+    // ---- weekly retention cohorts (q152): the standard
+    //      activation/retention matrix over the events stream — users
+    //      grouped by first-activity week, counted at each later week
+    //      offset, with basis-point retention against the cohort size.
+    //      Scale shape: two keyed aggregates on user_id (map-side
+    //      combines; the distinct (user, week) table is bounded by
+    //      users × weeks, not events) and one broadcast-sized
+    //      cohort-size join. ----
+    QueryDef(
+      "q152_retention_cohort",
+      """WITH w AS (
+        |  SELECT user_id,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |           AS BIGINT) AS wk
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+        |act AS (SELECT DISTINCT w.user_id, fw.cohort, w.wk - fw.cohort AS offs
+        |        FROM w JOIN fw USING (user_id)),
+        |sz AS (SELECT cohort, count(*) AS cohort_users FROM fw GROUP BY 1),
+        |g AS (SELECT cohort, offs, count(*) AS n_users
+        |      FROM act GROUP BY 1, 2)
+        |SELECT cohort AS cohort_week, offs AS week_offset,
+        |       CAST(n_users AS BIGINT) AS n_users,
+        |       CAST(n_users * 10000 // cohort_users AS BIGINT) AS retention_bp
+        |FROM g JOIN sz USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select(col("user_id"),
+        floor(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))) / 7)
+          .cast("long").as("wk"))
+      val fw = ev.groupBy("user_id").agg(min("wk").as("cohort"))
+      val act = ev.join(fw, "user_id")
+        .select(col("user_id"), col("cohort"), (col("wk") - col("cohort")).as("offs"))
+        .distinct()
+      val sz = fw.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+      act.groupBy("cohort", "offs").agg(count(lit(1)).as("n_users"))
+        .join(broadcast(sz), "cohort")
+        .select(col("cohort").as("cohort_week"), col("offs").as("week_offset"),
+          col("n_users"),
+          floor(col("n_users") * 10000L / col("cohort_users"))
+            .cast("long").as("retention_bp"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 }

@@ -193,8 +193,8 @@ object PipelineQueries {
        |    FROM ev e CROSS JOIN $centRel c) t
        |  WHERE rn = 1)""".stripMargin
 
-  private val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  private[operators] val stopwordsSql = "['the','a','an','and','or','of','to','in','is','it']"
+  private[operators] val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Pinned q111 artifact: `LinearModel.fitRidgeNano` over the sf0.01
     * documents corpus AS OF THE PIN DATE (2026-08-14; features
@@ -2461,6 +2461,85 @@ object PipelineQueries {
           (col("r1") + col("r2") + col("r3")).as("borda"))
         .orderBy("borda", "doc_id")
         .limit(50)
+    },
+
+    // ---- product-quantization ANN (q149): the memory-scale path for
+    //      embedding search — m=4 subspace codebooks (k=16 each, the
+    //      q61 deterministic Lloyd iteration per subspace) compress each
+    //      64-dim float vector to 4 bytes, and queries rank the corpus
+    //      by ADC table lookups instead of vector math. The oracle
+    //      unrolls ALL of it: both Lloyd rounds in every subspace, the
+    //      per-query distance tables against the trained codebook, and
+    //      the subspace-order left-associated ADC sum — so codebook
+    //      training, encoding, and search are each hash-checked, not
+    //      just the final ranking. ----
+    QueryDef(
+      "q149_pq_ann", {
+        def cbCte(from: String, out: String): String =
+          s"""${out}_ex AS (
+             |  SELECT sub, code, unnest(range(1, len(subemb) + 1)) AS i,
+             |         unnest(subemb) AS val
+             |  FROM $from),
+             |${out}_ce AS (
+             |  SELECT sub, code, i,
+             |         CAST(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             |              / 1000000 / count(*) AS FLOAT) AS v
+             |  FROM ${out}_ex GROUP BY sub, code, i),
+             |$out AS (SELECT sub, code, list(v ORDER BY i) AS centroid
+             |         FROM ${out}_ce GROUP BY sub, code)""".stripMargin
+        def pqAssignCte(cb: String, out: String): String =
+          s"""$out AS (
+             |  SELECT vec_id, sub, subemb, code FROM (
+             |    SELECT p.vec_id, p.sub, p.subemb, c.code,
+             |           row_number() OVER (PARTITION BY p.vec_id, p.sub
+             |             ORDER BY ${l2Sql("p.subemb", "c.centroid")} ASC, c.code) AS rn
+             |    FROM pts p JOIN $cb c ON p.sub = c.sub) t
+             |  WHERE rn = 1)""".stripMargin
+        val initHash = OracleSql.md5Long(
+          "CAST(vec_id AS VARCHAR) || '|' || CAST(sub AS VARCHAR)")
+        s"""WITH subs AS (SELECT unnest(range(0, 4)) AS sub),
+           |pts AS (
+           |  SELECT vec_id, sub,
+           |         list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS subemb
+           |  FROM embeddings CROSS JOIN subs),
+           |a0 AS (
+           |  SELECT vec_id, sub, subemb,
+           |         CAST($initHash % 16 AS INT) AS code
+           |  FROM pts),
+           |${cbCte("a0", "cb0")},
+           |${pqAssignCte("cb0", "a1")},
+           |${cbCte("a1", "cb1")},
+           |${pqAssignCte("cb1", "a2")},
+           |qp AS (
+           |  SELECT vec_id AS query_id, sub,
+           |         list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS qsub
+           |  FROM embeddings CROSS JOIN subs WHERE vec_id < 8),
+           |dtab AS (
+           |  SELECT q.query_id, q.sub, c.code, ${l2Sql("q.qsub", "c.centroid")} AS d
+           |  FROM qp q JOIN cb1 c ON q.sub = c.sub),
+           |sc AS (
+           |  SELECT d.query_id, a.vec_id AS neighbor_id,
+           |         max(CASE WHEN d.sub = 0 THEN d.d END) AS t0,
+           |         max(CASE WHEN d.sub = 1 THEN d.d END) AS t1,
+           |         max(CASE WHEN d.sub = 2 THEN d.d END) AS t2,
+           |         max(CASE WHEN d.sub = 3 THEN d.d END) AS t3
+           |  FROM a2 a JOIN dtab d ON d.sub = a.sub AND d.code = a.code
+           |  WHERE d.query_id <> a.vec_id
+           |  GROUP BY d.query_id, a.vec_id)
+           |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+           |  SELECT query_id, neighbor_id,
+           |         (((0.0 + t0) + t1) + t2) + t3 AS adc_d2,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY (((0.0 + t0) + t1) + t2) + t3 ASC, neighbor_id) AS rank
+           |  FROM sc) t
+           |WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.pqTopK(emb, queries, topK = 5)
+        .orderBy("query_id", "rank")
     }
   )
 

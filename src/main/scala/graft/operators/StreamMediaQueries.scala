@@ -358,6 +358,59 @@ object StreamMediaQueries {
       val media = Multimodal.realMediaFromDocuments(s, Tables.documents(s, dir))
       Multimodal.audioStats(s, media)
         .orderBy("media_id")
+    },
+
+    // ---- image near-dup detection by perceptual hash (q150): render
+    //      deterministic grayscale BMPs (planted exact + near-dup
+    //      groups), dHash the DECODED pixels, pair via banded Hamming
+    //      join. The Spark side goes pixels → real BMP encode → real
+    //      decode → hash → 4-band LSH join; the oracle recomputes the
+    //      hash straight from the pixel formula and BRUTE-FORCES
+    //      all-pairs Hamming — so both the decode path and the banded
+    //      join's ≤3-bit pigeonhole completeness are value-checked, not
+    //      assumed. ----
+    QueryDef(
+      "q150_image_phash",
+      """WITH d AS (SELECT doc_id, doc_id % 40 AS base FROM documents
+        |           WHERE doc_id < 200),
+        |xs AS (SELECT unnest(range(0, 9)) AS x),
+        |ys AS (SELECT unnest(range(0, 8)) AS y),
+        |px AS (
+        |  SELECT doc_id, x, y,
+        |         ((x + 1) * (base + 2) + (y + 1) * (base + 5) +
+        |          CASE WHEN doc_id % 3 = 0 AND x = doc_id % 9 AND y = doc_id % 8
+        |               THEN 40 ELSE 0 END) % 256 AS g
+        |  FROM d CROSS JOIN xs CROSS JOIN ys),
+        |bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS bit,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS v
+        |  FROM px a JOIN px b
+        |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |bands AS (
+        |  SELECT doc_id, bit // 16 AS band,
+        |         CAST(sum(v * (1 << (bit % 16))) AS INT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |         max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |         max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |         max(CASE WHEN band = 3 THEN bv END) AS b3
+        |  FROM bands GROUP BY 1)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |              bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+        |           AS INT) AS hamming
+        |  FROM wide a JOIN wide b ON a.doc_id < b.doc_id) t
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val media = Multimodal.syntheticImagesFromDocuments(s, docs)
+      val hashes = Multimodal.imageDHash(s, media)
+      Multimodal.imageNearDupPairs(s, hashes, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -860,4 +860,148 @@ object Similarity {
       .map { case ((id, sc), i) => (i + 1L, id, sc) }
       .toDF("rank", "vec_id", "score_micro")
   }
+
+  /** Product-quantization codebooks + codes (Jégou et al., TPAMI 2011):
+    * each vector splits into `m` contiguous subvectors; each subspace
+    * trains its own deterministic Lloyd quantizer (the [[kmeansLite]]
+    * iteration: md5(id|sub) bucket-mean init, quantized centroid
+    * updates, tie-to-lowest-code argmin) and every vector is encoded as
+    * its m nearest-centroid codes. Returns (codes, codebook):
+    * codes = (idCol, codes array<int> indexed by subspace),
+    * codebook = (sub, code, centroid).
+    *
+    * This is the 100 TB memory path for embedding search: m·log2(k) bits
+    * per vector (here 4 bytes) replace 4·dim bytes — a 64-dim float
+    * corpus compresses 64× — and the code table becomes the thing that
+    * fits scan-resident where raw vectors cannot. Training runs on the
+    * corpus here (catalog scale); at 100 TB train the codebook on a
+    * content-addressed sample ([[graft.operators.Scale]] q52-style) —
+    * the iteration is identical and the sample bound is k·m·oversample.
+    *
+    * Everything is order-independent and replayable on any engine
+    * (the q149 oracle unrolls all m subspaces × `iters` rounds in SQL):
+    * subspace points never shuffle raw text, the per-round exchange is
+    * the (m·k)-row centroid aggregate (map-side partial), and assignment
+    * is a narrow broadcast fold exactly like [[kmeansLite]].
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val dim = corpus.select(size(col(embCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(m)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val ds = dim / m
+    val md5Long = graft.textops.TextAnalysis.md5Long(_)
+    // (id, sub, subemb): the per-subspace point set. Narrow — each row
+    // carries ds floats, m rows per vector.
+    val points = corpus.select(
+      col(idCol),
+      posexplode(array((0 until m).map(s =>
+        slice(col(embCol), s * ds + 1, ds)): _*)).as(Seq("sub", "subemb")))
+    // One Lloyd family per subspace, trained in the SAME jobs: the
+    // centroid key folds (sub, code) into sub*k + code so the shared
+    // quantizedMeans aggregate trains all m codebooks in one exchange.
+    def means(assigned: DataFrame): DataFrame =
+      quantizedMeans(assigned
+          .withColumn("cluster", col("sub") * k + col("code")),
+        "cluster", ds, "subemb")
+        .select((col("cluster") / k).cast("int").as("sub"),
+          pmod(col("cluster"), lit(k)).cast("int").as("code"),
+          col("centroid"))
+    def assign(codebook: DataFrame): DataFrame = {
+      val packed = codebook.groupBy("sub").agg(
+        sort_array(collect_list(struct(col("code"), col("centroid"))))
+          .as("cents"))
+      points.join(broadcast(packed), "sub")
+        .withColumn("scored", transform(col("cents"), c =>
+          struct(l2sq(col("subemb"), c.getField("centroid")).as("d2"),
+            c.getField("code").as("code"))))
+        .withColumn("best", aggregate(col("scored"),
+          struct(lit(Double.PositiveInfinity).as("d2"), lit(-1).as("code")),
+          (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc)))
+        .select(col(idCol), col("sub"), col("subemb"),
+          col("best.code").cast("int").as("code"))
+    }
+    var codebook = means(points.withColumn("code",
+      pmod(md5Long(concat_ws("|", col(idCol).cast("string"),
+        col("sub").cast("string"))), lit(k)).cast("int")))
+    var assigned = assign(codebook)
+    (2 to iters).foreach { _ =>
+      codebook = means(assigned)
+      assigned = assign(codebook)
+    }
+    val codes = assigned.groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    (codes, codebook)
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): per query,
+    * precompute the m×k table of exact subspace distances to every
+    * codebook centroid; a corpus row's approximate distance is then m
+    * table lookups summed in subspace order — no decode, no vector math
+    * per row, and the per-query tables (q·m·k doubles) broadcast.
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: ONE narrow scan of the code
+    * table (which is 64× smaller than the raw corpus — see [[pqTrain]]),
+    * per-partition bounded-heap top-k, and only ≤ parts·k survivors per
+    * query reach the final k-merge. Approximate results — recall is the
+    * codebook's to buy (larger k / more subspaces), measured the same
+    * way q110 audits IVF.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val (codes, codebook) = pqTrain(corpus, m, k, iters, idCol, embCol)
+    val dim = corpus.select(size(col(embCol))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(m)
+    val ds = dim / m
+    // Exact per-subspace distance table: (query, sub, code) → d2.
+    val dtab = queries.select(
+        col("query_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("q_embedding"), s * ds + 1, ds)): _*)).as(Seq("sub", "qsub")))
+      .join(broadcast(codebook), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qsub"), col("centroid")).as("d2"))
+    // Pack ALL query tables into one broadcast row: per (query, sub) an
+    // array of d2 indexed by code, per query an array of those indexed
+    // by sub, then one collect_list over the (small) query set.
+    val dmat = dtab.groupBy("query_id", "sub")
+      .agg(transform(sort_array(collect_list(struct(col("code"), col("d2")))),
+        s => s.getField("d2")).as("darr"))
+      .groupBy("query_id")
+      .agg(transform(sort_array(collect_list(struct(col("sub"), col("darr")))),
+        s => s.getField("darr")).as("dmat"))
+    val qpack = dmat.agg(
+      sort_array(collect_list(struct(col("query_id"), col("dmat")))).as("qs"))
+    // ADC: zip the row's codes with the query's per-subspace tables and
+    // fold the looked-up distances in subspace order (left-associated
+    // sequential sum — the oracle mirrors the association exactly).
+    val scored = codes.join(broadcast(qpack), lit(true))
+      .select(col(idCol), col("codes"), explode(col("qs")).as("q"))
+      .filter(col("q.query_id") =!= col(idCol))
+      .select(col("q.query_id").as("query_id"), col(idCol).as("neighbor_id"),
+        (-aggregate(
+          zip_with(col("codes"), col("q.dmat"),
+            (c, darr) => element_at(darr, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x)).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    localTopK(scored, topK)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("adc_d2"),
+        col("rank"))
+  }
 }

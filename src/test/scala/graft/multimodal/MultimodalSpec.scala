@@ -440,4 +440,46 @@ class MultimodalSpec extends SparkSpec {
       }.toMap
     assert(stats == src, "decoded-sample stats diverged from source bytes")
   }
+
+  test("imageDHash: identical images hash equal; planted bump flips ≤2 bits") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val media = Multimodal.syntheticImagesFromDocuments(spark, docs)
+    val hashes = Multimodal.imageDHash(spark, media).collect()
+      .map(r => r.getLong(0) -> Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    def ham(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    // same base, neither bumped → identical images → identical hashes
+    val plain = hashes.keys.filter(_ % 3 != 0).toSeq.groupBy(_ % 40)
+    plain.values.filter(_.size >= 2).foreach { ids =>
+      val hs = ids.map(hashes)
+      assert(hs.forall(h => ham(h, hs.head) == 0), s"same-base ids $ids hash apart")
+    }
+    // bumped doc vs an unbumped same-base sibling: one pixel affects at
+    // most the two comparisons that read it → ≤2 dHash bits
+    for {
+      bumped <- hashes.keys.filter(_ % 3 == 0)
+      sibling <- plain.getOrElse(bumped % 40, Seq.empty).headOption
+    } assert(ham(hashes(bumped), hashes(sibling)) <= 2,
+      s"bump flipped >2 bits: $bumped vs $sibling")
+  }
+
+  test("imageNearDupPairs: banded join equals brute-force all-pairs (pigeonhole)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val media = Multimodal.syntheticImagesFromDocuments(spark, docs)
+    val hashDf = Multimodal.imageDHash(spark, media)
+    val got = Multimodal.imageNearDupPairs(spark, hashDf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashDf.collect()
+      .map(r => r.getLong(0) -> Array(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = ha.zip(hb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, "banded pairs diverge from brute-force Hamming")
+    assert(brute.nonEmpty, "test corpus planted no near-dup image pairs")
+  }
 }

@@ -182,4 +182,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_share_bp") == 10000 * maxCnt / nRows)
     assert(r.getAs[Long]("n_hot") >= 0 && r.getAs[Long]("n_hot") < nKeys)
   }
+
+  test("q152: every cohort retains 100% of itself at week offset 0") {
+    val rows = run("q152_retention_cohort").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val at0 = rs.filter(_.getAs[Long]("week_offset") == 0L)
+      assert(at0.length == 1, s"cohort $cw missing its offset-0 row")
+      assert(at0.head.getAs[Long]("retention_bp") == 10000L,
+        s"cohort $cw offset-0 retention != 100%")
+      // later offsets never exceed the cohort size
+      val size0 = at0.head.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= size0))
+      rs.foreach(r => assert(r.getAs[Long]("retention_bp") <= 10000L))
+    }
+  }
 }

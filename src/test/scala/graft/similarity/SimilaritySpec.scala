@@ -378,4 +378,53 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 1L), (2L, 2L)), s"got $got")
   }
+
+  test("pqTrain: m codes per vector in [0,k), codebook bounded, subspace dims") {
+    val (codes, codebook) = Similarity.pqTrain(emb, m = 4, k = 16, iters = 2)
+    val c = codes.collect()
+    assert(c.length == emb.count())
+    c.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(x => x >= 0 && x < 16),
+        s"bad code word $cs")
+    }
+    val cb = codebook.collect()
+    assert(cb.length <= 64, "more centroids than m*k")
+    cb.foreach(r => assert(r.getSeq[Float](2).length == 16,
+      "subspace centroid dim != dim/m"))
+  }
+
+  test("pqTopK: planted identical twin shares the query's code word and ranks top") {
+    // an exact copy of vector 0 quantizes to the same m codes, so its
+    // ADC distance to query 0 equals the query's own quantized
+    // self-distance — the minimum possible — and it must rank #1
+    val twin = emb.filter($"vec_id" === 0)
+      .select(lit(900000L).as("vec_id"), $"embedding")
+    val uni = emb.select("vec_id", "embedding").union(twin)
+    val queries = emb.filter($"vec_id" === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val top = Similarity.pqTopK(uni, queries, topK = 5)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 900000L,
+      s"twin not rank 1: ${top.map(r => (r.getLong(1), r.getDouble(2))).toSeq}")
+  }
+
+  test("pqTopK is invariant under corpus partitioning") {
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c, queries, topK = 5)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run(emb) == run(emb.repartition(7)))
+  }
+
+  test("pqTrain/pqTopK: empty corpus yields empty results, no error") {
+    val empty = emb.filter($"vec_id" < 0)
+    val (codes, _) = Similarity.pqTrain(empty)
+    assert(codes.count() == 0)
+    val queries = emb.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    assert(Similarity.pqTopK(empty, queries, topK = 3).count() == 0)
+  }
 }
