@@ -108,4 +108,53 @@ object Graph {
     }
     labels
   }
+
+  /** Exact triangle count by degree ordering (the MapReduce-era cure for
+    * the "curse of the last reducer", Suri & Vassilvitskii WWW 2011):
+    * orient every undirected edge from its lower-(degree, id) endpoint
+    * to the higher, so each node's OUT-neighborhood is bounded by
+    * O(√E) even when a celebrity node has millions of neighbors — the
+    * wedge join then materializes Σ outdeg² = O(E^1.5) candidate wedges
+    * instead of Σ deg² (quadratic in the hottest node). The orientation
+    * is acyclic and total-order consistent, so each triangle is counted
+    * exactly once at its smallest vertex.
+    *
+    * `edges`: undirected, one row per edge as (u, v); duplicates and
+    * direction are normalized away here. Returns one row
+    * (n_nodes, n_edges, n_triangles). Three shuffles total: degree
+    * count, wedge self-join on the oriented source, closing-edge join.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees + orientation + the final count
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    // wedge endpoints ordered by ID (not by the degree order), because
+    // the closing edge is looked up in `und`, which stores every
+    // undirected edge exactly once as (a < b by id) — so the lookup is
+    // a pure equi-join, never an either-direction OR (which would plan
+    // as a nested-loop product)
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("w1"), col("e2.dst").as("w2"))
+    val closed = wedges.join(und,
+      col("a") === col("w1") && col("b") === col("w2"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val nTris = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTris))
+  }
 }

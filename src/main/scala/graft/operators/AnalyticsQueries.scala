@@ -1348,6 +1348,80 @@ object AnalyticsQueries {
           floor(col("n_users") * 10000L / col("cohort_users"))
             .cast("long").as("retention_bp"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // ---- k-anonymity audit (q153): group-size histogram over the
+    //      quasi-identifier tuple (nation, market segment, $1000
+    //      balance bucket) — the privacy gate a dataset release runs:
+    //      rows in groups of size k < threshold are re-identifiable by
+    //      those attributes alone. Pure two-level aggregate (map-side
+    //      combines both times); the bucket uses exact cents so the
+    //      float balance never decides a boundary differently across
+    //      engines. ----
+    QueryDef(
+      "q153_k_anonymity",
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         CAST(floor(CAST(${Exact.centsSql("c_acctbal")} AS DOUBLE)
+         |           / 100000) AS BIGINT) AS bal_bucket,
+         |         count(*) AS grp_size
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT grp_size,
+         |       CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(grp_size) AS BIGINT) AS n_customers
+         |FROM g GROUP BY 1 ORDER BY grp_size""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(Exact.cents(col("c_acctbal")).cast("double") / 100000)
+            .cast("long").as("bal_bucket"))
+        .agg(count(lit(1)).as("grp_size"))
+        .groupBy("grp_size")
+        .agg(count(lit(1)).as("n_groups"), sum("grp_size").as("n_customers"))
+        .orderBy("grp_size")
+    },
+
+    // ---- degree-ordered triangle counting (q154) over the co-purchase
+    //      graph (parts sharing an order): the Suri-Vassilvitskii
+    //      orientation bounds wedge fan-out by the SMALLER endpoint
+    //      degree, so the join materializes O(E^1.5) wedges where the
+    //      naive wedge join is quadratic in the hottest part's degree —
+    //      the "curse of the last reducer" cure, replayed exactly by
+    //      the oracle (orientation, wedge enumeration, closing-edge
+    //      equi-join). Keys subsampled to keep the oracle's wedge table
+    //      at catalog scale; the plan shape is scale-free. ----
+    QueryDef(
+      "q154_triangles",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 3 = 0 AND l_partkey % 2 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS dst
+        |  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |w AS (SELECT e1.dst AS w1, e2.dst AS w2
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |t AS (SELECT count(*) AS n_triangles
+        |      FROM w JOIN e0 ON e0.a = w.w1 AND e0.b = w.w2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges,
+        |       CAST(n_triangles AS BIGINT) AS n_triangles
+        |FROM t""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 2 === 0)
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      graft.graph.Graph.triangleCount(e)
     }
   )
 }

@@ -443,6 +443,83 @@ object ScaleProbe {
     val rw1 = timeRw("1x", replicate(1))
     val rwn = timeRw(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] reweight time ratio=${rwn / rw1}%.2f for ${copies}x docs")
+
+    // PQ ANN: train (narrow assign + fixed m·k centroid agg) + encode +
+    // ADC search (narrow scan, bounded top-k) — every stage is linear in
+    // corpus rows, so end-to-end wall-clock must track N.
+    val pqQueries = queries // same fixed query set as the ann probe
+    def timePq(label: String, corpus: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.similarity.Similarity.pqTopK(corpus, pqQueries, topK = 5).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] pq-$label: rows=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timePq("warmup-1x", replicateEmb(1))
+    val pq1 = timePq("1x", replicateEmb(1))
+    val pqn = timePq(s"${copies}x", replicateEmb(copies))
+    println(f"[scaleprobe] pq time ratio=${pqn / pq1}%.2f for ${copies}x corpus")
+
+    // Image dHash: the decode+hash pass is narrow (payloads never
+    // shuffle) — probed on replicated docs. The banded pair join is
+    // probed separately on md5-scattered hash tables (no planted
+    // collisions) so bucket sizes stay O(1) and the measured growth is
+    // the shuffle itself; the catalog's 40-base synthetic corpus is
+    // DELIBERATELY degenerate (copy-heavy) and would probe Σ bucket²
+    // blowup instead — the documented run-exact-dedup-first case.
+    def timeHash(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val media = graft.multimodal.Multimodal.syntheticImagesFromDocuments(spark, docs)
+      val n = graft.multimodal.Multimodal.imageDHash(spark, media).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] phash-$label: hashed=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeHash("warmup-1x", replicate(1))
+    val ph1 = timeHash("1x", replicate(1))
+    val phn = timeHash(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] phash decode+hash time ratio=${phn / ph1}%.2f for ${copies}x images")
+    def scatterHashes(n: Int): DataFrame = {
+      import graft.textops.TextAnalysis.md5Long
+      replicate(n).select(col("doc_id").as("media_id") +:
+        (0 until 4).map(b =>
+          pmod(md5Long(concat_ws("|", col("doc_id").cast("string"), lit(b.toString))),
+            lit(65536)).cast("int").as(s"b$b")): _*)
+    }
+    def timeBand(label: String, hashes: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.multimodal.Multimodal.imageNearDupPairs(spark, hashes).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] phashjoin-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeBand("warmup-1x", scatterHashes(1))
+    val pb1 = timeBand("1x", scatterHashes(1))
+    val pbn = timeBand(s"${copies}x", scatterHashes(copies))
+    println(f"[scaleprobe] phash band-join time ratio=${pbn / pb1}%.2f for ${copies}x hashes")
+
+    // Exact AUC: corpus aggregates once into a bounded score histogram;
+    // the prefix sum runs over the HISTOGRAM (same distinct-score count
+    // at any N), so growth is the corpus scan alone.
+    def timeAuc(label: String, docs: DataFrame): Double = {
+      val toks = split(col("text"), "\\s+")
+      val scored = docs.select(
+        (pmod(col("doc_id"), lit(5)) === 0).as("pos"),
+        pmod(size(toks).cast("long") * 37L, lit(1000L)).as("score"))
+      val t0 = System.nanoTime()
+      graft.ml.Eval.aucExact(scored, "score", "pos").collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] auc-$label: time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeAuc("warmup-1x", replicate(1))
+    val au1 = timeAuc("1x", replicate(1))
+    val aun = timeAuc(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] auc time ratio=${aun / au1}%.2f for ${copies}x docs")
     spark.stop()
   }
 }

@@ -415,4 +415,47 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("FileScan"),
       s"post-checkpoint weighting must not rescan the corpus:\n$plan")
   }
+
+  test("q149 PQ: query distance tables broadcast; partial top-k below the k-merge") {
+    val plan = planOf("q149_pq_ann")
+    assert(!plan.contains("CartesianProduct"),
+      s"ADC scoring must broadcast the packed query tables:\n$plan")
+    // the ADC scan ranks via the same two-level top-k as q29: a narrow
+    // MapPartitions heap below the per-query window exchange, so the
+    // k-merge never receives the scored code table
+    val mp = plan.lastIndexOf("MapPartitions")
+    val win = plan.indexOf("Window")
+    assert(mp >= 0, s"partial top-k (MapPartitions) missing from plan:\n$plan")
+    assert(win >= 0 && win < mp,
+      s"partial top-k must run below the window k-merge:\n$plan")
+  }
+
+  test("q150 image near-dup: band equi-join only, never an image×image product") {
+    val plan = planOf("q150_image_phash")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (band, value) equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected keyed join on the dHash bands:\n$plan")
+  }
+
+  test("q151 AUC: no corpus-row window — the only exchanges touch the score histogram") {
+    val plan = planOf("q151_auc")
+    assert(!plan.contains("Window"),
+      s"cumulative negatives must come from the histogram prefix sum, not a window:\n$plan")
+    // corpus aggregates once into the histogram; the prefix-sum lineage
+    // is the checkpointed RDD, read exactly once by the final aggregate
+    val rankScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rankScans <= 1,
+      s"histogram checkpoint must be read exactly once, found $rankScans:\n$plan")
+  }
+
+  test("q152 retention: both aggregates partial+final; cohort sizes broadcast") {
+    val plan = planOf("q152_retention_cohort")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4,
+      s"expected map-side combines on the user/week aggregates, found $nAggs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort-size table must broadcast onto the retention grid:\n$plan")
+  }
 }

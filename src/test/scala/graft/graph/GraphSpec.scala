@@ -60,4 +60,32 @@ class GraphSpec extends SparkSpec {
     // by round 2 label 1 dominates everywhere and stays
     assert(labels.toSeq == Seq(1L), s"clique must collapse to label 1, got ${labels.toSeq}")
   }
+
+  test("triangleCount: hand graphs — K4 has 4, a path has 0, dup/reversed edges collapse") {
+    def count(pairs: (Long, Long)*): (Long, Long, Long) = {
+      val r = Graph.triangleCount(pairs.toDF("u", "v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    assert(count(k4: _*) == ((4L, 6L, 4L)), "K4: C(4,3) = 4 triangles")
+    assert(count((1L, 2L), (2L, 3L), (3L, 4L)) == ((4L, 3L, 0L)), "path has none")
+    // duplicates, reversed duplicates, and self-loops normalize away
+    assert(count((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L)) ==
+      ((3L, 3L, 1L)))
+  }
+
+  test("triangleCount matches a sequential reference on a pseudo-random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val r = Graph.triangleCount(pairs.toDF("u", "v")).head()
+    val adj = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val want = (for {
+      x <- nodes; y <- nodes if y > x && adj(x)(y)
+      z <- nodes if z > y && adj(x)(z) && adj(y)(z)
+    } yield 1).size.toLong
+    assert(r.getLong(2) == want, s"got ${r.getLong(2)} want $want")
+  }
 }

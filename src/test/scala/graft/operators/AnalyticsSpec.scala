@@ -183,6 +183,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hot") >= 0 && r.getAs[Long]("n_hot") < nKeys)
   }
 
+  test("q153: the k-anonymity histogram partitions the whole customer table") {
+    val rows = run("q153_k_anonymity").collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val customers = spark.read.parquet(s"$sf001/customer.parquet").count()
+    assert(total == customers, s"histogram covers $total of $customers rows")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") ==
+        r.getAs[Long]("grp_size") * r.getAs[Long]("n_groups"))
+    }
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
