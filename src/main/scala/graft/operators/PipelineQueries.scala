@@ -2474,7 +2474,88 @@ object PipelineQueries {
     //      training, encoding, and search are each hash-checked, not
     //      just the final ranking. ----
     QueryDef(
-      "q149_pq_ann", {
+      "q149_pq_ann", pqOracleSql) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.pqTopK(emb, queries, topK = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- PQ recall audit (q155): the q110 pattern for the two-stage
+    //      PQ path — ADC shortlists 100 candidates from the compressed
+    //      codes, exact L2 re-ranks the shortlist (pqTopKRefined, the
+    //      form that ships: distance concentration makes raw ADC@5 a
+    //      blunt instrument, but an excellent FILTER), and the refined
+    //      top-5 is scored against the EXACT squared-L2 brute-force
+    //      top-5. recall_bp = hits·2000 of the 5-deep truth — the
+    //      measurement that prices (m, k, shortlist) at corpus scale,
+    //      exactly as q110 prices (nBuckets, nprobe). The oracle
+    //      replays codebook training, encoding, the 100-deep ADC cut,
+    //      AND the exact refine. ----
+    QueryDef(
+      "q155_pq_recall",
+      s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+         |            FROM embeddings WHERE vec_id < 8),
+         |bf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${l2Sql("q.q_embedding", "e.embedding")} ASC,
+         |                      e.vec_id) AS rank
+         |    FROM embeddings e JOIN qs q ON q.query_id <> e.vec_id) t
+         |  WHERE rank <= 5),
+         |short AS (SELECT query_id, neighbor_id
+         |          FROM (${pqOracleSqlCut(100)}) t2),
+         |ref AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.neighbor_id,
+         |           row_number() OVER (PARTITION BY s.query_id
+         |             ORDER BY ${l2Sql("q.q_embedding", "e.embedding")} ASC,
+         |                      s.neighbor_id) AS rank
+         |    FROM short s
+         |    JOIN embeddings e ON e.vec_id = s.neighbor_id
+         |    JOIN qs q ON q.query_id = s.query_id) t
+         |  WHERE rank <= 5),
+         |hits AS (
+         |  SELECT p.query_id, count(*) AS n
+         |  FROM ref p JOIN bf b
+         |    ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |  GROUP BY p.query_id)
+         |SELECT q.query_id,
+         |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       CAST(coalesce(h.n, 0) * 2000 AS BIGINT) AS recall_bp
+         |FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val bf = Similarity.bruteForceTopKL2(emb, queries, k = 5)
+        .select("query_id", "neighbor_id")
+      val ref = Similarity.pqTopKRefined(emb, queries, topK = 5, shortlist = 100)
+        .select("query_id", "neighbor_id")
+      val hits = ref.join(bf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n"))
+      queries.select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n"), lit(0L)).as("n_hits"),
+          (coalesce(col("n"), lit(0L)) * 2000).as("recall_bp"))
+        .orderBy("query_id")
+    }
+  )
+
+  /** q149's full SQL replay of PQ train/encode/search (both Lloyd
+    * rounds in all 4 subspaces, the per-query distance tables, the
+    * subspace-order ADC sum, the top-5 cut) — shared with q155, which
+    * wraps it as the approximate side of the recall audit.
+    * (def, not val: `defs` above initializes first.)
+    */
+  private def pqOracleSql: String = pqOracleSqlCut(5)
+
+  /** [[pqOracleSql]] with a parameterized top-k cut — q155's refine
+    * stage consumes the `shortlist`-deep (rank ≤ 100) form. */
+  private def pqOracleSqlCut(cut: Int): String = {
         def cbCte(from: String, out: String): String =
           s"""${out}_ex AS (
              |  SELECT sub, code, unnest(range(1, len(subemb) + 1)) AS i,
@@ -2532,16 +2613,9 @@ object PipelineQueries {
            |         row_number() OVER (PARTITION BY query_id
            |           ORDER BY (((0.0 + t0) + t1) + t2) + t3 ASC, neighbor_id) AS rank
            |  FROM sc) t
-           |WHERE rank <= 5
+           |WHERE rank <= $cut
            |ORDER BY query_id, rank""".stripMargin
-      }) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.pqTopK(emb, queries, topK = 5)
-        .orderBy("query_id", "rank")
-    }
-  )
+  }
 
   /** BM25 CTE chain (tk…top) shared by q127 and q129's fusion input so
     * the scoring SQL cannot drift between them. `top` holds the

@@ -941,6 +941,28 @@ object Similarity {
     (codes, codebook)
   }
 
+  /** [[bruteForceTopK]] under squared-L2 instead of cosine — the exact
+    * reference a PQ/ADC ranking is audited against (ADC approximates
+    * L2², so the recall denominator must be the L2 truth, not the
+    * cosine one). Same scale shape: broadcast queries, one corpus scan,
+    * two-level bounded top-k.
+    */
+  def bruteForceTopKL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (-l2sq(col("q_embedding"), col(embCol))).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    localTopK(scored, k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("d2"), col("rank"))
+  }
+
   /** PQ top-k via asymmetric distance computation (ADC): per query,
     * precompute the m×k table of exact subspace distances to every
     * codebook centroid; a corpus row's approximate distance is then m
@@ -1003,5 +1025,42 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("adc_d2"),
         col("rank"))
+  }
+
+  /** Two-stage PQ search, the form that actually ships: ADC ranks a
+    * `shortlist`-deep candidate set from the compressed codes (the only
+    * full-corpus pass — on the 64×-smaller code table), then the
+    * shortlist alone is re-ranked by EXACT L2 against the raw vectors.
+    * High-dimensional distance concentration makes raw ADC@k a blunt
+    * instrument (quantization error rivals the spread between true
+    * neighbors), but it is an excellent FILTER: the exact refine then
+    * spends O(queries·shortlist) full-vector reads instead of
+    * O(queries·corpus). Recall is the shortlist's hit rate, priced by
+    * the q155 audit.
+    */
+  def pqTopKRefined(
+      corpus: DataFrame,
+      queries: DataFrame,
+      topK: Int,
+      shortlist: Int = 100,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val cand = pqTopK(corpus, queries, shortlist, m, k, iters, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    // candidate set is queries×shortlist rows — broadcast it onto the
+    // corpus so the raw-vector fetch is one scan with no corpus shuffle
+    val exact = corpus
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("n_emb"))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        l2sq(col("q_embedding"), col("n_emb")).as("d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2").asc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "d2", "rank")
   }
 }

@@ -419,6 +419,20 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb) == run(emb.repartition(7)))
   }
 
+  test("pqTopKRefined with an exhaustive shortlist equals brute-force L2 exactly") {
+    // shortlist = corpus size → the exact refine sees every vector, so
+    // the quantizer can no longer lose anything and the result must be
+    // bit-identical to the L2 truth — pinning the refine stage itself
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.pqTopKRefined(emb, queries, topK = 5, shortlist = n)) ==
+      rows(Similarity.bruteForceTopKL2(emb, queries, k = 5)))
+  }
+
   test("pqTrain/pqTopK: empty corpus yields empty results, no error") {
     val empty = emb.filter($"vec_id" < 0)
     val (codes, _) = Similarity.pqTrain(empty)
