@@ -1422,6 +1422,75 @@ object AnalyticsQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
       graft.graph.Graph.triangleCount(e)
+    },
+
+    // ---- exact mutual information between two columns (q156): how
+    //      much does source predict language? The feature-association
+    //      audit a mixture designer runs before stratifying on a
+    //      column. MI and both marginal entropies in integer micro-nats
+    //      (per-cell quantization before the sum, the q105 pattern), so
+    //      the result is partition- and engine-exact; MI's quantization
+    //      noise is clamped at 0 (MI ≥ 0, and floor-vs-trunc division
+    //      would otherwise disagree across engines on a −ε sum).
+    //      Scale shape: one (lang, source) aggregate — cells bounded by
+    //      |langs|·|sources|, not rows — then broadcast marginals. ----
+    QueryDef(
+      "q156_mutual_info",
+      """WITH j AS (SELECT lang, source, count(*) AS nls
+        |           FROM documents GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(sum(nls) AS BIGINT) AS nl FROM j GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(nls) AS BIGINT) AS ns FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nls) AS BIGINT) AS n FROM j),
+        |q AS (
+        |  SELECT CAST(sum(CAST(round(1000000 * nls *
+        |           ln(CAST(n AS DOUBLE) * CAST(nls AS DOUBLE) /
+        |              (CAST(nl AS DOUBLE) * CAST(ns AS DOUBLE)))) AS BIGINT))
+        |         AS BIGINT) AS sq
+        |  FROM j JOIN nl USING (lang) JOIN ns USING (source) CROSS JOIN tot),
+        |hl AS (
+        |  SELECT CAST(sum(CAST(round(1000000 * nl *
+        |           ln(CAST(n AS DOUBLE) / CAST(nl AS DOUBLE))) AS BIGINT))
+        |         AS BIGINT) AS shl
+        |  FROM nl CROSS JOIN tot),
+        |hs AS (
+        |  SELECT CAST(sum(CAST(round(1000000 * ns *
+        |           ln(CAST(n AS DOUBLE) / CAST(ns AS DOUBLE))) AS BIGINT))
+        |         AS BIGINT) AS shs
+        |  FROM ns CROSS JOIN tot)
+        |SELECT n AS n_docs,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM nl) AS n_lang,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM ns) AS n_source,
+        |       greatest(sq, 0) // n AS mi_micronat,
+        |       shl // n AS h_lang_micronat,
+        |       shs // n AS h_source_micronat
+        |FROM tot, q, hl, hs""".stripMargin) { (s, dir) =>
+      val j = Tables.documents(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("nls"))
+        .localCheckpoint() // bounded cells; feeds 4 small aggregates
+      val nl = j.groupBy("lang").agg(sum("nls").as("nl"))
+      val ns = j.groupBy("source").agg(sum("nls").as("ns"))
+      val tot = j.agg(sum("nls").as("n"))
+      val q = j.join(broadcast(nl), "lang").join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        .agg(sum(round(lit(1000000) * col("nls") *
+          log(col("n").cast("double") * col("nls").cast("double") /
+            (col("nl").cast("double") * col("ns").cast("double"))))
+          .cast("long")).as("sq"))
+      def entropy(marg: org.apache.spark.sql.DataFrame, cnt: String, out: String) =
+        marg.crossJoin(broadcast(tot))
+          .agg(sum(round(lit(1000000) * col(cnt) *
+            log(col("n").cast("double") / col(cnt).cast("double")))
+            .cast("long")).as(out))
+      val counts = nl.agg(count(lit(1)).as("n_lang"))
+        .crossJoin(ns.agg(count(lit(1)).as("n_source")))
+      tot.crossJoin(broadcast(counts))
+        .crossJoin(broadcast(q))
+        .crossJoin(broadcast(entropy(nl, "nl", "shl")))
+        .crossJoin(broadcast(entropy(ns, "ns", "shs")))
+        .select(col("n").as("n_docs"), col("n_lang"), col("n_source"),
+          expr("greatest(sq, 0L) div n").as("mi_micronat"),
+          expr("shl div n").as("h_lang_micronat"),
+          expr("shs div n").as("h_source_micronat"))
     }
   )
 }

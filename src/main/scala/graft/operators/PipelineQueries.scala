@@ -2542,6 +2542,54 @@ object PipelineQueries {
           coalesce(col("n"), lit(0L)).as("n_hits"),
           (coalesce(col("n"), lit(0L)) * 2000).as("recall_bp"))
         .orderBy("query_id")
+    },
+
+    // ---- Luhn-validated card-number triage (q157): the q57 regex
+    //      family finds digit SHAPES; real PII triage must separate
+    //      checksum-VALID card numbers (redact + alert) from random
+    //      digit runs (noise) — the checksum is the difference between
+    //      ~100% and ~10% precision on 16-digit matches. Synthetic
+    //      16-digit candidates planted per doc; both engines fold the
+    //      standard double-every-second-from-right sum with identical
+    //      integer lambdas, so validity is hash-exact. Narrow scan. ----
+    QueryDef(
+      "q157_luhn_pii", {
+        val luhnSql =
+          """list_sum(list_transform(range(1, 17), i ->
+            |  CASE WHEN i % 2 = 1
+            |       THEN CASE WHEN 2 * CAST(substring(cand, CAST(i AS INT), 1) AS INT) > 9
+            |                 THEN 2 * CAST(substring(cand, CAST(i AS INT), 1) AS INT) - 9
+            |                 ELSE 2 * CAST(substring(cand, CAST(i AS INT), 1) AS INT) END
+            |       ELSE CAST(substring(cand, CAST(i AS INT), 1) AS INT) END))"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |         '4' || lpad(CAST(doc_id * 48271 % 1000000000000000 AS VARCHAR),
+           |                     15, '0') AS cand
+           |  FROM documents WHERE doc_id % 5 = 0)
+           |SELECT doc_id, cand,
+           |       CAST($luhnSql AS BIGINT) AS luhn_total,
+           |       CAST($luhnSql AS BIGINT) % 10 = 0 AS luhn_valid
+           |FROM d ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val luhn = expr(
+        """aggregate(transform(sequence(1, 16), i ->
+          |  CASE WHEN i % 2 = 1
+          |       THEN CASE WHEN 2 * CAST(substring(cand, i, 1) AS INT) > 9
+          |                 THEN 2 * CAST(substring(cand, i, 1) AS INT) - 9
+          |                 ELSE 2 * CAST(substring(cand, i, 1) AS INT) END
+          |       ELSE CAST(substring(cand, i, 1) AS INT) END),
+          |  0L, (a, x) -> a + x)""".stripMargin.replace("\n", " "))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(lit("4"),
+            lpad((col("doc_id") * 48271L % 1000000000000000L).cast("string"),
+              15, "0")).as("cand"))
+        .select(col("doc_id"), col("cand"),
+          luhn.cast("long").as("luhn_total"),
+          (luhn.cast("long") % 10 === 0).as("luhn_valid"))
+        .orderBy("doc_id")
     }
   )
 

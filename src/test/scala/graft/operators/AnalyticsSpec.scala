@@ -194,6 +194,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q156: information inequalities hold — 0 ≤ MI ≤ min(H(lang), H(source))") {
+    val r = run("q156_mutual_info").head
+    val (mi, hl, hs) = (r.getAs[Long]("mi_micronat"),
+      r.getAs[Long]("h_lang_micronat"), r.getAs[Long]("h_source_micronat"))
+    assert(mi >= 0 && hl >= 0 && hs >= 0)
+    assert(mi <= math.min(hl, hs), s"MI $mi exceeds an entropy bound ($hl, $hs)")
+    // H ≤ ln(support): 5 langs, 20 sources on this corpus
+    assert(hl <= math.round(1e6 * math.log(r.getAs[Long]("n_lang").toDouble)) + 1)
+    assert(hs <= math.round(1e6 * math.log(r.getAs[Long]("n_source").toDouble)) + 1)
+  }
+
+  test("q157: Luhn verdicts match a sequential reference checksum") {
+    val rows = run("q157_luhn_pii").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cand = r.getAs[String]("cand")
+      assert(cand.length == 16 && cand.forall(_.isDigit))
+      // standard Luhn: from the right, double every second digit
+      val total = cand.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+      }.sum
+      assert(r.getAs[Long]("luhn_total") == total)
+      assert(r.getAs[Boolean]("luhn_valid") == (total % 10 == 0))
+    }
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
