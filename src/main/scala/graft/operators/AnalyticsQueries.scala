@@ -1491,6 +1491,63 @@ object AnalyticsQueries {
           expr("greatest(sq, 0L) div n").as("mi_micronat"),
           expr("shl div n").as("h_lang_micronat"),
           expr("shs div n").as("h_source_micronat"))
+    },
+
+    // ---- association rules over co-purchased parts (q158): support /
+    //      confidence / lift for part pairs sharing an order — the
+    //      classic market-basket mine, all-integer (lift in micro-units,
+    //      confidence in basis points) so rankings can't float-drift.
+    //      Scale shape: baskets are TPC-H-bounded (≤7 items), so the
+    //      per-order pair expansion is a constant factor, the pair
+    //      aggregate map-side combines, and the item-count join is
+    //      keyed (AQE broadcasts the dim-sized catalog case); the
+    //      final cut is a bounded TakeOrdered. ----
+    QueryDef(
+      "q158_assoc_rules",
+      """WITH tx AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ntx AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM tx),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM tx GROUP BY 1),
+        |pr AS (
+        |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS nab
+        |  FROM tx x JOIN tx y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT pr.a, pr.b, pr.nab, ia.np AS na, ib.np AS nb,
+        |         CAST(round(1000000.0 * pr.nab * ntx.n / (ia.np * ib.np))
+        |           AS BIGINT) AS lift_micro,
+        |         10000 * pr.nab // ia.np AS conf_ab_bp
+        |  FROM pr JOIN ic ia ON ia.p = pr.a
+        |          JOIN ic ib ON ib.p = pr.b
+        |          CROSS JOIN ntx
+        |  WHERE pr.nab >= 3)
+        |SELECT a, b, nab, na, nb, lift_micro, conf_ab_bp
+        |FROM sc
+        |ORDER BY lift_micro DESC, a, b
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      val tx = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint() // feeds the pair join, item counts, and nTx
+      val ntx = tx.agg(count_distinct(col("o")).as("n"))
+      val ic = tx.groupBy("p").agg(count(lit(1)).as("np"))
+      val pr = tx.as("x").join(tx.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 3)
+      // item counts join WITHOUT a broadcast hint: the item table is
+      // dim-sized here (AQE broadcasts it) but corpus-proportional at
+      // scale, where a keyed shuffle join is the right plan
+      pr.join(ic.withColumnRenamed("p", "a").withColumnRenamed("np", "na"), "a")
+        .join(ic.withColumnRenamed("p", "b").withColumnRenamed("np", "nb"), "b")
+        .crossJoin(broadcast(ntx))
+        .select(col("a"), col("b"), col("nab"), col("na"), col("nb"),
+          round(lit(1000000.0) * col("nab") * col("n") / (col("na") * col("nb")))
+            .cast("long").as("lift_micro"),
+          expr("10000 * nab div na").as("conf_ab_bp"))
+        .orderBy(col("lift_micro").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 }

@@ -221,6 +221,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q158: association-rule arithmetic is internally consistent") {
+    val rows = run("q158_assoc_rules").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getAs[Long]("nab"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(nab >= 3 && nab <= math.min(na, nb), "support exceeds an item count")
+      assert(r.getAs[Long]("conf_ab_bp") == 10000 * nab / na)
+      assert(r.getAs[Long]("conf_ab_bp") <= 10000)
+      assert(r.getAs[Long]("lift_micro") > 0)
+    }
+    val lifts = rows.map(_.getAs[Long]("lift_micro")).toSeq
+    assert(lifts == lifts.sorted.reverse, "must rank by lift descending")
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
