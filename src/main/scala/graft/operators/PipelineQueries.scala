@@ -2480,7 +2480,7 @@ object PipelineQueries {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.pqTopK(emb, queries, topK = 5)
         .orderBy("query_id", "rank")
-    },
+    }.copy(headline = true),
 
     // ---- PQ recall audit (q155): the q110 pattern for the two-stage
     //      PQ path — ADC shortlists 100 candidates from the compressed

@@ -450,6 +450,14 @@ class PlanSpec extends SparkSpec {
       s"histogram checkpoint must be read exactly once, found $rankScans:\n$plan")
   }
 
+  test("q158 association rules: keyed joins and a bounded TakeOrdered cut") {
+    val plan = planOf("q158_assoc_rules")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the 1-row basket count may cross-join (as a broadcast):\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"the top-20 cut must be a bounded TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("q152 retention: both aggregates partial+final; cohort sizes broadcast") {
     val plan = planOf("q152_retention_cohort")
     val nAggs = "HashAggregate".r.findAllIn(plan).length
