@@ -362,7 +362,11 @@ object Multimodal {
       spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"banded dHash join is only exact for maxHamming <= 3, got $maxHamming")
-    val bands = hashes.select(col("media_id"),
+    // the hash table (5 ints per image) is read three times below (band
+    // explode + both Hamming sides) — pin it so an upstream decode
+    // lineage (payload scan + codec) never runs more than once
+    val pinned = hashes.localCheckpoint()
+    val bands = pinned.select(col("media_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
         .as(Seq("band", "bv")))
     val cand = bands.as("x").join(bands.as("y"),
@@ -370,7 +374,7 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
       .distinct()
-    def side(alias: String, idOut: String) = hashes.select(
+    def side(alias: String, idOut: String) = pinned.select(
       col("media_id").as(idOut),
       col("b0").as(s"${alias}0"), col("b1").as(s"${alias}1"),
       col("b2").as(s"${alias}2"), col("b3").as(s"${alias}3"))
