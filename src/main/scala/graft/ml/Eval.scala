@@ -36,13 +36,22 @@ object Eval {
       sum(when(col(posCol), 0L).otherwise(1L)).as("nneg"))
     val cum = graft.operators.Scale.prefixSumLongBy(
       hist, Seq(scoreCol), "nneg", "cumneg")
+    // 2U ≤ 2·nPos·nNeg ~ n²/2 overflows Long past ~3e9 rows per class —
+    // accumulate the per-score products in DECIMAL(38,0) (the q111
+    // moment-sum precedent; DuckDB's BIGINT sums promote to HUGEINT the
+    // same way), and keep the division integral (`div`) rather than a
+    // scale-rounded decimal divide, whose half-up rounding could differ
+    // from the floor the oracle's `//` takes.
     cum.agg(
         sum("npos").as("n_pos"),
         sum("nneg").as("n_neg"),
-        sum(col("npos") * (col("cumneg") * 2 - col("nneg"))).as("u2"))
-      .select(col("n_pos"), col("n_neg"), col("u2"),
+        sum((col("cumneg") * 2 - col("nneg")).cast("decimal(38,0)") *
+          col("npos").cast("decimal(38,0)")).as("u2d"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2d").cast("long").as("u2"),
         when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
-          .otherwise(expr("(10000 * u2) DIV (2 * n_pos * n_neg)"))
+          .otherwise(expr(
+            "(u2d * 10000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)"))
           .cast("long").as("auc_bp"))
   }
 }
