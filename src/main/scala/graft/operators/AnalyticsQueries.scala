@@ -1422,7 +1422,7 @@ object AnalyticsQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
       graft.graph.Graph.triangleCount(e)
-    },
+    }.copy(headline = true),
 
     // ---- exact mutual information between two columns (q156): how
     //      much does source predict language? The feature-association
