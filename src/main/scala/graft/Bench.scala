@@ -24,10 +24,15 @@ object Bench {
     // stall during warmup froze measurement while the heavy generated
     // kernels (q31's fused minhash + array paths need ~7 executions on a
     // cold JVM) were still ramping, and the driver-reported number
-    // overstated steady state 2.5×. Two independent near-equal minima
-    // can't come from the ramp (it's monotone) or from one-off stalls
-    // (they'd have to strike twice with the same magnitude), so this
-    // stops exactly when the steady-state floor has been touched twice.
+    // overstated steady state 2.5×. Two near-equal minima can't come
+    // from one-off stalls (they'd have to strike twice with the same
+    // magnitude) — but a SLOWLY-flattening ramp produces adjacent
+    // near-equal values too (q105 descends 5.5 → 2.9 → 2.84 → … → 1.0
+    // over ~7 runs, and 2.9/2.84 pass the 15% gate mid-ramp), so the
+    // plateau is only trusted once the best run is BEHIND us: the last
+    // two runs must have failed to improve on the minimum. On the
+    // (monotone) ramp the newest run IS the minimum, which defers
+    // convergence until the curve actually flattens.
     // A failed run contributes no time (a near-instant failure would
     // report a broken query as fast); a query whose every run failed
     // reports -1.
@@ -36,7 +41,8 @@ object Bench {
       var runs = 0
       def converged: Boolean = times.size >= 4 && {
         val fastest = times.sorted.take(2)
-        fastest(1) <= fastest(0) * 1.15
+        fastest(1) <= fastest(0) * 1.15 &&
+          times.indexOf(fastest(0)) < times.size - 2
       }
       while (runs < 12 && !converged) {
         val t0 = System.nanoTime()
