@@ -1548,6 +1548,61 @@ object AnalyticsQueries {
           expr("10000 * nab div na").as("conf_ab_bp"))
         .orderBy(col("lift_micro").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // ---- PSI score drift (q159): population-stability index of the
+    //      quality-score distribution between two corpus halves — the
+    //      standard model-monitoring number (PSI > 0.2 ⇒ the filter
+    //      needs recalibration), complementing q120's token-level KL.
+    //      Per-bucket terms with add-1 smoothing; both engines evaluate
+    //      the IDENTICAL double expression shape and quantize each term
+    //      to micro-nats before the (10-row) sum, so the report is
+    //      hash-exact. Scale shape: one corpus scan into a 10-bucket ×
+    //      2-half aggregate; everything after is constant-size. ----
+    QueryDef(
+      "q159_psi_drift",
+      s"""WITH m AS (
+         |  SELECT doc_id % 2 = 0 AS ref,
+         |         least(len(list_filter(string_split(text, ' '),
+         |             w -> list_contains(${PipelineQueries.stopwordsSql}, w))) * 10
+         |           // len(string_split(text, ' ')), 9) AS bucket
+         |  FROM documents),
+         |g AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN ref THEN 1 ELSE 0 END) AS na,
+         |         sum(CASE WHEN ref THEN 0 ELSE 1 END) AS nb
+         |  FROM m GROUP BY 1),
+         |tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+         |               CAST(sum(nb) AS BIGINT) AS tb,
+         |               CAST(count(*) AS BIGINT) AS nbk
+         |        FROM g)
+         |SELECT bucket, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+         |       CAST(round(1000000 *
+         |         (CAST(na + 1 AS DOUBLE) / (ta + nbk) -
+         |          CAST(nb + 1 AS DOUBLE) / (tb + nbk)) *
+         |         ln((CAST(na + 1 AS DOUBLE) / (ta + nbk)) /
+         |            (CAST(nb + 1 AS DOUBLE) / (tb + nbk)))) AS BIGINT)
+         |         AS psi_micro
+         |FROM g CROSS JOIN tot
+         |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val m = Tables.documents(s, dir).select(
+        (col("doc_id") % 2 === 0).as("ref"),
+        least(floor(size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 10L / size(toks).cast("long")), lit(9L)).as("bucket"))
+      val g = m.groupBy("bucket").agg(
+          sum(when(col("ref"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("ref"), 0L).otherwise(1L)).as("nb"))
+        .localCheckpoint() // ≤10 rows; feeds the totals and the terms
+      val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"),
+        count(lit(1)).as("nbk"))
+      val pa = (col("na") + 1).cast("double") / (col("ta") + col("nbk"))
+      val pb = (col("nb") + 1).cast("double") / (col("tb") + col("nbk"))
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("na"), col("nb"),
+          round(lit(1000000) * (pa - pb) * log(pa / pb)).cast("long")
+            .as("psi_micro"))
+        .orderBy("bucket")
     }
   )
 }

@@ -235,6 +235,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(lifts == lifts.sorted.reverse, "must rank by lift descending")
   }
 
+  test("q159: PSI of a distribution against itself is exactly zero") {
+    // same-seed halves differ, so the catalog value is nonzero — but the
+    // METRIC must vanish when ref == actual; replay the q159 math with
+    // both halves set to the full corpus
+    import graft.textops.TextAnalysis
+    val toks = split(col("text"), " ")
+    val m = graft.tables.Tables.documents(spark, sf001).select(
+      least(floor(size(filter(toks,
+          w => w.isin("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))
+        .cast("long") * 10L / size(toks).cast("long")), lit(9L)).as("bucket"))
+    val g = m.groupBy("bucket").agg(count(lit(1)).as("na"))
+      .withColumn("nb", col("na"))
+    val tot = g.agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("nbk"))
+    val pa = (col("na") + 1).cast("double") / (col("ta") + col("nbk"))
+    val pb = (col("nb") + 1).cast("double") / (col("tb") + col("nbk"))
+    val terms = g.crossJoin(tot)
+      .select(round(lit(1000000) * (pa - pb) * log(pa / pb)).cast("long").as("q"))
+      .collect().map(_.getLong(0))
+    assert(terms.forall(_ == 0L))
+    // and the shipped query's terms are finite and its buckets valid
+    run("q159_psi_drift").collect().foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") <= 9)
+      assert(math.abs(r.getAs[Long]("psi_micro")) < 10000000L)
+    }
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
