@@ -1603,6 +1603,82 @@ object AnalyticsQueries {
           round(lit(1000000) * (pa - pb) * log(pa / pb)).cast("long")
             .as("psi_micro"))
         .orderBy("bucket")
+    },
+
+    // ---- incremental quantile state (q160): the q114/q144 pattern for
+    //      PERCENTILES. State = one fixed-width ($100-bucket) histogram
+    //      per month — integer counts, so the merge is an exact sum and
+    //      trivially associative (asserted as the same boolean contract
+    //      q144 pins for HLL union). The merged histogram brackets the
+    //      exact median: the report carries the median bucket's bounds
+    //      AND the exact rank-(⌈N/2⌉) value, which must fall inside —
+    //      locating a quantile to bucket width without rescanning
+    //      history, at dozens-of-rows state cost. ----
+    QueryDef(
+      "q160_incremental_quantile",
+      s"""WITH t AS (
+         |  SELECT date_trunc('month', l_shipdate) AS m,
+         |         ${Exact.centsSql("l_extendedprice")} AS cents
+         |  FROM lineitem),
+         |st AS (SELECT m, cents // 10000 AS bucket, count(*) AS cnt
+         |       FROM t GROUP BY 1, 2),
+         |merged AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+         |           FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |               CAST((sum(cnt) + 1) // 2 AS BIGINT) AS k
+         |        FROM merged),
+         |cum AS (SELECT bucket, cnt,
+         |               sum(cnt) OVER (ORDER BY bucket) AS c
+         |        FROM merged),
+         |med AS (SELECT min(bucket) AS mb FROM cum, tot WHERE c >= k),
+         |ex AS (SELECT cents AS exact_p50 FROM (
+         |         SELECT cents, row_number() OVER (ORDER BY cents) AS r
+         |         FROM t) q, tot WHERE r = k)
+         |SELECT (SELECT CAST(count(DISTINCT m) AS BIGINT) FROM st) AS n_months,
+         |       tot.n AS n_rows,
+         |       CAST(med.mb * 10000 AS BIGINT) AS p50_bucket_lo,
+         |       CAST((med.mb + 1) * 10000 AS BIGINT) AS p50_bucket_hi,
+         |       CAST(ex.exact_p50 AS BIGINT) AS exact_p50,
+         |       ex.exact_p50 >= med.mb * 10000
+         |         AND ex.exact_p50 < (med.mb + 1) * 10000 AS bracketed,
+         |       true AS incremental_merge_exact
+         |FROM tot, med, ex""".stripMargin) { (s, dir) =>
+      val t = Tables.lineitem(s, dir).select(
+        date_trunc("month", col("l_shipdate")).as("m"),
+        Exact.cents(col("l_extendedprice")).as("cents"))
+      // the persisted state table: one histogram row per (month, bucket)
+      val st = t.groupBy(col("m"), expr("cents div 10000").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the all-at-once merge AND the 2-way fold
+      val merged = st.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val cut = lit("1999-01-01").cast("timestamp")
+      // incremental contract: fold(fold(old), fold(new)) == fold(all)
+      def fold(df: DataFrame) = df.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val twoStep = fold(fold(st.filter(col("m") < cut))
+        .unionByName(fold(st.filter(col("m") >= cut))))
+      val mergeExact = merged.unionByName(twoStep)
+        .groupBy("bucket").agg(count_distinct(col("cnt")).as("d"))
+        .agg((max("d") === 1 && count(lit(1)) === merged.count()).as("ok"))
+      val tot = merged.agg(sum("cnt").as("n"),
+        ((sum("cnt") + 1) / 2).cast("long").as("k"))
+      val cum = Scale.prefixSumLong(merged, "bucket", "cnt", "c")
+      val med = cum.crossJoin(broadcast(tot)).filter(col("c") >= col("k"))
+        .agg(min("bucket").as("mb"))
+      val ranked = Scale.globalRank(t.select("cents"), "r", "cents")
+      val ex = ranked.crossJoin(broadcast(tot)).filter(col("r") === col("k"))
+        .select(col("cents").as("exact_p50"))
+      val nMonths = st.agg(count_distinct(col("m")).as("n_months"))
+      nMonths.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(med))
+        .crossJoin(broadcast(ex))
+        .crossJoin(broadcast(mergeExact))
+        .select(col("n_months"), col("n").as("n_rows"),
+          (col("mb") * 10000).as("p50_bucket_lo"),
+          ((col("mb") + 1) * 10000).as("p50_bucket_hi"),
+          col("exact_p50"),
+          (col("exact_p50") >= col("mb") * 10000 &&
+            col("exact_p50") < (col("mb") + 1) * 10000).as("bracketed"),
+          col("ok").as("incremental_merge_exact"))
     }
   )
 }

@@ -261,6 +261,18 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q160: the monthly-histogram state brackets the exact median") {
+    val r = run("q160_incremental_quantile").head
+    assert(r.getAs[Boolean]("bracketed"))
+    assert(r.getAs[Boolean]("incremental_merge_exact"))
+    val (lo, hi, ex) = (r.getAs[Long]("p50_bucket_lo"),
+      r.getAs[Long]("p50_bucket_hi"), r.getAs[Long]("exact_p50"))
+    assert(hi - lo == 10000L, "bucket width must be $100 in cents")
+    assert(ex >= lo && ex < hi)
+    assert(r.getAs[Long]("n_rows") ==
+      spark.read.parquet(s"$sf001/lineitem.parquet").count())
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
