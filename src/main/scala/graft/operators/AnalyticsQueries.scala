@@ -1679,6 +1679,88 @@ object AnalyticsQueries {
           (col("exact_p50") >= col("mb") * 10000 &&
             col("exact_p50") < (col("mb") + 1) * 10000).as("bracketed"),
           col("ok").as("incremental_merge_exact"))
+    },
+
+    // ---- event-transition mining (q161): the first-order Markov model
+    //      of the event stream — per-user consecutive (prev → next)
+    //      pairs with within-prev transition probability in basis
+    //      points. The per-user lag window partitions on user_id
+    //      (bounded per user, the q75 sessionize shape — never a global
+    //      window); the transition matrix itself is |types|² rows. ----
+    QueryDef(
+      "q161_event_transitions",
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS next, count(*) AS n
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT prev, CAST(sum(n) AS BIGINT) AS np FROM t GROUP BY 1)
+        |SELECT t.prev, t.next, CAST(t.n AS BIGINT) AS n,
+        |       10000 * t.n // p.np AS prob_bp
+        |FROM t JOIN p USING (prev)
+        |ORDER BY prev, next""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq = Tables.eventsTs(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val t = seq.groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      val p = t.groupBy("prev").agg(sum("n").as("np"))
+      t.join(broadcast(p), "prev")
+        .select(col("prev"), col("next"), col("n"),
+          expr("10000 * n div np").as("prob_bp"))
+        .orderBy("prev", "next")
+    },
+
+    // ---- per-source token-budget fill (q162): take documents per
+    //      source in content-addressed order until each source's token
+    //      budget is spent — the deterministic "N tokens per domain"
+    //      selection a mixture plan executes. The per-source running
+    //      sum is NOT a per-source window (a hot domain would sort on
+    //      one reducer): ONE global `Scale.prefixSumLongBy` over the
+    //      (source, order) total order, then each source's offset (its
+    //      first row's prefix) subtracts off via a small broadcast join
+    //      — the distributed grouped-running-sum pattern. ----
+    QueryDef(
+      "q162_token_budget_fill", {
+        val ordSql = graft.operators.OracleSql.md5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (
+           |  SELECT source, doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           |         $ordSql AS ord
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, tok,
+           |         sum(tok) OVER (PARTITION BY source
+           |           ORDER BY ord, doc_id) AS cum
+           |  FROM d),
+           |k AS (SELECT * FROM c WHERE cum <= 300)
+           |SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_kept,
+           |       CAST(coalesce(sum(tok), 0) AS BIGINT) AS tok_kept,
+           |       CAST(coalesce(sum(tok), 0) * 10000 // 300 AS BIGINT)
+           |         AS fill_bp
+           |FROM k GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val budget = 300L
+      val d = Tables.documents(s, dir).select(
+        col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        TextAnalysis.md5Long(col("doc_id").cast("string")).as("ord"))
+      val cum = Scale.prefixSumLongBy(d, Seq("source", "ord", "doc_id"), "tok", "cum")
+      // per-source offset = the prefix BEFORE the source's first row
+      val off = cum.groupBy("source").agg(min(col("cum") - col("tok")).as("off"))
+      cum.join(broadcast(off), "source")
+        .filter(col("cum") - col("off") <= budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("tok").as("tok_kept"))
+        .select(col("source"), col("n_kept"), col("tok_kept"),
+          expr(s"tok_kept * 10000 div $budget").as("fill_bp"))
+        .orderBy("source")
     }
   )
 }

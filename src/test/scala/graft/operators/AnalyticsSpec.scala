@@ -273,6 +273,50 @@ class AnalyticsSpec extends SparkSpec {
       spark.read.parquet(s"$sf001/lineitem.parquet").count())
   }
 
+  test("q161: transition probabilities are a stochastic matrix in basis points") {
+    val rows = run("q161_event_transitions").collect()
+    assert(rows.nonEmpty)
+    // per prev-state: floor(10000*n/np) sums to within n_states of 10000
+    rows.groupBy(_.getAs[String]("prev")).foreach { case (prev, rs) =>
+      val bpSum = rs.map(_.getAs[Long]("prob_bp")).sum
+      assert(bpSum <= 10000 && bpSum > 10000 - rs.length,
+        s"$prev rows sum to $bpSum bp")
+    }
+    // transitions conserve: total n = events - one first-event per user
+    val ev = graft.tables.Tables.events(spark, sf001)
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == want)
+  }
+
+  test("q162: budget fill is greedy-prefix exact per source") {
+    val rows = run("q162_token_budget_fill").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tok_kept") <= 300L)
+      assert(r.getAs[Long]("fill_bp") <= 10000L)
+    }
+    // sequential reference: sort each source by (md5-order, id), take
+    // docs while the running token total stays within budget
+    import org.apache.spark.sql.functions.{col, size, split}
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        graft.textops.TextAnalysis.md5Long(col("doc_id").cast("string")).as("ord"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      var cum = 0L
+      val kept = ds.sortBy(d => (d._4, d._2)).takeWhile { d =>
+        cum += d._3; cum <= 300L
+      }
+      if (kept.isEmpty) None
+      else Some(src -> (kept.size.toLong, kept.map(_._3).sum))
+    }
+    val got = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_kept"), r.getAs[Long]("tok_kept"))).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
