@@ -19,23 +19,31 @@ object GraftFunctions {
     "graft_simhash" -> (exprs => SimHashSketch(exprs(0))),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
 
-  /** Imperative registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on an existing session: the SQL names plus
+    * the [[FuseVectorFolds]] cost rewrite (idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(FuseVectorFolds))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseVectorFolds
+  }
 }
 
 /** Extension entry point: SparkSession.builder().withExtensions(...) or
   * the spark.sql.extensions conf.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getName, name),
         builder))
     }
+    e.injectOptimizerRule(_ => FuseVectorFolds)
+  }
 }

@@ -97,4 +97,43 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(r.length == 5 && r.forall(_ == 0.0))
   }
+
+  test("FuseVectorFolds rewrites composed cosine/l2sq folds into the fused kernels") {
+    // GraftFunctions.register (SparkSpec session) installs the rule
+    val pair = emb.limit(50).crossJoin(
+      emb.limit(50).select($"vec_id".as("id2"), $"embedding".as("e2")))
+    val cosPlan = pair
+      .select(Similarity.cosineComposed($"embedding", $"e2").as("sim"))
+      .queryExecution.optimizedPlan.toString
+    assert(cosPlan.contains("graft_cosine"),
+      s"composed cosine did not fuse:\n$cosPlan")
+    assert(!cosPlan.contains("aggregate("),
+      s"composed folds survived the rewrite:\n$cosPlan")
+    val l2Plan = pair
+      .select(Similarity.l2sqComposed($"embedding", $"e2").as("d2"))
+      .queryExecution.optimizedPlan.toString
+    assert(l2Plan.contains("graft_l2sq"), s"composed l2sq did not fuse:\n$l2Plan")
+    // and the rewrite is invisible to results (fused == composed is
+    // separately asserted bit-exact above; here: end-to-end equality
+    // between the rule-rewritten query and the native call)
+    val viaRule = pair.select(Similarity.cosineComposed($"embedding", $"e2"))
+      .collect().map(_.getDouble(0)).toSeq
+    val native = pair.select(Similarity.cosine($"embedding", $"e2"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaRule == native)
+  }
+
+  test("FuseVectorFolds leaves non-matching folds alone") {
+    import org.apache.spark.sql.functions._
+    // sum of |x − y| — same skeleton, different element term: must NOT fuse
+    val df = emb.limit(5).select(
+      aggregate(
+        zip_with($"embedding", $"embedding",
+          (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, x) => acc + x).as("l1"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_l2sq") && !plan.contains("graft_cosine"),
+      s"unrelated fold was rewritten:\n$plan")
+    assert(df.collect().forall(_.getDouble(0) == 0.0))
+  }
 }
