@@ -78,6 +78,28 @@ object TextMrQueries {
           MrApps.wcMap, MrApps.wcReduce)
         .toDF("key", "value")
         .orderBy("key")
+    },
+
+    // ---- the kvtext DataSource V2 on the oracle surface (q163): read
+    //      the reference's committed golden output through the custom
+    //      connector (TableProvider → pruned scan → last-space parse)
+    //      and rank the top words — the oracle re-parses the same file
+    //      with DuckDB's CSV reader, so the connector's parse, typing,
+    //      and file resolution are value-checked, not just
+    //      spec-checked. ----
+    QueryDef(
+      "q163_kvtext_source",
+      """SELECT key, cnt FROM (
+        |  SELECT column0 AS key, CAST(column1 AS BIGINT) AS cnt
+        |  FROM read_csv('/root/reference/src/main/mymrout', delim = ' ',
+        |    header = false, quote = '',
+        |    columns = {'column0': 'VARCHAR', 'column1': 'VARCHAR'})) t
+        |ORDER BY cnt DESC, key
+        |LIMIT 20""".stripMargin) { (s, _) =>
+      s.read.format("kvtext").load("/root/reference/src/main/mymrout")
+        .select(col("key"), col("value").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(20)
     }
   )
 }

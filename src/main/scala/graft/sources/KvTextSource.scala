@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 reader for the reference engine's native output format:
+  * one `"key value"` line per record, key and value separated by the
+  * LAST space (`/root/reference/src/mr/coordinator.go` emits `%v %v`;
+  * keys are tokens without spaces, but last-space parsing also survives
+  * keys that contain them). A line with no space yields (line, "") — the
+  * reference's missing-value convention.
+  *
+  * This is the full Spark-native source surface, not a `textFile` +
+  * `split` convenience: TableProvider → ScanBuilder → Batch →
+  * PartitionReader, with `SupportsPushDownRequiredColumns` honored — a
+  * `SELECT key` never materializes value strings (SourcesSpec pins the
+  * pruned scan output). Registered as `kvtext` via DataSourceRegister,
+  * so `spark.read.format("kvtext").load(path)` works anywhere the jar
+  * is on the classpath.
+  *
+  * Scale shape: one input partition per file, resolved through the
+  * Hadoop FS API (hdfs:/s3a:/file: all work). The reference's outputs
+  * are per-reducer `mr-out-*` shards, so file-grain parallelism mirrors
+  * the producer's; a byte-range splitter (with line-boundary fixup)
+  * is the documented extension if single huge files ever appear.
+  */
+class KvTextSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kvtext"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvTextSource.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTextTable(properties.asScala.toMap)
+}
+
+object KvTextSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  /** Expand the `path`/`paths` option through Hadoop glob resolution. */
+  private[sources] def resolveFiles(props: Map[String, String]): Seq[String] = {
+    val raw = props.get("path").map(Seq(_))
+      .orElse(props.get("paths").map(_.split(",").toSeq))
+      .getOrElse(throw new IllegalArgumentException(
+        "kvtext source requires a path"))
+    val conf = new Configuration()
+    raw.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matches.nonEmpty, s"kvtext: no files match $p")
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          // the standard Hadoop convention: _SUCCESS markers and hidden
+          // files are metadata, not data
+          fs.listStatus(st.getPath).toSeq.filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        else Seq(st)
+      }.map(_.getPath.toString)
+    }
+  }
+}
+
+private class KvTextTable(props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"kvtext(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = KvTextSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvTextScanBuilder(props)
+}
+
+private class KvTextScanBuilder(props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = KvTextSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new KvTextScan(KvTextSource.resolveFiles(props), required)
+}
+
+private case class KvTextInputPartition(file: String) extends InputPartition
+
+private class KvTextScan(files: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kvtext ${files.length} files, schema ${required.simpleString}"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(KvTextInputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvTextReaderFactory(required.fieldNames.toSeq)
+}
+
+private class KvTextReaderFactory(fields: Seq[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvTextReader(partition.asInstanceOf[KvTextInputPartition].file, fields)
+}
+
+private class KvTextReader(file: String, fields: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private val path = new Path(file)
+  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+    path.getFileSystem(new Configuration()).open(path),
+    java.nio.charset.StandardCharsets.UTF_8))
+  private val wantKey = fields.contains("key")
+  private val wantValue = fields.contains("value")
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null) false
+    else {
+      // column pruning is real work avoided, not cosmetics: an unwanted
+      // side is never substring'd into existence
+      val cut = line.lastIndexOf(' ')
+      val key =
+        if (!wantKey) null
+        else UTF8String.fromString(if (cut < 0) line else line.substring(0, cut))
+      val value =
+        if (!wantValue) null
+        else UTF8String.fromString(if (cut < 0) "" else line.substring(cut + 1))
+      row = InternalRow.fromSeq(fields.map {
+        case "key" => key
+        case "value" => value
+      })
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
