@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,13 +80,112 @@ object KvTextSource {
 }
 
 private class KvTextTable(props: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kvtext(${props.getOrElse("path", "?")})"
   override def schema(): StructType = KvTextSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvTextScanBuilder(props)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvTextWriteBuilder(
+      props.getOrElse("path", throw new IllegalArgumentException(
+        "kvtext write requires a path")),
+      info)
+}
+
+/** V2 write path with the reference engine's commit protocol
+  * (`/root/reference/src/mr/worker.go`: write to a temp file, rename
+  * into place on commit): every task attempt writes
+  * `<path>/_temporary/<queryId>/attempt-<partition>-<task>`, the DRIVER
+  * renames exactly the attempts whose commit messages it accepted to
+  * `mr-out-<partition>` (the reference's shard naming), and abort
+  * deletes the temp tree — so a straggler's duplicate attempt or a
+  * crashed job never leaves a partial shard visible. Rename is the
+  * atomicity primitive, exactly as in the reference.
+  */
+private class KvTextWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val fields = info.schema().fieldNames.toSeq
+    require(fields == Seq("key", "value") &&
+      info.schema().fields.forall(_.dataType == StringType),
+      s"kvtext writes (key string, value string), got ${info.schema().simpleString}")
+    new Write {
+      override def toBatch: BatchWrite =
+        new KvTextBatchWrite(path, info.queryId(), truncateFirst)
+    }
+  }
+}
+
+private case class KvTextCommitMessage(partition: Int, tempFile: String)
+    extends WriterCommitMessage
+
+private class KvTextBatchWrite(path: String, queryId: String, truncate: Boolean)
+    extends BatchWrite {
+  private def fs = new Path(path).getFileSystem(new Configuration())
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvTextWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs
+    val out = new Path(path)
+    f.mkdirs(out)
+    if (truncate) {
+      Option(f.globStatus(new Path(out, "mr-out-*")))
+        .foreach(_.foreach(st => f.delete(st.getPath, false)))
+    }
+    messages.foreach { case KvTextCommitMessage(pid, temp) =>
+      val target = new Path(out, s"mr-out-$pid")
+      f.delete(target, false) // re-run of an idempotent job overwrites
+      require(f.rename(new Path(temp), target),
+        s"kvtext commit: rename $temp -> $target failed")
+    }
+    f.delete(new Path(out, s"_temporary/$queryId"), true)
+    // tidy the shared _temporary parent when this was its last tenant
+    // (non-recursive delete only succeeds on an empty dir — safe if a
+    // concurrent writer is mid-flight)
+    f.delete(new Path(out, "_temporary"), false)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new Path(new Path(path), s"_temporary/$queryId"), true)
+}
+
+private class KvTextWriterFactory(path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvTextDataWriter(path, queryId, partitionId, taskId)
+}
+
+private class KvTextDataWriter(
+    path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val temp =
+    new Path(new Path(path), s"_temporary/$queryId/attempt-$partitionId-$taskId")
+  private val fs = temp.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(temp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).toString)
+    out.write(' ')
+    out.write(row.getUTF8String(1).toString)
+    out.write('\n')
+  }
+  // task commit only FINISHES the temp file; visibility is the driver's
+  // rename — a speculative duplicate of this attempt leaves a stray temp
+  // that job commit/abort sweeps, never a visible shard
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvTextCommitMessage(partitionId, temp.toString)
+  }
+  override def abort(): Unit = { out.close(); fs.delete(temp, false) }
+  override def close(): Unit = ()
 }
 
 private class KvTextScanBuilder(props: Map[String, String])

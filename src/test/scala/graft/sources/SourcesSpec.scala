@@ -54,6 +54,58 @@ class SourcesSpec extends SparkSpec {
       .getNumPartitions == 2)
   }
 
+  test("kvtext V2 write: mr-out-N shards, atomic rename commit, clean temp dir") {
+    val dir = Files.createTempDirectory("kvtext-w").toString + "/out"
+    val df = Seq(("b", "2"), ("a", "1"), ("c", "3"), ("d", "4"))
+      .toDF("key", "value").repartition(2)
+    df.write.format("kvtext").mode("append").save(dir)
+    // visible data files only — the local FS adds .crc companions and
+    // Hadoop convention treats _/. names as metadata (the reader's rule)
+    def shards() = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted.toSeq
+    assert(shards() == Seq("mr-out-0", "mr-out-1"),
+      s"expected the reference's shard naming, got ${shards()}")
+    val back = spark.read.format("kvtext").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")))
+    // overwrite truncates the previous shards; temp tree never survives
+    Seq(("x", "9")).toDF("key", "value").coalesce(1)
+      .write.format("kvtext").mode("overwrite").save(dir)
+    val after = spark.read.format("kvtext").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(("x", "9")))
+    assert(shards() == Seq("mr-out-0"), s"truncate left stale shards: ${shards()}")
+    assert(!new java.io.File(dir, "_temporary").exists,
+      "commit must sweep the temp tree")
+    // schema contract: compatible types are CAST by Spark's write
+    // analysis to the table schema; an incompatible shape is rejected
+    intercept[Exception] {
+      Seq((1, "x", "y")).toDF("a", "b", "c")
+        .write.format("kvtext").mode("append").save(dir)
+    }
+  }
+
+  test("kvtext write survives induced task retry with exactly-once shards") {
+    // the session runs with maxFailures=2: crash attempt 0 of partition 0
+    // post-row-write; the retry must produce the same single visible shard
+    val dir = Files.createTempDirectory("kvtext-r").toString + "/out"
+    val src = Seq(("a", "1"), ("b", "2")).toDF("key", "value").coalesce(1)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val rows = it.toSeq
+        if (org.apache.spark.TaskContext.get().attemptNumber() == 0)
+          throw new RuntimeException("induced attempt-0 crash")
+        rows.iterator
+      }.toDF("key", "value")
+    src.write.format("kvtext").mode("append").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).sorted.toSeq
+    assert(files == Seq("mr-out-0"), s"retry must not duplicate shards: $files")
+    val back = spark.read.format("kvtext").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(("a", "1"), ("b", "2")))
+  }
+
   test("kvtext round-trips the engine's own MapReduce text sink") {
     val out = Files.createTempDirectory("kvtext-rt").toString + "/wc"
     Seq(("b", "2"), ("a", "1"), ("c", "3")).toDF("k", "v")
