@@ -638,7 +638,7 @@ object AnalyticsQueries {
       // ONE scan: each token emits its 4 (row, bucket) cells via
       // posexplode — not 4 unioned re-scans of the corpus
       def cellsOf(df: org.apache.spark.sql.DataFrame) = df.select(
-        df.columns.map(col) :+
+        df.columns.toIndexedSeq.map(col) :+
           posexplode(array((0 until 4).map(r => bucket(r, col("w"))): _*))
             .as(Seq("r", "b")): _*)
       val cms = cellsOf(toks).groupBy("r", "b").agg(count(lit(1)).as("c"))

@@ -383,6 +383,9 @@ object Similarity {
     * oracle must derive identical signatures from identical constants).
     */
   def planeWeight(p: Int, i: Int): Double =
+    // deliberately the (deprecated) productHash: these constants are
+    // PINNED — the q30/q102/q106 oracles bake them as SQL literals, so
+    // the hash function must never drift (caseClassHash seeds differ)
     scala.util.hashing.MurmurHash3.productHash((p, i)).toDouble / Int.MaxValue
 
   /** (id, emb, band, bucket) rows — one per signature band — from
@@ -610,8 +613,8 @@ object Similarity {
     var depth = 0
     var oversized = oversizedIds(assigned)
     while (depth < maxDepth && oversized.nonEmpty) {
-      val big = assigned.filter(col("cluster").isin(oversized: _*))
-      val ok = assigned.filter(!col("cluster").isin(oversized: _*))
+      val big = assigned.filter(col("cluster").isin(oversized.toIndexedSeq: _*))
+      val ok = assigned.filter(!col("cluster").isin(oversized.toIndexedSeq: _*))
       val prev = assigned
       assigned = ok.unionByName(
           kmeansRefine(big, k, iters, idCol, embCol)
@@ -628,7 +631,7 @@ object Similarity {
     if (oversized.nonEmpty) {
       val bigSizes = assigned.groupBy("cluster")
         .agg(count(lit(1)).as("csz"))
-        .filter(col("cluster").isin(oversized: _*))
+        .filter(col("cluster").isin(oversized.toIndexedSeq: _*))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val nSalts = bigSizes.map { case (c, sz) =>
         c -> ((sz + maxCluster - 1) / maxCluster) }
