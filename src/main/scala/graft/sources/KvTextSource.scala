@@ -31,11 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * so `spark.read.format("kvtext").load(path)` works anywhere the jar
   * is on the classpath.
   *
-  * Scale shape: one input partition per file, resolved through the
-  * Hadoop FS API (hdfs:/s3a:/file: all work). The reference's outputs
-  * are per-reducer `mr-out-*` shards, so file-grain parallelism mirrors
-  * the producer's; a byte-range splitter (with line-boundary fixup)
-  * is the documented extension if single huge files ever appear.
+  * Scale shape: files split into byte ranges (default 128 MB,
+  * `maxSplitBytes` option) with the standard line-boundary rule — a
+  * split owns exactly the lines that BEGIN inside it: every reader but
+  * the first skips to the first line start past its offset, and every
+  * reader finishes the line that straddles its end — so a single huge
+  * file parallelizes like the built-in text source, no line is read
+  * twice, and none is dropped (SourcesSpec asserts exact-row parity
+  * across split sizes). Paths resolve through the Hadoop FS API
+  * (hdfs:/s3a:/file: all work).
   */
 class KvTextSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kvtext"
@@ -53,8 +57,10 @@ object KvTextSource {
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
 
-  /** Expand the `path`/`paths` option through Hadoop glob resolution. */
-  private[sources] def resolveFiles(props: Map[String, String]): Seq[String] = {
+  /** Expand the `path`/`paths` option through Hadoop glob resolution;
+    * returns (file, byte length) so the scan can plan range splits.
+    */
+  private[sources] def resolveFiles(props: Map[String, String]): Seq[(String, Long)] = {
     val raw = props.get("path").map(Seq(_))
       .orElse(props.get("paths").map(_.split(",").toSeq))
       .getOrElse(throw new IllegalArgumentException(
@@ -74,7 +80,7 @@ object KvTextSource {
             f.isFile && !n.startsWith("_") && !n.startsWith(".")
           }
         else Seq(st)
-      }.map(_.getPath.toString)
+      }.map(st => (st.getPath.toString, st.getLen))
     }
   }
 }
@@ -87,7 +93,9 @@ private class KvTextTable(props: Map[String, String])
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvTextScanBuilder(props)
+    new KvTextScanBuilder(props,
+      Option(options.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvTextWriteBuilder(
       props.getOrElse("path", throw new IllegalArgumentException(
@@ -188,25 +196,33 @@ private class KvTextDataWriter(
   override def close(): Unit = ()
 }
 
-private class KvTextScanBuilder(props: Map[String, String])
+private class KvTextScanBuilder(props: Map[String, String], maxSplitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = KvTextSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new KvTextScan(KvTextSource.resolveFiles(props), required)
+    new KvTextScan(KvTextSource.resolveFiles(props), required, maxSplitBytes)
 }
 
-private case class KvTextInputPartition(file: String) extends InputPartition
+/** A byte range of one file; owns the lines that BEGIN in
+  * [start, start+length). */
+private case class KvTextInputPartition(file: String, start: Long, length: Long)
+    extends InputPartition
 
-private class KvTextScan(files: Seq[String], required: StructType)
+private class KvTextScan(
+    files: Seq[(String, Long)], required: StructType, maxSplitBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kvtext ${files.length} files, schema ${required.simpleString}"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(KvTextInputPartition).toArray
+    files.flatMap { case (file, len) =>
+      if (len <= maxSplitBytes) Seq(KvTextInputPartition(file, 0L, math.max(len, 1L)))
+      else (0L until len by maxSplitBytes).map(off =>
+        KvTextInputPartition(file, off, math.min(maxSplitBytes, len - off)))
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new KvTextReaderFactory(required.fieldNames.toSeq)
 }
@@ -214,23 +230,37 @@ private class KvTextScan(files: Seq[String], required: StructType)
 private class KvTextReaderFactory(fields: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvTextReader(partition.asInstanceOf[KvTextInputPartition].file, fields)
+    new KvTextReader(partition.asInstanceOf[KvTextInputPartition], fields)
 }
 
-private class KvTextReader(file: String, fields: Seq[String])
+private class KvTextReader(split: KvTextInputPartition, fields: Seq[String])
     extends PartitionReader[InternalRow] {
-  private val path = new Path(file)
+  private val path = new Path(split.file)
+  private val stream = path.getFileSystem(new Configuration()).open(path)
+  // a split owns the lines BEGINNING inside it: any split not at byte 0
+  // seeks one byte early and discards through the first newline — the
+  // previous split finishes that straddling line
+  private var remaining = split.length
+  if (split.start > 0) {
+    stream.seek(split.start - 1)
+    var b = stream.read()
+    remaining += 1 // account for the lookback byte
+    while (b != -1 && b != '\n') { b = stream.read(); remaining -= 1 }
+    remaining -= 1 // the newline itself
+  }
   private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    path.getFileSystem(new Configuration()).open(path),
-    java.nio.charset.StandardCharsets.UTF_8))
+    stream, java.nio.charset.StandardCharsets.UTF_8))
   private val wantKey = fields.contains("key")
   private val wantValue = fields.contains("value")
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val line = in.readLine()
+    // read while the line STARTS inside the range; the final straddling
+    // line is read whole (readLine crosses the boundary naturally)
+    val line = if (remaining <= 0) null else in.readLine()
     if (line == null) false
     else {
+      remaining -= line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
       // column pruning is real work avoided, not cosmetics: an unwanted
       // side is never substring'd into existence
       val cut = line.lastIndexOf(' ')

@@ -54,6 +54,21 @@ class SourcesSpec extends SparkSpec {
       .getNumPartitions == 2)
   }
 
+  test("kvtext byte-range splits: exact row parity at any split size") {
+    val whole = spark.read.format("kvtext").load(golden)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // tiny ranges force many splits whose boundaries land mid-line
+    for (splitBytes <- Seq(1000, 7777, 65536)) {
+      val df = spark.read.format("kvtext")
+        .option("maxSplitBytes", splitBytes.toString).load(golden)
+      assert(df.rdd.getNumPartitions > 1, s"splitBytes=$splitBytes did not split")
+      val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(rows == whole,
+        s"splitBytes=$splitBytes dropped or duplicated lines " +
+          s"(${rows.length} vs ${whole.length})")
+    }
+  }
+
   test("kvtext V2 write: mr-out-N shards, atomic rename commit, clean temp dir") {
     val dir = Files.createTempDirectory("kvtext-w").toString + "/out"
     val df = Seq(("b", "2"), ("a", "1"), ("c", "3"), ("d", "4"))
