@@ -1761,6 +1761,35 @@ object AnalyticsQueries {
         .select(col("source"), col("n_kept"), col("tok_kept"),
           expr(s"tok_kept * 10000 div $budget").as("fill_bp"))
         .orderBy("source")
+    },
+
+    // ---- content-addressed dataset fingerprint (q164): one (rows,
+    //      XOR-of-row-hashes) pair per source — the "has my copy of this
+    //      dataset drifted" audit between pipeline runs, engines, or
+    //      replicas. XOR is commutative/associative, so the fingerprint
+    //      is partition- and order-independent with no overflow to
+    //      manage; its one blind spot (row pairs cancel) is why the
+    //      exact row count rides alongside. One scan, one map-side
+    //      combined aggregate. ----
+    QueryDef(
+      "q164_dataset_fingerprint", {
+        val rowHash = graft.operators.OracleSql.md5Long(
+          "CAST(doc_id AS VARCHAR) || '|' || md5(text)")
+        s"""SELECT source,
+           |       CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(bit_xor($rowHash) AS BIGINT) AS xor_fp
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.md5Long(
+            concat_ws("|", col("doc_id").cast("string"), md5(col("text"))))
+            .as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"))
+        .orderBy("source")
     }
   )
 }

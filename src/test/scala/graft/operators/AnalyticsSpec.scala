@@ -317,6 +317,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q164: fingerprints are partition-invariant and change on any row edit") {
+    val base = run("q164_dataset_fingerprint")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // recompute over a different partitioning — XOR folds must agree
+    import graft.textops.TextAnalysis
+    val again = graft.tables.Tables.documents(spark, sf001).repartition(13)
+      .select(col("source"), TextAnalysis.md5Long(
+        concat_ws("|", col("doc_id").cast("string"), md5(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base == again)
+    // flipping one document's text flips exactly that source's fingerprint
+    val mutated = graft.tables.Tables.documents(spark, sf001)
+      .withColumn("text", when(col("doc_id") === 7, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val changedSrc = graft.tables.Tables.documents(spark, sf001)
+      .filter(col("doc_id") === 7).select("source").head.getString(0)
+    val mut = mutated
+      .select(col("source"), TextAnalysis.md5Long(
+        concat_ws("|", col("doc_id").cast("string"), md5(col("text")))).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("fp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    base.foreach { case (src, n, fp) =>
+      if (src == changedSrc) assert(mut(src) != ((n, fp)), "edit went undetected")
+      else assert(mut(src) == ((n, fp)), s"unrelated source $src drifted")
+    }
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
