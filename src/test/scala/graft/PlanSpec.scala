@@ -458,6 +458,24 @@ class PlanSpec extends SparkSpec {
       s"the top-20 cut must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("q162 budget fill: per-source running sum has NO window anywhere in the plan") {
+    val plan = planOf("q162_token_budget_fill")
+    assert(!plan.contains("Window"),
+      s"the grouped running sum must be the global prefix sum + offset join, " +
+        s"never a per-source window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"per-source offsets must broadcast:\n$plan")
+  }
+
+  test("q164 fingerprint: one scan, partial+final aggregate, no exchange beyond it") {
+    val plan = planOf("q164_dataset_fingerprint")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one documents scan, found $scans:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2,
+      s"XOR fold must combine map-side before the source shuffle:\n$plan")
+  }
+
   test("q152 retention: both aggregates partial+final; cohort sizes broadcast") {
     val plan = planOf("q152_retention_cohort")
     val nAggs = "HashAggregate".r.findAllIn(plan).length
