@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -60,7 +61,9 @@ object KvTextSource {
   /** Expand the `path`/`paths` option through Hadoop glob resolution;
     * returns (file, byte length) so the scan can plan range splits.
     */
-  private[sources] def resolveFiles(props: Map[String, String]): Seq[(String, Long)] = {
+  private[sources] def resolveFiles(
+      props: Map[String, String],
+      requireNonEmpty: Boolean = true): Seq[(String, Long)] = {
     val raw = props.get("path").map(Seq(_))
       .orElse(props.get("paths").map(_.split(",").toSeq))
       .getOrElse(throw new IllegalArgumentException(
@@ -70,7 +73,7 @@ object KvTextSource {
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
       val matches = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
-      require(matches.nonEmpty, s"kvtext: no files match $p")
+      require(matches.nonEmpty || !requireNonEmpty, s"kvtext: no files match $p")
       matches.flatMap { st =>
         if (st.isDirectory)
           // the standard Hadoop convention: _SUCCESS markers and hidden
@@ -90,8 +93,8 @@ private class KvTextTable(props: Map[String, String])
   override def name(): String = s"kvtext(${props.getOrElse("path", "?")})"
   override def schema(): StructType = KvTextSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvTextScanBuilder(props,
       Option(options.get("maxSplitBytes")).map(_.toLong)
@@ -202,7 +205,7 @@ private class KvTextScanBuilder(props: Map[String, String], maxSplitBytes: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new KvTextScan(KvTextSource.resolveFiles(props), required, maxSplitBytes)
+    new KvTextScan(props, required, maxSplitBytes)
 }
 
 /** A byte range of one file; owns the lines that BEGIN in
@@ -211,20 +214,69 @@ private case class KvTextInputPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 private class KvTextScan(
-    files: Seq[(String, Long)], required: StructType, maxSplitBytes: Long)
+    props: Map[String, String], required: StructType, maxSplitBytes: Long)
     extends Scan with Batch {
+  private lazy val files = KvTextSource.resolveFiles(props)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"kvtext ${files.length} files, schema ${required.simpleString}"
-  override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { case (file, len) =>
+  private def rangesOf(fs: Seq[(String, Long)]): Array[InputPartition] =
+    fs.flatMap { case (file, len) =>
       if (len <= maxSplitBytes) Seq(KvTextInputPartition(file, 0L, math.max(len, 1L)))
       else (0L until len by maxSplitBytes).map(off =>
         KvTextInputPartition(file, off, math.min(maxSplitBytes, len - off)))
     }.toArray
+  override def planInputPartitions(): Array[InputPartition] = rangesOf(files)
   override def createReaderFactory(): PartitionReaderFactory =
     new KvTextReaderFactory(required.fieldNames.toSeq)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KvTextMicroBatchStream(props, required, maxSplitBytes, rangesOf)
+}
+
+/** Micro-batch tail of a kvtext directory: each batch reads the shard
+  * files that APPEARED since the last offset — "follow the reference
+  * engine's output as its reducers commit". The offset is the
+  * lexicographically greatest path already processed, which is
+  * deterministic under re-listing and checkpoint recovery because shard
+  * files are IMMUTABLE once their producer's rename makes them visible
+  * (the kvtext write protocol guarantees exactly that; in-progress
+  * attempts live under `_temporary` and are filtered as metadata).
+  * Producers must therefore emit monotonically increasing names —
+  * `mr-out-<partition>` already sorts that way per job; timestamped
+  * prefixes generalize it across jobs.
+  */
+private class KvTextMicroBatchStream(
+    props: Map[String, String],
+    required: StructType,
+    maxSplitBytes: Long,
+    rangesOf: Seq[(String, Long)] => Array[InputPartition])
+    extends MicroBatchStream {
+
+  // a tail may begin before the first shard commits — empty is normal
+  private def listAll(): Seq[(String, Long)] =
+    KvTextSource.resolveFiles(props, requireNonEmpty = false).sortBy(_._1)
+
+  override def initialOffset(): Offset = KvTextOffset("")
+  override def latestOffset(): Offset =
+    KvTextOffset(listAll().lastOption.map(_._1).getOrElse(""))
+  override def deserializeOffset(json: String): Offset = KvTextOffset(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[KvTextOffset].watermark
+    val hi = end.asInstanceOf[KvTextOffset].watermark
+    rangesOf(listAll().filter { case (f, _) => f > lo && f <= hi })
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvTextReaderFactory(required.fieldNames.toSeq)
+}
+
+/** Offset = greatest processed path; serialized as the raw string. */
+private case class KvTextOffset(watermark: String) extends Offset {
+  override def json(): String = watermark
 }
 
 private class KvTextReaderFactory(fields: Seq[String])

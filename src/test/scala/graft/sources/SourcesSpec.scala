@@ -121,6 +121,37 @@ class SourcesSpec extends SparkSpec {
     assert(back == Set(("a", "1"), ("b", "2")))
   }
 
+  test("kvtext micro-batch tail: each new shard arrives exactly once, in one batch") {
+    val dir = Files.createTempDirectory("kvtext-s").toString + "/out"
+    new java.io.File(dir).mkdirs()
+    val q = spark.readStream.format("kvtext").load(dir)
+      .writeStream.format("memory").queryName("kvtail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // empty tail is a valid (zero-batch) state
+      assert(spark.table("kvtail").count() == 0)
+      // first producer job commits through the kvtext write protocol
+      Seq(("a", "1"), ("b", "2")).toDF("key", "value").coalesce(1)
+        .write.format("kvtext").mode("append").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("kvtail").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet ==
+        Set(("a", "1"), ("b", "2")))
+      // a later shard with a lexicographically higher name tails in;
+      // the earlier shard is NOT re-read (offset watermark)
+      Files.writeString(new java.io.File(dir, "mr-out-9").toPath, "c 3\n")
+      q.processAllAvailable()
+      val rows = spark.table("kvtail").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows.size == 3 && rows.toSet ==
+        Set(("a", "1"), ("b", "2"), ("c", "3")),
+        s"tail must deliver each shard exactly once, got $rows")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS kvtail")
+    }
+  }
+
   test("kvtext round-trips the engine's own MapReduce text sink") {
     val out = Files.createTempDirectory("kvtext-rt").toString + "/wc"
     Seq(("b", "2"), ("a", "1"), ("c", "3")).toDF("k", "v")
