@@ -129,7 +129,10 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint() // feeds degrees + orientation + the final count
+    // und feeds degrees + orientation + the closing-edge probe as the
+    // SAME subtree, so ReuseExchange computes its shuffle once — no
+    // localCheckpoint, no O(E) pinned executor storage (PlanSpec pins
+    // the reuse)
     val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val o = und

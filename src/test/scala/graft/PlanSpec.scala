@@ -458,6 +458,18 @@ class PlanSpec extends SparkSpec {
       s"the top-20 cut must be a bounded TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("q154 triangles: the edge-list exchange is computed once and REUSED") {
+    // und feeds degrees, orientation, and the closing-edge probe as the
+    // same subtree — ReuseExchange must dedupe it, which is what lets
+    // triangleCount skip a localCheckpoint (no O(E) pinned storage)
+    val df = SparkEntry.queries("q154_triangles")(spark, sf0001)
+    df.collect() // AQE finalizes reuse decisions at execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage") ||
+      plan.contains("ReusedQueryStage"),
+      s"edge-list subtree must be exchange-reused, not recomputed:\n$plan")
+  }
+
   test("q162 budget fill: per-source running sum has NO window anywhere in the plan") {
     val plan = planOf("q162_token_budget_fill")
     assert(!plan.contains("Window"),
