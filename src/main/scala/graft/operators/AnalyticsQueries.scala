@@ -1790,6 +1790,42 @@ object AnalyticsQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"))
         .orderBy("source")
+    },
+
+    // ---- token-balanced training shards (q165): lay the corpus out in
+    //      equal-WORK shards (equal token mass, not equal row count —
+    //      the quantity a trainer's data loader actually consumes per
+    //      step). Each document lands in the shard where its token run
+    //      STARTS under the content-addressed global order, so every
+    //      shard's mass is within one max-document of the target and the
+    //      layout replays identically on any engine. Same running-sum
+    //      machinery as q162: ONE global prefix sum, no windows. ----
+    QueryDef(
+      "q165_token_shards", {
+        val ordSql = graft.operators.OracleSql.md5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+           |         $ordSql AS ord
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, tok,
+           |         sum(tok) OVER (ORDER BY ord, doc_id) AS cum
+           |  FROM d)
+           |SELECT CAST((cum - tok) // 2000 AS BIGINT) AS shard,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(tok) AS BIGINT) AS tokens
+           |FROM c GROUP BY 1 ORDER BY shard""".stripMargin
+      }) { (s, dir) =>
+      val target = 2000L
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        TextAnalysis.md5Long(col("doc_id").cast("string")).as("ord"))
+      val cum = Scale.prefixSumLongBy(d, Seq("ord", "doc_id"), "tok", "cum")
+      cum.select(expr(s"(cum - tok) div $target").as("shard"), col("tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+        .orderBy("shard")
     }
   )
 }

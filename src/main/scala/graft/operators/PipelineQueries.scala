@@ -2590,6 +2590,54 @@ object PipelineQueries {
           luhn.cast("long").as("luhn_total"),
           (luhn.cast("long") % 10 === 0).as("luhn_valid"))
         .orderBy("doc_id")
+    },
+
+    // ---- leakage-safe train/val/test split (q166): near-duplicates of
+    //      an eval document inside the training set are silent
+    //      contamination — a per-DOCUMENT hash split (q104) happily
+    //      strands twins on opposite sides. Here the split key is the
+    //      near-dup CLUSTER representative (q60's connected components
+    //      over LSH pairs), so an entire duplicate family lands on ONE
+    //      side by construction. Planted twins make the property
+    //      non-vacuous; the oracle replays pairs → closure → rep →
+    //      the exact q104 md5-bucket rule on the rep. ----
+    QueryDef(
+      "q166_leakage_safe_split",
+      s"""WITH RECURSIVE ${twinDocsCtes("graftplantedtail")},
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes,
+         |cl AS (SELECT id, least(id, min(r)) AS rep FROM reach GROUP BY id),
+         |alld AS (
+         |  SELECT t.doc_id, coalesce(cl.rep, t.doc_id) AS rep
+         |  FROM t LEFT JOIN cl ON cl.id = t.doc_id),
+         |sp AS (
+         |  SELECT doc_id, rep,
+         |         CAST(('0x' || substring(
+         |           md5(CAST(rep AS VARCHAR) || '|graftsplit'), 1, 6)) AS BIGINT)
+         |           % 10000 AS bucket
+         |  FROM alld)
+         |SELECT doc_id, rep,
+         |       CASE WHEN bucket < 8000 THEN 'train'
+         |            WHEN bucket < 9000 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM sp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      val uni = docs.union(twins)
+      val pairs = Dedup.nearDupPairs(uni, threshold = 0.7)
+        .select("id_a", "id_b")
+      val cl = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("rep0"))
+      val withRep = uni.select("doc_id")
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep0"), col("doc_id")).as("rep"))
+      Scale.hashSplit(withRep, "rep", "graftsplit",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
     }
   )
 

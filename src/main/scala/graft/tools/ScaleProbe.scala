@@ -520,6 +520,33 @@ object ScaleProbe {
     val au1 = timeAuc("1x", replicate(1))
     val aun = timeAuc(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] auc time ratio=${aun / au1}%.2f for ${copies}x docs")
+
+    // Triangle counting: disjoint edge copies (node-id offsets) keep the
+    // per-copy degree structure, so the degree-ordered wedge volume —
+    // the dominant term — grows exactly linearly; wall must track it.
+    def triEdges(n: Int): DataFrame = {
+      val li = (0 until n).map { k =>
+        Tables.lineitem(spark, dir)
+          .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 2 === 0)
+          .select((col("l_orderkey") + lit(k.toLong * 100000000L)).as("o"),
+            (col("l_partkey") + lit(k.toLong * 10000000L)).as("p"))
+      }.reduce(_ union _)
+      li.as("x").join(li.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+    }
+    def timeTri(label: String, edges: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val r = graft.graph.Graph.triangleCount(edges).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] tri-$label: triangles=${r.getLong(2)} time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeTri("warmup-1x", triEdges(1))
+    val tr1 = timeTri("1x", triEdges(1))
+    val trn = timeTri(s"${copies}x", triEdges(copies))
+    println(f"[scaleprobe] triangles time ratio=${trn / tr1}%.2f for ${copies}x edges")
     spark.stop()
   }
 }

@@ -348,6 +348,48 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q165: shards carry the whole corpus in near-equal token mass") {
+    val rows = run("q165_token_shards").collect()
+    val docs = graft.tables.Tables.documents(spark, sf001)
+    val totalTok = docs.agg(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    assert(rows.map(_.getAs[Long]("tokens")).sum == totalTok,
+      "shards must conserve the corpus token mass")
+    val maxDoc = docs.agg(max(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    val shards = rows.map(_.getAs[Long]("shard")).sorted.toSeq
+    assert(shards == (shards.min to shards.max).toSeq, "shard ids must be dense")
+    // start-based assignment: every shard except the last is within one
+    // max-document of the 2000-token target
+    rows.sortBy(_.getAs[Long]("shard")).dropRight(1).foreach { r =>
+      assert(math.abs(r.getAs[Long]("tokens") - 2000L) < maxDoc,
+        s"shard ${r.getAs[Long]("shard")} mass ${r.getAs[Long]("tokens")}")
+    }
+  }
+
+  test("q166: no near-dup pair ever crosses a split boundary") {
+    val split = run("q166_leakage_safe_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // recompute the pair set the query clustered on
+    import graft.dedup.Dedup
+    val docs = graft.tables.Tables.documents(spark, sf001).select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftplantedtail")).as("text"))
+    val pairs = Dedup.nearDupPairs(docs.union(twins), threshold = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "planted twins must produce pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dups $a/$b landed in ${split(a)}/${split(b)} — leakage")
+    }
+    // and the split is still roughly 80/10/10 over clusters
+    val frac = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(frac("train") > frac.getOrElse("val", 0) &&
+      frac("train") > frac.getOrElse("test", 0))
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
