@@ -154,4 +154,68 @@ object StreamOps {
     val w = Window.partitionBy("win_start").orderBy(col("n").desc, col("term"))
     counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Windowed quality-drift monitor: per event-time window, the score
+    * histogram of arriving documents (integer `scoreCol` bucketed by
+    * `bucketWidth`, clamped to `nBuckets`) — the streaming half of the
+    * q159 PSI gate. State is one counter per live (window, bucket):
+    * ≤ nBuckets per window regardless of traffic, evicted by the
+    * watermark. Runs identically in batch (oracle-checkable shape) and
+    * behind readStream.
+    */
+  def windowedScoreHistogram(
+      docs: DataFrame,
+      scoreCol: String,
+      width: String = "1 hour",
+      tsCol: String = "ts",
+      delay: String = "30 minutes",
+      bucketWidth: Long = 100000L,
+      nBuckets: Int = 10): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .select(window(col(tsCol), width).as("win"),
+        least(floor(col(scoreCol) / bucketWidth), lit(nBuckets - 1L))
+          .cast("long").as("bucket"))
+      .groupBy(col("win"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("bucket"), col("n"))
+
+  /** PSI of each window's histogram against a REFERENCE histogram
+    * (bucket → count, e.g. yesterday's corpus) — q159's add-1-smoothed
+    * integer-micro-nat formula per window. Run batch-side or in
+    * foreachBatch on completed windows (a drifting window is an alert,
+    * so the consumer is a threshold check on `psi_micro`). The
+    * reference is broadcast; per window the math touches ≤ nBuckets
+    * rows.
+    */
+  def psiPerWindow(
+      hist: DataFrame,
+      reference: DataFrame,
+      nBuckets: Int = 10): DataFrame = {
+    val ref = reference.select(col("bucket"), col("n").as("rn"))
+    val refTot = ref.agg(sum("rn").as("rt"))
+    val winTot = hist.groupBy("win_start").agg(sum("n").as("wt"))
+    // the FULL bucket grid, not just buckets either side observed — a
+    // score region empty in the reference but active in a window (the
+    // textbook drift) must still contribute its term
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val buckets = (0L until nBuckets.toLong).toDF("bucket")
+    val grid = hist.select(col("win_start")).distinct()
+      .crossJoin(broadcast(buckets))
+    val full = grid
+      .join(hist, Seq("win_start", "bucket"), "left")
+      .join(broadcast(ref), Seq("bucket"), "left")
+      .select(col("win_start"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+      .join(broadcast(winTot), "win_start")
+      .crossJoin(broadcast(refTot))
+    val pw = (col("n") + 1).cast("double") / (col("wt") + nBuckets)
+    val pr = (col("rn") + 1).cast("double") / (col("rt") + nBuckets)
+    full.select(col("win_start"), col("bucket"),
+        round(lit(1000000) * (pw - pr) * log(pw / pr)).cast("long").as("q"))
+      .groupBy("win_start")
+      .agg(sum("q").as("psi_micro"))
+  }
 }

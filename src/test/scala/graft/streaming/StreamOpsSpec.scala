@@ -180,4 +180,48 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
     assert(top == Set((ts(0), "spark"), (ts(30), "flink")), s"$top")
   }
+
+  test("quality-drift monitor: stream == batch; PSI flags the shifted window only") {
+    // window A repeats the reference score mix; window B is shifted hard
+    val refScores = Seq(50000L, 150000L, 150000L, 250000L)
+    val rows =
+      refScores.map(s => (ts(0), s)) ++
+        Seq(850000L, 950000L, 950000L, 950000L).map(s => (ts(30), s))
+    val scoredDf = rows.toDF("ts", "score")
+    val batchHist = StreamOps.windowedScoreHistogram(scoredDf, "score", "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamOps.windowedScoreHistogram(
+        input.toDF().toDF("ts", "score"), "score", "30 minutes")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // close both windows so append mode emits them
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 1L))
+      q.processAllAvailable()
+      val streamHist = spark.sql("SELECT * FROM drift")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamHist == batchHist, s"stream $streamHist != batch $batchHist")
+    } finally q.stop()
+
+    val reference = refScores
+      .map(s => math.min(s / 100000L, 9L)).groupBy(identity)
+      .map { case (b, xs) => (b, xs.size.toLong) }.toSeq.toDF("bucket", "n")
+    val psi = StreamOps.psiPerWindow(
+        StreamOps.windowedScoreHistogram(scoredDf, "score", "30 minutes"),
+        reference)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // identical mix: only add-1 smoothing noise; shifted mix: strong alert
+    assert(math.abs(psi(ts(0))) < 100000L,
+      s"same-distribution window flagged: ${psi(ts(0))}")
+    // the industry convention flags PSI > 0.2; the fully-shifted window
+    // lands ~3x past it even with add-1 smoothing damping tiny counts
+    assert(psi(ts(30)) > 300000L,
+      s"shifted window must alert loudly: ${psi(ts(30))}")
+  }
 }
