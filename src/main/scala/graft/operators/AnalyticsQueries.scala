@@ -1826,6 +1826,61 @@ object AnalyticsQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
         .orderBy("shard")
+    },
+
+    // ---- right-to-be-forgotten sweep (q167): given a deletion-request
+    //      subject set, account for every row the purge touches ACROSS
+    //      the referential cascade — the subjects' customer rows, their
+    //      orders, those orders' lineitems, and their event history
+    //      (per-system subject keys; events keys off user_id). The
+    //      audit a compliance pass emits before rewriting: per table,
+    //      total vs purged vs kept must reconcile exactly. Scale shape:
+    //      the request set broadcasts (deletion batches are small);
+    //      each table is ONE scan with a broadcast semi-join — the
+    //      lineitem leg pre-joins the (already filtered, tiny) purged
+    //      orders, never orders×lineitem. ----
+    QueryDef(
+      "q167_deletion_sweep",
+      """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |       WHERE o_custkey IN (SELECT c_custkey FROM subj)),
+        |t AS (
+        |  SELECT 'customer' AS tbl,
+        |         (SELECT count(*) FROM customer) AS n_total,
+        |         (SELECT count(*) FROM subj) AS n_purged
+        |  UNION ALL
+        |  SELECT 'orders', (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM po)
+        |  UNION ALL
+        |  SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |  UNION ALL
+        |  SELECT 'events', (SELECT count(*) FROM events),
+        |         (SELECT count(*) FROM events WHERE user_id % 97 = 0))
+        |SELECT tbl, CAST(n_total AS BIGINT) AS n_total,
+        |       CAST(n_purged AS BIGINT) AS n_purged,
+        |       CAST(n_total - n_purged AS BIGINT) AS n_kept
+        |FROM t ORDER BY tbl""".stripMargin) { (s, dir) =>
+      val subj = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val orders = Tables.orders(s, dir)
+      val po = orders.join(broadcast(subj),
+          orders("o_custkey") === subj("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      val li = Tables.lineitem(s, dir)
+      def leg(tbl: String, total: DataFrame, purged: DataFrame) =
+        total.agg(count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(purged.agg(count(lit(1)).as("n_purged"))))
+          .select(lit(tbl).as("tbl"), col("n_total"), col("n_purged"),
+            (col("n_total") - col("n_purged")).as("n_kept"))
+      leg("customer", Tables.customer(s, dir), subj)
+        .unionByName(leg("orders", orders, po))
+        .unionByName(leg("lineitem", li,
+          li.join(broadcast(po), li("l_orderkey") === po("o_orderkey"), "left_semi")))
+        .unionByName(leg("events", Tables.events(s, dir),
+          Tables.events(s, dir).filter(col("user_id") % 97 === 0)))
+        .orderBy("tbl")
     }
   )
 }

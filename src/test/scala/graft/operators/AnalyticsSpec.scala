@@ -390,6 +390,24 @@ class AnalyticsSpec extends SparkSpec {
       frac("train") > frac.getOrElse("test", 0))
   }
 
+  test("q167: the deletion cascade reconciles against direct recomputation") {
+    val rows = run("q167_deletion_sweep").collect()
+      .map(r => r.getAs[String]("tbl") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_purged"), r.getAs[Long]("n_kept")))
+      .toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+    rows.values.foreach { case (t, p, k) => assert(t == p + k && p >= 0) }
+    // the cascade is closed: purging all subjects' orders leaves no
+    // lineitem of a purged order behind
+    val cust = spark.read.parquet(s"$sf001/customer.parquet")
+    val subj = cust.filter(col("c_custkey") % 97 === 0).count()
+    assert(rows("customer")._2 == subj)
+    assert(rows("orders")._2 >= subj || subj == 0,
+      "every subject has >= 1 order in TPC-H-ish data")
+    assert(rows("lineitem")._2 >= rows("orders")._2,
+      "each purged order carries >= 1 lineitem")
+  }
+
   test("q152: every cohort retains 100% of itself at week offset 0") {
     val rows = run("q152_retention_cohort").collect()
     assert(rows.nonEmpty)
