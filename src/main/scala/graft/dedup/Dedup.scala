@@ -199,8 +199,8 @@ object Dedup {
     // ≪ corpus by the candidate-generation contract.
     val sh = docs.join(ids, col(idCol) === col("pid"), "left_semi")
       .select(col(idCol).as("id"),
-        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
-          s => TextAnalysis.md5Long(s))).as("sh"))
+        graft.functions.GramHashFunctions.graftGramMd5(
+          TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as("sh"))
       .localCheckpoint()
     ngramJaccardOnSets(sh, pairs)
   }
@@ -353,8 +353,8 @@ object Dedup {
       side.join(plausible.select(col(pairCol).as("pid")).distinct(),
           col(idCol) === col("pid"), "left_semi")
         .select(col(idCol).as(pairCol),
-          array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
-            s => TextAnalysis.md5Long(s))).as(s"sh_$pairCol"))
+          graft.functions.GramHashFunctions.graftGramMd5(
+            TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as(s"sh_$pairCol"))
     val inter = size(array_intersect(col("sh_id_a"), col("sh_id_b")))
     plausible
       .join(shSets(left, "id_a"), "id_a")
@@ -415,8 +415,8 @@ object Dedup {
     // set-similarity-join implementation takes.
     val sh = docs
       .select(col(idCol).as("id"),
-        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
-          s => TextAnalysis.md5Long(s))).as("sh"))
+        graft.functions.GramHashFunctions.graftGramMd5(
+          TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint()
     val exploded = sh.select(col("id"), explode(col("sh")).as("g"))
@@ -848,42 +848,49 @@ object Dedup {
     * jaccard ≈ 0.06 but containment 1.0. The standard signal for
     * eval-answer leakage inside long documents.
     *
-    * Candidate generation is the q117 shape: distinct (doc, gram) pairs
-    * join on the GRAM, with grams present in more than `dfCap` documents
-    * dropped first (boilerplate — the same bounded recall trade as the
-    * LSH maxBucket guard), so pair fan-out is Σ df² over surviving
-    * grams, never |docs|². Containment is then an integer cross-product
-    * test (`10000·shared ≥ tauBp·min(na,nb)` avoided in favor of the
-    * equivalent div form so the emitted bp value is exact).
+    * Candidate generation is ONE shuffle of the distinct (doc, gram)
+    * table: grams group on an 8-byte gram hash and a bounded-heap
+    * collect ([[graft.functions.CappedDistinctAggregator]]) returns each
+    * gram's full doc list iff the gram sits in 2..`dfCap` documents —
+    * grams beyond the cap (boilerplate, the same bounded recall trade as
+    * the LSH maxBucket guard) poison their buffer to O(1) and drop, so a
+    * 10⁹-occurrence gram costs a flag, not a list. Pairs then expand
+    * IN PLACE from each sorted doc list (fan-out Σ df² over surviving
+    * grams, never |docs|²) — no df-count pre-pass, no join-back, no
+    * gram self-join, and nothing pinned in executor block storage (the
+    * earlier shape localCheckpointed the survivor table; this one is
+    * pure lineage end to end). Containment is then an integer
+    * cross-product test (`10000·shared ≥ tauBp·min(na,nb)` avoided in
+    * favor of the equivalent div form so the emitted bp value is exact).
     */
   def containmentPairs(
       docs: DataFrame,
       k: Int = 5,
       tauBp: Int = 8000,
       dfCap: Int = 100): DataFrame = {
-    // The exploded gram table is roughly the corpus token mass — far too
-    // large to pin in non-replicated executor block storage at the
-    // 100 TB target (an executor loss would kill the job: checkpoints
-    // drop lineage). So the explode stays LAZY (recomputed by the two
-    // jobs that consume it — a narrow projection off the scan), sizes
-    // come straight off the scan without materializing grams at all, and
-    // lineage is cut only on `live`, the df-filtered survivor set (grams
-    // in 2..dfCap docs — the boilerplate cap has already dropped the
-    // heavy tail), which both sides of the pair join read.
-    val grams = docs
-      .select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.shingles(col("text"), k))).as("g"))
-    val sizes = docs
-      .select(col("doc_id"),
-        size(array_distinct(TextAnalysis.shingles(col("text"), k)))
-          .cast("long").as("ng"))
-    val live = grams.join(
-      grams.groupBy("g").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, dfCap)).select("g"), "g")
-      .localCheckpoint()
-    live.as("a").join(live.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    import org.apache.spark.sql.Encoders
+    // hashed grams: the one shuffle ships 8-byte keys, not ~40-byte
+    // 5-token strings (the oracle hashes identically; md5Long collisions
+    // are ~1e-6 over a bench-scale gram vocabulary and merely merge two
+    // grams' doc lists when they do occur). Sizes come off a second
+    // narrow scan and join onto the TINY pair table at the end — riding
+    // ng through the gram shuffle instead measures ~25% slower (wider
+    // shuffle rows + struct lambdas in the expansion beat the scan
+    // they save).
+    val sh = graft.functions.GramHashFunctions.graftGramMd5(
+      TextAnalysis.wsTokens(col("text")), k, distinct = true)
+    val grams = docs.select(col("doc_id"), explode(sh).as("g"))
+    val sizes = docs.select(col("doc_id"), size(sh).cast("long").as("ng"))
+    val capped = udaf(new graft.functions.CappedDistinctAggregator(dfCap),
+      Encoders.scalaLong)
+    grams
+      .groupBy("g")
+      .agg(capped(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2) // over-cap grams poisoned to [] here
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("id_a"), col("ng").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("ng").as("nb")), "id_b")
@@ -924,8 +931,8 @@ object Dedup {
       pmod(TextAnalysis.md5Long(concat(lit("pairsim"), col(idCol).cast("string"))),
         lit(1000L)) < samplePermille)
     val sets = sampled.select(col(idCol).cast("long").as("id"),
-        array_distinct(transform(TextAnalysis.shingles(col(textCol), k),
-          s => TextAnalysis.md5Long(s))).as("sh"))
+        graft.functions.GramHashFunctions.graftGramMd5(
+          TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as("sh"))
       .localCheckpoint() // both sides of the self-join read this
     val pairs = sets.as("a").join(
       broadcast(sets.select(col("id").as("id_b"), col("sh").as("sh_b"))),

@@ -2057,7 +2057,7 @@ object PipelineQueries {
          |  FROM documents WHERE doc_id < 5),
          |t AS (SELECT doc_id, $toksSql AS toks FROM d),
          |sh AS (
-         |  SELECT DISTINCT doc_id, g FROM (
+         |  SELECT DISTINCT doc_id, ${OracleSql.md5Long("g")} AS g FROM (
          |    SELECT doc_id,
          |           unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
          |                ELSE list_transform(range(1, len(toks) - 3),

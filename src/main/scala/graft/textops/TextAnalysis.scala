@@ -152,7 +152,8 @@ object TextAnalysis {
     conv(substring(md5(s), 18, 15), 16, 10).cast("long")
 
   def fingerprint(text: Column, k: Int = 3): Column =
-    array_min(transform(shingles(text, k), s => md5Long(s)))
+    array_min(graft.functions.GramHashFunctions.graftGramMd5(
+      wsTokens(text), k, distinct = false))
 
   /** SymSpell-style deletion neighborhood: the string itself plus every
     * delete-one-character variant. Two strings at edit distance ≤ 1
