@@ -54,4 +54,57 @@ object Eval {
             "(u2d * 10000) div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)"))
           .cast("long").as("auc_bp"))
   }
+
+  /** Decile lift table — the model-eval report read before deploying a
+    * ranking filter: rows sorted by score DESC are cut into `bins`
+    * exact equi-depth bins ([[graft.operators.Scale.equiDepthBins]] —
+    * ntile semantics with no single-partition window), and each bin
+    * reports its size, positive count, response rate, and CUMULATIVE
+    * lift vs the base rate (how much better the top k/bins of the
+    * ranking is than random). AUC (q151) summarizes the whole curve in
+    * one number; the lift table says where the separation actually
+    * lives — the difference between "ship the filter at the top-decile
+    * cut" and "the signal is flat past bin 3".
+    *
+    * Exactness: ranking ties break on `idCol` (total order), all
+    * counts are longs, rates/lifts are integer basis points via `div`,
+    * and the cumulative products go through DECIMAL(38,0) (cum_pos ×
+    * total overflows a Long past ~3e9 rows per side — the q151
+    * precedent). The corpus is scanned once into the rank machinery;
+    * the per-bin rollup is a partial+final agg; the cumulative pass
+    * runs over the `bins`-row table (bounded by construction, so its
+    * window is NOT a scale hazard).
+    *
+    * `scoreCol` must be integral (negated for the descending order —
+    * exact only for integers; quantize floats upstream first), `posCol`
+    * boolean.
+    */
+  def liftTable(
+      scored: DataFrame,
+      scoreCol: String,
+      posCol: String,
+      idCol: String,
+      bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = graft.operators.Scale.equiDepthBins(
+      scored.withColumn("_ns", -col(scoreCol)), bins, "_ns", idCol)
+    val perBin = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"),
+      sum(when(col(posCol), 1L).otherwise(0L)).as("n_pos"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .withColumn("t_n", sum("n").over(tot))
+      .withColumn("t_pos", sum("n_pos").over(tot))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 10000 div n").as("resp_bp"),
+        when(col("t_pos") === 0L, lit(null)).otherwise(expr(
+          """(CAST(cum_pos AS DECIMAL(38,0)) * t_n * 10000)
+            | div (CAST(cum_n AS DECIMAL(38,0)) * t_pos)""".stripMargin))
+          .cast("long").as("cum_lift_bp"))
+  }
 }

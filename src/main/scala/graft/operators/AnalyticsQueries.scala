@@ -1881,6 +1881,144 @@ object AnalyticsQueries {
         .unionByName(leg("events", Tables.events(s, dir),
           Tables.events(s, dir).filter(col("user_id") % 97 === 0)))
         .orderBy("tbl")
+    },
+
+    // ---- bounded-hop BFS (q168): minimum hop distance from a seed
+    //      supplier set over the supplier⇄customer co-purchase graph
+    //      (q145's bipartite construction) — the "entities within k
+    //      hops of a flagged account" sweep. Level-synchronous BFS:
+    //      each round is one frontier⋈edges shuffle + an anti-join
+    //      against the visited set; the oracle unrolls the same three
+    //      rounds. Exact: hop distance is an integer with no ties to
+    //      break. ----
+    QueryDef(
+      "q168_bfs_hops",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM pairs
+        |          UNION ALL SELECT c, s FROM pairs),
+        |f0 AS (SELECT DISTINCT s AS id FROM pairs
+        |       WHERE (s - 1000000000000) % 97 = 0),
+        |n1 AS (SELECT DISTINCT e.dst AS id FROM edges e
+        |       JOIN f0 ON e.src = f0.id
+        |       WHERE e.dst NOT IN (SELECT id FROM f0)),
+        |n2 AS (SELECT DISTINCT e.dst AS id FROM edges e
+        |       JOIN n1 ON e.src = n1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM f0)
+        |         AND e.dst NOT IN (SELECT id FROM n1)),
+        |n3 AS (SELECT DISTINCT e.dst AS id FROM edges e
+        |       JOIN n2 ON e.src = n2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM f0)
+        |         AND e.dst NOT IN (SELECT id FROM n1)
+        |         AND e.dst NOT IN (SELECT id FROM n2))
+        |SELECT id, CAST(0 AS BIGINT) AS hops FROM f0
+        |UNION ALL SELECT id, 1 FROM n1
+        |UNION ALL SELECT id, 2 FROM n2
+        |UNION ALL SELECT id, 3 FROM n3
+        |ORDER BY hops, id""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      // same 1e12 node-id offset as q92/q145
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 1000000000000L).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+      val sources = pairs
+        .filter((col("s") - 1000000000000L) % 97 === 0)
+        .select(col("s").as("id"))
+      graft.graph.Graph.boundedHops(edges, sources, maxHops = 3)
+        .orderBy("hops", "id")
+    },
+
+    // ---- activity streaks / gaps-and-islands (q169): per user, runs
+    //      of consecutive active days in the events stream → longest
+    //      streak, streak count, total active days. The classic
+    //      day − row_number() island key. Scale shape: the distinct
+    //      (user, day) table is bounded by users × days (never event
+    //      volume); the window partitions BY USER (bounded frames, no
+    //      one-partition global sort); the rollups are partial+final
+    //      aggs. ----
+    QueryDef(
+      "q169_streaks",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |           AS BIGINT) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |             day - row_number() OVER (PARTITION BY user_id
+        |                                      ORDER BY day) AS island
+        |      FROM d),
+        |st AS (SELECT user_id, island, count(*) AS len
+        |       FROM i GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = Tables.eventsTs(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+            .cast("long").as("day"))
+        .distinct()
+      val islands = days.withColumn("island",
+        col("day") - row_number().over(
+          Window.partitionBy("user_id").orderBy("day")))
+      islands.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum("len").as("active_days"))
+        .orderBy("user_id")
+    },
+
+    // ---- decile lift table (q170): the companion report to q151's
+    //      AUC — where in the ranking the separation lives. Same
+    //      stopword-density score vs lang='en' ground truth; exact
+    //      equi-depth deciles by score DESC (Scale.equiDepthBins — no
+    //      one-partition window over rows), per-decile response rate
+    //      and cumulative lift in integer basis points
+    //      (DECIMAL(38,0) products — the q151 overflow precedent). ----
+    QueryDef(
+      "q170_lift_table",
+      s"""WITH m AS (
+         |  SELECT doc_id, lang = 'en' AS pos,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> list_contains(${PipelineQueries.stopwordsSql}, w))) * 1000000
+         |           // len(string_split(text, ' ')) AS score
+         |  FROM documents),
+         |b AS (SELECT pos,
+         |             ntile(10) OVER (ORDER BY -score, doc_id) AS bin
+         |      FROM m),
+         |g AS (SELECT bin, count(*) AS n,
+         |             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+         |      FROM b GROUP BY 1),
+         |c AS (SELECT *,
+         |             sum(n) OVER (ORDER BY bin) AS cum_n,
+         |             sum(n_pos) OVER (ORDER BY bin) AS cum_pos,
+         |             sum(n) OVER () AS t_n,
+         |             sum(n_pos) OVER () AS t_pos
+         |      FROM g)
+         |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         |       CAST(n_pos * 10000 // n AS BIGINT) AS resp_bp,
+         |       CAST(CASE WHEN t_pos = 0 THEN NULL
+         |            ELSE (cum_pos * t_n * 10000) // (cum_n * t_pos)
+         |            END AS BIGINT) AS cum_lift_bp
+         |FROM c ORDER BY bin""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (col("lang") === "en").as("pos"),
+        floor(size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 1000000L / size(toks).cast("long"))
+          .cast("long").as("score"))
+      graft.ml.Eval.liftTable(m, "score", "pos", "doc_id", bins = 10)
+        .orderBy("bin")
     }
   )
 }

@@ -355,12 +355,11 @@ object ScaleProbe {
     println(f"[scaleprobe] containment pairs ratio=${ctnpairs.toDouble / math.max(ct1pairs, 1)}%.2f, " +
       f"time ratio=${ctn / ct1}%.2f for ${copies}x data")
 
-    // Containment checkpoint footprint: lineage is cut on the
-    // df-FILTERED gram table, not the full explode — on a
-    // boilerplate-heavy corpus (shared template prefix in every doc →
-    // most grams over dfCap) the materialized bytes must be a small
-    // fraction of the exploded gram mass. Reported as the peak
-    // persistent-block footprint left by one containmentPairs run.
+    // Containment persistent-block footprint: the one-shuffle shape
+    // (capped bounded-heap collect per gram) pins NOTHING in executor
+    // block storage — reported vs what persisting the full explode
+    // would cost on a boilerplate-heavy corpus (shared template prefix
+    // in every doc). Must be 0.
     def storedBytes(): Long =
       spark.sparkContext.getRDDStorageInfo
         .map(i => i.memSize + i.diskSize).sum
@@ -384,7 +383,7 @@ object ScaleProbe {
     println(f"[scaleprobe] containment checkpoint bytes=$checkpointedBytes " +
       f"vs full-explode bytes=$explodedBytes " +
       f"(ratio=${checkpointedBytes.toDouble / math.max(explodedBytes, 1)}%.3f — " +
-      "lineage cut on the df-filtered survivor grams only)")
+      "one-shuffle capped-collect shape pins no executor blocks)")
 
     // MMR selection: per-step cost is O(n·d) via the running penalty
     // column (one cosine against the latest pick), so total work — and

@@ -496,4 +496,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"cohort-size table must broadcast onto the retention grid:\n$plan")
   }
+
+  test("q168 BFS: every round is an equi-join — no cartesian/NLJ anywhere in the wavefront") {
+    val plan = planOf("q168_bfs_hops")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"frontier expansion and visited anti-join must stay equi-joins:\n$plan")
+  }
+
+  test("q169 streaks: the island window partitions by user — never one global partition") {
+    val plan = planOf("q169_streaks")
+    assert(plan.contains("Window"), s"expected the island window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"a global-sort window would serialize the corpus onto one task:\n$plan")
+  }
 }

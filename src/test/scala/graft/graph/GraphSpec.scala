@@ -74,6 +74,35 @@ class GraphSpec extends SparkSpec {
       ((3L, 3L, 1L)))
   }
 
+  test("boundedHops: min hop distance on a hand graph; unreachable nodes absent") {
+    // path 1→2→3→4→5 plus a shortcut 1→4 and an isolated pair 10→11
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val src = Seq(1L).toDF("id")
+    val got = Graph.boundedHops(e, src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut wins: 4 is at hop 1, 5 at hop 2, never the path-length 3/4
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L),
+      s"got $got")
+  }
+
+  test("boundedHops: maxHops truncates; drained frontier short-circuits; multi-source min wins") {
+    val chain = (1L to 6L).sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("src", "dst")
+    val truncated = Graph.boundedHops(chain, Seq(1L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(truncated == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two sources: every node takes the NEARER one
+    val multi = Graph.boundedHops(chain, Seq(1L, 5L).toDF("id"), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L, 4L -> 3L))
+    // frontier drains at hop 1 on a single edge — result still exact
+    val tiny = Graph.boundedHops(Seq((1L, 2L)).toDF("src", "dst"),
+      Seq(1L).toDF("id"), maxHops = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tiny == Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("triangleCount matches a sequential reference on a pseudo-random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = (0 until 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))

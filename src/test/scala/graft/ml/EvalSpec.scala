@@ -46,4 +46,35 @@ class EvalSpec extends SparkSpec {
     assert(a.getLong(2) == u2)
     assert(a.getLong(3) == 10000L * u2 / (2L * pos.size * neg.size))
   }
+
+  test("liftTable: hand case — perfect ranking concentrates positives in the top bins") {
+    // 20 rows, 5 positives holding the 5 highest scores, 4 bins of 5
+    val rows = (1L to 20L).map(id => (id, 100L - id, id <= 5))
+    val df = rows.toDF("doc_id", "score", "pos")
+    val got = Eval.liftTable(df, "score", "pos", "doc_id", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // bin 1 = ids 1..5 (highest scores) = all 5 positives
+    assert(got(0) == (1L, 5L, 5L, 10000L, 40000L),
+      s"top bin must be all-positive at 4x lift, got ${got(0)}")
+    assert(got.drop(1).forall(b => b._3 == 0L && b._4 == 0L),
+      "remaining bins hold no positives")
+    // cumulative lift decays toward 10000 bp (the base rate) at the end
+    assert(got.last._5 == 10000L)
+  }
+
+  test("liftTable: exact ntile sizing on a non-divisible total; partition-invariant") {
+    // 23 rows into 4 bins -> sizes 6,6,6,5 (first n%bins bins get the
+    // extra row); positives alternate so rates are mixed
+    val rows = (1L to 23L).map(id => (id, id * 7 % 23, id % 3 == 0))
+    val df = rows.toDF("doc_id", "score", "pos")
+    val a = Eval.liftTable(df, "score", "pos", "doc_id", bins = 4)
+      .orderBy("bin").collect().toSeq
+    val b = Eval.liftTable(df.repartition(11), "score", "pos", "doc_id", bins = 4)
+      .orderBy("bin").collect().toSeq
+    assert(a == b, "lift table must not depend on partitioning")
+    assert(a.map(_.getLong(1)) == Seq(6L, 6L, 6L, 5L))
+    assert(a.map(_.getLong(2)).sum == rows.count(_._3))
+  }
 }
