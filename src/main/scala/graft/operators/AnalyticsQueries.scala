@@ -2019,6 +2019,41 @@ object AnalyticsQueries {
           .cast("long").as("score"))
       graft.ml.Eval.liftTable(m, "score", "pos", "doc_id", bins = 10)
         .orderBy("bin")
+    },
+
+    // ---- integer EWMA engagement score (q171): per user, the
+    //      exponentially-weighted moving average of daily event counts
+    //      over the user's ACTIVE-day sequence, α = 0.1, in exact
+    //      micro-units: s ← (9·s + 10⁶·c) div 10 from s₀ = 0. The
+    //      recency-weighted engagement signal a retention model
+    //      consumes — and, being a left fold in integer arithmetic, it
+    //      is bit-identical on any engine (a float EWMA is not). Both
+    //      sides run the SAME fold: Spark `aggregate` over the
+    //      day-sorted counts, DuckDB `list_reduce` with the prepended
+    //      init. Scale shape: the daily rollup map-side combines; the
+    //      per-user list is bounded by calendar days (≤ a few thousand
+    //      forever), never by event volume. ----
+    QueryDef(
+      "q171_ewma_engagement",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, list(c ORDER BY day) AS cs
+        |      FROM daily GROUP BY 1)
+        |SELECT user_id, CAST(len(cs) AS BIGINT) AS n_days,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |            (acc, x) -> (acc * 9 + x * 1000000) // 10)
+        |         AS BIGINT) AS ewma_micro
+        |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.eventsTs(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("day"), col("c")))).as("ds"))
+        .selectExpr("user_id", "CAST(size(ds) AS BIGINT) AS n_days",
+          """aggregate(transform(ds, d -> d.c), 0L,
+            |  (acc, x) -> (acc * 9 + x * 1000000) div 10) AS ewma_micro""".stripMargin)
+        .orderBy("user_id")
     }
   )
 }

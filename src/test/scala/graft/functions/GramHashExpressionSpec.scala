@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.textops.TextAnalysis
 import org.apache.spark.sql.functions._
 
-class GramHashExpressionSpec extends SparkSpec {
+class GramHashExpressionSpec extends SparkSpec with graft.PropHelper {
   import spark.implicits._
 
   private def composed(k: Int, distinct: Boolean) = {
@@ -47,6 +47,27 @@ class GramHashExpressionSpec extends SparkSpec {
       .head().getSeq[Long](0)
     val want = df.select(composed(3, distinct = true)).head().getSeq[Long](0)
     assert(got == want && got.length == 2)
+  }
+
+  test("property: equal to the composed form on random unicode token streams") {
+    import org.scalacheck.{Gen, Prop}
+    // tokens with multi-byte UTF-8 (accents, CJK, emoji) — the kernel
+    // hashes raw UTF8String bytes, which must agree with md5(concat_ws)
+    val tokGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("café", "naïve", "日本語", "données", "🦊", "Ω≈ç", "мир")))
+      .map(_.take(30))
+    checkProp(Prop.forAll(tokGen, Gen.choose(1, 6)) { (toks, k) =>
+      val text = toks.mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("text")
+      val got = df.select(GramHashFunctions.graftGramMd5(
+          TextAnalysis.wsTokens($"text"), k, distinct = true))
+        .head().getSeq[Long](0)
+      val want = df.select(array_distinct(transform(
+          TextAnalysis.shingles($"text", k), s => TextAnalysis.md5Long(s))))
+        .head().getSeq[Long](0)
+      got == want
+    }, minSuccessful = 40)
   }
 
   test("interpreted (eval) path agrees with codegen path") {
