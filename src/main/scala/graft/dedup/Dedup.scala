@@ -496,6 +496,16 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
+    // labels only ever DECREASE (least(...) below), so the label sum is
+    // strictly monotone: unchanged sum ⟺ fixpoint. That makes the
+    // convergence check a scalar aggregate over the just-checkpointed
+    // round — not the join + inequality filter an order-free comparison
+    // would need. DECIMAL(38,0): node ids can carry 1e12-style offsets,
+    // and a Long sum over billions of such labels would overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -505,8 +515,9 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).isEmpty
+      val s = labelSum(updated)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = updated
       i += 1
     }

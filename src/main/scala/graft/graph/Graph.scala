@@ -34,14 +34,17 @@ object Graph {
     * Per iteration: one join of ranks onto edges (shuffle on src) and
     * one aggregate onto dst — no driver-side state, no collect.
     */
-  def pageRankMicro(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def pageRankMicro(
+      edges: DataFrame,
+      iterations: Int = 3,
+      checkpointInterval: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val contribs = e
         .join(outdeg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
@@ -55,7 +58,13 @@ object Graph {
         .select(col("id"),
           (lit(150000L) + expr("coalesce(inbox, 0L) * 85 div 100"))
             .cast("long").as("rank_micro"))
-        .localCheckpoint()
+      // the per-round plan references ranks once, so lineage grows
+      // LINEARLY — truncating it every round paid an eager job per
+      // iteration for nothing. Checkpoint on the Spark ML cadence
+      // (every `checkpointInterval` rounds): short catalog runs stay
+      // one fully-lazy job; long runs still bound plan depth and
+      // recompute-on-failure cost.
+      if (i % checkpointInterval == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -83,13 +92,16 @@ object Graph {
     * count is the standard large-graph practice (labels stabilize
     * locally long before global convergence).
     */
-  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int = 3,
+      checkpointInterval: Int = 5): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("id"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val counts = e
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("label"))
@@ -104,7 +116,9 @@ object Graph {
         .join(best, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint()
+      // linear lineage (labels referenced once per round) — checkpoint
+      // on the interval cadence, not every round (see pageRankMicro)
+      if (i % checkpointInterval == 0) labels = labels.localCheckpoint()
     }
     labels
   }
@@ -182,27 +196,30 @@ object Graph {
       sources: DataFrame,
       maxHops: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    var visited = sources.select(col("id").cast("long").as("id"))
-      .distinct()
-      .withColumn("hops", lit(0L))
-      .localCheckpoint()
-    var frontier = visited
+    // each round's frontier is localCheckpointed (it is re-read by the
+    // next round's expansion, the anti-join, AND the drain check); the
+    // visited set is just the UNION of those checkpointed frontiers —
+    // materializing it again per round would pay a second eager pass
+    // over data that is already pinned
+    var frontiers = List(
+      sources.select(col("id").cast("long").as("id"))
+        .distinct()
+        .withColumn("hops", lit(0L))
+        .localCheckpoint())
     var h = 1
     var drained = false
     while (h <= maxHops && !drained) {
+      val visitedIds = frontiers.map(_.select("id")).reduce(_ union _)
       val next = e
-        .join(frontier.select(col("id").as("src")), "src")
+        .join(frontiers.head.select(col("id").as("src")), "src")
         .select(col("dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
+        .join(visitedIds, Seq("id"), "left_anti")
         .withColumn("hops", lit(h.toLong))
         .localCheckpoint()
       drained = next.isEmpty
-      if (!drained) {
-        visited = visited.union(next).localCheckpoint()
-        frontier = next
-      }
+      if (!drained) frontiers = next :: frontiers
       h += 1
     }
-    visited
+    frontiers.reduce(_ unionByName _)
   }
 }

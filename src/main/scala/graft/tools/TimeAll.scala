@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Timing sweep over the whole catalog: runs every query `passes` times
+  * at `sfDir` and prints the fastest observed wall time per query,
+  * slowest first — the tool that finds un-benched slow queries.
+  */
+object TimeAll {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.getOrCreate("graft-timeall")
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to passes).foreach { p =>
+      SparkEntry.catalog.foreach { q =>
+        val t0 = System.nanoTime()
+        try {
+          q.fn(spark, dir).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          best(q.name) = math.min(best.getOrElse(q.name, Double.MaxValue), secs)
+        } catch {
+          case e: Exception =>
+            println(s"[timeall] ${q.name} FAILED: ${e.getMessage.take(100)}")
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
+      println(s"[timeall] pass $p done")
+    }
+    best.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+      println(f"[timeall] $s%7.3f  $n")
+    }
+    spark.stop()
+  }
+}
