@@ -2054,6 +2054,51 @@ object AnalyticsQueries {
           """aggregate(transform(ds, d -> d.c), 0L,
             |  (acc, x) -> (acc * 9 + x * 1000000) div 10) AS ewma_micro""".stripMargin)
         .orderBy("user_id")
+    },
+
+    // ---- temperature-scaled mixture weights (q172): per-source
+    //      sampling shares ∝ mass^α with α = 1/2 (the mT5/XLM-R
+    //      upsampling rule: damp the head, boost the tail) over TOKEN
+    //      mass, plus the doc quota each source gets from a fixed
+    //      sample budget. floor(sqrt(n)) is engine-exact (IEEE sqrt is
+    //      correctly rounded and both engines floor the same double);
+    //      shares/quotas are integer bp / div. Scale shape: one
+    //      map-side-combined aggregate to |sources| rows, then
+    //      broadcast-total arithmetic — corpus scanned once. Apply the
+    //      quotas with the q109 bounded-heap cap or q113 exact
+    //      k-sample. ----
+    QueryDef(
+      "q172_temperature_mix",
+      """WITH m AS (
+        |  SELECT source,
+        |         count(*) AS n_docs,
+        |         sum(len(string_split(text, ' '))) AS toks
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(toks)) AS BIGINT) AS w FROM m),
+        |t AS (SELECT sum(w) AS tw, sum(toks) AS tt FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(toks AS BIGINT) AS n_tokens,
+        |       CAST(toks * 10000 // tt AS BIGINT) AS raw_share_bp,
+        |       CAST(w * 10000 // tw AS BIGINT) AS temp_share_bp,
+        |       CAST(10000 * w // tw * 10000 // (toks * 10000 // tt)
+        |         AS BIGINT) AS boost_ratio_bp,
+        |       CAST(w * 50000 // tw AS BIGINT) AS quota_docs
+        |FROM w, t ORDER BY source""".stripMargin) { (s, dir) =>
+      val budget = 50000L
+      val m = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+        .withColumn("w", floor(sqrt(col("toks"))).cast("long"))
+      val t = m.agg(sum("w").as("tw"), sum("toks").as("tt"))
+      m.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"), col("toks").as("n_tokens"),
+          expr("toks * 10000 div tt").as("raw_share_bp"),
+          expr("w * 10000 div tw").as("temp_share_bp"),
+          expr("10000 * w div tw * 10000 div (toks * 10000 div tt)")
+            .as("boost_ratio_bp"),
+          expr(s"w * $budget div tw").as("quota_docs"))
+        .orderBy("source")
     }
   )
 }
