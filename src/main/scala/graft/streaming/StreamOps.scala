@@ -105,6 +105,53 @@ object StreamOps {
       }
   }
 
+  /** One user's daily activity count entering the EWMA fold. */
+  final case class DayCount(userId: Long, day: Long, c: Long)
+
+  /** Per-user EWMA state: last folded day, days seen, score in exact
+    * micro-units — 3 longs per user, bounded regardless of stream length.
+    */
+  final case class EwmaState(userId: Long, lastDay: Long, nDays: Long,
+      ewmaMicro: Long)
+
+  /** The q171 integer fold: s ← (9·s + 10⁶·c) div 10 over day-sorted
+    * counts, skipping days at or before the already-folded watermark —
+    * shared by the batch spec reference and the streaming state update.
+    */
+  def ewmaFold(st0: EwmaState, days: Seq[DayCount]): EwmaState =
+    days.sortBy(_.day).foldLeft(st0) { (st, d) =>
+      if (d.day <= st.lastDay) st // late replay of a folded day: dropped
+      else EwmaState(st.userId, d.day, st.nDays + 1,
+        (st.ewmaMicro * 9 + d.c * 1000000L) / 10)
+    }
+
+  /** Streaming twin of the q171 EWMA engagement score: each user's
+    * GroupState folds newly-arrived daily counts through the SAME exact
+    * integer recursion the batch query runs, so on day-ordered delivery
+    * the live score equals the batch score bit-for-bit (StreamOpsSpec
+    * pins it across multi-batch splits). Late days at or before the
+    * per-user fold watermark are dropped — reprocessing out-of-order
+    * history belongs to the batch form; this surface is the live
+    * engagement dashboard. Scale shape: state is 3 longs per user,
+    * partitioned across executors by the state store.
+    */
+  def ewmaEngagement(
+      spark: org.apache.spark.sql.SparkSession,
+      daily: Dataset[DayCount]): Dataset[EwmaState] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    daily.groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[DayCount],
+         state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+          val st = ewmaFold(
+            state.getOption.getOrElse(EwmaState(uid, Long.MinValue, 0L, 0L)),
+            it.toSeq)
+          state.update(st)
+          st
+      }
+  }
+
   /** Streaming exact dedup on a content digest: keeps the first arrival
     * of each distinct `textCol` value. With a watermark on `tsCol`,
     * dropDuplicatesWithinWatermark bounds the dedup state — entries older

@@ -224,4 +224,44 @@ class StreamOpsSpec extends SparkSpec {
     assert(psi(ts(30)) > 300000L,
       s"shifted window must alert loudly: ${psi(ts(30))}")
   }
+
+  test("streaming EWMA == the batch q171 fold across arbitrary batch splits; late days dropped") {
+    import StreamOps.{DayCount, EwmaState}
+    val days = Seq(
+      DayCount(1L, 10L, 3L), DayCount(1L, 11L, 1L), DayCount(1L, 14L, 7L),
+      DayCount(2L, 10L, 2L), DayCount(2L, 12L, 2L))
+    // batch reference: one fold over everything
+    val want = days.groupBy(_.userId).map { case (u, ds) =>
+      u -> StreamOps.ewmaFold(EwmaState(u, Long.MinValue, 0L, 0L), ds)
+    }
+    // sanity vs the q171 arithmetic by hand for user 1:
+    // 0 -> (0*9+3e6)/10=300000 -> (2.7e6+1e6)/10=370000 -> (3.33e6+7e6)/10=1033000
+    assert(want(1L).ewmaMicro == 1033000L && want(1L).nDays == 3L)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DayCount]
+    val q = StreamOps.ewmaEngagement(spark, input.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(days.take(2): _*) // batch 1: user1 days 10,11
+      q.processAllAvailable()
+      input.addData(days.drop(2): _*) // batch 2: the rest
+      q.processAllAvailable()
+      input.addData(DayCount(1L, 11L, 999L)) // late replay of a folded day
+      q.processAllAvailable()
+      // Update-mode sink appends one row per state emission per batch;
+      // the latest state is the one with the most folded days
+      val got = spark.sql(
+          "SELECT userId, ewmaMicro, nDays, lastDay FROM ewma").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) => u -> rows.maxBy(_.getLong(2)) }
+      assert(got(1L).getLong(1) == want(1L).ewmaMicro &&
+        got(1L).getLong(2) == want(1L).nDays,
+        s"user1 stream=${got(1L)} batch=${want(1L)}")
+      assert(got(2L).getLong(1) == want(2L).ewmaMicro)
+      assert(got(1L).getLong(3) == 14L, "late day must not advance state")
+    } finally q.stop()
+  }
 }
