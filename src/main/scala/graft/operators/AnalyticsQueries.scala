@@ -1931,7 +1931,7 @@ object AnalyticsQueries {
         .select(col("s").as("id"))
       graft.graph.Graph.boundedHops(edges, sources, maxHops = 3)
         .orderBy("hops", "id")
-    },
+    }.copy(headline = true),
 
     // ---- activity streaks / gaps-and-islands (q169): per user, runs
     //      of consecutive active days in the events stream → longest

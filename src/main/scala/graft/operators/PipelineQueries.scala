@@ -592,7 +592,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_clusters"),
           sum(col("cluster_size") - 1).as("docs_dropped"))
         .orderBy("cluster_size")
-    },
+    }.copy(headline = true),
 
     // ---- SimHash sketches + near-dup distances, oracle-checked: the
     //      60-bit sketch uses the portable md5-60bit token hash, so
@@ -1159,7 +1159,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextAnalysis.wsTokens(col("text"))).cast("long")).as("total_tokens"))
         .orderBy("lang")
-    },
+    }.copy(headline = true),
 
     // ---- PII redaction (training-data scrub): plant synthetic emails /
     //      phone numbers, redact with character-class-only regexes (RE2
