@@ -2099,6 +2099,90 @@ object AnalyticsQueries {
             .as("boost_ratio_bp"),
           expr(s"w * $budget div tw").as("quota_docs"))
         .orderBy("source")
+    },
+
+    // ---- l-diversity audit (q173): q153's k-anonymity counts group
+    //      SIZES; this checks what k-anonymity famously misses — a
+    //      large group whose SENSITIVE attribute is uniform still leaks
+    //      it (the homogeneity attack, Machanavajjhala 2007). Per
+    //      quasi-identifier group (nation, market segment): size,
+    //      distinct sensitive values (the $1000 balance bucket), and
+    //      the vulnerable flag l < 3. Two map-side-combined aggregates;
+    //      the distinct count rides the same shuffle as the size. ----
+    QueryDef(
+      "q173_l_diversity",
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         count(*) AS grp_size,
+         |         count(DISTINCT CAST(floor(
+         |           CAST(${Exact.centsSql("c_acctbal")} AS DOUBLE) / 100000)
+         |           AS BIGINT)) AS l_div
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c_nationkey, c_mktsegment,
+         |       CAST(grp_size AS BIGINT) AS grp_size,
+         |       CAST(l_div AS BIGINT) AS l_div,
+         |       l_div < 3 AS vulnerable
+         |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("grp_size"),
+          countDistinct(
+            floor(Exact.cents(col("c_acctbal")).cast("double") / 100000)
+              .cast("long")).as("l_div"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("grp_size"),
+          col("l_div"), (col("l_div") < 3).as("vulnerable"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ---- robust outlier detection via exact MAD (q174): median and
+    //      median-absolute-deviation computed exactly (lower-median
+    //      rank (n+1) div 2 through the distributed globalRank — no
+    //      single-partition window), then the |x − med| > 3·MAD·1.4826
+    //      rule in integer cross-products (1.4826 ≈ 14826/10000, the
+    //      normal-consistency constant). Mean/stddev outliers (q79)
+    //      move with the outliers themselves; MAD is the 50%-breakdown
+    //      robust form. Two rank passes + one broadcast clamp scan. ----
+    QueryDef(
+      "q174_mad_outliers",
+      s"""WITH c AS (
+         |  SELECT o_orderkey, ${Exact.centsSql("o_totalprice")} AS cents
+         |  FROM orders),
+         |n AS (SELECT count(*) AS n FROM c),
+         |r AS (SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+         |      FROM c),
+         |med AS (SELECT cents AS med FROM r, n WHERE rn = (n + 1) // 2),
+         |d AS (SELECT abs(c.cents - med.med) AS dev, c.o_orderkey FROM c, med),
+         |rd AS (SELECT dev, row_number() OVER (ORDER BY dev, o_orderkey) AS rn
+         |       FROM d),
+         |mad AS (SELECT dev AS mad FROM rd, n WHERE rn = (n + 1) // 2)
+         |SELECT CAST(n.n AS BIGINT) AS n,
+         |       CAST(med.med AS BIGINT) AS median_cents,
+         |       CAST(mad.mad AS BIGINT) AS mad_cents,
+         |       CAST((SELECT count(*) FROM d, mad
+         |             WHERE d.dev * 10000 > 3 * 14826 * mad.mad)
+         |         AS BIGINT) AS n_outliers
+         |FROM n, med, mad""".stripMargin) { (s, dir) =>
+      import graft.operators.Scale
+      val c = Tables.orders(s, dir)
+        .select(col("o_orderkey"), Exact.cents(col("o_totalprice")).as("cents"))
+      def lowerMedian(df: org.apache.spark.sql.DataFrame,
+          vCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+        val (ranked, total) = Scale.globalRankWithTotal(df, "_r", vCol, idCol)
+        ranked.filter(col("_r") === (total + 1) / 2).select(col(vCol))
+      }
+      val med = lowerMedian(c, "cents", "o_orderkey")
+        .select(col("cents").as("med"))
+      val devs = c.crossJoin(broadcast(med))
+        .select(col("o_orderkey"), abs(col("cents") - col("med")).as("dev"))
+      val mad = lowerMedian(devs, "dev", "o_orderkey")
+        .select(col("dev").as("mad"))
+      val nRow = c.agg(count(lit(1)).as("n"))
+      val outliers = devs.crossJoin(broadcast(mad))
+        .filter(col("dev") * 10000L > lit(3L) * 14826L * col("mad"))
+        .agg(count(lit(1)).as("n_outliers"))
+      nRow.crossJoin(broadcast(med.select(col("med").as("median_cents"))))
+        .crossJoin(broadcast(mad.select(col("mad").as("mad_cents"))))
+        .crossJoin(broadcast(outliers))
     }
   )
 }

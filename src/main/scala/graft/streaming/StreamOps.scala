@@ -152,6 +152,69 @@ object StreamOps {
       }
   }
 
+  /** One event entering the streaming sessionizer. */
+  final case class SEvent(userId: Long, ts: java.sql.Timestamp)
+
+  /** Open-session accumulator: 3 longs per user. */
+  final case class SessionAcc(startUs: Long, lastUs: Long, n: Long)
+
+  /** A closed session, emitted once — append-mode safe. */
+  final case class ClosedSession(userId: Long, startUs: Long, endUs: Long,
+      nEvents: Long)
+
+  /** Streaming sessionizer via `flatMapGroupsWithState` + EVENT-TIME
+    * timeout: the q75 lag-gap rule (a gap strictly greater than
+    * `gapMinutes` closes the session) run incrementally. Sessions that
+    * close INSIDE a micro-batch emit immediately; the trailing open
+    * session emits when the WATERMARK passes lastEvent + gap (event-time
+    * timeout — deterministic, unlike a wall-clock timeout, and exactly
+    * the rule the batch form applies). This is the append-mode
+    * complement to `sessionCounts` (session_window aggregation): that
+    * shape yields windowed aggregates, this one yields one immutable
+    * record per closed session — the form a downstream fact table
+    * ingests. State per user is one open session (3 longs), evicted on
+    * emit. Requires a watermark on `ts` upstream (withWatermark).
+    *
+    * In-batch events fold in event-time order; late events older than
+    * the open session's last timestamp extend counts only if they fall
+    * within the gap of the session's span start (standard
+    * at-least-once session semantics — exact reprocessing belongs to
+    * the batch form, q75).
+    */
+  def sessionEmitter(
+      spark: org.apache.spark.sql.SparkSession,
+      events: Dataset[SEvent],
+      gapMinutes: Int = 10): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[SEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, acc.startUs, acc.lastUs, acc.n))
+          } else {
+            val ts = it.map(e => e.ts.getTime * 1000L).toArray.sorted
+            var acc = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            ts.foreach { t =>
+              acc =
+                if (acc == null) SessionAcc(t, t, 1L)
+                else if (t - acc.lastUs > gapUs) {
+                  closed += ClosedSession(uid, acc.startUs, acc.lastUs, acc.n)
+                  SessionAcc(t, t, 1L)
+                } else SessionAcc(acc.startUs, math.max(acc.lastUs, t), acc.n + 1L)
+            }
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup on a content digest: keeps the first arrival
     * of each distinct `textCol` value. With a watermark on `tsCol`,
     * dropDuplicatesWithinWatermark bounds the dedup state — entries older

@@ -264,4 +264,46 @@ class StreamOpsSpec extends SparkSpec {
       assert(got(1L).getLong(3) == 14L, "late day must not advance state")
     } finally q.stop()
   }
+
+  test("session emitter: in-batch closes emit immediately; trailing session closes on watermark") {
+    import StreamOps.{SEvent, ClosedSession}
+    def ev(u: Long, hhmm: String) =
+      SEvent(u, Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+    def us(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000L
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    // 2 h watermark delay: batch-2's 09:08 event must not be late
+    // against batch-1's 09:30 maximum
+    val q = StreamOps.sessionEmitter(spark,
+        StreamOps.withWatermark(input.toDF(), "2 hours").as[SEvent],
+        gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 1 has two sessions IN ONE BATCH (25-min gap);
+      // user 2 one open session
+      input.addData(ev(1, "09:00"), ev(1, "09:05"), ev(1, "09:30"),
+        ev(2, "09:00"))
+      q.processAllAvailable()
+      // batch 2: user 2 extends within gap; a sentinel user far in the
+      // future advances the watermark past every open session + gap
+      input.addData(ev(2, "09:08"))
+      q.processAllAvailable()
+      input.addData(ev(99, "12:00"))
+      q.processAllAvailable()
+      input.addData(ev(98, "13:00")) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM sessions").as[ClosedSession]
+        .collect().toSet
+      val want = Set(
+        ClosedSession(1L, us("09:00"), us("09:05"), 2L), // closed in-batch
+        ClosedSession(1L, us("09:30"), us("09:30"), 1L), // closed by timeout
+        ClosedSession(2L, us("09:00"), us("09:08"), 2L)) // spans batches
+      assert(want.subsetOf(got), s"got $got")
+      // exactly one session per (user, start): append-mode, no dupes
+      assert(got.toSeq.map(c => (c.userId, c.startUs)).distinct.size == got.size)
+    } finally q.stop()
+  }
 }
