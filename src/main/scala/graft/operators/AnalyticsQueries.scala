@@ -2183,6 +2183,54 @@ object AnalyticsQueries {
       nRow.crossJoin(broadcast(med.select(col("med").as("median_cents"))))
         .crossJoin(broadcast(mad.select(col("mad").as("mad_cents"))))
         .crossJoin(broadcast(outliers))
+    },
+
+    // ---- per-source quantile normalization (q175): replace each doc's
+    //      raw quality score with its exact within-source percentile
+    //      (basis points) — the calibration step that makes scores
+    //      comparable ACROSS domains before a global quality cut (a
+    //      "good" forum post and a "good" encyclopedia page sit at very
+    //      different raw scores; their percentiles align). Scale shape:
+    //      q162's grouped-rank trick — ONE distributed global prefix
+    //      sum over (source, score, id) order, then each source's rank
+    //      offset (a broadcast-sized aggregate) converts global rank to
+    //      within-source rank; no per-source window, no skew hazard
+    //      when one source dominates the corpus. ----
+    QueryDef(
+      "q175_quantile_normalize",
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> list_contains(${PipelineQueries.stopwordsSql}, w))) * 1000000
+         |           // len(string_split(text, ' ')) AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, score,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY score, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM d)
+         |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+         |       CAST(CASE WHEN n <= 1 THEN 0
+         |            ELSE (rk - 1) * 10000 // (n - 1) END AS BIGINT) AS pct_bp
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        floor(size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 1000000L / size(toks).cast("long"))
+          .cast("long").as("score"),
+        lit(1L).as("_one"))
+      val ranked = Scale.prefixSumLongBy(
+        d, Seq("source", "score", "doc_id"), "_one", "grk")
+      val off = ranked.groupBy("source")
+        .agg((min("grk") - 1L).as("off"), count(lit(1)).as("n"))
+      ranked.join(broadcast(off), "source")
+        .select(col("doc_id"), col("source"), col("score"),
+          when(col("n") <= 1L, 0L)
+            .otherwise(expr("(grk - off - 1) * 10000 div (n - 1)"))
+            .as("pct_bp"))
+        .orderBy("doc_id")
     }
   )
 }
