@@ -502,9 +502,11 @@ object Dedup {
     // round — not the join + inequality filter an order-free comparison
     // would need. DECIMAL(38,0): node ids can carry 1e12-style offsets,
     // and a Long sum over billions of such labels would overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty edge set
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
