@@ -470,6 +470,99 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs WEIGHTED (multiset) jaccard join — every pair with
+    * Σ min(cntA, cntB) / Σ max(cntA, cntB) ≥ `tauBp`/10000 over
+    * whitespace-token COUNTS. The bag-semantics companion to
+    * [[prefixFilterNearDups]] (V-SMART-Join / weighted-AllPairs family):
+    * set jaccard can't see that a doc repeating one token 100× is very
+    * unlike one mentioning it once; q97 scores KNOWN pairs, this one
+    * FINDS the pairs.
+    *
+    * Same three exact filters as the set form, weight-generalized:
+    *  - length: J ≤ min(Wa,Wb)/max(Wa,Wb), so 10⁴·Wmin ≥ tauBp·Wmax;
+    *  - prefix: with the length filter in force the required overlap is
+    *    ≥ τ·Wa, so a qualifying pair's FIRST shared token (canonical
+    *    (df, token) order) must sit where the remaining tail weight is
+    *    still ≥ τ·Wa — only those head positions are indexed;
+    *  - positional: at a collision the overlap is bounded by the SMALLER
+    *    remaining tail weight, and (10⁴+tauBp)·bound ≥ tauBp·(Wa+Wb)
+    *    must still be reachable, or the collision never becomes a
+    *    candidate.
+    * Verify is the q97 map_zip_with Σ min in exact longs. One shuffle
+    * gathers prefix postings; pair fan-out is Σ (prefix-df)², never
+    * docs². Output: (id_a, id_b, inter_w, wa, wb, jw_bp).
+    */
+  def weightedJaccardJoin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tauBp: Int = 6000): DataFrame = {
+    // hashed-token counts: (id, t, c) with one row per DISTINCT token,
+    // plus each doc's total weight W = Σ c (token multiplicity mass)
+    val tokc = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), TextAnalysis.md5Long(col("tok")).as("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // df count, prefix build, and both verify sides
+    val w = tokc.groupBy("id").agg(sum("c").as("wt"))
+    val freq = tokc.groupBy("t").agg(count(lit(1)).as("df"))
+    // per doc: canonical (df, t) order with a LINEAR running weight —
+    // one distributed global prefix sum over (id, df, t) order plus a
+    // per-doc offset (the q162/q175 grouped-rank trick; a per-position
+    // slice-fold would be O(tokens²) per doc). Index only the head
+    // positions whose tail weight (incl. the token) still reaches the
+    // τ·W floor a qualifying pair needs.
+    val ordered = tokc.join(freq, "t")
+    val cum = graft.operators.Scale.prefixSumLongBy(
+      ordered, Seq("id", "df", "t"), "c", "cum")
+    val offs = cum.groupBy("id").agg(min(col("cum") - col("c")).as("off"))
+    val prefixes = cum.join(offs, "id").join(w, "id")
+      // tail(p) = wt − cumBefore(p), cumBefore = cum − c − off
+      .select(col("id"), col("wt"), col("t"),
+        (col("wt") - (col("cum") - col("c") - col("off"))).as("tail"))
+      .filter(col("tail") * 10000L >= col("wt") * tauBp)
+    val buckets = prefixes.groupBy("t")
+      .agg(collect_list(struct(col("id"), col("wt"), col("tail"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairsCol = flatten(transform(col("ms"), (x, i) =>
+      filter(
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(
+            least(x.getField("id"), y.getField("id")).as("id_a"),
+            greatest(x.getField("id"), y.getField("id")).as("id_b"),
+            least(x.getField("wt"), y.getField("wt")).as("wmin"),
+            greatest(x.getField("wt"), y.getField("wt")).as("wmax"),
+            least(x.getField("tail"), y.getField("tail")).as("ub"))),
+        p => p.getField("wmin") * 10000L >= p.getField("wmax") * tauBp
+          && p.getField("ub") * (10000L + tauBp) >=
+            (p.getField("wmin") + p.getField("wmax")) * tauBp)))
+    val cands = buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+      .localCheckpoint() // both verify attach joins read this
+    // exact verify: Σ min over the token-count maps (q97's scorer)
+    val maps = tokc.groupBy("id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("t"), col("c"))))).as("m"))
+      .join(w, "id")
+    val attach = cands
+      .join(maps.select(col("id").as("id_a"), col("m").as("ma"),
+        col("wt").as("wa")), "id_a")
+      .join(maps.select(col("id").as("id_b"), col("m").as("mb"),
+        col("wt").as("wb")), "id_b")
+    attach
+      .withColumn("inter_w", expr(
+        """aggregate(map_values(map_zip_with(ma, mb,
+          |  (k, a, b) -> least(coalesce(a, 0L), coalesce(b, 0L)))),
+          |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("id_a"), col("id_b"), col("inter_w"),
+        col("wa"), col("wb"),
+        expr("inter_w * 10000 div (wa + wb - inter_w)").as("jw_bp"))
+      .filter(col("jw_bp") >= tauBp)
+  }
+
   // ---------- cluster resolution (transitive closure) ----------
 
   /** Connected components over near-dup pairs: min-label propagation

@@ -535,6 +535,58 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- EXACT all-pairs WEIGHTED jaccard JOIN (V-SMART-Join /
+    //      weighted-AllPairs family): q97 SCORES known pairs under bag
+    //      semantics; this one FINDS every pair with multiset jaccard
+    //      ≥ 0.6 — weighted length/prefix/positional filters generate
+    //      candidates (Σ prefix-df², never docs²), map_zip_with Σ min
+    //      verifies exactly. Twins repeat their own head tokens, so
+    //      their SET jaccard stays ≈ 1 while the MULTISET jaccard
+    //      drops — the separation this operator exists to see. Subset
+    //      (doc_id < 300) keeps the oracle's token-join at catalog
+    //      scale; the operator is corpus-general. ----
+    QueryDef(
+      "q176_weighted_jaccard_join",
+      s"""WITH base AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 300),
+         |d AS (
+         |  SELECT doc_id, toks FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, toks || toks[1:15] FROM base
+         |  WHERE doc_id < 10),
+         |g AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |c AS (SELECT doc_id, ${OracleSql.md5Long("tok")} AS t,
+         |             CAST(count(*) AS BIGINT) AS c
+         |      FROM g GROUP BY 1, 2),
+         |w AS (SELECT doc_id, sum(c) AS wt FROM c GROUP BY 1),
+         |num AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter_w
+         |  FROM c a JOIN c b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b, inter_w,
+         |         wa.wt AS wa, wb.wt AS wb,
+         |         CAST(inter_w * 10000 // (wa.wt + wb.wt - inter_w)
+         |           AS BIGINT) AS jw_bp
+         |  FROM num
+         |  JOIN w wa ON wa.doc_id = num.id_a
+         |  JOIN w wb ON wb.doc_id = num.id_b)
+         |SELECT id_a, id_b, inter_w, CAST(wa AS BIGINT) AS wa,
+         |       CAST(wb AS BIGINT) AS wb, jw_bp
+         |FROM j WHERE jw_bp >= 6000
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300).select("doc_id", "text")
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val twins = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", concat(toks, slice(toks, 1, 15))).as("text"))
+      Dedup.weightedJaccardJoin(base.union(twins), tauBp = 6000)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- dedup cluster resolution: near-dup pairs → connected
     //      components (min-label propagation to fixpoint) — similarity is
     //      not transitive, so production dedup keeps one representative

@@ -507,4 +507,49 @@ class DedupSpec extends SparkSpec {
     // pairs: (1,2) identical -> jbp 10000 -> bucket 10; (1,3),(2,3) disjoint -> 0
     assert(r == Map(10L -> 1L, 0L -> 2L), s"$r")
   }
+
+  test("weightedJaccardJoin: sees the multiset structure set jaccard misses") {
+    // doc 1: each of 20 tokens once; doc 2: SAME token set, but one
+    // token repeated 20x -> set jaccard = 1.0, multiset = 20+19 shared
+    // over (20 + 39 - 39)... exactly: Σmin = 20, wa=20, wb=39,
+    // jw = 20/(20+39-20) = 20/39 ≈ 0.51 — found at τ=0.5, not at τ=0.6
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val skew = (Seq.fill(20)("w1") ++ (2 to 20).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, skew), (3L, base + " extra")).toDF("doc_id", "text")
+    val at50 = Dedup.weightedJaccardJoin(docs, tauBp = 5000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    assert(at50.contains((1L, 2L)) && at50((1L, 2L)) == 20L * 10000L / 39L,
+      s"skew pair must score 20/39 exactly: $at50")
+    // (1,3): 20 shared of (20, 21) -> 20/21 ≈ 0.95
+    assert(at50((1L, 3L)) == 20L * 10000L / 21L)
+    val at60 = Dedup.weightedJaccardJoin(docs, tauBp = 6000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!at60.contains((1L, 2L)),
+      "multiset jaccard must separate the repeat-skewed pair at 0.6")
+    assert(at60.contains((1L, 3L)))
+  }
+
+  test("weightedJaccardJoin == brute-force multiset reference on a random corpus") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 120L).map { i =>
+      // overlapping vocab with repeats: multiset structure matters
+      val n = 10 + rnd.nextInt(30)
+      i -> (1 to n).map(_ => s"t${rnd.nextInt(25)}").mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardJoin(df, tauBp = 6000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // sequential reference
+    def counts(s: String) = s.split(" ").groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ca = counts(ta); cb = counts(tb)
+      inter = (ca.keySet ++ cb.keySet).toSeq
+        .map(k => math.min(ca.getOrElse(k, 0L), cb.getOrElse(k, 0L))).sum
+      wa = ca.values.sum; wb = cb.values.sum
+      if inter * 10000L / (wa + wb - inter) >= 6000L
+    } yield (ia, ib) -> inter).toMap
+    assert(got == want,
+      s"mismatch: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+  }
 }
