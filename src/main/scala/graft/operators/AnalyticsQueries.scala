@@ -2134,6 +2134,97 @@ object AnalyticsQueries {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // ---- t-closeness audit (q177): the third rung of the privacy
+    //      ladder (k-anonymity q153 → l-diversity q173 → this):
+    //      l-diversity still leaks when a group's sensitive values are
+    //      diverse but SKEWED vs the population (the similarity
+    //      attack). Per QI group: Earth-Mover's Distance between the
+    //      group's sensitive-bucket distribution and the global one,
+    //      for the ORDERED $1000 balance buckets = mean |cumulative
+    //      difference| (Li et al. ICDE'07 §5.2). Exact integers end to
+    //      end: |c_i/n − C_i/N| cross-multiplies to |c_i·N − C_i·n| and
+    //      the one division is the final bp — DECIMAL(38,0) carries the
+    //      products. Scale shape: one (group, bucket) aggregate, a
+    //      broadcast global histogram, a bucket-bounded cumulative
+    //      fold. ----
+    QueryDef(
+      "q177_t_closeness",
+      s"""WITH b AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         CAST(floor(CAST(${Exact.centsSql("c_acctbal")} AS DOUBLE)
+         |           / 100000) AS BIGINT) AS bucket
+         |  FROM customer),
+         |grid AS (SELECT DISTINCT bucket FROM b),
+         |gs AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+         |       FROM b GROUP BY 1, 2),
+         |gc AS (SELECT c_nationkey, c_mktsegment, bucket, count(*) AS c
+         |       FROM b GROUP BY 1, 2, 3),
+         |gh AS (SELECT bucket, count(*) AS gc FROM b GROUP BY 1),
+         |tot AS (SELECT count(*) AS nn, count(DISTINCT bucket) AS m FROM b),
+         |fl AS (
+         |  SELECT gs.c_nationkey, gs.c_mktsegment, grid.bucket, gs.n,
+         |         coalesce(gc.c, 0) AS c, gh.gc
+         |  FROM gs CROSS JOIN grid
+         |  JOIN gh ON gh.bucket = grid.bucket
+         |  LEFT JOIN gc ON gc.c_nationkey = gs.c_nationkey
+         |    AND gc.c_mktsegment = gs.c_mktsegment
+         |    AND gc.bucket = grid.bucket),
+         |cum AS (
+         |  SELECT c_nationkey, c_mktsegment, n,
+         |         sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                      ORDER BY bucket) AS cc,
+         |         sum(gc) OVER (PARTITION BY c_nationkey, c_mktsegment
+         |                       ORDER BY bucket) AS cgc
+         |  FROM fl),
+         |emd AS (
+         |  SELECT c_nationkey, c_mktsegment, n,
+         |         sum(abs(CAST(cc AS DECIMAL(38,0)) * nn - CAST(cgc AS DECIMAL(38,0)) * n))
+         |           AS sdiff
+         |  FROM cum, tot GROUP BY 1, 2, 3)
+         |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS grp_size,
+         |       CAST(CAST(sdiff * 10000 AS HUGEINT)
+         |         // CAST((m - 1) * CAST(n AS DECIMAL(38,0)) * nn AS HUGEINT)
+         |         AS BIGINT) AS emd_bp
+         |FROM emd, tot
+         |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.customer(s, dir).select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(Exact.cents(col("c_acctbal")).cast("double") / 100000)
+          .cast("long").as("bucket"))
+      val grid = b.select("bucket").distinct()
+      val gs = b.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val gc = b.groupBy("c_nationkey", "c_mktsegment", "bucket")
+        .agg(count(lit(1)).as("c"))
+      val glob = b.groupBy("bucket").agg(count(lit(1)).as("gc"))
+      val tot = b.agg(count(lit(1)).as("nn"),
+        countDistinct("bucket").as("m"))
+      val full = gs.crossJoin(broadcast(grid))
+        .join(broadcast(glob), "bucket")
+        .join(gc, Seq("c_nationkey", "c_mktsegment", "bucket"), "left_outer")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bucket"),
+          col("n"), coalesce(col("c"), lit(0L)).as("c"), col("gc"))
+      // the cumulative window is per QI GROUP over the BUCKET GRID —
+      // frame size = |buckets| (a few dozen), bounded by construction
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bucket")
+      val cum = full
+        .withColumn("cc", sum("c").over(w))
+        .withColumn("cgc", sum("gc").over(w))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("nn"), col("m"))
+        .agg(sum(abs(col("cc").cast("decimal(38,0)") * col("nn") -
+          col("cgc").cast("decimal(38,0)") * col("n"))).as("sdiff"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n").as("grp_size"),
+          expr("""CAST(sdiff * 10000 div
+            |  ((m - 1) * CAST(n AS DECIMAL(38,0)) * nn) AS BIGINT)""".stripMargin)
+            .as("emd_bp"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ---- robust outlier detection via exact MAD (q174): median and
     //      median-absolute-deviation computed exactly (lower-median
     //      rank (n+1) div 2 through the distributed globalRank — no
