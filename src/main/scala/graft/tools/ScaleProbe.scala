@@ -355,6 +355,23 @@ object ScaleProbe {
     println(f"[scaleprobe] containment pairs ratio=${ctnpairs.toDouble / math.max(ct1pairs, 1)}%.2f, " +
       f"time ratio=${ctn / ct1}%.2f for ${copies}x data")
 
+    // Weighted-jaccard join scaling: same zero-cross-similarity
+    // replication — weighted prefix postings and Σ prefix-df² pair
+    // fan-out must stay linear in copies.
+    def timeWjj(label: String, docs: DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.weightedJaccardJoin(docs, tauBp = 6000).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] wjj-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
+      (n, secs)
+    }
+    timeWjj("warmup-1x", replicateSmall(1))
+    val (wj1pairs, wj1) = timeWjj("1x", replicateSmall(1))
+    val (wjnpairs, wjn) = timeWjj(s"${copies}x", replicateSmall(copies))
+    println(f"[scaleprobe] wjj pairs ratio=${wjnpairs.toDouble / math.max(wj1pairs, 1)}%.2f, " +
+      f"time ratio=${wjn / wj1}%.2f for ${copies}x data")
+
     // Containment persistent-block footprint: the one-shuffle shape
     // (capped bounded-heap collect per gram) pins NOTHING in executor
     // block storage — reported vs what persisting the full explode
