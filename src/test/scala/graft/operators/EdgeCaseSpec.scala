@@ -139,4 +139,35 @@ class EdgeCaseSpec extends SparkSpec {
     val noVals = Seq.empty[(Long, Long)].toDF("v", "id")
     assert(Scale.winsorize(noVals, "v", 10, 990, "id").count() == 0)
   }
+
+  test("round-5 ops: empty and degenerate inputs degrade to empty/zero outputs") {
+    // weighted jaccard join: empty corpus, single doc, blank docs
+    assert(Dedup.weightedJaccardJoin(emptyDocs).count() == 0)
+    assert(Dedup.weightedJaccardJoin(docsDf(1L -> "only one")).count() == 0)
+    assert(Dedup.weightedJaccardJoin(
+      docsDf(1L -> "   ", 2L -> "")).count() == 0)
+    // identical docs are found at jw = 10000 exactly
+    val twins = Dedup.weightedJaccardJoin(
+      docsDf(1L -> "a a b c", 2L -> "a a b c")).head()
+    assert(twins.getLong(5) == 10000L && twins.getLong(2) == 4L)
+
+    // BFS: empty edges -> sources only at hop 0; empty sources -> empty
+    import graft.graph.Graph
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val srcOnly = Graph.boundedHops(noEdges, Seq(5L).toDF("id"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(srcOnly.toSeq == Seq((5L, 0L)))
+    assert(Graph.boundedHops(Seq((1L, 2L)).toDF("src", "dst"),
+      Seq.empty[Long].toDF("id"), 3).count() == 0)
+
+    // lift table: single row and single-class inputs
+    import graft.ml.Eval
+    val one = Eval.liftTable(Seq((1L, 5L, true)).toDF("doc_id", "score", "pos"),
+      "score", "pos", "doc_id", bins = 4).collect()
+    assert(one.map(_.getLong(1)).sum == 1L)
+    val nopos = Eval.liftTable(
+      (1L to 8L).map(i => (i, i, false)).toDF("doc_id", "score", "pos"),
+      "score", "pos", "doc_id", bins = 4).collect()
+    assert(nopos.forall(_.isNullAt(4)), "zero positives -> null lift, not a crash")
+  }
 }
