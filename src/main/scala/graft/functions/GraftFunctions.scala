@@ -17,6 +17,9 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())),
     "graft_simhash" -> (exprs => SimHashSketch(exprs(0))),
+    "graft_gram_md5" -> (exprs => GramMd5Hashes(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Boolean])),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
 
   /** Imperative registration on an existing session: the SQL names plus

@@ -70,6 +70,21 @@ class GramHashExpressionSpec extends SparkSpec with graft.PropHelper {
     }, minSuccessful = 40)
   }
 
+  test("graft_gram_md5 callable from SQL; equals the column API") {
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .createOrReplaceTempView("gram_docs_v")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_gram_md5(
+        |  filter(split(text, '\\s+'), t -> t != ''), 5, true) AS h
+        |FROM gram_docs_v""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select($"doc_id", GramHashFunctions.graftGramMd5(
+        TextAnalysis.wsTokens($"text"), 5, distinct = true).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaCol)
+  }
+
   test("interpreted (eval) path agrees with codegen path") {
     val df = spark.read.parquet(s"$sf0001/documents.parquet")
       .select($"doc_id", TextAnalysis.wsTokens($"text").as("toks"))
