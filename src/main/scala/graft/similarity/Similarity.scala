@@ -644,7 +644,7 @@ object Similarity {
         s"salt-fallback label space overflows Long " +
           s"(maxLabel=${oversized.max}, salts=$maxSalts) — raise maxCluster")
       assigned = assigned.withColumn("cluster",
-        when(col("cluster").isin(oversized: _*),
+        when(col("cluster").isin(oversized.toIndexedSeq: _*),
           -((col("cluster") + 1) * maxSalts +
             pmod(graft.textops.TextAnalysis.md5Long(col(idCol).cast("string")),
               element_at(typedLit(nSalts), col("cluster"))) + 1))
