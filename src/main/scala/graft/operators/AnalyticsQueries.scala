@@ -2322,6 +2322,87 @@ object AnalyticsQueries {
             .otherwise(expr("(grk - off - 1) * 10000 div (n - 1)"))
             .as("pct_bp"))
         .orderBy("doc_id")
+    },
+
+    // ---- exact join-size pre-flight (q178): |A ⋈ B| = Σ_k cntA(k)·cntB(k)
+    //      from the two key histograms — the planning diagnostic run
+    //      BEFORE a 100 TB fact⋈fact join to size shuffle partitions
+    //      and decide on salting (q100 reports one table's skew; this
+    //      reports the JOIN's). Output: key count, exact join
+    //      cardinality (DECIMAL — products of counts overflow Long at
+    //      scale), the hottest key's contribution, and its skew ratio
+    //      vs a uniform spread. Two map-side-combined histograms and a
+    //      histogram-sized join — never the fact tables themselves. ----
+    QueryDef(
+      "q178_join_size",
+      """WITH ha AS (SELECT l_orderkey AS k, count(*) AS ca
+        |            FROM lineitem GROUP BY 1),
+        |hb AS (SELECT o_orderkey AS k, count(*) AS cb
+        |       FROM orders GROUP BY 1),
+        |j AS (SELECT ha.k, CAST(ca AS DECIMAL(38,0)) * cb AS rows_k
+        |      FROM ha JOIN hb ON ha.k = hb.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_join_keys,
+        |       CAST(sum(rows_k) AS BIGINT) AS join_rows,
+        |       CAST(max(rows_k) AS BIGINT) AS max_key_rows,
+        |       CAST(CAST(max(rows_k) AS HUGEINT) * count(*) * 10000
+        |            // CAST(sum(rows_k) AS HUGEINT) AS BIGINT) AS skew_bp
+        |FROM j""".stripMargin) { (s, dir) =>
+      val ha = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val hb = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      ha.join(hb, "k")
+        .select((col("ca").cast("decimal(38,0)") * col("cb")).as("rows_k"))
+        .agg(count(lit(1)).as("n_join_keys"),
+          sum("rows_k").as("jr"), max("rows_k").as("mk"))
+        .select(col("n_join_keys"),
+          col("jr").cast("long").as("join_rows"),
+          col("mk").cast("long").as("max_key_rows"),
+          expr("CAST(mk * n_join_keys * 10000 div jr AS BIGINT)")
+            .as("skew_bp"))
+    },
+
+    // ---- last-touch attribution (q179): each purchase attributed to
+    //      the user's most recent click within a 7-day window — the
+    //      marketing-analytics join, expressed as the SAME as-of
+    //      machinery as q48 (union + ordered window per user: one
+    //      shuffle, linear, never a per-user range cross-join), with
+    //      the lookback window applied as a post-filter. Click ties at
+    //      one (user, ts) pre-aggregate to max event_id for
+    //      determinism. ----
+    QueryDef(
+      "q179_attribution",
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS cid
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       CASE WHEN c.ts IS NOT NULL
+        |             AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN c.cid END AS click_id,
+        |       CASE WHEN c.ts IS NOT NULL
+        |             AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+        |            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("cts"))
+        .agg(max("event_id").as("cid"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "ts", "cts",
+          Seq("cid", "cts"))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("cts"))).as("_gap"),
+          col("cid"))
+        .select(col("event_id"), col("user_id"),
+          when(col("_gap").isNotNull && col("_gap") <= 604800000000L,
+            col("cid")).as("click_id"),
+          when(col("_gap").isNotNull && col("_gap") <= 604800000000L,
+            col("_gap")).as("gap_us"))
+        .orderBy("event_id")
     }
   )
 }
