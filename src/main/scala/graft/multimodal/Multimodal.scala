@@ -244,6 +244,53 @@ object Multimodal {
         "peak", "trough", "duration_us")
   }
 
+  /** Robust audio fingerprint over DECODED PCM: frame the sample stream
+    * into fixed `frameSamples` windows, take each frame's exact integer
+    * energy (Σ s²), and emit up to `maxBits` sign-of-energy-delta bits
+    * (bit f = 1 iff energy rises from frame f to f+1) packed into one
+    * long — the Shazam-family energy-difference fingerprint reduced to
+    * its integer-exact core: invariant to uniform gain DIRECTION
+    * changes, cheap to band-join (the q150 Hamming machinery applies),
+    * and bit-identical on any engine because nothing is ever a float.
+    * The trailing partial frame is dropped (deterministic framing).
+    *
+    * Scale shape: narrow mapPartitions — payloads never shuffle; one
+    * (id, n_frames, fp) row out per clip.
+    */
+  def audioFingerprint(
+      spark: SparkSession,
+      media: DataFrame,
+      frameSamples: Int = 16,
+      maxBits: Int = 60): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val s = RealCodec.decodeWavPcm16(payload).samples
+          val nf = s.length / frameSamples
+          val es = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var i = f * frameSamples
+            val end = i + frameSamples
+            while (i < end) { e += s(i).toLong * s(i); i += 1 }
+            es(f) = e
+            f += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < math.min(nf - 1, maxBits)) {
+            if (es(b + 1) > es(b)) fp |= 1L << b
+            b += 1
+          }
+          (id, nf.toLong, fp)
+        }
+      }
+      .toDF("media_id", "n_frames", "fp")
+  }
+
   /** Frame sampling: keep every `stride`-th frame index of each video —
     * pure metadata transform (the real pipeline would slice the payload
     * at frame boundaries the same way).

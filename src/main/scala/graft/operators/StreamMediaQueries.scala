@@ -360,6 +360,45 @@ object StreamMediaQueries {
         .orderBy("media_id")
     },
 
+    // ---- audio energy-delta fingerprint (q180): frame the decoded PCM
+    //      into 16-sample windows, exact integer energy per frame, one
+    //      sign-of-delta bit per frame boundary packed into a long —
+    //      the Shazam-family fingerprint's integer-exact core. The
+    //      Spark side goes WAV bytes → real chunk-walk decode → frame
+    //      energies; the oracle recomputes the same bits straight from
+    //      the payload's hex, so a wrong decode, frame cut, or bit pack
+    //      hash-fails. ----
+    QueryDef(
+      "q180_audio_fingerprint",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |v AS (
+        |  SELECT media_id,
+        |         list_transform(range(1, CAST(nb AS INT) + 1),
+        |           i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS BIGINT)) AS vs,
+        |         CAST(nb // 16 AS BIGINT) AS nf
+        |  FROM m),
+        |e AS (
+        |  SELECT media_id, nf,
+        |         list_transform(range(1, CAST(nf AS INT) + 1),
+        |           f -> list_sum(list_transform(
+        |                  range(16*(f-1) + 1, 16*f + 1),
+        |                  i -> vs[CAST(i AS INT)] * vs[CAST(i AS INT)]))) AS es
+        |  FROM v)
+        |SELECT media_id, nf AS n_frames,
+        |       CAST(coalesce(list_sum(list_transform(
+        |         range(1, CAST(least(nf - 1, 60) AS INT) + 1),
+        |         f -> CASE WHEN es[CAST(f AS INT) + 1] > es[CAST(f AS INT)]
+        |              THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END)), 0)
+        |         AS BIGINT) AS fp
+        |FROM e ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.realMediaFromDocuments(s, Tables.documents(s, dir))
+      Multimodal.audioFingerprint(s, media)
+        .orderBy("media_id")
+    },
+
     // ---- image near-dup detection by perceptual hash (q150): render
     //      deterministic grayscale BMPs (planted exact + near-dup
     //      groups), dHash the DECODED pixels, pair via banded Hamming
