@@ -406,9 +406,20 @@ object Multimodal {
     * scale so bucket sizes track near-dup density, not copy counts.
     */
   def imageNearDupPairs(
+      spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(spark, hashes, maxHamming)
+
+  /** Generic 4-band Hamming near-dup join over any (media_id, b0..b3)
+    * band table — the candidate machinery behind [[imageNearDupPairs]]
+    * (16-bit dHash bands) and the audio fingerprint join (15-bit
+    * energy-delta bands): by pigeonhole, Hamming ≤ 3 over the full word
+    * forces at least one of 4 bands equal, so the band equi-join is
+    * EXACT for maxHamming ≤ 3.
+    */
+  def bandedHammingPairs(
       spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
-      s"banded dHash join is only exact for maxHamming <= 3, got $maxHamming")
+      s"banded Hamming join is only exact for maxHamming <= 3, got $maxHamming")
     // the hash table (5 ints per image) is read three times below (band
     // explode + both Hamming sides) — pin it so an upstream decode
     // lineage (payload scan + codec) never runs more than once

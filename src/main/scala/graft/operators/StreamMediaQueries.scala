@@ -399,6 +399,71 @@ object StreamMediaQueries {
         .orderBy("media_id")
     },
 
+    // ---- audio near-dup join over the q180 fingerprints (q181): plant
+    //      one-byte-perturbed twins (one sample → one 4-sample frame →
+    //      ≤2 adjacent fingerprint bits), band the 60-bit fingerprint
+    //      into 4×15-bit slices, and find Hamming ≤ 3 pairs by the SAME
+    //      banded pigeonhole join as image dHash (exact for ≤3). The
+    //      oracle brute-forces ALL-pairs Hamming from the payload hex,
+    //      so the banding's completeness is value-checked, not
+    //      assumed. 4-sample frames give full-width fingerprints on
+    //      catalog-length clips. ----
+    QueryDef(
+      "q181_audio_neardup",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |tw AS (SELECT doc_id + 4000000 AS doc_id,
+        |              substring(text, 1, length(text) - 1) || 'Z' AS text
+        |       FROM base WHERE doc_id < 40 AND doc_id % 2 = 0),
+        |d AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+        |m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM d WHERE doc_id % 2 = 0),
+        |v AS (
+        |  SELECT media_id,
+        |         list_transform(range(1, CAST(nb AS INT) + 1),
+        |           i -> CAST(('0x' || substring(hx, 2*i - 1, 2)) AS BIGINT)) AS vs,
+        |         CAST(nb // 4 AS BIGINT) AS nf
+        |  FROM m),
+        |e AS (
+        |  SELECT media_id, nf,
+        |         list_transform(range(1, CAST(nf AS INT) + 1),
+        |           f -> list_sum(list_transform(
+        |                  range(4*(f-1) + 1, 4*f + 1),
+        |                  i -> vs[CAST(i AS INT)] * vs[CAST(i AS INT)]))) AS es
+        |  FROM v),
+        |f AS (
+        |  SELECT media_id,
+        |         CAST(coalesce(list_sum(list_transform(
+        |           range(1, CAST(least(nf - 1, 60) AS INT) + 1),
+        |           f -> CASE WHEN es[CAST(f AS INT) + 1] > es[CAST(f AS INT)]
+        |                THEN CAST(1 AS BIGINT) << (f - 1) ELSE 0 END)), 0)
+        |           AS BIGINT) AS fp
+        |  FROM e)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM f a JOIN f b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = base.filter(col("doc_id") < 40 && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("Z"))
+            .as("text"))
+      val media = Multimodal.realMediaFromDocuments(s, base.union(twins))
+      val fp = Multimodal.audioFingerprint(s, media, frameSamples = 4)
+      val bands = fp.select(col("media_id"),
+        (col("fp").bitwiseAND(0x7fffL)).cast("int").as("b0"),
+        shiftrightunsigned(col("fp"), 15).bitwiseAND(0x7fffL)
+          .cast("int").as("b1"),
+        shiftrightunsigned(col("fp"), 30).bitwiseAND(0x7fffL)
+          .cast("int").as("b2"),
+        shiftrightunsigned(col("fp"), 45).bitwiseAND(0x7fffL)
+          .cast("int").as("b3"))
+      Multimodal.bandedHammingPairs(s, bands, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- image near-dup detection by perceptual hash (q150): render
     //      deterministic grayscale BMPs (planted exact + near-dup
     //      groups), dHash the DECODED pixels, pair via banded Hamming
