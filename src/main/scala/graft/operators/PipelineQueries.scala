@@ -2690,6 +2690,74 @@ object PipelineQueries {
           Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
         .select(col("doc_id"), col("rep"), col("split"))
         .orderBy("doc_id")
+    },
+
+    // ---- Johnson-Lindenstrauss distortion audit (q182): project the
+    //      64-dim embeddings onto 16 dims with a pinned ±1 (Achlioptas)
+    //      matrix and report the pairwise distance-ratio histogram over
+    //      a bounded sample — the go/no-go audit BEFORE swapping the
+    //      ANN/dedup paths onto reduced vectors at 100 TB (4× less
+    //      memory and shuffle IF the ratios concentrate near 10000 bp).
+    //      ±1 entries keep every projected coordinate a signed SUM, so
+    //      both engines run identical index-ordered IEEE folds (the
+    //      q29/q30 precedent); the sign masks are literal longs shared
+    //      between the query and the oracle. ----
+    QueryDef(
+      "q182_jl_distortion", {
+        val masks = graft.similarity.Similarity.jlMasks
+        def projSql(j: Int): String =
+          s"""list_sum(list_transform(range(1, 65),
+             |  i -> (CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             |        - CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+             |       * (CASE WHEN (CAST(${masks(j)} AS BIGINT)
+             |            >> (CAST(i AS INT) - 1)) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END)))""".stripMargin
+        val d2pSql = (0 until 16)
+          .map(j => s"(p$j * p$j)").mkString(" + ")
+        s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+           |           WHERE vec_id < 40),
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |         ${l2Sql("a.embedding", "b.embedding")} AS d2,
+           |         ${(0 until 16).map(j => s"${projSql(j)} AS p$j")
+                       .mkString(", ")}
+           |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+           |r AS (
+           |  SELECT id_a, id_b,
+           |         CAST(round(10000.0 * ($d2pSql) / (16.0 * d2)) AS BIGINT)
+           |           AS ratio_bp
+           |  FROM p WHERE d2 > 0)
+           |SELECT CAST(ratio_bp // 1000 AS BIGINT) AS bucket,
+           |       CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+      }) { (s, dir) =>
+      val sample = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 40).select("vec_id", "embedding")
+      val pairs = sample.as("a").join(
+        broadcast(sample.select(col("vec_id").as("id_b"),
+          col("embedding").as("eb"))),
+        col("vec_id") < col("id_b"))
+        .select(col("vec_id").as("id_a"), col("id_b"),
+          zip_with(col("embedding"), col("eb"),
+            (x, y) => x.cast("double") - y.cast("double")).as("diff"))
+      val d2 = aggregate(transform(col("diff"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)
+      def pj(j: Int) = aggregate(
+        transform(col("diff"), (x, i) =>
+          x * element_at(
+            typedLit(graft.similarity.Similarity.jlSigns(j, 64)), i + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      pairs
+        .withColumn("d2", d2)
+        .select(Seq(col("id_a"), col("id_b"), col("d2")) ++
+          (0 until 16).map(j => pj(j).as(s"p$j")): _*)
+        .filter(col("d2") > 0.0)
+        .select(expr("CAST(round(10000.0 * (" +
+          (0 until 16).map(j => s"p$j * p$j").mkString(" + ") +
+          ") / (16.0 * d2)) AS BIGINT)").as("ratio_bp"))
+        .select(expr("ratio_bp div 1000").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bucket")
     }
   )
 

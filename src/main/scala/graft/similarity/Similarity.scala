@@ -1066,4 +1066,29 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select("query_id", "neighbor_id", "d2", "rank")
   }
+
+  /** ±1 Johnson-Lindenstrauss projection masks: bit i of `jlMasks(j)` is
+    * the sign of matrix entry (i, j) — 16 output dims over ≤64 input
+    * dims from a pinned SplitMix64 stream (seed 4242). PINNED like the
+    * hyperplane constants: the q182 oracle bakes these longs into its
+    * SQL, so the stream must never drift. A ±1 (Achlioptas) matrix keeps
+    * every projected coordinate a plain signed SUM of inputs — no
+    * gaussian sampling, no scaling inside the fold — which is what
+    * makes the projection bit-reproducible across engines.
+    */
+  val jlMasks: IndexedSeq[Long] = {
+    var x = 4242L
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    IndexedSeq.fill(16)(next())
+  }
+
+  /** Signs of projection column `j` over `dim` inputs (+1.0 / −1.0). */
+  def jlSigns(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => if (((jlMasks(j) >>> i) & 1L) == 1L) 1.0 else -1.0)
 }
