@@ -2758,6 +2758,100 @@ object PipelineQueries {
         .select(expr("ratio_bp div 1000").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
         .orderBy("bucket")
+    },
+
+    // ---- JL-projected ANN recall (q183): the follow-through on q182 —
+    //      run the SAME top-10 L2 retrieval in the 16-dim projected
+    //      space and report recall@10 against the exact 64-dim truth
+    //      per query. q110 audits the IVF approximation; this audits
+    //      the REPRESENTATION approximation (4× smaller vectors, 4×
+    //      less scan/shuffle at 100 TB — shippable only if this number
+    //      holds). On THIS corpus the verdict is NO (recall ~10%):
+    //      near-isotropic synthetic embeddings leave top-10 margins far
+    //      below the k=16 JL distortion — exactly the failure the audit
+    //      exists to catch before a fleet burns a week on reduced
+    //      vectors. Corpus is projected ONCE (narrow, 16 signed sums
+    //      per row); both rankings are bounded top-k. ----
+    QueryDef(
+      "q183_jl_ann_recall", {
+        val masks = graft.similarity.Similarity.jlMasks
+        def projVecSql(rel: String, j: Int): String =
+          s"""list_sum(list_transform(range(1, 65),
+             |  i -> CAST($rel.embedding[CAST(i AS INT)] AS DOUBLE)
+             |       * (CASE WHEN (CAST(${masks(j)} AS BIGINT)
+             |            >> (CAST(i AS INT) - 1)) & 1 = 1
+             |          THEN 1.0 ELSE -1.0 END)))""".stripMargin
+        s"""WITH pc AS (
+           |  SELECT vec_id,
+           |         [${(0 until 16).map(j => projVecSql("embeddings", j))
+                        .mkString(", ")}] AS ps
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+           |      FROM embeddings WHERE vec_id < 5),
+           |qp AS (SELECT vec_id AS query_id, ps AS qs FROM pc
+           |       WHERE vec_id < 5),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, e.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY ${l2Sql("q.q_embedding", "e.embedding")},
+           |                      e.vec_id) AS rank
+           |    FROM embeddings e JOIN q ON q.query_id <> e.vec_id) t
+           |  WHERE rank <= 10),
+           |pr AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT qp.query_id, c.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY qp.query_id
+           |             ORDER BY list_sum(list_transform(
+           |               list_zip(qp.qs, c.ps),
+           |               x -> (x[1] - x[2]) * (x[1] - x[2]))),
+           |                      c.vec_id) AS rank
+           |    FROM pc c JOIN qp ON qp.query_id <> c.vec_id) t
+           |  WHERE rank <= 10)
+           |SELECT ex.query_id,
+           |       CAST(count(pr.neighbor_id) AS BIGINT) AS n_hits,
+           |       CAST(count(pr.neighbor_id) * 10000 // 10 AS BIGINT)
+           |         AS recall_bp
+           |FROM ex LEFT JOIN pr
+           |  ON ex.query_id = pr.query_id
+           | AND ex.neighbor_id = pr.neighbor_id
+           |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      def pj(j: Int) = aggregate(
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * element_at(
+            typedLit(graft.similarity.Similarity.jlSigns(j, 64)), i + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      val pc = emb.select(col("vec_id"),
+        array((0 until 16).map(pj): _*).as("ps"))
+        .localCheckpoint() // projected corpus read by both join sides
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val exact = graft.similarity.Similarity
+        .bruteForceTopKL2(emb, queries, k = 10)
+        .select("query_id", "neighbor_id")
+      val qp = pc.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("ps").as("qs"))
+      val pd2 = aggregate(zip_with(col("qs"), col("ps"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("pd2"), col("neighbor_id"))
+      val projTop = pc.join(broadcast(qp), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          pd2.as("pd2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+      exact.as("ex").join(projTop.as("pr"),
+          col("ex.query_id") === col("pr.query_id") &&
+            col("ex.neighbor_id") === col("pr.neighbor_id"), "left_outer")
+        .groupBy(col("ex.query_id").as("query_id"))
+        .agg(count(col("pr.neighbor_id")).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 10000 div 10").as("recall_bp"))
+        .orderBy("query_id")
     }
   )
 
