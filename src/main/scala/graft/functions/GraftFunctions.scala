@@ -20,7 +20,8 @@ object GraftFunctions {
     "graft_gram_md5" -> (exprs => GramMd5Hashes(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])),
-    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))))
+    "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
+    "graft_strip_accents" -> (exprs => StripAccents(exprs(0))))
 
   /** Imperative registration on an existing session: the SQL names plus
     * the [[FuseVectorFolds]] cost rewrite (idempotent).

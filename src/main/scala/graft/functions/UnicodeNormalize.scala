@@ -30,6 +30,31 @@ object UnicodeNorm {
       else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
     }
   }
+
+  /** Accent stripping: NFD-decompose, drop combining marks, keep
+    * everything else — agrees with DuckDB/utf8proc `strip_accents` on
+    * precomposed Latin (é→e, ü→u, ź→z) AND on the deliberate
+    * non-strips (œ, ø, æ, ß, Ł have no canonical decomposition and
+    * survive on both engines). Same ASCII fast path as [[nfc]].
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) s
+    else {
+      val d = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        val t = Character.getType(cp)
+        if (t != Character.NON_SPACING_MARK &&
+            t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK)
+          sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
 }
 
 /** Native Unicode NFC normalization over a string column — the first
@@ -65,7 +90,38 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native accent stripping (NFD + drop combining marks) — the search /
+  * dedup normalization step after [[NfcNormalize]]: "café" and "cafe"
+  * should fingerprint together for near-dup purposes even though NFC
+  * keeps them distinct. Matches DuckDB's `strip_accents`, so it is
+  * oracle-checkable cross-engine (q184); same codegen shape as
+  * [[NfcNormalize]].
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_strip_accents expects a string arg, got ${other.catalogString}")
+    }
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_strip_accents"
+
+  override def nullSafeEval(v: Any): Any =
+    UnicodeNorm.stripAccents(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry point. */
 object TextNormFunctions {
   def graftNfc(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
+  def graftStripAccents(c: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(c)))
 }

@@ -2377,6 +2377,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- accent stripping (q184): the search/dedup normalization step
+    //      AFTER NFC — "café" and "cafe" should fingerprint together
+    //      even though NFC keeps them distinct. graft_strip_accents is
+    //      a native codegen expression (NFD + drop combining marks,
+    //      ASCII fast path); decorations cover all four legs: a
+    //      precomposed accent (must strip), a decomposed combining mark
+    //      (must strip), a NON-decomposable cluster (œ/ß survive — the
+    //      deliberate no-strip), and untouched ASCII (fast path) — all
+    //      oracle-checked against DuckDB's utf8proc strip_accents,
+    //      pinning JDK-NFD-vs-utf8proc agreement. ----
+    QueryDef(
+      "q184_strip_accents",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN text || ' Zu' || chr(776) || 'rich'
+        |              WHEN doc_id % 4 = 1 THEN text || ' caf' || chr(233)
+        |              WHEN doc_id % 4 = 2 THEN text || ' ' || chr(339) || 'uvre-stra'
+        |                   || chr(223) || 'e'
+        |              ELSE text END AS deco
+        |  FROM documents)
+        |SELECT doc_id,
+        |       strip_accents(deco) AS plain_text,
+        |       deco <> strip_accents(deco) AS changed,
+        |       CAST(length(deco) AS BIGINT) AS raw_cp,
+        |       CAST(length(strip_accents(deco)) AS BIGINT) AS plain_cp
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TextNormFunctions.graftStripAccents
+      val deco = when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" Zürich")))
+        .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" café")))
+        .when(col("doc_id") % 4 === 2,
+          concat(col("text"), lit(" œuvre-straße")))
+        .otherwise(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), deco.as("deco"))
+        .select(col("doc_id"),
+          graftStripAccents(col("deco")).as("plain_text"),
+          (col("deco") =!= graftStripAccents(col("deco"))).as("changed"),
+          length(col("deco")).cast("long").as("raw_cp"),
+          length(graftStripAccents(col("deco"))).cast("long").as("plain_cp"))
+        .orderBy("doc_id")
+    },
+
     // ---- DoReMi-style domain re-weighting (arXiv:2305.10429, one-shot
     //      excess-loss form): weight each source by its clipped excess
     //      average bigram surprisal over the corpus mean — the mixture

@@ -58,4 +58,22 @@ class UnicodeNormalizeSpec extends SparkSpec {
     val nonAsciiNormalized = UTF8String.fromString(precomposedCafe)
     assert(UnicodeNorm.nfc(nonAsciiNormalized) eq nonAsciiNormalized)
   }
+
+  test("graft_strip_accents: strips precomposed AND decomposed marks; keeps non-decomposables") {
+    def strip(s: String): String =
+      UnicodeNorm.stripAccents(UTF8String.fromString(s)).toString
+    assert(strip("café") == "cafe")         // precomposed é
+    assert(strip("café") == "cafe")        // decomposed e + ´
+    assert(strip("Zürich Łódź") == "Zurich Łodz")
+    assert(strip("œuvre straße æon") == "œuvre straße æon",
+      "œ/ß/æ have no canonical decomposition and must survive")
+    assert(strip("日本語") == "日本語")
+    val ascii = UTF8String.fromString("plain")
+    assert(UnicodeNorm.stripAccents(ascii) eq ascii, "ASCII fast path")
+    // SQL name registered; idempotent
+    val viaSql = Seq("naïve").toDF("t")
+      .selectExpr("graft_strip_accents(graft_strip_accents(t)) AS n")
+      .collect()(0).getString(0)
+    assert(viaSql == "naive")
+  }
 }
