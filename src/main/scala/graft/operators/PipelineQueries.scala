@@ -32,6 +32,16 @@ object PipelineQueries {
   /** DuckDB spelling of TextAnalysis.wsTokens. */
   private val toksSql = OracleSql.wsTokens()
 
+  /** Pinned confusable map for q185 (UTS #39-lite): Cyrillic а с е о р
+    * х у і С Е and Greek Α Β Ε Ο ο α fold to their Latin skeletons.
+    * Escapes, not lookalike literals — the source must not itself be
+    * spoofable.
+    */
+  private val homoCyr = "\u0430\u0441\u0435\u043e\u0440\u0445\u0443\u0456" +
+    "\u0391\u0392\u0395\u039f\u03bf\u03b1\u0421\u0415"
+  private val homoLat = "aceopxyiABEOoaCE"
+  private val homoTwinTo = "\u0430\u0441\u0435\u043e" // а с е о
+
   /** CTE `c`: per-doc Gopher-rule counts from a relation exposing
     * (doc_id, toks) — ONE spelling shared by q131 (per-rule verdicts)
     * and q135 (corpus keep count) so the rule SQL cannot drift.
@@ -2418,6 +2428,59 @@ object PipelineQueries {
           length(col("deco")).cast("long").as("raw_cp"),
           length(graftStripAccents(col("deco"))).cast("long").as("plain_cp"))
         .orderBy("doc_id")
+    },
+
+    // ---- homoglyph-skeleton dedup (q185): UTS #39-style confusable
+    //      folding — Cyrillic/Greek lookalikes map to their Latin
+    //      skeletons before exact dedup, so a spoofed copy ("сash" with
+    //      Cyrillic с) collapses onto its original. The adversarial-
+    //      text leg of the dedup family: byte-level hashing is blind to
+    //      it, and LSH only notices when MANY tokens change. Planted
+    //      spoof twins substitute 4 vowels; the skeleton groups pair
+    //      each spoof with its source. Pinned 16-char mapping shared
+    //      verbatim by both engines' translate(). ----
+    QueryDef(
+      "q185_homoglyph_dedup", {
+        val cyr = homoCyr
+        val lat = homoLat
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+           |tw AS (SELECT doc_id + 5000000 AS doc_id,
+           |              translate(text, 'aceo',
+           |                chr(1072) || chr(1089) || chr(1077) || chr(1086))
+           |                AS text
+           |       FROM base WHERE doc_id < 15),
+           |d AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+           |sk AS (SELECT doc_id,
+           |              translate(text, '$cyr', '$lat') AS skel,
+           |              text <> translate(text, '$cyr', '$lat') AS spoofed
+           |       FROM d),
+           |g AS (SELECT md5(skel) AS fp, min(doc_id) AS keep_id,
+           |             CAST(count(*) AS BIGINT) AS n_copies,
+           |             CAST(sum(CASE WHEN spoofed THEN 1 ELSE 0 END)
+           |               AS BIGINT) AS n_spoofed
+           |      FROM sk GROUP BY 1)
+           |SELECT keep_id, n_copies, n_spoofed
+           |FROM g WHERE n_copies >= 2
+           |ORDER BY keep_id""".stripMargin
+      }) { (s, dir) =>
+      val cyr = homoCyr
+      val lat = homoLat
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = base.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          translate(col("text"), "aceo", homoTwinTo)
+            .as("text"))
+      base.union(twins)
+        .select(col("doc_id"),
+          translate(col("text"), cyr, lat).as("skel"),
+          (col("text") =!= translate(col("text"), cyr, lat)).as("spoofed"))
+        .groupBy(md5(col("skel")).as("fp"))
+        .agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          sum(when(col("spoofed"), 1L).otherwise(0L)).as("n_spoofed"))
+        .filter(col("n_copies") >= 2)
+        .select("keep_id", "n_copies", "n_spoofed")
+        .orderBy("keep_id")
     },
 
     // ---- DoReMi-style domain re-weighting (arXiv:2305.10429, one-shot
