@@ -2324,6 +2324,51 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Benford first-digit audit (q186): leading-digit distribution
+    //      of order totals vs Benford's log10(1+1/d) expectation — the
+    //      classic fabricated-data / ingestion-corruption screen for
+    //      financial columns. Expected shares pinned as integer bp
+    //      literals (3010, 1761, ...), deviations in exact bp; one
+    //      map-side-combined 9-group aggregate + broadcast total.
+    //      (TPC-H-style uniform prices will FAIL Benford loudly — the
+    //      audit reporting honestly on synthetic data.) ----
+    QueryDef(
+      "q186_benford", {
+        val benfordBp = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+        val benfordCase = benfordBp.zipWithIndex
+          .map { case (bp, i) => s"WHEN ${i + 1} THEN $bp" }.mkString(" ")
+        s"""WITH d AS (
+           |  SELECT CAST(substring(CAST(${Exact.centsSql("o_totalprice")}
+           |           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders
+           |  WHERE ${Exact.centsSql("o_totalprice")} > 0),
+           |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           |t AS (SELECT sum(n) AS tot FROM g)
+           |SELECT digit, CAST(n AS BIGINT) AS n,
+           |       CAST(n * 10000 // tot AS BIGINT) AS share_bp,
+           |       CAST(CASE digit $benfordCase END AS BIGINT) AS benford_bp,
+           |       CAST(abs(n * 10000 // tot -
+           |            CASE digit $benfordCase END) AS BIGINT) AS dev_bp
+           |FROM g, t ORDER BY digit""".stripMargin
+      }) { (s, dir) =>
+      val benfordBp = Seq(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+      val bcol = (1 to 9).foldLeft(lit(null).cast("long")) { (acc, d) =>
+        when(col("digit") === d, lit(benfordBp(d - 1).toLong)).otherwise(acc)
+      }
+      val cents = Exact.cents(col("o_totalprice"))
+      val g = Tables.orders(s, dir)
+        .filter(cents > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = g.agg(sum("n").as("tot"))
+      g.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          expr("n * 10000 div tot").as("share_bp"),
+          bcol.as("benford_bp"),
+          abs(expr("n * 10000 div tot") - bcol).as("dev_bp"))
+        .orderBy("digit")
+    },
+
     // ---- exact join-size pre-flight (q178): |A ⋈ B| = Σ_k cntA(k)·cntB(k)
     //      from the two key histograms — the planning diagnostic run
     //      BEFORE a 100 TB fact⋈fact join to size shuffle partitions
