@@ -497,6 +497,20 @@ class PlanSpec extends SparkSpec {
       s"cohort-size table must broadcast onto the retention grid:\n$plan")
   }
 
+  test("q176 weighted jaccard: prefix-posting equi-joins only — no doc×doc product") {
+    val plan = planOf("q176_weighted_jaccard_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the weighted-prefix posting join:\n$plan")
+  }
+
+  test("q178 join-size pre-flight: histogram-sized work — aggregates before the key join") {
+    val plan = planOf("q178_join_size")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4, // two histograms, each partial+final
+      s"both key histograms must map-side combine before joining:\n$plan")
+  }
+
   test("q168 BFS: every round is an equi-join — no cartesian/NLJ anywhere in the wavefront") {
     val plan = planOf("q168_bfs_hops")
     assert(!plan.contains("CartesianProduct") &&
