@@ -2324,6 +2324,71 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- vocabulary growth curve (q187): distinct-token count at each
+    //      decile of a content-addressed corpus order — the Heaps'-law
+    //      diagnostic for data DIVERSITY ("is new data still bringing
+    //      new vocabulary, or has the crawl saturated?"). Exact: each
+    //      token's FIRST-occurrence position is a min-aggregate (one
+    //      map-side-combined shuffle on the token), new-per-decile is a
+    //      9-row rollup, and the cumulative pass runs over those 10
+    //      rows — never a corpus-row window. The order is md5-addressed
+    //      so the curve is append-stable and engine-independent. The
+    //      unit is the 3-GRAM vocabulary: unigrams saturate instantly
+    //      on a template corpus (31 words — decile 1 sees them all);
+    //      the 3-gram space is where this corpus's diversity actually
+    //      lives, which is exactly the distinction the curve exists to
+    //      surface. ----
+    QueryDef(
+      "q187_vocab_growth", {
+        val ordSql = OracleSql.md5Long("CAST(doc_id AS VARCHAR)")
+        s"""WITH docs_o AS (
+           |  SELECT doc_id, text,
+           |         CAST((row_number() OVER (ORDER BY $ordSql, doc_id) - 1)
+           |              * 10 // (SELECT count(*) FROM documents)
+           |           AS BIGINT) + 1 AS decile
+           |  FROM documents),
+           |tok AS (
+           |  SELECT decile, unnest(
+           |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           |         ELSE list_transform(range(1, len(toks) - 1),
+           |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |    END) AS t
+           |  FROM (SELECT decile, ${OracleSql.wsTokens()} AS toks
+           |        FROM docs_o)),
+           |fo AS (SELECT t, min(decile) AS first_decile FROM tok GROUP BY 1),
+           |nw AS (SELECT first_decile AS decile, count(*) AS new_tokens
+           |       FROM fo GROUP BY 1),
+           |grid AS (SELECT unnest(range(1, 11)) AS decile)
+           |SELECT grid.decile,
+           |       CAST(coalesce(nw.new_tokens, 0) AS BIGINT) AS new_tokens,
+           |       CAST(sum(coalesce(nw.new_tokens, 0))
+           |            OVER (ORDER BY grid.decile) AS BIGINT) AS vocab_cum
+           |FROM grid LEFT JOIN nw ON nw.decile = grid.decile
+           |ORDER BY grid.decile""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      // the total rides back with the rank offsets — no separate count
+      val (ranked, n) = Scale.globalRankWithTotal(
+        docs.select(col("doc_id"), col("text"),
+          TextAnalysis.md5Long(col("doc_id").cast("string")).as("ord")),
+        "rk", "ord", "doc_id")
+      val tok = ranked
+        .select((expr(s"(rk - 1) * 10 div ${n}L") + 1).as("decile"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("t"))
+      val nw = tok.groupBy("t").agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_tokens"))
+      val grid = s.range(1, 11).select(col("id").as("decile"))
+      // the cumulative window runs over the 10-row decile grid only
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(nw, Seq("decile"), "left_outer")
+        .select(col("decile"),
+          coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+        .withColumn("vocab_cum", sum("new_tokens").over(w))
+        .orderBy("decile")
+    },
+
     // ---- Benford first-digit audit (q186): leading-digit distribution
     //      of order totals vs Benford's log10(1+1/d) expectation — the
     //      classic fabricated-data / ingestion-corruption screen for
