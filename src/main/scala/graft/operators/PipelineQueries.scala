@@ -1438,6 +1438,72 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // ---- NDCG@10 of the IVF ranking (q188): recall (q110) says WHICH
+    //      true neighbors the index returns; NDCG says WHERE it puts
+    //      them — the position-weighted ranking score every retrieval
+    //      eval reports. Graded gains 10..1 from the exact cosine rank,
+    //      log2 position discounts pinned as integer micro literals
+    //      (1e6/log2(p+1)), IDCG is the closed-form constant — the
+    //      whole metric is exact integer arithmetic and the oracle
+    //      replays both rankings plus the same literals. ----
+    QueryDef(
+      "q188_ivf_ndcg", {
+        val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+          356207L, 333333L, 315465L, 301030L, 289065L)
+        val discCase = disc.zipWithIndex
+          .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+        val idcg = 29966114L
+        s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+           |            FROM embeddings WHERE vec_id < 5),
+           |bf AS (
+           |  SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT q.query_id, e.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY ${cosineSql("q.q_embedding", "e.embedding")} DESC,
+           |                      e.vec_id) AS rank
+           |    FROM embeddings e JOIN qs q ON q.query_id <> e.vec_id) t
+           |  WHERE rank <= 10),
+           |ivf AS (SELECT query_id, neighbor_id, rank AS pos
+           |        FROM ($ivfOracleSql) t2),
+           |scored AS (
+           |  SELECT i.query_id,
+           |         coalesce(11 - b.rank, 0) *
+           |           (CASE i.pos $discCase END) AS contrib
+           |  FROM ivf i LEFT JOIN bf b
+           |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id)
+           |SELECT q.query_id,
+           |       CAST(coalesce(sum(contrib), 0) AS BIGINT) AS dcg_micro,
+           |       CAST(coalesce(sum(contrib), 0) * 10000 // $idcg AS BIGINT)
+           |         AS ndcg_bp
+           |FROM qs q LEFT JOIN scored s ON s.query_id = q.query_id
+           |GROUP BY q.query_id ORDER BY q.query_id""".stripMargin
+      }) { (s, dir) =>
+      val disc = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val idcg = 29966114L
+      val discCol = (1 to 10).foldLeft(lit(0L)) { (acc, p) =>
+        when(col("pos") === p, lit(disc(p - 1))).otherwise(acc)
+      }
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val ivf = Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("pos"))
+      val scored = ivf.join(bf, Seq("query_id", "neighbor_id"), "left_outer")
+        .select(col("query_id"),
+          (coalesce(lit(11) - col("rank"), lit(0)).cast("long") * discCol)
+            .as("contrib"))
+      queries.select("query_id")
+        .join(scored.groupBy("query_id").agg(sum("contrib").as("dcg")),
+          Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("dcg"), lit(0L)).as("dcg_micro"),
+          expr(s"coalesce(dcg, 0L) * 10000 div $idcg").as("ndcg_bp"))
+        .orderBy("query_id")
+    },
+
     // ---- quality classifier: train/apply split. TRAINING (ridge over
     //      exact-integer surface features — ONE DECIMAL(38,0) moment-sum
     //      aggregate + a driver-side d×d solve) isn't a single SQL
