@@ -2324,6 +2324,85 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- two-sample Kolmogorov-Smirnov drift test (q189): per source,
+    //      the exact KS statistic between the source's doc-length
+    //      distribution and the REST of the corpus — the distributional
+    //      twin of q120's KL and q177's EMD, with the actual α=0.05
+    //      decision attached: KS·√(nm/(n+m)) > c(0.05) tested as the
+    //      cross-multiplied integer inequality D²·n·m > c²·(n+m)·(nm)²
+    //      /(nm)… i.e. (max|cA·m − cB·n|)² > c²_micro·n·m·(n+m)/10⁶,
+    //      DECIMAL(38,0) products, no float ever. Grid-bounded shape:
+    //      one (source, len) aggregate + broadcast global histogram +
+    //      length-grid cumulative windows. ----
+    QueryDef(
+      "q189_ks_drift",
+      """WITH b AS (
+        |  SELECT source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |grid AS (SELECT DISTINCT l FROM b),
+        |sc AS (SELECT source, l, count(*) AS c FROM b GROUP BY 1, 2),
+        |gc AS (SELECT l, count(*) AS g FROM b GROUP BY 1),
+        |sn AS (SELECT source, count(*) AS n FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn FROM b),
+        |fl AS (
+        |  SELECT sn.source, grid.l, sn.n,
+        |         coalesce(sc.c, 0) AS c, gc.g - coalesce(sc.c, 0) AS r
+        |  FROM sn CROSS JOIN grid
+        |  JOIN gc ON gc.l = grid.l
+        |  LEFT JOIN sc ON sc.source = sn.source AND sc.l = grid.l),
+        |cum AS (
+        |  SELECT source, n,
+        |         sum(c) OVER (PARTITION BY source ORDER BY l) AS ca,
+        |         sum(r) OVER (PARTITION BY source ORDER BY l) AS cb
+        |  FROM fl),
+        |ks AS (
+        |  SELECT source, n, nn - n AS m,
+        |         max(abs(CAST(ca AS DECIMAL(38,0)) * (nn - n)
+        |                 - CAST(cb AS DECIMAL(38,0)) * n)) AS dnum
+        |  FROM cum, tot GROUP BY source, n, nn)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |       CAST(CAST(dnum * 10000 AS HUGEINT)
+        |         // CAST(CAST(n AS DECIMAL(38,0)) * m AS HUGEINT)
+        |         AS BIGINT) AS ks_bp,
+        |       dnum * dnum * 1000000 >
+        |         CAST(1844164 AS DECIMAL(38,0)) * n * m * (n + m)
+        |         AS drifted
+        |FROM ks ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = Tables.documents(s, dir).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("l"))
+      val grid = b.select("l").distinct()
+      val sc = b.groupBy("source", "l").agg(count(lit(1)).as("c"))
+      val gc = b.groupBy("l").agg(count(lit(1)).as("g"))
+      val sn = b.groupBy("source").agg(count(lit(1)).as("n"))
+      val tot = b.agg(count(lit(1)).as("nn"))
+      val fl = sn.crossJoin(broadcast(grid))
+        .join(broadcast(gc), "l")
+        .join(sc, Seq("source", "l"), "left_outer")
+        .select(col("source"), col("l"), col("n"),
+          coalesce(col("c"), lit(0L)).as("c"),
+          (col("g") - coalesce(col("c"), lit(0L))).as("r"))
+      // per-source cumulative over the LENGTH GRID — frame bounded by
+      // distinct lengths, not corpus rows
+      val w = Window.partitionBy("source").orderBy("l")
+      val cum = fl
+        .withColumn("ca", sum("c").over(w))
+        .withColumn("cb", sum("r").over(w))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("n"), (col("nn") - col("n")).as("m"))
+        .agg(max(abs(col("ca").cast("decimal(38,0)") * (col("nn") - col("n"))
+          - col("cb").cast("decimal(38,0)") * col("n"))).as("dnum"))
+        .select(col("source"), col("n"),
+          expr("""CAST(dnum * 10000 div
+            |  (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)""".stripMargin)
+            .as("ks_bp"),
+          (col("dnum") * col("dnum") * 1000000L >
+            lit(1844164L).cast("decimal(38,0)") * col("n") * col("m") *
+              (col("n") + col("m"))).as("drifted"))
+        .orderBy("source")
+    },
+
     // ---- vocabulary growth curve (q187): distinct-token count at each
     //      decile of a content-addressed corpus order — the Heaps'-law
     //      diagnostic for data DIVERSITY ("is new data still bringing
