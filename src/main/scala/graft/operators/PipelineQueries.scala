@@ -1438,6 +1438,75 @@ object PipelineQueries {
         .orderBy("query_id")
     },
 
+    // ---- Cohen's kappa between two quality gates (q190): chance-
+    //      corrected agreement between the Gopher heuristic keep and a
+    //      stopword-density threshold rule — the audit before swapping
+    //      one filter for a cheaper one ("they agree 80%" means nothing
+    //      if both keep 80% blindly; kappa subtracts that chance floor).
+    //      Exact integers: kappa = (agree·n − Σ marginal products) /
+    //      (n² − Σ marginal products) in bp, DECIMAL(38,0) products.
+    //      One corpus scan into a 2×2 contingency aggregate. ----
+    QueryDef(
+      "q190_filter_kappa",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |${gopherCountsCte("t")},
+         |v AS (
+         |  SELECT $gopherKeepSql AS a,
+         |         stop_hits * 1000000 >= n_tokens * 200000 AS b
+         |  FROM c),
+         |g AS (
+         |  SELECT count(*) AS n,
+         |         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+         |         sum(CASE WHEN a THEN 1 ELSE 0 END) AS a1,
+         |         sum(CASE WHEN b THEN 1 ELSE 0 END) AS b1
+         |  FROM v),
+         |k AS (
+         |  SELECT n, agree,
+         |         CAST(a1 AS DECIMAL(38,0)) * b1
+         |           + CAST(n - a1 AS DECIMAL(38,0)) * (n - b1) AS pe_num,
+         |         CAST(n AS DECIMAL(38,0)) * n AS n2
+         |  FROM g)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+         |       CAST(agree * 10000 // n AS BIGINT) AS po_bp,
+         |       CAST(CAST(pe_num * 10000 AS HUGEINT)
+         |            // CAST(n2 AS HUGEINT) AS BIGINT) AS pe_bp,
+         |       CAST(CASE WHEN n2 = pe_num THEN NULL
+         |            WHEN agree * n >= pe_num THEN
+         |              CAST((CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 10000
+         |                AS HUGEINT) // CAST(n2 - pe_num AS HUGEINT)
+         |            ELSE -(CAST((pe_num - CAST(agree AS DECIMAL(38,0)) * n) * 10000
+         |                AS HUGEINT) // CAST(n2 - pe_num AS HUGEINT))
+         |            END AS BIGINT) AS kappa_bp
+         |FROM k""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val v = TextAnalysis.gopherRules(Tables.documents(s, dir))
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          (size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 1000000L >=
+            size(toks).cast("long") * 200000L).as("b")), "doc_id")
+        .select(col("keep").as("a"), col("b"))
+      val g = v.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"),
+        sum(when(col("a"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("b1"))
+      g.select(col("n"), col("agree"),
+          (col("a1").cast("decimal(38,0)") * col("b1") +
+            (col("n") - col("a1")).cast("decimal(38,0)") *
+              (col("n") - col("b1"))).as("pe_num"),
+          (col("n").cast("decimal(38,0)") * col("n")).as("n2"))
+        .select(col("n"), col("agree").as("n_agree"),
+          expr("agree * 10000 div n").as("po_bp"),
+          expr("CAST(pe_num * 10000 div n2 AS BIGINT)").as("pe_bp"),
+          // Spark's integral divide truncates toward zero on both signs,
+          // which is what the oracle's sign-split CASE mirrors
+          when(col("n2") === col("pe_num"), lit(null))
+            .otherwise(expr(
+              """CAST((CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 10000
+                | div (n2 - pe_num) AS BIGINT)""".stripMargin))
+            .as("kappa_bp"))
+    },
+
     // ---- NDCG@10 of the IVF ranking (q188): recall (q110) says WHICH
     //      true neighbors the index returns; NDCG says WHERE it puts
     //      them — the position-weighted ranking score every retrieval
