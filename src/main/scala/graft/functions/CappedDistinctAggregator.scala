@@ -30,6 +30,41 @@ final case class CapBuf(ids: List[Long], n: Int, over: Boolean)
   * partial aggregation: map tasks ship at most `cap` ids (or the poison
   * flag) per key.
   */
+/** Bottom-k (KMV) sketch aggregator: the k SMALLEST distinct Long
+  * values of a group, sorted ascending — the classic k-minimum-values
+  * sketch (Bar-Yossef et al. 2002): union-mergeable (merge two bottom-k
+  * lists, keep the k smallest), estimates distinct counts and — over
+  * hashed element sets — jaccard overlaps. Exact Long ordering (a
+  * Double-scored top-k heap would round 60-bit hashes); buffer bounded
+  * at k, map tasks ship ≤ k values per group.
+  */
+class BottomKAggregator(k: Int)
+    extends Aggregator[Long, CapBuf, Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def zero: CapBuf = CapBuf(Nil, 0, over = false)
+
+  // ids holds AT MOST k values, sorted ascending (n tracks size)
+  override def reduce(b: CapBuf, a: Long): CapBuf =
+    if (b.n < k) {
+      val ins = (a :: b.ids).sorted
+      CapBuf(ins.distinct, ins.distinct.length, over = false)
+    } else if (a < b.ids.last && !b.ids.contains(a)) {
+      CapBuf(((a :: b.ids.init).sorted), k, over = false)
+    } else b
+
+  override def merge(x: CapBuf, y: CapBuf): CapBuf = {
+    val m = (x.ids ++ y.ids).distinct.sorted.take(k)
+    CapBuf(m, m.length, over = false)
+  }
+
+  override def finish(b: CapBuf): Seq[Long] = b.ids
+
+  override def bufferEncoder: Encoder[CapBuf] = Encoders.product[CapBuf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 class CappedDistinctAggregator(cap: Int)
     extends Aggregator[Long, CapBuf, Seq[Long]] {
   require(cap > 0, s"cap must be positive, got $cap")

@@ -2324,6 +2324,73 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- pairwise source overlap via bottom-k sketches (q191): each
+    //      source's 3-gram set reduces to its 64 smallest hashes (the
+    //      KMV sketch, Bar-Yossef 2002 — union-mergeable, so the
+    //      pairwise estimate needs only the 20 sketches, never a
+    //      gram-level join); jaccard ≈ |K(A∪B) ∩ A ∩ B| / |K(A∪B)|.
+    //      q117 computes source overlap EXACTLY with a gram join; this
+    //      is the sketch that answers the same question over ANY number
+    //      of sources with k longs per source — and being fully
+    //      deterministic (exact Long ordering, no floats), the oracle
+    //      replays the estimator itself. ----
+    QueryDef(
+      "q191_source_overlap_sketch",
+      s"""WITH t AS (SELECT source, ${OracleSql.wsTokens()} AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |         ${OracleSql.md5Long("gr")} AS h
+         |  FROM (SELECT source,
+         |          unnest(CASE WHEN len(toks) < 3
+         |               THEN [array_to_string(toks, ' ')]
+         |               ELSE list_transform(range(1, len(toks) - 1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' '
+         |                         || toks[i+2]) END) AS gr
+         |        FROM t) u),
+         |rk AS (SELECT source, h,
+         |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM g),
+         |sk AS (SELECT source, list(h ORDER BY h) AS s
+         |       FROM rk WHERE rn <= 64 GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         list_sort(list_distinct(a.s || b.s))[1:64] AS u,
+         |         a.s AS sa, b.s AS sb
+         |  FROM sk a JOIN sk b ON a.source < b.source)
+         |SELECT src_a, src_b,
+         |       CAST(len(list_filter(u, x -> list_contains(sa, x)
+         |              AND list_contains(sb, x))) AS BIGINT) AS n_shared,
+         |       CAST(len(u) AS BIGINT) AS k_union,
+         |       CAST(len(list_filter(u, x -> list_contains(sa, x)
+         |              AND list_contains(sb, x))) * 10000 // len(u)
+         |         AS BIGINT) AS jaccard_est_bp
+         |FROM p ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val grams = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.GramHashFunctions.graftGramMd5(
+            TextAnalysis.wsTokens(col("text")), 3, distinct = true)).as("h"))
+      val bk = udaf(new graft.functions.BottomKAggregator(64),
+        Encoders.scalaLong)
+      val sk = grams.groupBy("source").agg(bk(col("h")).as("sk"))
+      val pairs = sk.as("a").join(
+        broadcast(sk.select(col("source").as("src_b"), col("sk").as("sb"))),
+        col("source") < col("src_b"))
+        .select(col("source").as("src_a"), col("src_b"),
+          col("sk").as("sa"), col("sb"))
+        .withColumn("u",
+          slice(array_sort(array_union(col("sa"), col("sb"))), 1, 64))
+        .withColumn("n_shared",
+          size(filter(col("u"), x =>
+            array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+            .cast("long"))
+      pairs.select(col("src_a"), col("src_b"), col("n_shared"),
+          size(col("u")).cast("long").as("k_union"),
+          expr("n_shared * 10000 div size(u)").as("jaccard_est_bp"))
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- two-sample Kolmogorov-Smirnov drift test (q189): per source,
     //      the exact KS statistic between the source's doc-length
     //      distribution and the REST of the corpus — the distributional

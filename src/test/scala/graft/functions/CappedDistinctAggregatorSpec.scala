@@ -27,6 +27,23 @@ class CappedDistinctAggregatorSpec extends SparkSpec {
     }
   }
 
+  test("BottomKAggregator: k smallest DISTINCT values, sorted, dup-safe, partition-invariant") {
+    // values with repeats, spread across partitions
+    val rows = for { g <- 1 to 3; v <- Seq(9L, 3L, 7L, 3L, 1L, 9L, 5L, 11L) }
+      yield (g.toLong, v + g * 100L)
+    val df = rows.toDF("g", "v").repartition(5)
+    val bk = udaf(new BottomKAggregator(4), Encoders.scalaLong)
+    val got = df.groupBy("g").agg(bk($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (g <- 1L to 3L)
+      assert(got(g) == Seq(1L, 3L, 5L, 7L).map(_ + g * 100L),
+        s"group $g: ${got(g)}")
+    // fewer distinct values than k -> all of them
+    val small = Seq((1L, 5L), (1L, 5L), (1L, 2L)).toDF("g", "v")
+    val s2 = small.groupBy("g").agg(bk($"v")).head().getSeq[Long](1)
+    assert(s2 == Seq(2L, 5L))
+  }
+
   test("exactly-at-cap group survives; cap+1 drops") {
     val df = ((1 to 5).map(m => (1L, m.toLong)) ++ (1 to 6).map(m => (2L, m.toLong)))
       .toDF("g", "id").repartition(3)
