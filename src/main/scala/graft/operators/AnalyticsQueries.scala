@@ -2324,6 +2324,81 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- data-contract audit (q192): referential integrity, range, and
+    //      domain rules checked in one report — the validation gate a
+    //      pipeline runs on every ingest batch before letting it touch
+    //      the warehouse. Five planted violations (dangling order key,
+    //      out-of-range quantity, out-of-range discount) prove the
+    //      detectors detect; FK checks are anti-join counts (broadcast
+    //      the key side at catalog scale, shuffle-join at 100 TB — AQE
+    //      picks), range checks ride the scan in exact cents/bp. ----
+    QueryDef(
+      "q192_contract_audit",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_quantity, l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (-1, 999.0, 0.5), (-2, 999.0, 0.5),
+        |                        (-3, 0.0, 0.25), (-4, 51.0, 0.2),
+        |                        (-5, 999.0, 0.5))
+        |    t(l_orderkey, l_quantity, l_discount)),
+        |fk AS (SELECT count(*) AS viol FROM li
+        |       WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |qty AS (SELECT count(*) AS viol FROM li
+        |        WHERE round(l_quantity * 100) < 100
+        |           OR round(l_quantity * 100) > 5000),
+        |disc AS (SELECT count(*) AS viol FROM li
+        |         WHERE round(l_discount * 10000) < 0
+        |            OR round(l_discount * 10000) > 1000),
+        |ofk AS (SELECT count(*) AS viol FROM orders
+        |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |n AS (SELECT count(*) AS nli FROM li),
+        |no AS (SELECT count(*) AS nor FROM orders)
+        |SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+        |       CAST(n_violations AS BIGINT) AS n_violations FROM (
+        |  SELECT 'fk_lineitem_orderkey' AS rule, n.nli AS n_checked,
+        |         fk.viol AS n_violations FROM n, fk
+        |  UNION ALL SELECT 'fk_orders_custkey', no.nor, ofk.viol FROM no, ofk
+        |  UNION ALL SELECT 'range_quantity_1_50', n.nli, qty.viol FROM n, qty
+        |  UNION ALL SELECT 'range_discount_0_10pct', n.nli, disc.viol
+        |            FROM n, disc) t
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      val planted = s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(-1L, 999.0, 0.5),
+          org.apache.spark.sql.Row(-2L, 999.0, 0.5),
+          org.apache.spark.sql.Row(-3L, 0.0, 0.25),
+          org.apache.spark.sql.Row(-4L, 51.0, 0.2),
+          org.apache.spark.sql.Row(-5L, 999.0, 0.5)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("l_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("l_quantity",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("l_discount",
+            org.apache.spark.sql.types.DoubleType))))
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_discount")
+        .union(planted)
+      val orders = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      def one(rule: String, checked: DataFrame, viol: DataFrame) =
+        checked.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(broadcast(viol.agg(count(lit(1)).as("n_violations"))))
+          .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"))
+      val qcents = round(col("l_quantity") * 100).cast("long")
+      val dbp = round(col("l_discount") * 10000).cast("long")
+      one("fk_lineitem_orderkey", li,
+          li.join(orders.select("o_orderkey"),
+            li("l_orderkey") === col("o_orderkey"), "left_anti"))
+        .unionByName(one("fk_orders_custkey", orders,
+          orders.join(cust.select("c_custkey"),
+            orders("o_custkey") === col("c_custkey"), "left_anti")))
+        .unionByName(one("range_quantity_1_50", li,
+          li.filter(qcents < 100 || qcents > 5000)))
+        .unionByName(one("range_discount_0_10pct", li,
+          li.filter(dbp < 0 || dbp > 1000)))
+        .orderBy("rule")
+    },
+
     // ---- pairwise source overlap via bottom-k sketches (q191): each
     //      source's 3-gram set reduces to its 64 smallest hashes (the
     //      KMV sketch, Bar-Yossef 2002 — union-mergeable, so the
