@@ -2324,6 +2324,55 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- stratified sampling quotas (q193): apportion a fixed sample
+    //      budget across (lang, source) strata EXACTLY proportionally
+    //      via Hamilton's largest-remainder method — floor shares, then
+    //      the leftover seats go to the largest fractional remainders
+    //      (ties broken by stratum key). The integer-exact answer to
+    //      "sample 1000 docs that look like the corpus" — naive
+    //      rounding over- or under-shoots the budget; this never does
+    //      (Σ quota ≡ budget). Strata are a bounded aggregate; the
+    //      remainder ranking runs over that tiny table only. Apply the
+    //      quotas with q113's exact k-sample per stratum. ----
+    QueryDef(
+      "q193_stratified_quota",
+      """WITH st AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |t AS (SELECT sum(n) AS nn FROM st),
+        |f AS (
+        |  SELECT lang, source, n,
+        |         n * 1000 // nn AS fl,
+        |         n * 1000 % nn AS rem
+        |  FROM st, t),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk,
+        |         (SELECT 1000 - sum(fl) FROM f) AS leftover
+        |  FROM f)
+        |SELECT lang, source, CAST(n AS BIGINT) AS n_docs,
+        |       CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |         AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val budget = 1000L
+      val st = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val t = st.agg(sum("n").as("nn"))
+      val f = st.crossJoin(broadcast(t))
+        .select(col("lang"), col("source"), col("n"),
+          expr(s"n * $budget div nn").as("fl"),
+          expr(s"n * $budget % nn").as("rem"))
+      val leftover = f.agg((lit(budget) - sum("fl")).as("lo"))
+      // the ranking window runs over the strata table only (bounded by
+      // |langs|x|sources|, never corpus rows)
+      val w = Window.orderBy(col("rem").desc, col("lang"), col("source"))
+      f.withColumn("rk", row_number().over(w))
+        .crossJoin(broadcast(leftover))
+        .select(col("lang"), col("source"), col("n").as("n_docs"),
+          (col("fl") + when(col("rk") <= col("lo"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("lang", "source")
+    },
+
     // ---- data-contract audit (q192): referential integrity, range, and
     //      domain rules checked in one report — the validation gate a
     //      pipeline runs on every ingest batch before letting it touch
