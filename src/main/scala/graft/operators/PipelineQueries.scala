@@ -2933,6 +2933,87 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- clustering quality vs ground truth (q194): purity and the
+    //      exact Adjusted Rand Index of the deterministic k-means
+    //      assignment against the embeddings' true `label` column — the
+    //      eval that decides whether unsupervised clusters are USABLE
+    //      as supervision (SemDeDup buckets, curriculum groups). ARI is
+    //      pure pair-counting combinatorics, so the whole metric is
+    //      integer-exact: C(x,2) sums, cross-multiplied through C(n,2),
+    //      ×2 to clear the half, DECIMAL(38,0) products, sign-safe
+    //      division (chance-level clusterings go negative). Oracle
+    //      replays the 2-round k-means (shared CTEs) + the same
+    //      combinatorics. ----
+    QueryDef(
+      "q194_clustering_ari",
+      s"""WITH ev AS (
+         |  SELECT vec_id, embedding,
+         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS cluster
+         |  FROM embeddings),
+         |${centroidCte("ev", "cent0")},
+         |${assignCte("cent0", "a1")},
+         |${centroidCte("a1", "cent1")},
+         |${assignCte("cent1", "a2")},
+         |lab AS (SELECT e.vec_id, a2.cluster, e.label
+         |        FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id),
+         |ct AS (SELECT cluster, label, count(*) AS nij
+         |       FROM lab GROUP BY 1, 2),
+         |ai AS (SELECT cluster, sum(nij) AS a FROM ct GROUP BY 1),
+         |bj AS (SELECT label, sum(nij) AS b FROM ct GROUP BY 1),
+         |s AS (
+         |  SELECT (SELECT sum(nij * (nij - 1) // 2) FROM ct) AS sij,
+         |         (SELECT sum(a * (a - 1) // 2) FROM ai) AS sa,
+         |         (SELECT sum(b * (b - 1) // 2) FROM bj) AS sb,
+         |         (SELECT sum(nij) FROM ct) AS n,
+         |         (SELECT sum(mx) FROM (
+         |            SELECT max(nij) AS mx FROM ct GROUP BY cluster) t)
+         |           AS majority),
+         |k AS (
+         |  SELECT n, majority, sij, sa, sb,
+         |         CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) // 2
+         |           AS DECIMAL(38,0)) AS c2,
+         |         CAST(sa AS DECIMAL(38,0)) * sb AS sasb
+         |  FROM s)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CAST(majority * 10000 // n AS BIGINT) AS purity_bp,
+         |       CAST(CASE
+         |         WHEN c2 * (sa + sb) = 2 * sasb THEN NULL
+         |         WHEN c2 * sij >= sasb THEN
+         |           CAST((c2 * sij - sasb) * 2 * 10000 AS HUGEINT)
+         |             // CAST(c2 * (sa + sb) - 2 * sasb AS HUGEINT)
+         |         ELSE -(CAST((sasb - c2 * sij) * 2 * 10000 AS HUGEINT)
+         |             // CAST(c2 * (sa + sb) - 2 * sasb AS HUGEINT))
+         |         END AS BIGINT) AS ari_bp
+         |FROM k""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.kmeansLite(emb, k = 16)
+      val ct = assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("nij"))
+        .localCheckpoint() // four aggregates below read this tiny table
+      val sij = ct.agg(sum(expr("nij * (nij - 1) div 2")).as("sij"),
+        sum("nij").as("n"))
+      val sa = ct.groupBy("cluster").agg(sum("nij").as("a"))
+        .agg(sum(expr("a * (a - 1) div 2")).as("sa"))
+      val sb = ct.groupBy("label").agg(sum("nij").as("b"))
+        .agg(sum(expr("b * (b - 1) div 2")).as("sb"))
+      val maj = ct.groupBy("cluster").agg(max("nij").as("mx"))
+        .agg(sum("mx").as("majority"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .crossJoin(broadcast(maj))
+        .select(col("n"), col("majority"), col("sij"), col("sa"), col("sb"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+            | AS DECIMAL(38,0))""".stripMargin).as("c2"),
+          (col("sa").cast("decimal(38,0)") * col("sb")).as("sasb"))
+        .select(col("n"),
+          expr("majority * 10000 div n").as("purity_bp"),
+          when(col("c2") * (col("sa") + col("sb")) === col("sasb") * 2,
+            lit(null))
+            .otherwise(expr(
+              """CAST((c2 * sij - sasb) * 2 * 10000
+                | div (c2 * (sa + sb) - 2 * sasb) AS BIGINT)""".stripMargin))
+            .as("ari_bp"))
+    },
+
     // ---- Johnson-Lindenstrauss distortion audit (q182): project the
     //      64-dim embeddings onto 16 dims with a pinned ±1 (Achlioptas)
     //      matrix and report the pairwise distance-ratio histogram over
