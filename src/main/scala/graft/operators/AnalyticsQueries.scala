@@ -2324,6 +2324,51 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- rendezvous-hash shard elasticity (q195): assign docs to
+    //      shards by highest-random-weight (HRW) hashing and report the
+    //      movement when the shard count grows 8 → 9 — the elasticity
+    //      audit behind any consistent placement scheme (the KV
+    //      surface's ShardCtrler is the control-plane twin; this is the
+    //      data-plane property: ONLY ≈ 1/(N+1) of keys move, vs ~all
+    //      under mod-N). Fully deterministic (md5 weights; a weight tie
+    //      would break to the higher shard identically on both engines,
+    //      though 60-bit weights never tie in practice), narrow per-row
+    //      arithmetic, one scalar aggregate. ----
+    QueryDef(
+      "q195_rendezvous_shards", {
+        def wSql(n: Int): String = (0 until n).map(i =>
+          s"""struct_pack(h := ${OracleSql.md5Long(
+            s"CAST(doc_id AS VARCHAR) || '|' || '$i'")}, s := $i)""")
+          .mkString("[", ", ", "]")
+        s"""WITH a AS (
+           |  SELECT doc_id,
+           |         list_max(${wSql(8)}).s AS s8,
+           |         list_max(${wSql(9)}).s AS s9
+           |  FROM documents)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_moved,
+           |       CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) * 10000
+           |            // count(*) AS BIGINT) AS moved_bp,
+           |       CAST(10000 // 9 AS BIGINT) AS expected_bp
+           |FROM a""".stripMargin
+      }) { (s, dir) =>
+      def shard(n: Int): org.apache.spark.sql.Column = {
+        val ws = (0 until n).map(i => struct(
+          TextAnalysis.md5Long(
+            concat(col("doc_id").cast("string"), lit(s"|$i"))).as("h"),
+          lit(i).as("s")))
+        array_max(array(ws: _*)).getField("s")
+      }
+      Tables.documents(s, dir)
+        .select(shard(8).as("s8"), shard(9).as("s9"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+        .select(col("n_docs"), col("n_moved"),
+          expr("n_moved * 10000 div n_docs").as("moved_bp"),
+          lit(10000L / 9L).as("expected_bp"))
+    },
+
     // ---- stratified sampling quotas (q193): apportion a fixed sample
     //      budget across (lang, source) strata EXACTLY proportionally
     //      via Hamilton's largest-remainder method — floor shares, then
