@@ -2324,6 +2324,72 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- token-bucket rate-limit audit (q196): replay each user's
+    //      event stream through a token bucket (capacity 5, refill 1
+    //      token per 2 days — a heavy quota sized to this sparse
+    //      synthetic stream's ~32 h inter-event gaps; integer
+    //      micro-tokens) and count what a
+    //      rate limiter WOULD have throttled — the abuse/ingest-policy
+    //      simulation run before enforcing a limit in production. Like
+    //      q171, the fold is the same exact integer recursion on both
+    //      engines — Spark aggregate over the ts-sorted list vs a
+    //      DuckDB RECURSIVE-CTE per-step fold (NOT list_reduce, whose
+    //      lambda mis-evaluates accumulators referenced more than once
+    //      on long lists) — so results are bit-identical; per-user
+    //      state is bounded by the user's event count, never the
+    //      stream. ----
+    QueryDef(
+      "q196_rate_limit_audit",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts)) AS i
+        |  FROM events),
+        |n AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY 1),
+        |st(user_id, i, last, tok, thr) AS (
+        |  SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(5000000 AS BIGINT), CAST(0 AS BIGINT) FROM n
+        |  UNION ALL
+        |  SELECT st.user_id, st.i + 1, e.tus,
+        |         CASE WHEN least(5000000, st.tok
+        |                   + (e.tus - st.last) // 172800) >= 1000000
+        |              THEN least(5000000, st.tok
+        |                   + (e.tus - st.last) // 172800) - 1000000
+        |              ELSE least(5000000, st.tok
+        |                   + (e.tus - st.last) // 172800) END,
+        |         st.thr + CASE WHEN least(5000000, st.tok
+        |                   + (e.tus - st.last) // 172800) >= 1000000
+        |              THEN 0 ELSE 1 END
+        |  FROM st JOIN e ON e.user_id = st.user_id AND e.i = st.i + 1)
+        |SELECT st.user_id, CAST(n.n_events AS BIGINT) AS n_events,
+        |       CAST(st.thr AS BIGINT) AS n_throttled,
+        |       CAST(st.thr * 10000 // n.n_events AS BIGINT) AS throttled_bp
+        |FROM st JOIN n ON n.user_id = st.user_id AND st.i = n.n_events
+        |ORDER BY st.user_id""".stripMargin) { (s, dir) =>
+      Tables.eventsTs(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("tus"))).as("evs"),
+          count(lit(1)).as("n_events"))
+        .selectExpr("user_id", "CAST(n_events AS BIGINT) AS n_events",
+          """aggregate(evs,
+            |  named_struct('last', 0L, 'st', 5000000L),
+            |  (acc, t) -> named_struct(
+            |    'last', t,
+            |    'st', CASE WHEN least(5000000L, acc.st % 10000000L
+            |              + (t - acc.last) div 172800) >= 1000000L
+            |          THEN acc.st div 10000000L * 10000000L
+            |               + least(5000000L, acc.st % 10000000L
+            |                 + (t - acc.last) div 172800) - 1000000L
+            |          ELSE (acc.st div 10000000L + 1L) * 10000000L
+            |               + least(5000000L, acc.st % 10000000L
+            |                 + (t - acc.last) div 172800) END)) AS f""".stripMargin)
+        .select(col("user_id"), col("n_events"),
+          expr("f.st div 10000000L").as("n_throttled"),
+          expr("f.st div 10000000L * 10000 div n_events").as("throttled_bp"))
+        .orderBy("user_id")
+    },
+
     // ---- rendezvous-hash shard elasticity (q195): assign docs to
     //      shards by highest-random-weight (HRW) hashing and report the
     //      movement when the shard count grows 8 → 9 — the elasticity
