@@ -2933,6 +2933,66 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- split-leakage audit (q197): how many NEAR-DUP pairs does the
+    //      naive per-document hash split scatter ACROSS train/val/test?
+    //      The measurement that motivates q166's cluster-level split —
+    //      a near-identical pair straddling train and test inflates
+    //      eval. Pairs from the exact-contract near-dup join (jaccard ≥
+    //      0.7, planted twins included — twins get independent split
+    //      hashes, so they leak by construction); splits from the q104
+    //      content-addressed rule; output is the split-pair leakage
+    //      matrix. Subset corpus keeps the brute oracle bounded. ----
+    QueryDef(
+      "q197_split_leakage",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graftplantedtail'
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN CAST(('0x' || substring(
+         |                md5(CAST(doc_id AS VARCHAR) || '|graftsplit'),
+         |                1, 6)) AS BIGINT) % 10000 < 8000 THEN 'train'
+         |              WHEN CAST(('0x' || substring(
+         |                md5(CAST(doc_id AS VARCHAR) || '|graftsplit'),
+         |                1, 6)) AS BIGINT) % 10000 < 9000 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM d)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |       greatest(a.split, b.split) AS split_hi,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       least(a.split, b.split) <> greatest(a.split, b.split)
+         |         AS leaked
+         |FROM pr
+         |JOIN sp a ON a.doc_id = pr.id_a
+         |JOIN sp b ON b.doc_id = pr.id_b
+         |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 1000).select("doc_id", "text")
+      val twins = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"))
+      val corpus = base.union(twins)
+      val pairs = Dedup.nearDupPairs(corpus, threshold = 0.7)
+        .select("id_a", "id_b")
+      val sp = Scale.hashSplit(corpus.select("doc_id"), "doc_id",
+          "graftsplit", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select("doc_id", "split")
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+          (col("split_lo") =!= col("split_hi")).as("leaked"))
+        .orderBy("split_lo", "split_hi")
+    },
+
     // ---- clustering quality vs ground truth (q194): purity and the
     //      exact Adjusted Rand Index of the deterministic k-means
     //      assignment against the embeddings' true `label` column — the
