@@ -2324,6 +2324,70 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     },
 
+    // ---- score-vs-length rank correlation (q198): tie-broken Spearman
+    //      ρ between the stopword quality score and document length —
+    //      the "is my quality score secretly a length proxy?" audit run
+    //      before trusting any heuristic filter. Ranks come from TWO
+    //      distributed globalRank passes under (value, doc_id) total
+    //      orders (deterministic under ties, documented as tie-broken
+    //      Spearman), ρ = 1 − 6Σd²/(n(n²−1)) in exact integer bp with
+    //      DECIMAL(38,0) for the cubic products; sign-safe division. ----
+    QueryDef(
+      "q198_score_length_spearman",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '),
+         |             w -> list_contains(${PipelineQueries.stopwordsSql}, w))) * 1000000
+         |           // len(string_split(text, ' ')) AS score,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY score, doc_id) AS rs,
+         |         row_number() OVER (ORDER BY l, doc_id) AS rl
+         |  FROM m),
+         |s AS (
+         |  SELECT count(*) AS n,
+         |         sum(CAST((rs - rl) AS DECIMAL(38,0)) * (rs - rl)) AS d2
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |       CAST(CASE WHEN n < 2 THEN NULL
+         |            WHEN CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+         |                 >= 6 * d2 THEN
+         |              CAST((CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+         |                    - 6 * d2) * 10000 AS HUGEINT)
+         |                // CAST(CAST(n AS DECIMAL(38,0))
+         |                   * (CAST(n AS DECIMAL(38,0)) * n - 1) AS HUGEINT)
+         |            ELSE -(CAST((6 * d2 - CAST(n AS DECIMAL(38,0))
+         |                    * (CAST(n AS DECIMAL(38,0)) * n - 1)) * 10000 AS HUGEINT)
+         |                // CAST(CAST(n AS DECIMAL(38,0))
+         |                   * (CAST(n AS DECIMAL(38,0)) * n - 1) AS HUGEINT))
+         |            END AS BIGINT) AS spearman_bp
+         |FROM s""".stripMargin) { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val m = Tables.documents(s, dir).select(
+        col("doc_id"),
+        floor(size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+            .cast("long") * 1000000L / size(toks).cast("long"))
+          .cast("long").as("score"),
+        size(toks).cast("long").as("l"))
+      val rs = Scale.globalRank(m, "rs", "score", "doc_id")
+        .select("doc_id", "rs")
+      val rl = Scale.globalRank(m.select("doc_id", "l"), "rl", "l", "doc_id")
+        .select("doc_id", "rl")
+      rs.join(rl, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum((col("rs") - col("rl")).cast("decimal(38,0)") *
+            (col("rs") - col("rl"))).as("d2"))
+        .select(col("n"),
+          when(col("n") < 2, lit(null)).otherwise(expr(
+            """CAST((CAST(n AS DECIMAL(38,0))
+              |    * (CAST(n AS DECIMAL(38,0)) * n - 1) - 6 * d2) * 10000
+              |  div (CAST(n AS DECIMAL(38,0))
+              |    * (CAST(n AS DECIMAL(38,0)) * n - 1)) AS BIGINT)""".stripMargin))
+            .as("spearman_bp"))
+    },
+
     // ---- token-bucket rate-limit audit (q196): replay each user's
     //      event stream through a token bucket (capacity 5, refill 1
     //      token per 2 days — a heavy quota sized to this sparse
