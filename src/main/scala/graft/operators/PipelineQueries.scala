@@ -3234,6 +3234,117 @@ object PipelineQueries {
         .select(col("query_id"), col("n_hits"),
           expr("n_hits * 10000 div 10").as("recall_bp"))
         .orderBy("query_id")
+    },
+
+    // ---- multinomial Naive Bayes language classifier (q199): train on
+    //      a content-addressed 80% split, score the held-out 20%, report
+    //      the confusion matrix. The FULL train+apply path is
+    //      oracle-checked (unlike iterative trainers, NB training IS one
+    //      aggregation): per-(lang, token) Laplace log-likelihoods and
+    //      per-lang priors, micro-unit-quantized BEFORE the per-doc
+    //      integer sum (the q62/q105 idiom). Scale shape: the model is
+    //      vocab-bounded and BROADCAST — scoring is one map-side join
+    //      over per-doc distinct-token counts plus a doc-keyed argmax;
+    //      the corpus is never shuffled by token. Unseen-token mass uses
+    //      the closed form (T - seen) * w0(lang), so the dense doc x lang
+    //      frame is 5 rows per doc, not vocab-wide. ----
+    QueryDef(
+      "q199_nb_langid",
+      """WITH sp AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |            || '|graftnb'), 1, 6)) AS BIGINT) % 10000 AS bucket
+        |  FROM documents),
+        |tr AS (SELECT * FROM sp WHERE bucket < 8000),
+        |te AS (SELECT * FROM sp WHERE bucket >= 8000),
+        |tt AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM tr),
+        |ct AS (SELECT lang, tok, count(*) AS c FROM tt GROUP BY 1, 2),
+        |nl AS (SELECT lang, sum(c) AS nl FROM ct GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT tok) AS v FROM ct),
+        |dl AS (SELECT lang, count(*) AS dl FROM tr GROUP BY 1),
+        |dd AS (SELECT count(*) AS dd FROM tr),
+        |cls AS (
+        |  SELECT dl.lang,
+        |         CAST(round(1000000 * ln(CAST(dl.dl AS DOUBLE) / dd.dd))
+        |           AS BIGINT) AS prior_q,
+        |         CAST(round(1000000 * ln(1.0 / (nl.nl + vv.v)))
+        |           AS BIGINT) AS w0_q
+        |  FROM dl, dd, nl, vv WHERE nl.lang = dl.lang),
+        |w AS (
+        |  SELECT ct.lang, ct.tok,
+        |         CAST(round(1000000 * ln(CAST(ct.c + 1 AS DOUBLE)
+        |            / (nl.nl + vv.v))) AS BIGINT) AS w_q
+        |  FROM ct, nl, vv WHERE nl.lang = ct.lang),
+        |dtok AS (
+        |  SELECT doc_id, tok, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM te)
+        |  GROUP BY 1, 2),
+        |td AS (SELECT doc_id, sum(cnt) AS t FROM dtok GROUP BY 1),
+        |seen AS (
+        |  SELECT d.doc_id, w.lang AS plang,
+        |         sum(d.cnt * w.w_q) AS sw, sum(d.cnt) AS sc
+        |  FROM dtok d JOIN w ON w.tok = d.tok GROUP BY 1, 2),
+        |scr AS (
+        |  SELECT te.doc_id, te.lang AS true_lang, cls.lang AS plang,
+        |         cls.prior_q + coalesce(seen.sw, 0)
+        |           + (td.t - coalesce(seen.sc, 0)) * cls.w0_q AS score
+        |  FROM te JOIN td ON td.doc_id = te.doc_id
+        |  CROSS JOIN cls
+        |  LEFT JOIN seen ON seen.doc_id = te.doc_id
+        |               AND seen.plang = cls.lang),
+        |pred AS (
+        |  SELECT doc_id, true_lang, plang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plang) AS rn FROM scr) t
+        |  WHERE rn = 1)
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred GROUP BY 1, 2
+        |ORDER BY true_lang, pred_lang""".stripMargin) { (s, dir) =>
+      val docs = Scale.hashSplit(
+        Tables.documents(s, dir).select("doc_id", "lang", "text"),
+        "doc_id", "graftnb", Seq("train" -> 8000, "test" -> 2000))
+      val train = docs.filter(col("split") === "train")
+      val test = docs.filter(col("split") === "test")
+      val ct = train
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // model-sized; read by weights + nl + vocab
+      val nl = ct.groupBy("lang").agg(sum("c").as("nl"))
+      val vv = ct.select("tok").distinct().agg(count(lit(1)).as("v"))
+      val dl = train.groupBy("lang").agg(count(lit(1)).as("dl"))
+      val dd = train.agg(count(lit(1)).as("dd"))
+      val cls = dl.join(broadcast(nl), "lang")
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(dd))
+        .select(col("lang").as("plang"),
+          round(lit(1000000) * log(col("dl").cast("double") / col("dd")))
+            .cast("long").as("prior_q"),
+          round(lit(1000000) * log(lit(1.0) / (col("nl") + col("v"))))
+            .cast("long").as("w0_q"))
+      val weights = ct.join(broadcast(nl), "lang").crossJoin(broadcast(vv))
+        .select(col("lang").as("plang"), col("tok"),
+          round(lit(1000000) * log((col("c") + lit(1)).cast("double")
+            / (col("nl") + col("v")))).cast("long").as("w_q"))
+      val dtok = test
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val td = dtok.groupBy("doc_id").agg(sum("cnt").as("t"))
+      val seen = dtok.join(broadcast(weights), "tok")
+        .groupBy("doc_id", "plang")
+        .agg(sum(col("cnt") * col("w_q")).as("sw"), sum("cnt").as("sc"))
+      test.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(td, "doc_id")
+        .crossJoin(broadcast(cls))
+        .join(seen, Seq("doc_id", "plang"), "left_outer")
+        .select(col("doc_id"), col("true_lang"), col("plang"),
+          (col("prior_q") + coalesce(col("sw"), lit(0L))
+            + (col("t") - coalesce(col("sc"), lit(0L))) * col("w0_q"))
+            .as("score"))
+        .groupBy("doc_id", "true_lang")
+        .agg(min(struct((-col("score")).as("ns"), col("plang").as("pl")))
+          .as("m"))
+        .groupBy(col("true_lang"), col("m.pl").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
     }
   )
 

@@ -524,4 +524,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"a global-sort window would serialize the corpus onto one task:\n$plan")
   }
+
+  test("q199 NB: the model broadcasts — scoring never shuffles the corpus by token") {
+    val plan = planOf("q199_nb_langid")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab-bounded weight table must broadcast:\n$plan")
+    // the only SortMergeJoin-eligible keys are doc-keyed (td/seen); the
+    // token-keyed join must never sort-merge (it would shuffle the
+    // token-exploded corpus)
+    assert(!plan.contains("SortMergeJoin(keys=[tok"),
+      s"token-keyed join must be the broadcast side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the lang fan-out must be a broadcast nested loop of 5 rows:\n$plan")
+  }
 }

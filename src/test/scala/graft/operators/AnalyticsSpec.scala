@@ -423,4 +423,48 @@ class AnalyticsSpec extends SparkSpec {
       rs.foreach(r => assert(r.getAs[Long]("retention_bp") <= 10000L))
     }
   }
+
+  test("q199: NB confusion matrix equals a sequential reference classifier") {
+    val got = run("q199_nb_langid", sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // sequential reference: same split rule, same Laplace weights, same
+    // micro-unit quantization, same argmax tie-break — computed with
+    // plain Scala collections on the driver
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|graftnb".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % 10000
+    }
+    val (train, test) = docs.partition(d => bucket(d._1) < 8000)
+    assert(test.nonEmpty && train.nonEmpty)
+    val ct = scala.collection.mutable.Map.empty[(String, String), Long]
+    train.foreach { case (_, l, t) =>
+      t.split(" ", -1).foreach(tok => ct((l, tok)) = ct.getOrElse((l, tok), 0L) + 1) }
+    val nl = ct.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = ct.keys.map(_._2).toSet.size.toLong
+    val dl = train.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dTot = train.length.toLong
+    def q(x: Double): Long = math.round(1e6 * math.log(x))
+    val langs = dl.keys.toSeq.sorted
+    val prior = langs.map(l => l -> q(dl(l).toDouble / dTot)).toMap
+    val w0 = langs.map(l => l -> q(1.0 / (nl(l) + v))).toMap
+    val conf = scala.collection.mutable.Map.empty[(String, String), Long]
+    test.foreach { case (_, trueLang, t) =>
+      val toks = t.split(" ", -1).groupBy(identity).view.mapValues(_.length.toLong)
+      val pred = langs.map { l =>
+        val s = prior(l) + toks.map { case (tok, cnt) =>
+          cnt * ct.get((l, tok)).map(c => q((c + 1).toDouble / (nl(l) + v)))
+            .getOrElse(w0(l))
+        }.sum
+        (-s, l)
+      }.min._2
+      conf((trueLang, pred)) = conf.getOrElse((trueLang, pred), 0L) + 1
+    }
+    assert(got == conf.toMap, s"got $got\nexpected $conf")
+  }
 }
