@@ -1052,4 +1052,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("bucket")
   }
+
+  /** Content-defined chunking (FastCDC-family, token granularity): cut
+    * each document AFTER token position i whenever the rolling w-token
+    * gram hash ending at i satisfies h ≡ 0 (mod divisor) — so a chunk
+    * boundary depends only on a LOCAL w-token window, never on absolute
+    * position. That is the property fixed-size chunking (chunkOwnership
+    * / q73) lacks: there, one inserted token shifts every later chunk
+    * and kills all downstream matches; here an edit reflows at most the
+    * chunks whose windows it touches — every cutpoint at or after the
+    * edit's window survives verbatim (shifted), and so does every later
+    * chunk. Expected chunk length = `divisor` tokens.
+    *
+    * Returns one row per chunk: (doc_id, chunk_idx, chunk_hash,
+    * n_tokens), chunk_hash = md5-60bit of the space-joined chunk.
+    *
+    * Scale shape: tokenization + the gram lags + the cut prefix-sum +
+    * the chunk reassembly all run inside ONE doc-keyed partitioning (the
+    * two window specs and the groupBy share it — a single shuffle of the
+    * token stream); no global state, no single-partition window. The
+    * reference has no chunking at all (its unit is the whole file,
+    * /root/reference/src/mr/worker.go map path); this is the extension
+    * surface a petabyte dedup pipeline needs.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      w: Int = 4,
+      divisor: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 2 && divisor >= 2, s"degenerate cdc params w=$w div=$divisor")
+    val byDoc = Window.partitionBy(idCol).orderBy("i")
+    val toks = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "tok")))
+    val gram = concat_ws(" ",
+      ((w - 1) to 1 by -1).map(d => lag("tok", d).over(byDoc)) :+ col("tok"): _*)
+    val cut = toks.withColumn("cut",
+      when(col("i") >= w - 1 &&
+        pmod(TextAnalysis.md5Long(gram), lit(divisor.toLong)) === 0L, 1L)
+        .otherwise(0L))
+    val prefix = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    cut
+      .withColumn("chunk_idx", coalesce(sum("cut").over(prefix), lit(0L)))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        TextAnalysis.md5Long(
+          array_join(transform(
+            sort_array(collect_list(struct(col("i"), col("tok")))),
+            _.getField("tok")), " ")).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

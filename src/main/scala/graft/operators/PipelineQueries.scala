@@ -3345,6 +3345,78 @@ object PipelineQueries {
         .groupBy(col("true_lang"), col("m.pl").as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("true_lang", "pred_lang")
+    },
+
+    // ---- content-defined chunking dedup (q200): FastCDC-style local
+    //      boundaries (cut where the rolling 4-gram hash ≡ 0 mod 8), so
+    //      an edit reflows only the chunks it touches. The corpus plants
+    //      PREFIX-edited twins — the case that breaks fixed-size
+    //      chunking (q73: every chunk shifts) but not CDC: every
+    //      original cutpoint survives a prepend, so every original
+    //      chunk except the head chunk still matches. Output: per-doc
+    //      shared-chunk summary. ----
+    QueryDef(
+      "q200_cdc_dedup",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, 'graftcdc ' || text
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+         |tok AS (
+         |  SELECT doc_id, u.i - 1 AS j, toks[u.i] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |cuts AS (
+         |  SELECT doc_id, u.i - 1 AS j,
+         |         CASE WHEN ${OracleSql.md5Long(
+                      "array_to_string(toks[u.i-3:u.i], ' ')")} % 8 = 0
+         |              THEN 1 ELSE 0 END AS cut
+         |  FROM t, unnest(range(4, len(toks) + 1)) AS u(i)),
+         |tk AS (
+         |  SELECT tok.doc_id, tok.j, tok.tok, coalesce(cuts.cut, 0) AS cut
+         |  FROM tok LEFT JOIN cuts
+         |    ON cuts.doc_id = tok.doc_id AND cuts.j = tok.j),
+         |ci AS (
+         |  SELECT doc_id, j, tok,
+         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY j
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS chunk_idx
+         |  FROM tk),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx,
+         |         ${OracleSql.md5Long(
+                    "string_agg(tok, ' ' ORDER BY j)")} AS chunk_hash,
+         |         count(*) AS n_tokens
+         |  FROM ci GROUP BY 1, 2),
+         |occ AS (
+         |  SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+         |  FROM ch GROUP BY 1)
+         |SELECT ch.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN occ.nd >= 2 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_shared_chunks,
+         |       CAST(CAST(sum(CASE WHEN occ.nd >= 2 THEN ch.n_tokens
+         |                     ELSE 0 END) AS HUGEINT) * 1000000
+         |            // CAST(sum(ch.n_tokens) AS HUGEINT) AS BIGINT)
+         |         AS shared_token_ppm
+         |FROM ch JOIN occ USING (chunk_hash)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("graftcdc "), col("text")).as("text"))
+      val chunks = Dedup.cdcChunks(docs.union(twins))
+      val occ = chunks.groupBy("chunk_hash")
+        .agg(countDistinct("doc_id").as("nd"))
+      chunks.join(occ, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"),
+          sum(when(col("nd") >= 2, col("n_tokens")).otherwise(0L)).as("st"),
+          sum("n_tokens").as("tt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          expr("st * 1000000 div tt").as("shared_token_ppm"))
+        .orderBy("doc_id")
     }
   )
 

@@ -537,4 +537,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"the lang fan-out must be a broadcast nested loop of 5 rows:\n$plan")
   }
+
+  test("q200 CDC: doc-keyed windows only — never one global partition") {
+    val plan = planOf("q200_cdc_dedup")
+    assert(plan.contains("Window"), s"expected the cut/lag windows:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"CDC state is per-doc; a global window would serialize the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the occurrence join must stay a chunk-hash equi-join:\n$plan")
+  }
 }

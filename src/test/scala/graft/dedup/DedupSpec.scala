@@ -552,4 +552,30 @@ class DedupSpec extends SparkSpec {
     assert(got == want,
       s"mismatch: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
   }
+
+  test("cdcChunks: a prefix edit reflows ONLY the head chunk; fixed chunking loses everything") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 120).map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+    val df = Seq(1L -> base, 2L -> s"graftspec $base").toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(df).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3)))
+      }
+    val (orig, twin) = (chunks(1L), chunks(2L))
+    // every original cutpoint survives the prepend (its 4-token window
+    // is intact, just shifted), so every original chunk EXCEPT the head
+    // chunk appears verbatim in the twin
+    val twinSet = twin.map(_._1).toSet
+    orig.drop(1).foreach { case (h, n) =>
+      assert(twinSet.contains(h), s"non-head chunk ($h, $n tokens) lost") }
+    // and the chunks conserve the token stream exactly
+    assert(orig.map(_._2).sum == 120L && twin.map(_._2).sum == 121L)
+    // contrast: FIXED chunking of the same pair shares nothing (every
+    // chunk shifted by one token) — the failure CDC exists to avoid
+    val fixedShared = Dedup.chunkOwnership(df)
+      .groupBy("h").count().filter(col("count") >= 2).count()
+    assert(fixedShared == 0L,
+      "fixed chunking unexpectedly aligned across the prefix edit")
+  }
 }

@@ -170,4 +170,19 @@ class EdgeCaseSpec extends SparkSpec {
       "score", "pos", "doc_id", bins = 4).collect()
     assert(nopos.forall(_.isNullAt(4)), "zero positives -> null lift, not a crash")
   }
+
+  test("cdcChunks: empty corpus, sub-window docs, blank text") {
+    assert(Dedup.cdcChunks(emptyDocs).count() == 0)
+    // a doc shorter than the gram window w=4 can never cut: one chunk
+    val short = Dedup.cdcChunks(docsDf(1L -> "a b c")).collect()
+    assert(short.length == 1 && short.head.getLong(3) == 3L)
+    // blank text still splits to one (empty-string) token -> one chunk
+    assert(Dedup.cdcChunks(docsDf(1L -> "")).count() == 1)
+    // chunks partition every doc's token stream exactly
+    val df = docsDf(1L -> "a b c d e f g h i j", 2L -> "x")
+    val sums = Dedup.cdcChunks(df).groupBy("doc_id")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 10L, 2L -> 1L))
+  }
 }
