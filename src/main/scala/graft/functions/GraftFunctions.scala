@@ -21,7 +21,11 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
-    "graft_strip_accents" -> (exprs => StripAccents(exprs(0))))
+    "graft_strip_accents" -> (exprs => StripAccents(exprs(0))),
+    // graft_multi_match(text, t1, t2, ...): the term list is a constant
+    // (foldable varargs tail), the automaton builds once per plan
+    "graft_multi_match" -> (exprs => MultiMatch(exprs.head,
+      exprs.tail.map(_.eval().toString))))
 
   /** Imperative registration on an existing session: the SQL names plus
     * the [[FuseVectorFolds]] cost rewrite (idempotent).

@@ -3417,8 +3417,49 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
           expr("st * 1000000 div tt").as("shared_token_ppm"))
         .orderBy("doc_id")
+    },
+
+    // ---- blocklist / policy filter (q201): which banned phrases does
+    //      each document contain (the C4 cleaning step)? One native
+    //      Aho-Corasick pass over the text bytes per row — O(|text|)
+    //      regardless of blocklist size — vs k contains() scans or a
+    //      backtracking regex alternation; the automaton is a constant
+    //      reference object inside whole-stage codegen. Exactly
+    //      list_sort(list_filter(terms, t -> contains(text, t))). ----
+    QueryDef(
+      "q201_blocklist", {
+        val termList = PipelineQueries.blocklistTerms
+          .map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |       CAST(len(m) AS BIGINT) AS n_terms,
+           |       array_to_string(m, ',') AS terms_csv
+           |FROM (
+           |  SELECT doc_id,
+           |         list_sort(list_filter($termList,
+           |           t -> contains(text, t))) AS m
+           |  FROM documents) t
+           |WHERE len(m) > 0
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.MultiMatchFunctions.graftMultiMatch(
+            col("text"), PipelineQueries.blocklistTerms).as("m"))
+        .filter(size(col("m")) > 0)
+        .select(col("doc_id"), size(col("m")).cast("long").as("n_terms"),
+          array_join(col("m"), ",").as("terms_csv"))
+        .orderBy("doc_id")
     }
   )
+
+  /** q201's banned-phrase list (ASCII, so byte order == string order on
+    * both engines; includes a zero-hit term to pin the no-match path).
+    * (def, not val: `defs` above initializes first.)
+    */
+  private[operators] def blocklistTerms: Seq[String] = Seq(
+    "big table", "crash", "slow scan", "stream merge", "vector",
+    "window window")
 
   /** q149's full SQL replay of PQ train/encode/search (both Lloyd
     * rounds in all 4 subspaces, the per-query distance tables, the

@@ -538,6 +538,18 @@ class PlanSpec extends SparkSpec {
       s"the lang fan-out must be a broadcast nested loop of 5 rows:\n$plan")
   }
 
+  test("q201 blocklist: one pruned scan, the automaton inline, no join/agg") {
+    val plan = planOf("q201_blocklist")
+    // one Aho-Corasick pass per row inside the scan pipeline — a
+    // terms-join or regex fallback would show as Join/Aggregate here
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"blocklist filter must stay scan+project+filter:\n$plan")
+    assert(plan.contains("graft_multi_match"),
+      s"native expression missing from the projection:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns:\n$plan")
+  }
+
   test("q200 CDC: doc-keyed windows only — never one global partition") {
     val plan = planOf("q200_cdc_dedup")
     assert(plan.contains("Window"), s"expected the cut/lag windows:\n$plan")
