@@ -3450,6 +3450,69 @@ object PipelineQueries {
         .select(col("doc_id"), size(col("m")).cast("long").as("n_terms"),
           array_join(col("m"), ",").as("terms_csv"))
         .orderBy("doc_id")
+    },
+
+    // ---- water-filling mixture allocation (q202): split a global token
+    //      budget (60% of corpus tokens) across sources so every source
+    //      gets an EQUAL share except those whose capacity is below the
+    //      water level, which contribute everything — the "how many
+    //      tokens of each source" curation decision under per-source
+    //      caps. Closed form, all integers: sort by cap, prefix sums,
+    //      the saturated set is the prefix where cap ≤ the running fair
+    //      share, the remainder spreads base/+1 Hamilton-style so the
+    //      allocation sums to the budget EXACTLY. Scale shape: the only
+    //      corpus-sized work is the per-source token count; everything
+    //      after runs on the S-row aggregate (bounded global window,
+    //      q193's precedent). ----
+    QueryDef(
+      "q202_water_fill",
+      """WITH tok AS (
+        |  SELECT source, sum(len(string_split(text, ' '))) AS cap
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(cap) AS t, count(*) AS s FROM tok),
+        |b AS (SELECT CAST(t AS HUGEINT) * 6 // 10 AS budget, s FROM tot),
+        |r AS (
+        |  SELECT source, cap,
+        |         row_number() OVER (ORDER BY cap, source) AS i,
+        |         sum(cap) OVER (ORDER BY cap, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi
+        |  FROM tok),
+        |f AS (
+        |  SELECT r.*, b.budget, b.s,
+        |         CASE WHEN cap <= CAST(greatest(budget - (pi - cap), 0)
+        |                AS HUGEINT) // (s - i + 1)
+        |              THEN 1 ELSE 0 END AS sat_flag
+        |  FROM r, b),
+        |k AS (
+        |  SELECT coalesce((SELECT min(i) - 1 FROM f WHERE sat_flag = 0),
+        |                  (SELECT s FROM b)) AS k),
+        |q AS (
+        |  SELECT k.k,
+        |         coalesce((SELECT sum(cap) FROM f WHERE i <= k.k), 0) AS pk,
+        |         b.budget, b.s
+        |  FROM k, b),
+        |p AS (
+        |  SELECT k, pk, budget, s,
+        |         CASE WHEN s > k THEN CAST(budget - pk AS HUGEINT) // (s - k)
+        |              ELSE 0 END AS base,
+        |         CASE WHEN s > k THEN CAST(budget - pk AS HUGEINT) % (s - k)
+        |              ELSE 0 END AS extra,
+        |         CASE WHEN s = k THEN budget - pk ELSE 0 END AS unallocated
+        |  FROM q)
+        |SELECT f.source, CAST(f.cap AS BIGINT) AS cap_tokens,
+        |       CAST(CASE WHEN f.i <= p.k THEN f.cap
+        |                 WHEN f.i - p.k <= p.extra THEN p.base + 1
+        |                 ELSE p.base END AS BIGINT) AS alloc_tokens,
+        |       CAST(CASE WHEN f.i <= p.k THEN 1 ELSE 0 END AS BIGINT)
+        |         AS saturated,
+        |       CAST(p.unallocated AS BIGINT) AS unallocated
+        |FROM f, p ORDER BY f.source""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("cap"))
+      val budget = tok.agg(sum("cap").as("t"))
+        .select(expr("t * 6 div 10").as("budget"))
+      Scale.waterFill(tok, budget).orderBy("source")
     }
   )
 

@@ -284,4 +284,61 @@ object Scale {
         least(greatest(col(valueCol), col("_lo")), col("_hi")))
       .drop("_lo", "_hi")
   }
+
+  /** Water-filling allocation of an integer token `budget` across
+    * sources with capacities `caps(source, cap)`: every source gets an
+    * equal share except those whose capacity sits below the water
+    * level, which contribute everything. Closed form, all integers:
+    * sort by (cap, source), prefix sums, the saturated set is the
+    * prefix where cap ≤ the running fair share, and the remainder
+    * spreads base/base+1 Hamilton-style (first `extra` unsaturated
+    * sources in cap order get +1) so Σ alloc == min(budget, Σ cap)
+    * EXACTLY. If the budget exceeds total capacity the surplus is
+    * reported in `unallocated` (constant column).
+    *
+    * `budget`: 1-row frame with a `budget` long column (computed from a
+    * corpus aggregate or a literal). Returns (source, cap_tokens,
+    * alloc_tokens, saturated, unallocated) — one row per source.
+    *
+    * Scale shape: runs entirely on the S-row capacity aggregate; the
+    * bounded global window is over sources, never corpus rows (q193's
+    * apportionment precedent).
+    */
+  def waterFill(caps: DataFrame, budget: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = caps.agg(count(lit(1)).as("s")).crossJoin(broadcast(budget))
+    val w = Window.orderBy("cap", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = caps.select(col("source"), col("cap").cast("long").as("cap"),
+        row_number().over(Window.orderBy("cap", "source")).as("i"),
+        sum(col("cap").cast("long")).over(w).as("pi"))
+      .crossJoin(broadcast(b))
+      .withColumn("sat_flag",
+        expr("""CASE WHEN cap <= greatest(budget - (pi - cap), 0L)
+              | div (s - i + 1) THEN 1 ELSE 0 END""".stripMargin))
+      .localCheckpoint() // S-row frame read by k, pk, and the projection
+    val kdf = f.filter(col("sat_flag") === 0).agg(min("i").as("mi"))
+      .crossJoin(broadcast(b))
+      .select(coalesce(col("mi") - 1, col("s")).cast("long").as("k"))
+    val q = f.crossJoin(broadcast(kdf)).groupBy("k")
+      .agg(coalesce(sum(when(col("i") <= col("k"), col("cap"))), lit(0L))
+        .as("pk"),
+        first("budget").as("budget"), first("s").as("s"))
+      .select(col("k"), col("pk"),
+        expr("CASE WHEN s > k THEN (budget - pk) div (s - k) ELSE 0 END")
+          .as("base"),
+        expr("CASE WHEN s > k THEN (budget - pk) % (s - k) ELSE 0 END")
+          .as("extra"),
+        expr("CASE WHEN s = k THEN budget - pk ELSE 0 END")
+          .as("unallocated"))
+    f.crossJoin(broadcast(q))
+      .select(col("source"), col("cap").as("cap_tokens"),
+        expr("""CAST(CASE WHEN i <= k THEN cap
+              |     WHEN i - k <= extra THEN base + 1
+              |     ELSE base END AS BIGINT)""".stripMargin)
+          .as("alloc_tokens"),
+        expr("CAST(CASE WHEN i <= k THEN 1 ELSE 0 END AS BIGINT)")
+          .as("saturated"),
+        col("unallocated").cast("long").as("unallocated"))
+  }
 }

@@ -156,4 +156,61 @@ class ScaleSpec extends SparkSpec {
       .select("v", "v_w").collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(idy.forall { case (a, b) => a == b })
   }
+
+  test("waterFill: exact budget conservation, caps honored, fair shares within 1") {
+    def fill(caps: Seq[(String, Long)], budget: Long) = {
+      val out = Scale.waterFill(caps.toDF("source", "cap"),
+        Seq(budget).toDF("budget")).collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      val byName = out.toMap
+      val capMap = caps.toMap
+      // caps echoed; never over-allocate a source
+      byName.foreach { case (s, (cap, alloc, _, _)) =>
+        assert(cap == capMap(s) && alloc <= cap && alloc >= 0, s"source $s") }
+      val total = out.map(_._2._2).sum
+      val unalloc = out.head._2._4
+      assert(total == math.min(budget, caps.map(_._2).sum),
+        s"sum=$total budget=$budget caps=${caps.map(_._2).sum}")
+      assert(unalloc == math.max(0L, budget - caps.map(_._2).sum))
+      // unsaturated sources get equal shares within 1 token
+      val unsat = out.filter(_._2._3 == 0L).map(_._2._2)
+      if (unsat.nonEmpty) assert(unsat.max - unsat.min <= 1L, unsat.toSeq)
+      // saturated sources contribute everything
+      out.filter(_._2._3 == 1L).foreach { case (s, (cap, alloc, _, _)) =>
+        assert(alloc == cap, s"saturated $s under-filled") }
+      byName
+    }
+    // generic mix: small sources saturate, big ones split the rest
+    fill(Seq("a" -> 10L, "b" -> 100L, "c" -> 1000L, "d" -> 1000L), 600L)
+    // budget exceeds capacity: everything saturates, surplus reported
+    fill(Seq("a" -> 5L, "b" -> 7L), 100L)
+    // zero budget / zero caps / single source
+    fill(Seq("a" -> 5L, "b" -> 7L), 0L)
+    fill(Seq("a" -> 0L, "b" -> 9L), 4L)
+    fill(Seq("solo" -> 42L), 10L)
+    // equal caps with a non-divisible budget: +1s go to the first in order
+    val eq = fill(Seq("a" -> 50L, "b" -> 50L, "c" -> 50L), 100L)
+    assert(eq("a")._2 + eq("b")._2 + eq("c")._2 == 100L)
+    assert(eq.values.map(_._2).toSeq.sorted == Seq(33L, 33L, 34L))
+    // randomized sweep vs a sequential reference water level
+    val rnd = new scala.util.Random(3)
+    (1 to 8).foreach { _ =>
+      val caps = (1 to 12).map(i => s"s$i" -> rnd.nextInt(500).toLong)
+      val budget = rnd.nextInt(4000).toLong
+      val got = fill(caps, budget)
+      // reference: raise the level one token at a time
+      var remaining = math.min(budget, caps.map(_._2).sum)
+      val alloc = scala.collection.mutable.Map(caps.map(c => c._1 -> 0L): _*)
+      while (remaining > 0) {
+        val open = caps.filter(c => alloc(c._1) < c._2)
+          .sortBy(c => (c._2, c._1)) // +1 order: (cap, source)
+        val take = open.take(math.min(remaining, open.size.toLong).toInt)
+        take.foreach(c => alloc(c._1) += 1)
+        remaining -= take.size
+      }
+      assert(got.view.mapValues(_._2).toMap == alloc.toMap,
+        s"caps=$caps budget=$budget")
+    }
+  }
 }
