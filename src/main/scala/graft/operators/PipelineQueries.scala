@@ -3513,6 +3513,62 @@ object PipelineQueries {
       val budget = tok.agg(sum("cap").as("t"))
         .select(expr("t * 6 div 10").as("budget"))
       Scale.waterFill(tok, budget).orderBy("source")
+    },
+
+    // ---- Wilson lower-bound source ranking (q203): rank sources by the
+    //      95% lower confidence bound of their Gopher-keep pass rate —
+    //      the small-sample-aware "which domains are actually clean"
+    //      ranking (a 3/3 source must NOT outrank a 95/100 one, which
+    //      raw pass-rate ranking does). Bit-exact across engines: the
+    //      bound is +,-,×,÷,sqrt only — all IEEE correctly-rounded — in
+    //      ONE identical expression string, then micro-unit rounded.
+    //      Scale shape: one corpus scan into a per-source 2-counter
+    //      aggregate; the ranking window is S rows. ----
+    QueryDef(
+      "q203_wilson_rank", {
+        val nd = "CAST(n_docs AS DOUBLE)"
+        val ph = s"(CAST(n_pass AS DOUBLE) / $nd)"
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |${gopherCountsCte("t")},
+           |g AS (
+           |  SELECT d.source,
+           |         CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS keep
+           |  FROM c JOIN documents d USING (doc_id)),
+           |a AS (
+           |  SELECT source, count(*) AS n_docs, sum(keep) AS n_pass
+           |  FROM g GROUP BY 1),
+           |wdef AS (
+           |  SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           |         CAST(n_pass AS BIGINT) AS n_pass,
+           |         CAST(round(1000000 * (($ph + (1.96 * 1.96) / (2 * $nd)
+           |           - 1.96 * sqrt($ph * (1 - $ph) / $nd
+           |                         + (1.96 * 1.96) / (4 * $nd * $nd)))
+           |           / (1 + (1.96 * 1.96) / $nd))) AS BIGINT)
+           |           AS wilson_lb_q
+           |  FROM a)
+           |SELECT source, n_docs, n_pass, wilson_lb_q,
+           |       CAST(row_number() OVER (
+           |         ORDER BY wilson_lb_q DESC, source) AS BIGINT) AS rnk
+           |FROM wdef ORDER BY rnk""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val nd = "CAST(n_docs AS DOUBLE)"
+      val ph = s"(CAST(n_pass AS DOUBLE) / $nd)"
+      TextAnalysis.gopherRules(Tables.documents(s, dir),
+          stops = stopwords, passthrough = Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_pass"))
+        .select(col("source"), col("n_docs"), col("n_pass"),
+          expr(s"""CAST(round(1000000 * (($ph + (1.96 * 1.96) / (2 * $nd)
+                  |  - 1.96 * sqrt($ph * (1 - $ph) / $nd
+                  |                + (1.96 * 1.96) / (4 * $nd * $nd)))
+                  |  / (1 + (1.96 * 1.96) / $nd))) AS BIGINT)""".stripMargin)
+            .as("wilson_lb_q"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("wilson_lb_q").desc,
+            col("source"))).cast("long"))
+        .orderBy("rnk")
     }
   )
 

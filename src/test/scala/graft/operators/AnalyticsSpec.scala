@@ -467,4 +467,24 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(got == conf.toMap, s"got $got\nexpected $conf")
   }
+
+  test("q203: Wilson bounds equal a driver-side recompute; bound sits below the raw rate") {
+    val rows = run("q203_wilson_rank", sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k, got) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val nd = n.toDouble; val ph = k.toDouble / nd
+      val want = math.round(1000000 * ((ph + (1.96 * 1.96) / (2 * nd)
+        - 1.96 * math.sqrt(ph * (1 - ph) / nd
+          + (1.96 * 1.96) / (4 * nd * nd)))
+        / (1 + (1.96 * 1.96) / nd)))
+      assert(got == want, s"${r.getString(0)}: got $got want $want")
+      // the lower bound never reaches the raw rate (unless p̂ = 0)
+      if (k > 0) assert(got < math.round(1000000 * ph))
+    }
+    // ranking is exactly by (wilson_lb_q desc, source)
+    val ranked = rows.sortBy(_.getLong(4))
+    val resorted = rows.sortBy(r => (-r.getLong(3), r.getString(0)))
+    assert(ranked.map(_.getString(0)).toSeq == resorted.map(_.getString(0)).toSeq)
+  }
 }
