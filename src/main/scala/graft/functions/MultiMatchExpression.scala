@@ -97,7 +97,7 @@ final class AcAutomaton(termsIn: Array[String]) extends Serializable {
   // trie with dense byte-indexed goto tables (node count = total term
   // bytes + 1 — blocklist-sized, not corpus-sized), BFS fail links,
   // out-bitsets merged along fail chains
-  @transient private lazy val (gotoTab, outTab): (Array[Array[Int]], Array[Array[Long]]) = {
+  @transient private lazy val tables: (Array[Array[Int]], Array[Array[Long]]) = {
     val words = sortedTerms.length
     val maskLen = (words + 63) >> 6
     val nodes = scala.collection.mutable.ArrayBuffer(Array.fill(256)(-1))
@@ -145,19 +145,28 @@ final class AcAutomaton(termsIn: Array[String]) extends Serializable {
     }
     (nodes.toArray, outs.toArray)
   }
+  @transient private lazy val gotoTab: Array[Array[Int]] = tables._1
+  @transient private lazy val outTab: Array[Array[Long]] = tables._2
+  // most states emit nothing — one boolean test per byte instead of a
+  // maskLen-word merge keeps the scan flat as the term list grows
+  @transient private lazy val hasOut: Array[Boolean] =
+    outTab.map(_.exists(_ != 0L))
 
   /** Returns the matched-term bitset for one text. */
   def scan(bytes: Array[Byte]): Array[Long] = {
     val g = gotoTab
     val o = outTab
+    val ho = hasOut
     val acc = new Array[Long]((sortedTerms.length + 63) >> 6)
     var st = 0
     var i = 0
     while (i < bytes.length) {
       st = g(st)(bytes(i) & 0xff)
-      val ob = o(st)
-      var m = 0
-      while (m < ob.length) { acc(m) |= ob(m); m += 1 }
+      if (ho(st)) {
+        val ob = o(st)
+        var m = 0
+        while (m < ob.length) { acc(m) |= ob(m); m += 1 }
+      }
       i += 1
     }
     acc

@@ -3569,6 +3569,171 @@ object PipelineQueries {
           row_number().over(Window.orderBy(col("wilson_lb_q").desc,
             col("source"))).cast("long"))
         .orderBy("rnk")
+    },
+
+    // ---- curriculum interleave schedule (q204): the deterministic
+    //      training ORDER — quality deciles best-first, and WITHIN each
+    //      decile sources interleave round-robin (so no decile opens
+    //      with a single-domain run). Entirely rank arithmetic: decile
+    //      via the distributed equi-depth machinery (ntile semantics,
+    //      globalRank — no single-partition window over the corpus),
+    //      intra-(decile,source) position via a per-group window, and
+    //      the global train_pos via a SECOND globalRank over (decile,
+    //      pos, source) — the same total order the oracle's one window
+    //      states declaratively. Append-stable given the same corpus
+    //      snapshot; every tie broken by doc_id. ----
+    QueryDef(
+      "q204_curriculum", {
+        s"""WITH t AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(list_filter(string_split(text, ' '),
+           |                w -> list_contains($stopwordsSql, w)))
+           |              AS BIGINT) * 1000000
+           |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS sc
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, source, sc,
+           |         11 - ntile(10) OVER (ORDER BY sc, doc_id) AS decile
+           |  FROM t),
+           |p AS (
+           |  SELECT b.*, row_number() OVER (PARTITION BY decile, source
+           |           ORDER BY sc DESC, doc_id) AS pos
+           |  FROM b)
+           |SELECT doc_id, source, CAST(decile AS BIGINT) AS decile,
+           |       CAST(row_number() OVER (ORDER BY decile, pos, source)
+           |         AS BIGINT) AS train_pos
+           |FROM p ORDER BY train_pos""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"""CAST(size(filter(split(text, ' '),
+                  |  w -> array_contains(array(${stopwords
+                       .map(w => s"'$w'").mkString(", ")}), w)))
+                  |AS BIGINT) * 1000000
+                  |div CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
+            .as("sc"))
+      val binned = Scale.equiDepthBins(scored, 10, "sc", "doc_id")
+        .withColumn("decile", (lit(11) - col("bin")).cast("long"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("decile", "source")
+            .orderBy(col("sc").desc, col("doc_id"))))
+      Scale.globalRank(binned, "train_pos", "decile", "pos", "source")
+        .select(col("doc_id"), col("source"), col("decile"),
+          col("train_pos"))
+        .orderBy("train_pos")
+    },
+
+    // ---- MinHash precision/recall curve (q205): how good is a 16-hash
+    //      MinHash estimate as a REPLACEMENT for exact jaccard, at each
+    //      candidate threshold? The go/no-go audit before trusting
+    //      sketch-only dedup at a new threshold. Corpus: a bounded
+    //      sample + planted high-sim (1-token tail) and mid-sim
+    //      (half-doc) twins so both ends of the curve are populated.
+    //      The estimator here is the PORTABLE construction — per-slot
+    //      minima of md5Long(slot || ':' || gramhash) — so the oracle
+    //      replays the sketch bit-for-bit; exact side is the hashed
+    //      3-gram jaccard. Scale shape: sample²/2 by construction
+    //      (q136's contract) — the curve converges in SAMPLE size. ----
+    QueryDef(
+      "q205_minhash_pr",
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graftpr'
+         |  FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string((string_split(text, ' '))[
+         |           1:greatest(len(string_split(text, ' ')) // 2, 1)], ' ')
+         |  FROM documents WHERE doc_id < 40),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |${shingle3Cte("t")},
+         |sg AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), i ->
+         |           list_min(list_transform(sh, h ->
+         |             ${OracleSql.md5Long(
+                        "CAST(i AS VARCHAR) || ':' || CAST(h AS VARCHAR)")})))
+         |           AS sig
+         |  FROM s),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         len(list_intersect(a.sh, b.sh)) AS inter,
+         |         len(a.sh) AS na, len(b.sh) AS nb,
+         |         len(list_filter(range(1, 17),
+         |             j -> a.sig[j] = b.sig[j])) AS matches
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id),
+         |sc AS (
+         |  SELECT 10000 * inter // (na + nb - inter) AS exact_bp,
+         |         10000 * matches // 16 AS est_bp
+         |  FROM p),
+         |tt AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS tau),
+         |cls AS (
+         |  SELECT tt.tau,
+         |         sum(CASE WHEN est_bp >= tau AND exact_bp >= tau
+         |             THEN 1 ELSE 0 END) AS tp,
+         |         sum(CASE WHEN est_bp >= tau AND exact_bp < tau
+         |             THEN 1 ELSE 0 END) AS fp,
+         |         sum(CASE WHEN est_bp < tau AND exact_bp >= tau
+         |             THEN 1 ELSE 0 END) AS fn
+         |  FROM tt CROSS JOIN sc GROUP BY 1)
+         |SELECT CAST(tau AS BIGINT) AS tau, CAST(tp AS BIGINT) AS tp,
+         |       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |       CAST(CASE WHEN tp + fp > 0
+         |            THEN 10000 * tp // (tp + fp) END AS BIGINT)
+         |         AS precision_bp,
+         |       CAST(CASE WHEN tp + fn > 0
+         |            THEN 10000 * tp // (tp + fn) END AS BIGINT)
+         |         AS recall_bp
+         |FROM cls ORDER BY tau""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40).select("doc_id", "text")
+      val tails = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftpr")).as("text"))
+      val halves = base.select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          greatest(expr("size(split(text, ' ')) div 2"), lit(1))), " ")
+          .as("text"))
+      val withSig = base.union(tails).union(halves)
+        .select(col("doc_id"),
+          graft.functions.GramHashFunctions.graftGramMd5(
+            TextAnalysis.wsTokens(col("text")), 3, distinct = true).as("sh"))
+        .withColumn("sig",
+          array((0 until 16).map(i =>
+            array_min(transform(col("sh"), h =>
+              TextAnalysis.md5Long(concat(lit(s"$i:"),
+                h.cast("string")))))): _*))
+        .localCheckpoint() // both sides of the pair self-join
+      val rhs = withSig.select(col("doc_id").as("id_b"),
+        col("sh").as("shb"), col("sig").as("sigb"))
+      val pairs = withSig.join(broadcast(rhs), col("doc_id") < col("id_b"))
+        .select(
+          size(array_intersect(col("sh"), col("shb"))).cast("long")
+            .as("inter"),
+          size(col("sh")).cast("long").as("na"),
+          size(col("shb")).cast("long").as("nb"),
+          size(filter(zip_with(col("sig"), col("sigb"), (x, y) => x === y),
+            x => x)).cast("long").as("matches"))
+      pairs
+        .select(expr("10000 * inter div (na + nb - inter)").as("exact_bp"),
+          expr("10000 * matches div 16").as("est_bp"))
+        .select(explode(typedLit(Seq(5000L, 6000L, 7000L, 8000L, 9000L)))
+          .as("tau"), col("exact_bp"), col("est_bp"))
+        .groupBy("tau")
+        .agg(
+          sum(when(col("est_bp") >= col("tau") &&
+            col("exact_bp") >= col("tau"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("est_bp") >= col("tau") &&
+            col("exact_bp") < col("tau"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("est_bp") < col("tau") &&
+            col("exact_bp") >= col("tau"), 1L).otherwise(0L)).as("fn"))
+        .select(col("tau"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            expr("10000 * tp div (tp + fp)")).as("precision_bp"),
+          when(col("tp") + col("fn") > 0,
+            expr("10000 * tp div (tp + fn)")).as("recall_bp"))
+        .orderBy("tau")
     }
   )
 

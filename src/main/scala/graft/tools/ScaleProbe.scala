@@ -563,6 +563,54 @@ object ScaleProbe {
     val tr1 = timeTri("1x", triEdges(1))
     val trn = timeTri(s"${copies}x", triEdges(copies))
     println(f"[scaleprobe] triangles time ratio=${trn / tr1}%.2f for ${copies}x edges")
+
+    // CDC chunking: per-doc windows + one chunk-hash agg — wall must be
+    // linear in corpus tokens (prefixed copies keep chunk statistics).
+    def timeCdc(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = Dedup.cdcChunks(docs)
+        .groupBy("chunk_hash").count().filter(col("count") >= 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] cdc-$label: sharedChunks=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeCdc("warmup-1x", replicate(1))
+    val cd1 = timeCdc("1x", replicate(1))
+    val cdn = timeCdc(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] cdc time ratio=${cdn / cd1}%.2f for ${copies}x tokens")
+
+    // Aho-Corasick blocklist: ONE automaton pass per row vs k contains()
+    // scans — wall must stay flat as the term list grows 16x, where the
+    // composed form grows with k.
+    val acTerms: Seq[String] = (0 until 256).map(i => s"zz${i}q needle")
+    def timeAc(label: String, terms: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val n = base.select(graft.functions.MultiMatchFunctions
+          .graftMultiMatch(col("text"), terms).as("m"))
+        .filter(size(col("m")) > 0).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] ac-$label: hits=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    def timeContains(label: String, terms: Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      val n = base.select(sort_array(filter(typedLit(terms),
+          t => contains(col("text"), t))).as("m"))
+        .filter(size(col("m")) > 0).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] contains-$label: hits=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeAc("warmup", acTerms.take(16))
+    val ac16 = timeAc("16-terms", acTerms.take(16))
+    val ac256 = timeAc("256-terms", acTerms)
+    val co16 = timeContains("16-terms", acTerms.take(16))
+    val co256 = timeContains("256-terms", acTerms)
+    println(f"[scaleprobe] ac growth=${ac256 / ac16}%.2f vs contains growth=" +
+      f"${co256 / co16}%.2f for 16x terms (automaton must stay ~flat)")
     spark.stop()
   }
 }

@@ -487,4 +487,49 @@ class AnalyticsSpec extends SparkSpec {
     val resorted = rows.sortBy(r => (-r.getLong(3), r.getString(0)))
     assert(ranked.map(_.getString(0)).toSeq == resorted.map(_.getString(0)).toSeq)
   }
+
+  test("q204: train_pos is the (decile, round-robin, source) total order, deciles balanced") {
+    val rows = run("q204_curriculum", sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq,
+      "train_pos must be a permutation of 1..n")
+    // decile sizes are ntile-balanced (within 1)
+    val sizes = rows.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq.sorted)
+    // the order interleaves: within a decile, position p of every source
+    // precedes position p+1 of every source
+    rows.groupBy(_._3).foreach { case (_, ds) =>
+      val bySource = ds.groupBy(_._2).values
+      val rounds = bySource.map(_.map(_._4).sorted.toVector)
+      // round r of any source < round r+1 of any source
+      val maxByRound = rounds.flatMap(_.zipWithIndex).groupBy(_._2)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      maxByRound.sliding(2).foreach {
+        case Seq(a, b) => assert(a.max < b.min,
+          "a later round started before an earlier round finished")
+        case _ =>
+      }
+    }
+  }
+
+  test("q205: PR curve is internally consistent") {
+    val rows = run("q205_minhash_pr", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(5000L, 6000L, 7000L, 8000L, 9000L))
+    // actual positives (tp+fn) never increase as the threshold rises
+    val actuals = rows.map(r => r._2 + r._4)
+    assert(actuals.zip(actuals.tail).forall { case (a, b) => a >= b }, actuals.toSeq)
+    rows.foreach { case (tau, tp, fp, fn, prec, rec) =>
+      if (tp + fp > 0)
+        assert(prec == 10000L * tp / (tp + fp), s"precision at $tau")
+      if (tp + fn > 0)
+        assert(rec == 10000L * tp / (tp + fn), s"recall at $tau")
+      assert(prec <= 10000L && rec <= 10000L)
+    }
+    // the planted tail twins are found somewhere: some tau has tp > 0
+    assert(rows.exists(_._2 > 0))
+  }
 }
