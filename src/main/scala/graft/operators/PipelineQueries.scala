@@ -3734,6 +3734,76 @@ object PipelineQueries {
           when(col("tp") + col("fn") > 0,
             expr("10000 * tp div (tp + fn)")).as("recall_bp"))
         .orderBy("tau")
+    },
+
+    // ---- post-dedup mixture shift (q206): dedup CHANGES the source
+    //      mixture — duplicates concentrate in some domains, so the
+    //      token shares a mixture was tuned on move the moment exact
+    //      dedup runs. Per-source token share before vs after
+    //      first-occurrence exact dedup, in ppm, with the delta. The
+    //      corpus plants a duplicate-laundering source (exact copies
+    //      under a new domain) that dedup zeroes — the case this report
+    //      exists to surface. Scale shape: one fingerprint agg (q28's),
+    //      one doc-keyed flag join, one S-row aggregate; totals
+    //      broadcast. ----
+    QueryDef(
+      "q206_dedup_mixture_shift",
+      """WITH d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'srcdup', text
+        |  FROM documents WHERE doc_id < 15),
+        |k AS (SELECT min(doc_id) AS keep_id FROM d GROUP BY md5(text)),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM d),
+        |ba AS (
+        |  SELECT source, sum(nt) AS t_before,
+        |         sum(CASE WHEN doc_id IN (SELECT keep_id FROM k)
+        |             THEN nt ELSE 0 END) AS t_after
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(t_before) AS tb, sum(t_after) AS ta FROM ba)
+        |SELECT source,
+        |       CAST(t_before AS BIGINT) AS tokens_before,
+        |       CAST(t_after AS BIGINT) AS tokens_after,
+        |       CAST(CAST(t_before AS HUGEINT) * 1000000 // tb AS BIGINT)
+        |         AS share_before_ppm,
+        |       CAST(CAST(t_after AS HUGEINT) * 1000000 // ta AS BIGINT)
+        |         AS share_after_ppm,
+        |       CAST(CAST(t_after AS HUGEINT) * 1000000 // ta
+        |            - CAST(t_before AS HUGEINT) * 1000000 // tb AS BIGINT)
+        |         AS delta_ppm
+        |FROM ba, tot ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val laundered = docs.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("srcdup").as("source"), col("text"))
+      val d = docs.union(laundered)
+      val kept = d.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id")).select("keep_id")
+      val ba = d
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .join(kept.withColumn("kept", lit(1L)),
+          col("doc_id") === col("keep_id"), "left_outer")
+        .groupBy("source")
+        .agg(sum("nt").as("t_before"),
+          sum(when(col("kept") === 1L, col("nt")).otherwise(0L))
+            .as("t_after"))
+      val tot = ba.agg(sum("t_before").as("tb"), sum("t_after").as("ta"))
+      ba.crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("t_before").as("tokens_before"),
+          col("t_after").as("tokens_after"),
+          expr("""CAST(CAST(t_before AS DECIMAL(38,0)) * 1000000 div tb
+                | AS BIGINT)""".stripMargin).as("share_before_ppm"),
+          expr("""CAST(CAST(t_after AS DECIMAL(38,0)) * 1000000 div ta
+                | AS BIGINT)""".stripMargin).as("share_after_ppm"),
+          expr("""CAST(CAST(t_after AS DECIMAL(38,0)) * 1000000 div ta
+                | - CAST(t_before AS DECIMAL(38,0)) * 1000000 div tb
+                | AS BIGINT)""".stripMargin).as("delta_ppm"))
+        .orderBy("source")
     }
   )
 

@@ -532,4 +532,25 @@ class AnalyticsSpec extends SparkSpec {
     // the planted tail twins are found somewhere: some tau has tp > 0
     assert(rows.exists(_._2 > 0))
   }
+
+  test("q206: dedup zeroes the laundered source; shares are conserved ppm partitions") {
+    val rows = run("q206_dedup_mixture_shift", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val byName = rows.map(r => r._1 -> r).toMap
+    // the duplicate-laundering source loses everything
+    val dup = byName("srcdup")
+    assert(dup._2 > 0 && dup._3 == 0L && dup._5 == 0L,
+      s"srcdup must be zeroed by dedup: $dup")
+    // every real source keeps all its tokens (originals win min(doc_id))
+    rows.filter(_._1 != "srcdup").foreach { r =>
+      assert(r._3 == r._2, s"${r._1} lost tokens it owned first") }
+    // ppm shares partition the whole (floor rounding loses < n_sources ppm)
+    val sb = rows.map(_._4).sum; val sa = rows.map(_._5).sum
+    assert(sb > 1000000L - rows.length && sb <= 1000000L)
+    assert(sa > 1000000L - rows.length && sa <= 1000000L)
+    // deltas say: real sources gained exactly what srcdup lost (in ppm space)
+    rows.foreach { r => assert(r._6 == r._5 - r._4) }
+    assert(rows.filter(_._1 != "srcdup").forall(_._6 >= 0))
+  }
 }
