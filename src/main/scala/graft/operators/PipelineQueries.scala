@@ -3345,7 +3345,7 @@ object PipelineQueries {
         .groupBy(col("true_lang"), col("m.pl").as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("true_lang", "pred_lang")
-    },
+    }.copy(headline = true),
 
     // ---- content-defined chunking dedup (q200): FastCDC-style local
     //      boundaries (cut where the rolling 4-gram hash ≡ 0 mod 8), so
@@ -3417,7 +3417,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
           expr("st * 1000000 div tt").as("shared_token_ppm"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- blocklist / policy filter (q201): which banned phrases does
     //      each document contain (the C4 cleaning step)? One native
@@ -3450,7 +3450,7 @@ object PipelineQueries {
         .select(col("doc_id"), size(col("m")).cast("long").as("n_terms"),
           array_join(col("m"), ",").as("terms_csv"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- water-filling mixture allocation (q202): split a global token
     //      budget (60% of corpus tokens) across sources so every source
