@@ -3804,6 +3804,105 @@ object PipelineQueries {
                 | - CAST(t_before AS DECIMAL(38,0)) * 1000000 div tb
                 | AS BIGINT)""".stripMargin).as("delta_ppm"))
         .orderBy("source")
+    },
+
+    // ---- deterministic bootstrap CI (q207): 95% bootstrap confidence
+    //      interval of each source's mean quality score — "is src3
+    //      really dirtier than src7, or is 25 docs just noise?" (the
+    //      interval-overlap companion to q203's Wilson rank). B = 200
+    //      resamples whose picks are md5(source, b, slot) mod n — pure
+    //      content addressing, so both engines draw the SAME resamples
+    //      and the CI is exact-reproducible, no RNG state anywhere. All
+    //      integer: micro-unit scores, floor-div means, CI = ranks 5
+    //      and 196 of the 200 ordered means. Scale shape: the grid is
+    //      B× the corpus — at 100 TB bootstrap a bounded per-source
+    //      sample (the estimator converges in sample size, like q136/
+    //      q205); every join is (source, slot)-keyed, windows partition
+    //      by source. ----
+    QueryDef(
+      "q207_bootstrap_ci",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                w -> list_contains($stopwordsSql, w)))
+         |              AS BIGINT) * 1000000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS sc
+         |  FROM documents),
+         |r AS (
+         |  SELECT t.*,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |           - 1 AS rn,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM t),
+         |grid AS (
+         |  SELECT source, rn, n, b.b,
+         |         ${OracleSql.md5Long(
+                    "'bs:' || source || ':' || CAST(b.b AS VARCHAR)" +
+                      " || ':' || CAST(rn AS VARCHAR)")} % n AS pick
+         |  FROM r, unnest(range(0, 200)) AS b(b)),
+         |m AS (
+         |  SELECT g.source, g.b,
+         |         CAST(sum(r2.sc) AS HUGEINT) // max(g.n) AS mean_b
+         |  FROM grid g JOIN r r2
+         |    ON r2.source = g.source AND r2.rn = g.pick
+         |  GROUP BY 1, 2),
+         |mr AS (
+         |  SELECT source, mean_b,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY mean_b, b) AS q
+         |  FROM m),
+         |pt AS (
+         |  SELECT source, CAST(sum(sc) AS HUGEINT) // count(*) AS mean_ppm,
+         |         count(*) AS n_docs
+         |  FROM t GROUP BY 1)
+         |SELECT pt.source, CAST(pt.n_docs AS BIGINT) AS n_docs,
+         |       CAST(pt.mean_ppm AS BIGINT) AS mean_ppm,
+         |       CAST(lo.mean_b AS BIGINT) AS ci_lo_ppm,
+         |       CAST(hi.mean_b AS BIGINT) AS ci_hi_ppm
+         |FROM pt
+         |JOIN mr lo ON lo.source = pt.source AND lo.q = 5
+         |JOIN mr hi ON hi.source = pt.source AND hi.q = 196
+         |ORDER BY pt.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"""CAST(size(filter(split(text, ' '),
+                  |  w -> array_contains(array(${stopwords
+                       .map(w => s"'$w'").mkString(", ")}), w)))
+                  |AS BIGINT) * 1000000
+                  |div CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
+            .as("sc"))
+        .localCheckpoint() // read by the rank frame and the point estimate
+      val bySrc = Window.partitionBy("source")
+      val r = t
+        .withColumn("rn", row_number().over(bySrc.orderBy("doc_id")) - 1)
+        .withColumn("n", count(lit(1)).over(bySrc))
+      val grid = r
+        .select(col("source"), col("rn"), col("n"),
+          explode(sequence(lit(0), lit(199))).as("b"))
+        .select(col("source"), col("b"), col("n"),
+          pmod(TextAnalysis.md5Long(concat(lit("bs:"), col("source"),
+            lit(":"), col("b").cast("string"),
+            lit(":"), col("rn").cast("string"))), col("n")).as("pick"))
+      val m = grid
+        .join(r.select(col("source"), col("rn").as("pick"), col("sc")),
+          Seq("source", "pick"))
+        .groupBy("source", "b")
+        .agg(sum("sc").as("ssum"), max("n").as("nn"))
+        .select(col("source"), col("b"), expr("ssum div nn").as("mean_b"))
+      val mr = m.withColumn("q",
+        row_number().over(bySrc.orderBy("mean_b", "b")))
+      val pt = t.groupBy("source")
+        .agg(expr("sum(sc) div count(1)").as("mean_ppm"),
+          count(lit(1)).as("n_docs"))
+      pt
+        .join(mr.filter(col("q") === 5)
+          .select(col("source"), col("mean_b").as("ci_lo_ppm")), "source")
+        .join(mr.filter(col("q") === 196)
+          .select(col("source"), col("mean_b").as("ci_hi_ppm")), "source")
+        .select(col("source"), col("n_docs"), col("mean_ppm"),
+          col("ci_lo_ppm"), col("ci_hi_ppm"))
+        .orderBy("source")
     }
   )
 

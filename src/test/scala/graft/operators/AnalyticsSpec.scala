@@ -553,4 +553,39 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { r => assert(r._6 == r._5 - r._4) }
     assert(rows.filter(_._1 != "srcdup").forall(_._6 >= 0))
   }
+
+  test("q207: bootstrap CI equals a sequential driver-side replay of the same resamples") {
+    val got = run("q207_bootstrap_ci", sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    def md5Long60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16)
+    }
+    val stops = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getLong(0), r.getString(1),
+          toks.count(stops) * 1000000L / toks.length)
+      }
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val scores = ds.sortBy(_._1).map(_._3) // rn order = doc_id order
+      val n = scores.length
+      val means = (0 until 200).map { b =>
+        val s = (0 until n).map { j =>
+          scores((md5Long60(s"bs:$src:$b:$j") % n).toInt)
+        }.sum
+        (s / n, b)
+      }.sorted
+      val (nd, mean, lo, hi) = got(src)
+      assert(nd == n && mean == scores.sum / n, s"$src point estimate")
+      assert(lo == means(4)._1 && hi == means(195)._1,
+        s"$src CI: got ($lo,$hi) want (${means(4)._1},${means(195)._1})")
+      assert(lo <= hi)
+    }
+  }
 }
