@@ -3903,6 +3903,77 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("mean_ppm"),
           col("ci_lo_ppm"), col("ci_hi_ppm"))
         .orderBy("source")
+    },
+
+    // ---- code-switching detection (q208): documents whose HEAD and
+    //      TAIL halves identify as different languages — mixed-language
+    //      pages (boilerplate in one language wrapping content in
+    //      another) that a whole-doc langid (q33) files under one label
+    //      and a monolingual filter then mis-keeps or mis-drops. Same
+    //      marker-profile scorer as q33, applied per half; the corpus
+    //      plants Spanish-suffixed twins the whole-doc path would
+    //      average away. Narrow: one scan, two marker passes per row,
+    //      no shuffle beyond the presentation sort. ----
+    QueryDef(
+      "q208_code_switch", {
+        def scoreSql(p: String, markers: Seq[String]): String =
+          markers.map { m =>
+            val esc = m.replace("'", "''")
+            s"(length($p) - length(replace($p, '$esc', ''))) / ${m.length}"
+          }.mkString(" + ")
+        val langNames = TextAnalysis.langMarkers.map(_._1)
+        def colsFor(p: String, sfx: String) =
+          TextAnalysis.langMarkers.map { case (l, ms) =>
+            s"${scoreSql(p, ms)} AS s_${sfx}_$l"
+          }.mkString(",\n         ")
+        def bestFor(sfx: String) =
+          s"greatest(${langNames.map(l => s"s_${sfx}_$l").mkString(", ")})"
+        def argmaxFor(sfx: String, g: String) =
+          s"CASE WHEN $g <= 0 THEN 'und' " +
+            langNames.map(l => s"WHEN s_${sfx}_$l = $g THEN '$l'")
+              .mkString(" ") + " END"
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000, text || '$esMixSuffix'
+           |  FROM documents WHERE doc_id < 10),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+           |h AS (
+           |  SELECT doc_id,
+           |         ' ' || lower(array_to_string(
+           |           toks[1:(len(toks) + 1) // 2], ' ')) || ' ' AS hp,
+           |         ' ' || lower(array_to_string(
+           |           toks[(len(toks) + 1) // 2 + 1:], ' ')) || ' ' AS tp
+           |  FROM t),
+           |sc AS (
+           |  SELECT doc_id,
+           |         ${colsFor("hp", "h")},
+           |         ${colsFor("tp", "t")}
+           |  FROM h),
+           |g AS (SELECT *, ${bestFor("h")} AS gh, ${bestFor("t")} AS gt
+           |      FROM sc)
+           |SELECT doc_id,
+           |       ${argmaxFor("h", "gh")} AS lang_head,
+           |       ${argmaxFor("t", "gt")} AS lang_tail,
+           |       (${argmaxFor("h", "gh")}) <> (${argmaxFor("t", "gt")})
+           |         AS mixed
+           |FROM g ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(esMixSuffix)).as("text"))
+      val toks = split(col("text"), " ")
+      val half = expr("(size(split(text, ' ')) + 1) div 2")
+      docs.union(planted)
+        .select(col("doc_id"),
+          TextAnalysis.langId(
+            array_join(slice(toks, lit(1), half), " ")).as("lang_head"),
+          TextAnalysis.langId(
+            array_join(slice(toks, half + 1,
+              greatest(size(toks) - half, lit(0))), " ")).as("lang_tail"))
+        .withColumn("mixed", col("lang_head") =!= col("lang_tail"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3913,6 +3984,12 @@ object PipelineQueries {
   private[operators] def blocklistTerms: Seq[String] = Seq(
     "big table", "crash", "slow scan", "stream merge", "vector",
     "window window")
+
+  /** q208's planted Spanish-marker suffix — long enough to dominate the
+    * tail half of any corpus doc. (def, not val: `defs` initializes
+    * first.)
+    */
+  private def esMixSuffix: String = " el la de que los una" * 10
 
   /** q149's full SQL replay of PQ train/encode/search (both Lloyd
     * rounds in all 4 subspaces, the per-query distance tables, the

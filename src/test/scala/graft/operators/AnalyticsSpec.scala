@@ -588,4 +588,32 @@ class AnalyticsSpec extends SparkSpec {
       assert(lo <= hi)
     }
   }
+
+  test("q208: half-langid agrees with whole-doc langId on the halves; planted tails are Spanish") {
+    import graft.textops.TextAnalysis
+    val rows = run("q208_code_switch", sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.length == 10)
+    planted.foreach { p =>
+      assert(p._3 == "es", s"planted tail of ${p._1} not Spanish: $p") }
+    // mixed is exactly the disagreement flag
+    rows.foreach(r => assert(r._4 == (r._2 != r._3)))
+    // spot-check 20 docs: applying the library langId to each half
+    // reproduces the query's per-half labels
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") < 20).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    import spark.implicits._
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val half = (toks.length + 1) / 2
+      val df = Seq((toks.take(half).mkString(" "), toks.drop(half).mkString(" ")))
+        .toDF("h", "t")
+        .select(TextAnalysis.langId($"h"), TextAnalysis.langId($"t")).head()
+      assert(byId(id)._2 == df.getString(0) && byId(id)._3 == df.getString(1),
+        s"doc $id half labels drifted from TextAnalysis.langId")
+    }
+  }
 }
