@@ -3363,31 +3363,7 @@ object PipelineQueries {
          |  SELECT doc_id + 1000000, 'graftcdc ' || text
          |  FROM documents WHERE doc_id < 10),
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
-         |tok AS (
-         |  SELECT doc_id, u.i - 1 AS j, toks[u.i] AS tok
-         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
-         |cuts AS (
-         |  SELECT doc_id, u.i - 1 AS j,
-         |         CASE WHEN ${OracleSql.md5Long(
-                      "array_to_string(toks[u.i-3:u.i], ' ')")} % 8 = 0
-         |              THEN 1 ELSE 0 END AS cut
-         |  FROM t, unnest(range(4, len(toks) + 1)) AS u(i)),
-         |tk AS (
-         |  SELECT tok.doc_id, tok.j, tok.tok, coalesce(cuts.cut, 0) AS cut
-         |  FROM tok LEFT JOIN cuts
-         |    ON cuts.doc_id = tok.doc_id AND cuts.j = tok.j),
-         |ci AS (
-         |  SELECT doc_id, j, tok,
-         |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY j
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |           AS chunk_idx
-         |  FROM tk),
-         |ch AS (
-         |  SELECT doc_id, chunk_idx,
-         |         ${OracleSql.md5Long(
-                    "string_agg(tok, ' ' ORDER BY j)")} AS chunk_hash,
-         |         count(*) AS n_tokens
-         |  FROM ci GROUP BY 1, 2),
+         |${cdcChunkCtes("t")},
          |occ AS (
          |  SELECT chunk_hash, count(DISTINCT doc_id) AS nd
          |  FROM ch GROUP BY 1)
@@ -3974,6 +3950,50 @@ object PipelineQueries {
               greatest(size(toks) - half, lit(0))), " ")).as("lang_tail"))
         .withColumn("mixed", col("lang_head") =!= col("lang_tail"))
         .orderBy("doc_id")
+    },
+
+    // ---- incremental chunk novelty (q209): what fraction of each NEW
+    //      document is content the corpus has never seen — the
+    //      incremental-crawl triage ("this batch is 92% yesterday's
+    //      boilerplate, skip it") run BEFORE paying full dedup.
+    //      Yesterday = docs < 300, today's batch = the rest; chunks are
+    //      CDC (q200's boundary rule, shared oracle CTEs), so a page
+    //      that only grew a new footer still matches its old body
+    //      chunks. Scale shape: chunk each side independently (per-doc
+    //      boundaries — filtering first is exact), then ONE hash
+    //      equi-join of today's chunks against yesterday's distinct
+    //      hash set. ----
+    QueryDef(
+      "q209_chunk_novelty",
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |${cdcChunkCtes("t")},
+         |old AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id < 300),
+         |nw AS (SELECT * FROM ch WHERE doc_id >= 300)
+         |SELECT nw.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN old.chunk_hash IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_novel,
+         |       CAST(CAST(sum(CASE WHEN old.chunk_hash IS NULL
+         |                     THEN nw.n_tokens ELSE 0 END) AS HUGEINT)
+         |            * 1000000 // CAST(sum(nw.n_tokens) AS HUGEINT)
+         |         AS BIGINT) AS novel_token_ppm
+         |FROM nw LEFT JOIN old USING (chunk_hash)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val oldHashes = Dedup.cdcChunks(docs.filter(col("doc_id") < 300))
+        .select("chunk_hash").distinct().withColumn("seen", lit(1))
+      Dedup.cdcChunks(docs.filter(col("doc_id") >= 300))
+        .join(oldHashes, Seq("chunk_hash"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"),
+          sum(when(col("seen").isNull, col("n_tokens")).otherwise(0L))
+            .as("nt"),
+          sum("n_tokens").as("tt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_novel"),
+          expr("nt * 1000000 div tt").as("novel_token_ppm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -3990,6 +4010,41 @@ object PipelineQueries {
     * first.)
     */
   private def esMixSuffix: String = " el la de que los una" * 10
+
+  /** CTEs tok/cuts/tk/ci/ch: the FULL CDC chunking replay (rolling
+    * 4-gram cut rule, per-doc cut prefix sum, ordered chunk reassembly
+    * and hashing) over a relation exposing (doc_id, toks) — ONE spelling
+    * shared by q200 (dedup report) and q209 (snapshot novelty) so the
+    * boundary rule cannot drift between oracles. Mirrors
+    * [[Dedup.cdcChunks]] with w=4, divisor=8 exactly. (def, not val:
+    * `defs` above initializes first.)
+    */
+  private def cdcChunkCtes(from: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, u.i - 1 AS j, toks[u.i] AS tok
+       |  FROM $from, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |cuts AS (
+       |  SELECT doc_id, u.i - 1 AS j,
+       |         CASE WHEN ${OracleSql.md5Long(
+                    "array_to_string(toks[u.i-3:u.i], ' ')")} % 8 = 0
+       |              THEN 1 ELSE 0 END AS cut
+       |  FROM $from, unnest(range(4, len(toks) + 1)) AS u(i)),
+       |tk AS (
+       |  SELECT tok.doc_id, tok.j, tok.tok, coalesce(cuts.cut, 0) AS cut
+       |  FROM tok LEFT JOIN cuts
+       |    ON cuts.doc_id = tok.doc_id AND cuts.j = tok.j),
+       |ci AS (
+       |  SELECT doc_id, j, tok,
+       |         coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY j
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS chunk_idx
+       |  FROM tk),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |         ${OracleSql.md5Long(
+                  "string_agg(tok, ' ' ORDER BY j)")} AS chunk_hash,
+       |         count(*) AS n_tokens
+       |  FROM ci GROUP BY 1, 2)""".stripMargin
 
   /** q149's full SQL replay of PQ train/encode/search (both Lloyd
     * rounds in all 4 subspaces, the per-query distance tables, the

@@ -578,4 +578,30 @@ class DedupSpec extends SparkSpec {
     assert(fixedShared == 0L,
       "fixed chunking unexpectedly aligned across the prefix edit")
   }
+
+  test("cdcChunks snapshot novelty: copies score 0, fresh docs 100%, grown docs partial") {
+    val rnd = new scala.util.Random(23)
+    def txt(n: Int, tag: String) =
+      (1 to n).map(_ => s"$tag${rnd.nextInt(40)}").mkString(" ")
+    val oldDoc = txt(100, "o")
+    val oldDocs = Seq(1L -> oldDoc, 2L -> txt(90, "o")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      10L -> oldDoc, // exact re-crawl
+      11L -> txt(80, "f"), // entirely fresh content
+      12L -> s"$oldDoc extra footer tokens appended here now" // grown page
+    ).toDF("doc_id", "text")
+    val oldHashes = Dedup.cdcChunks(oldDocs)
+      .select("chunk_hash").distinct().withColumn("seen", lit(1))
+    val nov = Dedup.cdcChunks(newDocs)
+      .join(oldHashes, Seq("chunk_hash"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nov(10L)._2 == 0L, s"an exact re-crawl must be 0% novel: $nov")
+    assert(nov(11L)._2 == nov(11L)._1, s"fresh content must be 100% novel: $nov")
+    val (gn, gnov) = nov(12L)
+    assert(gnov > 0L && gnov < gn,
+      s"a grown page must be partially novel (footer only): $nov")
+  }
 }
