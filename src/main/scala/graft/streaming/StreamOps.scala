@@ -233,6 +233,27 @@ object StreamOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming blocklist gate: drop any document containing a banned
+    * phrase, annotating survivors-audit rows with what matched. The
+    * Aho-Corasick automaton ([[graft.functions.MultiMatch]]) is a
+    * constant inside the projection, so this is a STATELESS narrow
+    * transform — it runs identically behind readStream (no watermark,
+    * no state store) and in batch (q201's oracle-checked path), and a
+    * restart replays it idempotently. Output: the input columns plus
+    * `matched` (sorted banned terms found; kept rows have none when
+    * `keepClean = true`).
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      terms: Seq[String],
+      textCol: String = "text",
+      keepClean: Boolean = true): DataFrame = {
+    val flagged = docs.withColumn("matched",
+      graft.functions.MultiMatchFunctions.graftMultiMatch(col(textCol), terms))
+    if (keepClean) flagged.filter(size(col("matched")) === 0)
+    else flagged.filter(size(col("matched")) > 0)
+  }
+
   /** Windowed term counts over a text stream — the ingest-monitoring
     * aggregation behind "what's trending this hour". Tokens explode
     * map-side and the (window, term) count is a standard watermarked

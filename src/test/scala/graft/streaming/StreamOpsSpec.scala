@@ -306,4 +306,35 @@ class StreamOpsSpec extends SparkSpec {
       assert(got.toSeq.map(c => (c.userId, c.startUs)).distinct.size == got.size)
     } finally q.stop()
   }
+
+  test("blocklist gate: stateless stream == batch; banned docs drop mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val terms = Seq("banned phrase", "spamword")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.blocklistFilter(
+        input.toDF().toDF("doc_id", "text"), terms)
+      .writeStream.format("memory").queryName("blockgate")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(1L -> "a clean page", 2L -> "has a banned phrase inside")
+      q.processAllAvailable()
+      input.addData(3L -> "spamword opener", 4L -> "also clean")
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM blockgate")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq == Seq(1L, 4L), kept.mkString(","))
+      // identical rows from the batch path on the same data
+      val batch = StreamOps.blocklistFilter(
+        Seq(1L -> "a clean page", 2L -> "has a banned phrase inside",
+          3L -> "spamword opener", 4L -> "also clean").toDF("doc_id", "text"),
+        terms).collect().map(_.getLong(0)).sorted
+      assert(batch.toSeq == kept.toSeq)
+      // the audit side returns the offenders with what matched
+      val flagged = StreamOps.blocklistFilter(
+        Seq(5L -> "spamword and a banned phrase").toDF("doc_id", "text"),
+        terms, keepClean = false).head()
+      assert(flagged.getSeq[String](2) == Seq("banned phrase", "spamword"))
+    } finally q.stop()
+  }
 }
