@@ -3994,6 +3994,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chunks"), col("n_novel"),
           expr("nt * 1000000 div tt").as("novel_token_ppm"))
         .orderBy("doc_id")
+    },
+
+    // ---- query-likelihood retrieval, Dirichlet smoothing (q210): the
+    //      language-modeling ranker beside BM25 (q127) — an ABSENT query
+    //      term costs ln of its smoothed collection probability instead
+    //      of contributing nothing, so short docs aren't rewarded for
+    //      omission. Same scale discipline as q127: term-filtered tf
+    //      aggregate, broadcast per-term collection counts + 1-row
+    //      totals, map-side |Q|-row grid per doc, bounded top-k.
+    //      Micro-nat quantization per (doc, term) before the sum. ----
+    QueryDef(
+      "q210_query_likelihood",
+      s"""WITH dls AS (
+         |  SELECT doc_id, len($toksSql) AS dl FROM documents),
+         |tfq AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term FROM documents) x
+         |  WHERE term IN ('join', 'vector', 'slow') GROUP BY 1, 2),
+         |cfq AS (
+         |  SELECT term, count(*) AS cf FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents) x
+         |  WHERE term IN ('join', 'vector', 'slow') GROUP BY 1),
+         |st AS (
+         |  SELECT sum(len($toksSql)) AS total_tokens FROM documents),
+         |grid AS (
+         |  SELECT d.doc_id, d.dl, q.term
+         |  FROM dls d, unnest(['join', 'vector', 'slow']) AS q(term)),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |         CAST(round(1000000.0 * ln(
+         |           (coalesce(t.tf, 0) + 2000.0 * c.cf / s.total_tokens)
+         |             / (g.dl + 2000.0))) AS BIGINT) AS c_q
+         |  FROM grid g
+         |  LEFT JOIN tfq t ON t.doc_id = g.doc_id AND t.term = g.term
+         |  JOIN cfq c ON c.term = g.term
+         |  CROSS JOIN st s),
+         |agg AS (
+         |  SELECT doc_id, sum(c_q) AS score_q FROM sc GROUP BY 1
+         |  ORDER BY score_q DESC, doc_id LIMIT 20)
+         |SELECT doc_id,
+         |       round(CAST(score_q AS DOUBLE) / 1000000, 4) AS score
+         |FROM agg ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.queryLikelihood(Tables.documents(s, dir),
+        queryTerms = Seq("join", "vector", "slow"), k = 20)
     }
   )
 

@@ -632,6 +632,62 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol))
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR'01): score(d,Q) = Σ_q ln((tf_dq + μ·cf_q/|C|) /
+    * (|d| + μ)) — the language-modeling counterpart to [[bm25]]'s
+    * probabilistic ranking, and the one that handles ABSENT query terms
+    * gracefully (a missing term costs ln of the smoothed collection
+    * probability instead of contributing nothing, so short docs aren't
+    * rewarded for omission). Scores quantize to integer micro-nats per
+    * (doc, term) BEFORE the per-doc sum.
+    *
+    * Scale shape (q127's discipline): the only corpus-wide work is the
+    * term-filtered tf aggregate and two broadcast-sized stats
+    * (per-query-term collection counts, 1-row totals); the dense
+    * doc × |Q| grid is |Q| rows per doc, built map-side; the cut is a
+    * bounded TakeOrdered. Query terms absent from the corpus would make
+    * the smoothed probability 0 (ln undefined) — require cf > 0 via an
+    * inner join and document the contract.
+    */
+  def queryLikelihood(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int = 20,
+      mu: Int = 2000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val dls = docs.select(col(idCol), size(wsTokens(col(textCol))).as("dl"))
+    val tf = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val cf = docs
+      .select(explode(wsTokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val stats = docs.agg(
+      sum(size(wsTokens(col(textCol)))).as("total_tokens"))
+    dls
+      .select(col(idCol), col("dl"),
+        explode(typedLit(queryTerms)).as("term"))
+      .join(tf, Seq(idCol, "term"), "left_outer")
+      .join(broadcast(cf), "term") // inner: cf > 0 contract
+      .crossJoin(broadcast(stats))
+      .withColumn("c_q",
+        round(lit(1000000.0) * log(
+          (coalesce(col("tf"), lit(0L)) +
+            lit(mu.toDouble) * col("cf") / col("total_tokens")) /
+            (col("dl") + lit(mu.toDouble)))).cast("long"))
+      .groupBy(idCol)
+      .agg(sum("c_q").as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol),
+        round(col("score_q").cast("double") / 1000000, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): merge N ranked
     * lists of the same id space into one ranking by
     * `Σ_lists 1/(k + rank)` — the standard way to combine heterogeneous

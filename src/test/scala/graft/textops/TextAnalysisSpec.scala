@@ -428,4 +428,36 @@ class TextAnalysisSpec extends SparkSpec {
         (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
     assert(w2 == w)
   }
+
+  test("queryLikelihood: == sequential Dirichlet reference; absent terms penalize, not zero") {
+    val docs = Seq(
+      1L -> "alpha beta alpha gamma delta",
+      2L -> "alpha beta beta beta zeta",
+      3L -> "gamma delta epsilon zeta eta", // no query terms at all
+      4L -> "alpha beta", // short doc, both terms
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val df = docs.toDF("doc_id", "text")
+    val q = Seq("alpha", "beta")
+    val got = TextAnalysis.queryLikelihood(df, q, k = 5, mu = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // sequential reference, same quantization
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val total = toks.values.map(_.size).sum.toDouble
+    val cf = q.map(t => t -> toks.values.map(_.count(_ == t)).sum.toLong).toMap
+    def score(id: Long): Long = q.map { t =>
+      val tf = toks(id).count(_ == t).toLong
+      math.round(1000000.0 * math.log(
+        (tf + 50.0 * cf(t) / total) / (toks(id).size + 50.0)))
+    }.sum
+    def disp(s: Long): Double =
+      BigDecimal(s.toDouble / 1000000)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs.map(_._1).map(id => id -> disp(score(id)))
+      .sortBy { case (id, r) => (-r, id) }
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the no-term doc is ranked, just last among these lengths — absent
+    // terms cost smoothed collection probability, they don't zero out
+    assert(got.map(_._1).contains(3L))
+    assert(got.takeWhile(_._1 != 3L).nonEmpty)
+  }
 }
