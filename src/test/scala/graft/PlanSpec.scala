@@ -550,6 +550,51 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the two used columns:\n$plan")
   }
 
+  test("q210 QL retrieval: collection stats broadcast; bounded top-k, no full sort") {
+    val plan = planOf("q210_query_likelihood")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |Q|-row cf table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must plan as bounded top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the stats join must be a 1-row broadcast:\n$plan")
+  }
+
+  test("q209 novelty: chunk-hash equi-join only; windows partition by doc") {
+    val plan = planOf("q209_chunk_novelty")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"old-vs-new matching must stay a hash equi-join:\n$plan")
+    assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no corpus-wide single-partition exchange:\n$plan")
+  }
+
+  test("q206 mixture shift: totals broadcast; keep-flag join stays equi-keyed") {
+    val plan = planOf("q206_dedup_mixture_shift")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the 1-row totals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nothing here may plan as a product:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4, s"fingerprint + source aggs must partial+final:\n$plan")
+  }
+
+  test("q207 bootstrap: every window partitions by source — never one global partition") {
+    val plan = planOf("q207_bootstrap_ci")
+    assert(plan.contains("Window"), s"expected the rank windows:\n$plan")
+    assert(!plan.contains("SinglePartition, ENSURE_REQUIREMENTS"),
+      s"bootstrap state is per-source; no global repartition to one task:\n$plan")
+  }
+
+  test("q203 Wilson: one corpus scan into an S-row aggregate") {
+    val plan = planOf("q203_wilson_rank")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"the source aggregate must partial+final:\n$plan")
+  }
+
   test("q200 CDC: doc-keyed windows only — never one global partition") {
     val plan = planOf("q200_cdc_dedup")
     assert(plan.contains("Window"), s"expected the cut/lag windows:\n$plan")
