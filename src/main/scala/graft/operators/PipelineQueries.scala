@@ -4038,6 +4038,62 @@ object PipelineQueries {
          |FROM agg ORDER BY score DESC, doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.queryLikelihood(Tables.documents(s, dir),
         queryTerms = Seq("join", "vector", "slow"), k = 20)
+    },
+
+    // ---- canary leak audit (q211): plant unique canary strings
+    //      mid-document (the Carlini-style memorization probe a training
+    //      pipeline seeds BEFORE training, then greps generations for),
+    //      and audit that the corpus scan finds each canary exactly
+    //      where it was planted and NOWHERE else. The scan is one
+    //      graft_multi_match automaton pass over the corpus — all K
+    //      canaries in one O(|text|) sweep, the same primitive a
+    //      billion-doc canary sweep needs. ----
+    QueryDef(
+      "q211_canary_audit", {
+        val canaryList = canaries.map(c => s"'$c'").mkString("[", ", ", "]")
+        s"""WITH c AS (
+           |  SELECT i.i AS ci, ($canaryList)[i.i + 1] AS canary
+           |  FROM unnest(range(0, ${canaries.size})) AS i(i)),
+           |d AS (
+           |  SELECT d0.doc_id,
+           |         CASE WHEN c.canary IS NULL THEN d0.text
+           |              ELSE array_to_string(
+           |                toks[1:(len(toks) + 1) // 2]
+           |                  || string_split(c.canary, ' ')
+           |                  || toks[(len(toks) + 1) // 2 + 1:], ' ')
+           |         END AS text
+           |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+           |        FROM documents) d0
+           |  LEFT JOIN c ON d0.doc_id = c.ci * 7),
+           |hits AS (
+           |  SELECT doc_id, unnest(list_filter($canaryList,
+           |           t -> contains(text, t))) AS canary
+           |  FROM d)
+           |SELECT canary, doc_id FROM hits
+           |ORDER BY canary, doc_id""".stripMargin
+      }) { (s, dir) =>
+      val cdf = canaries.zipWithIndex
+        .map { case (c, i) => (i.toLong * 7L, c) }
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val half = expr("(size(split(text, ' ')) + 1) div 2")
+      val planted = docs
+        .join(broadcast(s.createDataFrame(cdf).toDF("cid", "canary")),
+          col("doc_id") === col("cid"), "left_outer")
+        .select(col("doc_id"),
+          when(col("canary").isNull, col("text"))
+            .otherwise(array_join(concat(
+              slice(toks, lit(1), half),
+              split(col("canary"), " "),
+              slice(toks, half + 1,
+                greatest(size(toks) - half, lit(0)))), " "))
+            .as("text"))
+      planted
+        .select(col("doc_id"),
+          explode(graft.functions.MultiMatchFunctions.graftMultiMatch(
+            col("text"), canaries)).as("canary"))
+        .select(col("canary"), col("doc_id"))
+        .orderBy("canary", "doc_id")
     }
   )
 
@@ -4054,6 +4110,15 @@ object PipelineQueries {
     * first.)
     */
   private def esMixSuffix: String = " el la de que los una" * 10
+
+  /** q211's canary strings: tokens outside the corpus vocabulary, so a
+    * hit can only come from a plant. (def, not val: `defs` initializes
+    * first.)
+    */
+  private[operators] def canaries: Seq[String] = Seq(
+    "qzcanary alpha kilo nine", "qzcanary bravo lima three",
+    "qzcanary charlie mike seven", "qzcanary delta nano one",
+    "qzcanary echo oscar five")
 
   /** CTEs tok/cuts/tk/ci/ch: the FULL CDC chunking replay (rolling
     * 4-gram cut rule, per-doc cut prefix sum, ordered chunk reassembly

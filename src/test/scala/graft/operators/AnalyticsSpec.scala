@@ -616,4 +616,12 @@ class AnalyticsSpec extends SparkSpec {
         s"doc $id half labels drifted from TextAnalysis.langId")
     }
   }
+
+  test("q211: every canary surfaces exactly at its plant site, nowhere else") {
+    val got = run("q211_canary_audit", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = graft.operators.PipelineQueries.canaries.zipWithIndex
+      .map { case (c, i) => (c, i.toLong * 7L) }.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
