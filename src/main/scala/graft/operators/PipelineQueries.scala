@@ -4094,6 +4094,64 @@ object PipelineQueries {
             col("text"), canaries)).as("canary"))
         .select(col("canary"), col("doc_id"))
         .orderBy("canary", "doc_id")
+    },
+
+    // ---- embedding standardization parameters (q212): per-dimension
+    //      mean and std of the embedding corpus — the whitening prep
+    //      that makes L2/cosine distances dimension-balanced BEFORE
+    //      IVF/PQ/JL run (one hot dimension otherwise dominates every
+    //      bucket boundary). Exact two-pass construction: micro-unit
+    //      quantization per value, integer sums, then centered squares
+    //      in DECIMAL(38,0) — the only doubles are one round(s/n) and
+    //      one sqrt of an exact < 2^53 integer, both IEEE
+    //      correctly-rounded. Scale shape: two scans into a dims-row
+    //      aggregate; the 64-row mean table broadcasts back. ----
+    QueryDef(
+      "q212_embedding_whiten",
+      """WITH ex AS (
+        |  SELECT u.i AS dim,
+        |         CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000)
+        |           AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |m AS (
+        |  SELECT dim, count(*) AS n,
+        |         CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+        |           AS mean_q
+        |  FROM ex GROUP BY 1),
+        |v AS (
+        |  SELECT ex.dim,
+        |         CAST(sum(CAST(ex.q - m.mean_q AS HUGEINT)
+        |                  * (ex.q - m.mean_q)) AS HUGEINT)
+        |           // max(m.n) AS var_q2
+        |  FROM ex JOIN m ON m.dim = ex.dim GROUP BY 1)
+        |SELECT CAST(m.dim AS BIGINT) AS dim, CAST(m.n AS BIGINT) AS n,
+        |       m.mean_q,
+        |       CAST(round(sqrt(CAST(v.var_q2 AS DOUBLE))) AS BIGINT)
+        |         AS std_q
+        |FROM m JOIN v ON v.dim = m.dim
+        |ORDER BY dim""".stripMargin) { (s, dir) =>
+      val ex = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .select((col("p") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * 1000000).cast("long").as("q"))
+      val m = ex.groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"))
+        .select(col("dim"), col("n"),
+          round(col("s").cast("double") / col("n")).cast("long")
+            .as("mean_q"))
+      val v = ex.join(broadcast(m), "dim")
+        .groupBy("dim")
+        .agg(
+          sum(((col("q") - col("mean_q")).cast("decimal(38,0)")
+            * (col("q") - col("mean_q"))).cast("decimal(38,0)"))
+            .as("ss"),
+          max("n").as("nn"))
+        .select(col("dim"), expr("CAST(ss div nn AS BIGINT)").as("var_q2"))
+      m.join(broadcast(v), "dim")
+        .select(col("dim"), col("n"), col("mean_q"),
+          round(sqrt(col("var_q2").cast("double"))).cast("long")
+            .as("std_q"))
+        .orderBy("dim")
     }
   )
 

@@ -624,4 +624,32 @@ class AnalyticsSpec extends SparkSpec {
       .map { case (c, i) => (c, i.toLong * 7L) }.toSet
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("q212: whitening params equal a driver recompute; applying them standardizes") {
+    val got = run("q212_embedding_whiten", sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // HALF_UP away from zero — Spark/DuckDB round(), NOT math.round
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => rnd(x.toDouble * 1e6)))
+    val dims = vecs.head.length
+    assert(got.size == dims)
+    (0 until dims).foreach { d =>
+      val col = vecs.map(_(d))
+      val n = col.length
+      val mean = rnd(col.sum.toDouble / n)
+      val varq2 = col.map(q => (q - mean) * (q - mean)).sum / n
+      val std = rnd(math.sqrt(varq2.toDouble))
+      val (gn, gm, gs) = (got(d + 1L)._1, got(d + 1L)._2, got(d + 1L)._3)
+      assert(gn == n && gm == mean && gs == std, s"dim ${d + 1}")
+      // applying (x - mean)/std standardizes: |mean'| ≪ 1, var' ≈ 1
+      val z = col.map(q => (q - mean).toDouble / std)
+      assert(math.abs(z.sum / n) < 0.01)
+      val v = z.map(x => x * x).sum / n
+      assert(v > 0.9 && v < 1.1, s"dim ${d + 1} post-var $v")
+    }
+  }
 }
