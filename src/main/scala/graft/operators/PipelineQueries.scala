@@ -4152,6 +4152,66 @@ object PipelineQueries {
           round(sqrt(col("var_q2").cast("double"))).cast("long")
             .as("std_q"))
         .orderBy("dim")
+    },
+
+    // ---- kNN label-noise audit (q213): confident-learning-lite — for a
+    //      content-addressed sample of labeled vectors, does the 10-NN
+    //      neighborhood vote agree with the assigned label? Per-label
+    //      flagged counts (strict-majority disagreement) locate label
+    //      noise BEFORE a classifier trains on it. Scale shape: the
+    //      sample (the knob, q136's contract) broadcasts against the
+    //      corpus scan; the per-query top-k is the bounded two-level
+    //      merge; everything after is a labels-row aggregate. ----
+    QueryDef(
+      "q213_label_noise",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_embedding,
+         |         label AS qlabel
+         |  FROM embeddings
+         |  WHERE ${OracleSql.md5Long(
+                  "'ln:' || CAST(vec_id AS VARCHAR)")} % 1000 < 200),
+         |sims AS (
+         |  SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+         |         e.label AS nlabel,
+         |         ${cosineSql("q.q_embedding", "e.embedding")} AS sim
+         |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+         |knn AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |    FROM sims) t WHERE rank <= 10),
+         |per AS (
+         |  SELECT query_id, qlabel,
+         |         sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+         |           AS n_agree
+         |  FROM knn GROUP BY 1, 2)
+         |SELECT qlabel AS label, CAST(count(*) AS BIGINT) AS n_audited,
+         |       CAST(sum(CASE WHEN n_agree < 5 THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_flagged,
+         |       CAST(CAST(sum(CASE WHEN n_agree < 5 THEN 1 ELSE 0 END)
+         |              AS HUGEINT) * 10000 // count(*) AS BIGINT)
+         |         AS flagged_bp
+         |FROM per GROUP BY 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(
+        pmod(TextAnalysis.md5Long(concat(lit("ln:"),
+          col("vec_id").cast("string"))), lit(1000L)) < 200)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"), col("label").as("qlabel"))
+      val knn = Similarity.bruteForceTopK(emb,
+        queries.select("query_id", "q_embedding"), k = 10)
+      knn
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel")), "neighbor_id")
+        .join(broadcast(queries.select("query_id", "qlabel")), "query_id")
+        .groupBy("query_id", "qlabel")
+        .agg(sum(when(col("nlabel") === col("qlabel"), 1L).otherwise(0L))
+          .as("n_agree"))
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_audited"),
+          sum(when(col("n_agree") < 5, 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("label"), col("n_audited"), col("n_flagged"),
+          expr("n_flagged * 10000 div n_audited").as("flagged_bp"))
+        .orderBy("label")
     }
   )
 

@@ -441,4 +441,29 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
     assert(Similarity.pqTopK(empty, queries, topK = 3).count() == 0)
   }
+
+  test("kNN label-noise shape (q213): a planted mislabel is flagged, clean points are not") {
+    // two tight clusters of 12; one member of cluster A carries B's label
+    val rnd = new scala.util.Random(5)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f).toSeq
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val pts =
+      (1L to 12L).map(i => (i, jitter(a), if (i == 5L) 1 else 0)) ++
+        (21L to 32L).map(i => (i, jitter(b), 1))
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val queries = df.select($"vec_id".as("query_id"),
+      $"embedding".as("q_embedding"), $"label".as("qlabel"))
+    val flagged = Similarity.bruteForceTopK(df,
+        queries.select("query_id", "q_embedding"), k = 10)
+      .join(df.select($"vec_id".as("neighbor_id"), $"label".as("nlabel")),
+        "neighbor_id")
+      .join(queries.select("query_id", "qlabel"), "query_id")
+      .groupBy("query_id", "qlabel")
+      .agg(sum(when($"nlabel" === $"qlabel", 1L).otherwise(0L)).as("agree"))
+      .filter($"agree" < 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(5L),
+      s"exactly the planted mislabel must be flagged, got $flagged")
+  }
 }
