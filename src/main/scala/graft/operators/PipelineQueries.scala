@@ -4212,6 +4212,63 @@ object PipelineQueries {
         .select(col("label"), col("n_audited"), col("n_flagged"),
           expr("n_flagged * 10000 div n_audited").as("flagged_bp"))
         .orderBy("label")
+    },
+
+    // ---- split goodness-of-fit audit (q214): chi-squared test that the
+    //      content-addressed train/val/test split (q104's md5-bucket
+    //      rule) actually hits its 80/10/10 weights — the release gate
+    //      run on every corpus snapshot (a skewed hash or a doc-id
+    //      pattern correlated with the salt shows up here first). ALL
+    //      integer arithmetic: term = (10⁴·obs − n·w)² · 10⁶ div
+    //      (10⁴·n·w) in 128-bit exact — no doubles anywhere; the χ²(2)
+    //      5% critical value ships as a pinned micro-unit literal.
+    //      Scale shape: one scan into a 3-row aggregate. ----
+    QueryDef(
+      "q214_split_gof",
+      """WITH sp AS (
+        |  SELECT CASE
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |           || '|graftsplit'), 1, 6)) AS BIGINT) % 10000 < 8000
+        |      THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+        |           || '|graftsplit'), 1, 6)) AS BIGINT) % 10000 < 9000
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (SELECT split, count(*) AS n_obs FROM sp GROUP BY 1),
+        |w AS (
+        |  SELECT c.split, c.n_obs,
+        |         CASE c.split WHEN 'train' THEN 8000 ELSE 1000 END AS wbp,
+        |         (SELECT sum(n_obs) FROM c) AS n
+        |  FROM c),
+        |t AS (
+        |  SELECT split, n_obs,
+        |         CAST(CAST(10000 * n_obs - n * wbp AS HUGEINT)
+        |              * (10000 * n_obs - n * wbp) * 1000000
+        |              // (CAST(10000 AS HUGEINT) * n * wbp) AS BIGINT)
+        |           AS term_q
+        |  FROM w),
+        |s AS (SELECT CAST(sum(term_q) AS BIGINT) AS chi2_q FROM t)
+        |SELECT t.split, CAST(t.n_obs AS BIGINT) AS n_obs, t.term_q,
+        |       s.chi2_q, s.chi2_q <= 5991465 AS uniform_ok
+        |FROM t, s ORDER BY split""".stripMargin) { (s, dir) =>
+      val counts = Scale.hashSplit(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", "graftsplit",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .groupBy("split").agg(count(lit(1)).as("n_obs"))
+      val w = counts
+        .withColumn("wbp",
+          when(col("split") === "train", 8000L).otherwise(1000L))
+        .crossJoin(broadcast(counts.agg(sum("n_obs").as("n"))))
+      val t = w.select(col("split"), col("n_obs"),
+        expr("""CAST(CAST(10000 * n_obs - n * wbp AS DECIMAL(38,0))
+              | * (10000 * n_obs - n * wbp) * 1000000
+              | div (CAST(10000 AS DECIMAL(38,0)) * n * wbp) AS BIGINT)"""
+          .stripMargin).as("term_q"))
+      t.crossJoin(broadcast(t.agg(sum("term_q").as("chi2_q"))))
+        .select(col("split"), col("n_obs"), col("term_q"), col("chi2_q"),
+          (col("chi2_q") <= 5991465L).as("uniform_ok"))
+        .orderBy("split")
     }
   )
 

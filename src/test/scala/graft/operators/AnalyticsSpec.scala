@@ -652,4 +652,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(v > 0.9 && v < 1.1, s"dim ${d + 1} post-var $v")
     }
   }
+
+  test("q214: chi-squared terms equal the exact integer formula; verdict is consistent") {
+    val rows = run("q214_split_gof", sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.map(_._1).sorted.toSeq == Seq("test", "train", "val"))
+    val n = rows.map(_._2).sum
+    rows.foreach { case (split, obs, term, chi2, ok) =>
+      val w = if (split == "train") 8000L else 1000L
+      val num = BigInt(10000L * obs - n * w)
+      val want = (num * num * 1000000 / (BigInt(10000) * n * w)).toLong
+      assert(term == want, s"$split term")
+      assert(chi2 == rows.map(_._3).sum, "chi2 must be the term sum")
+      assert(ok == (chi2 <= 5991465L))
+    }
+  }
 }
