@@ -4269,6 +4269,52 @@ object PipelineQueries {
         .select(col("split"), col("n_obs"), col("term_q"), col("chi2_q"),
           (col("chi2_q") <= 5991465L).as("uniform_ok"))
         .orderBy("split")
+    },
+
+    // ---- SCD2 build + point-in-time join (q215): turn a change stream
+    //      into slowly-changing-dimension version rows (valid_from =
+    //      change ts, version = per-user ordinal, interval closed by the
+    //      NEXT change), then join facts to the version in effect at
+    //      fact time — the warehouse pattern behind "what plan was this
+    //      user on when they bought". The PIT join is the same
+    //      union+window as-of machinery as q48/q179 (one shuffle,
+    //      linear, never a per-user range product); pre-signup
+    //      purchases stay NULL rather than matching a later version.
+    //      Ties at one (user, ts) pre-aggregate to max event_id. ----
+    QueryDef(
+      "q215_scd2_join",
+      """WITH s0 AS (
+        |  SELECT user_id, ts, max(event_id) AS eid
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, ts, eid % 3 AS plan,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |           AS version
+        |  FROM s0),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, d.plan,
+        |       CAST(d.version AS BIGINT) AS version,
+        |       epoch_us(d.ts) AS valid_from_us
+        |FROM p ASOF LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND p.ts >= d.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.eventsTs(s, dir)
+      val dim = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("vfrom"))
+        .agg(max("event_id").as("eid"))
+        .select(col("user_id"), col("vfrom"),
+          expr("eid % 3").as("plan"),
+          row_number().over(Window.partitionBy("user_id")
+            .orderBy("vfrom")).cast("long").as("version"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      Temporal.asofJoin(purchases, dim, "user_id", "ts", "vfrom",
+          Seq("plan", "version", "vfrom"))
+        .select(col("event_id"), col("user_id"), col("plan"),
+          col("version"), unix_micros(col("vfrom")).as("valid_from_us"))
+        .orderBy("event_id")
     }
   )
 

@@ -95,4 +95,35 @@ class TemporalSpec extends SparkSpec {
       Temporal.overlapJoinBucketed(a, a, "s", "e", "s", "e", 10)
     }
   }
+
+  test("q215 SCD2: joined version == count of changes at-or-before fact time") {
+    val rows = graft.SparkEntry.queries("q215_scd2_join")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // driver reference from the raw events
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val signupsByUser: Map[Long, Seq[Long]] = ev.filter(_._4 == "signup")
+      .groupBy(_._2).map { case (u, es) =>
+        u -> es.map(_._3).distinct.sorted.toSeq }
+    val purchases = ev.filter(_._4 == "purchase")
+      .map(e => e._1 -> (e._2, e._3)).toMap
+    assert(rows.length == purchases.size)
+    rows.foreach { case (eid, uid, version, vfrom) =>
+      val ts = purchases(eid)._2
+      val prior = signupsByUser.getOrElse(uid, Seq.empty).takeWhile(_ <= ts)
+      if (prior.isEmpty) assert(version == -1L && vfrom == -1L,
+        s"purchase $eid before any signup must be NULL")
+      else {
+        assert(version == prior.length,
+          s"purchase $eid: version $version != ${prior.length}")
+        assert(vfrom == prior.last, s"purchase $eid valid_from")
+      }
+    }
+  }
 }
