@@ -222,4 +222,37 @@ object Graph {
     }
     frontiers.reduce(_ unionByName _)
   }
+
+  /** Bounded-round k-core peel: `rounds` iterations of "drop every node
+    * with degree < k, and its edges" over an undirected edge list
+    * (u < v, distinct). Peeling is monotone — each round only removes —
+    * so R rounds give the exact R-step prefix of the peel toward the
+    * k-core (the spam/community-core primitive); the caller picks R the
+    * way PageRank/LPA pick their round counts, and the oracle unrolls
+    * the SAME R rounds. Returns surviving (n, degree).
+    *
+    * Scale shape: each round is one degree aggregate + two semi-join
+    * filters on the shrinking edge list — work ∝ surviving edges, one
+    * shuffle family per round; lineage is cut on an interval like the
+    * other iterative graph ops (e48e2d precedent), not every round.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"degenerate peel k=$k rounds=$rounds")
+    var e = edges.select(col("u"), col("v"))
+    var r = 1
+    while (r <= rounds) {
+      val deg = e.select(col("u").as("n"))
+        .union(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("n")
+      e = e
+        .join(keep.select(col("n").as("u")), "u")
+        .join(keep.select(col("n").as("v")), "v")
+        .select("u", "v")
+      if (r % 4 == 0 && r < rounds) e = e.localCheckpoint()
+      r += 1
+    }
+    e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+  }
 }

@@ -4315,6 +4315,50 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"), col("plan"),
           col("version"), unix_micros(col("vfrom")).as("valid_from_us"))
         .orderBy("event_id")
+    },
+
+    // ---- bounded-round k-core peel (q216): repeatedly drop nodes of
+    //      degree < 3 from the co-purchase graph — the dense-core
+    //      extraction behind spam-ring / community-core detection
+    //      (PageRank finds IMPORTANT nodes; the k-core finds mutually
+    //      dense ones). 4 peel rounds, exactly unrolled in the oracle;
+    //      peeling is monotone so R rounds are the exact R-step prefix
+    //      of the full peel. Each round: one degree aggregate + two
+    //      semi-joins on the SHRINKING edge list. ----
+    QueryDef(
+      "q216_kcore", {
+        val peels = (1 to 4).map { r =>
+          s"""d$r AS (SELECT n, count(*) AS d FROM (
+             |  SELECT u AS n FROM e${r - 1}
+             |  UNION ALL SELECT v FROM e${r - 1}) t GROUP BY 1),
+             |e$r AS (
+             |  SELECT e.u, e.v FROM e${r - 1} e
+             |  JOIN d$r du ON du.n = e.u AND du.d >= 3
+             |  JOIN d$r dv ON dv.n = e.v AND dv.d >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH li AS (
+           |  SELECT l_orderkey, l_partkey FROM lineitem
+           |  WHERE l_orderkey % 3 = 0 AND l_partkey % 2 = 0),
+           |e0 AS (
+           |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+           |  FROM li x JOIN li y
+           |    ON x.l_orderkey = y.l_orderkey
+           |   AND x.l_partkey < y.l_partkey),
+           |$peels
+           |SELECT n, CAST(count(*) AS BIGINT) AS degree FROM (
+           |  SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4) t
+           |GROUP BY 1 ORDER BY n""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 2 === 0)
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+        .distinct()
+      graft.graph.Graph.kCorePeel(e, k = 3, rounds = 4)
+        .orderBy("n")
     }
   )
 

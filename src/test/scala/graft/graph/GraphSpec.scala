@@ -117,4 +117,35 @@ class GraphSpec extends SparkSpec {
     } yield 1).size.toLong
     assert(r.getLong(2) == want, s"got ${r.getLong(2)} want $want")
   }
+
+  test("kCorePeel matches a sequential peel on a pseudo-random graph; clique survives, tree dies") {
+    import graft.graph.Graph
+    val rnd = new scala.util.Random(17)
+    val pairs = (for (_ <- 1 to 260) yield {
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val got = Graph.kCorePeel(pairs.toDF("u", "v"), k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential reference: 4 peel rounds
+    var es = pairs.toSet
+    for (_ <- 1 to 4) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      es = es.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+    }
+    val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got == want, s"got ${got.size} nodes, want ${want.size}")
+
+    // a K5 clique is its own 3-core (fixpoint, survives any rounds)
+    val k5 = (for (a <- 0L to 4L; b <- a + 1 to 4L) yield (a, b))
+    val core = Graph.kCorePeel(k5.toDF("u", "v"), k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0L to 4L).map(_ -> 4L).toMap)
+    // a path (tree) has no 3-core: fully peeled within rounds
+    val path = (0L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    assert(Graph.kCorePeel(path.toDF("u", "v"), k = 3, rounds = 4)
+      .count() == 0L)
+  }
 }
