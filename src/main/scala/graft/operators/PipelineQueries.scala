@@ -4359,6 +4359,52 @@ object PipelineQueries {
         .distinct()
       graft.graph.Graph.kCorePeel(e, k = 3, rounds = 4)
         .orderBy("n")
+    },
+
+    // ---- late-interaction max-sim retrieval (q217): documents as BAGS
+    //      of vectors (ColBERT-style late interaction — here vec groups
+    //      of 8), scored by the MAX per-vector cosine against the query
+    //      vector; multi-vector queries extend by summing per-query-
+    //      vector maxes. The shape single-vector retrieval (q29) cannot
+    //      express: a doc matches if ANY of its passage vectors matches.
+    //      Scale shape: queries broadcast, per-(query, doc) max is a
+    //      partial+final aggregate (map-side combine over each doc's
+    //      vectors), top-5 cut per query is the bounded window over the
+    //      doc-level (not vector-level) scores. Self-group excluded. ----
+    QueryDef(
+      "q217_maxsim",
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_embedding
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |sims AS (
+         |  SELECT q.query_id, e.vec_id // 8 AS doc_id,
+         |         max(${cosineSql("q.q_embedding", "e.embedding")}) AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id // 8 <> q.query_id // 8
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rank, round(sim, 8) AS sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, doc_id) AS rank
+         |  FROM sims) t
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"))
+      val sims = emb
+        .join(broadcast(queries),
+          expr("vec_id div 8") =!= expr("query_id div 8"))
+        .groupBy(col("query_id"), expr("vec_id div 8").as("doc_id"))
+        .agg(max(Similarity.cosine(col("q_embedding"), col("embedding")))
+          .as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("doc_id"))
+      sims.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          round(col("sim"), 8).as("sim"))
+        .orderBy("query_id", "rank")
     }
   )
 

@@ -466,4 +466,27 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged == Set(5L),
       s"exactly the planted mislabel must be flagged, got $flagged")
   }
+
+  test("max-sim shape (q217): a bag ranks by its BEST vector — one strong passage wins") {
+    // doc bags of 4 vectors; bag 3 holds one near-copy of the query
+    // among three orthogonal fillers, bag 1 holds four mediocre matches
+    val q = Array(1f, 0f, 0f, 0f)
+    def v(x: Float, y: Float): Seq[Float] = Seq(x, y, 0f, 0f)
+    val rows =
+      // bag 1 (vec_ids 4-7): all cosine 0.6-ish
+      (4L to 7L).map(i => (i, v(0.6f, 0.8f))) ++
+        // bag 3 (vec_ids 12-15): one 0.999 match, three orthogonal
+        Seq((12L, v(0.999f, 0.0447f)), (13L, v(0f, 1f)),
+          (14L, Seq(0f, 0f, 1f, 0f)), (15L, Seq(0f, 0f, 0f, 1f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = Seq((100L, q.toSeq)).toDF("query_id", "q_embedding")
+    val got = emb.join(broadcast(queries), lit(true))
+      .groupBy($"query_id", expr("vec_id div 4").as("doc_id"))
+      .agg(max(Similarity.cosine($"q_embedding", $"embedding")).as("sim"))
+      .orderBy($"sim".desc)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // the bag with ONE excellent passage beats the uniformly-mediocre bag
+    assert(got.head._1 == 3L && got.head._2 > 0.99, got.toSeq.toString)
+    assert(got(1)._1 == 1L && got(1)._2 < 0.7)
+  }
 }
