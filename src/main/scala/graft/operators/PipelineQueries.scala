@@ -4405,6 +4405,91 @@ object PipelineQueries {
         .select(col("query_id"), col("doc_id"), col("rank"),
           round(col("sim"), 8).as("sim"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- Neyman allocation audit (q218): how much estimator variance
+    //      does smart per-source sample allocation buy? Classic survey
+    //      sampling: Var_prop = Σ W_h·S_h²/m vs Neyman's
+    //      (Σ W_h·S_h)²/m — the design question behind "sample quality
+    //      audits proportionally, or oversample the noisy sources?".
+    //      Per-source std via the q212 exact recipe; then every design
+    //      quantity is integer: gain_bp = (A·N − B²)·10⁴ div (A·N) with
+    //      A = Σ n_h S_h², B = Σ n_h S_h — non-negative by
+    //      Cauchy-Schwarz, exactly reproducible. One scan → S-row
+    //      aggregate → 1-row report. ----
+    QueryDef(
+      "q218_neyman_alloc",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |                w -> list_contains($stopwordsSql, w)))
+         |              AS BIGINT) * 1000000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) AS sc
+         |  FROM documents),
+         |m AS (
+         |  SELECT source, count(*) AS n,
+         |         CAST(round(CAST(sum(sc) AS DOUBLE) / count(*)) AS BIGINT)
+         |           AS mean_q
+         |  FROM t GROUP BY 1),
+         |v AS (
+         |  SELECT t.source,
+         |         CAST(sum(CAST(t.sc - m.mean_q AS HUGEINT)
+         |                  * (t.sc - m.mean_q)) AS HUGEINT)
+         |           // max(m.n) AS var_q2,
+         |         max(m.n) AS n
+         |  FROM t JOIN m ON m.source = t.source GROUP BY 1),
+         |sd AS (
+         |  SELECT source, n,
+         |         CAST(round(sqrt(CAST(var_q2 AS DOUBLE))) AS BIGINT) AS s
+         |  FROM v),
+         |agg AS (
+         |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+         |         CAST(sum(CAST(n AS HUGEINT) * s * s) AS HUGEINT) AS a,
+         |         CAST(sum(CAST(n AS HUGEINT) * s) AS HUGEINT) AS b
+         |  FROM sd)
+         |SELECT CAST(nn AS BIGINT) AS n_docs,
+         |       CAST(a // nn AS BIGINT) AS var_prop_q2,
+         |       CAST(b * b // (nn * nn) AS BIGINT) AS var_neyman_q2,
+         |       CAST(CASE WHEN a > 0
+         |            THEN (a * nn - b * b) * 10000 // (a * nn) END
+         |         AS BIGINT) AS neyman_gain_bp
+         |FROM agg""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(s"""CAST(size(filter(split(text, ' '),
+                  |  w -> array_contains(array(${stopwords
+                       .map(w => s"'$w'").mkString(", ")}), w)))
+                  |AS BIGINT) * 1000000
+                  |div CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
+            .as("sc"))
+      val m = t.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("sc").as("ssum"))
+        .select(col("source"), col("n"),
+          round(col("ssum").cast("double") / col("n")).cast("long")
+            .as("mean_q"))
+      val sd = t.join(broadcast(m), "source")
+        .groupBy("source")
+        .agg(
+          sum(((col("sc") - col("mean_q")).cast("decimal(38,0)")
+            * (col("sc") - col("mean_q"))).cast("decimal(38,0)")).as("ss"),
+          max("n").as("nn"))
+        .select(col("source"), col("nn").as("n"),
+          round(sqrt(expr("CAST(ss div nn AS BIGINT)").cast("double")))
+            .cast("long").as("s"))
+      sd.agg(
+          sum("n").as("nn"),
+          sum((col("n").cast("decimal(38,0)") * col("s") * col("s"))
+            .cast("decimal(38,0)")).as("a"),
+          sum((col("n").cast("decimal(38,0)") * col("s"))
+            .cast("decimal(38,0)")).as("b"))
+        .select(col("nn").cast("long").as("n_docs"),
+          expr("CAST(a div nn AS BIGINT)").as("var_prop_q2"),
+          expr("CAST(b * b div (CAST(nn AS DECIMAL(38,0)) * nn) AS BIGINT)")
+            .as("var_neyman_q2"),
+          expr("""CAST(CASE WHEN a > 0
+                | THEN (a * nn - b * b) * 10000
+                |      div (a * CAST(nn AS DECIMAL(38,0)))
+                | END AS BIGINT)""".stripMargin).as("neyman_gain_bp"))
     }
   )
 

@@ -668,4 +668,34 @@ class AnalyticsSpec extends SparkSpec {
       assert(ok == (chi2 <= 5991465L))
     }
   }
+
+  test("q218: Neyman never loses to proportional; values equal a driver recompute") {
+    val r = run("q218_neyman_alloc", sf0001).head()
+    val (n, vp, vn, gain) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(vn <= vp && gain >= 0, s"Cauchy-Schwarz violated: $vp $vn $gain")
+    // driver recompute of the whole chain
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val stops = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map { row =>
+        val toks = row.getString(1).split(" ", -1)
+        (row.getString(0), toks.count(stops) * 1000000L / toks.length)
+      }
+    val per = docs.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val sc = ds.map(_._2)
+      val nh = sc.length.toLong
+      val mean = rnd(sc.sum.toDouble / nh)
+      val varq = sc.map(q => BigInt(q - mean) * BigInt(q - mean)).sum / nh
+      (nh, rnd(math.sqrt(varq.toDouble)))
+    }.toSeq
+    val nn = per.map(_._1).sum
+    val a = per.map { case (nh, s) => BigInt(nh) * s * s }.sum
+    val b = per.map { case (nh, s) => BigInt(nh) * s }.sum
+    assert(n == nn)
+    assert(vp == (a / nn).toLong && vn == (b * b / (BigInt(nn) * nn)).toLong)
+    assert(gain == ((a * nn - b * b) * 10000 / (a * nn)).toLong)
+  }
 }
