@@ -233,8 +233,12 @@ object Graph {
     *
     * Scale shape: each round is one degree aggregate + two semi-join
     * filters on the shrinking edge list — work ∝ surviving edges, one
-    * shuffle family per round; lineage is cut on an interval like the
-    * other iterative graph ops (e48e2d precedent), not every round.
+    * shuffle family per round. UNLIKE the single-chain iterations
+    * (PageRank/LPA, interval checkpointing), every peel round consumes
+    * the previous edge list TWICE (degree count + filter join), so an
+    * uncheckpointed lineage recomputes upstream rounds 2^R times —
+    * measured 17 s vs 2 s on the sf0.1 co-purchase graph. The shrinking
+    * edge list is therefore localCheckpointed every round.
     */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"degenerate peel k=$k rounds=$rounds")
@@ -249,7 +253,7 @@ object Graph {
         .join(keep.select(col("n").as("u")), "u")
         .join(keep.select(col("n").as("v")), "v")
         .select("u", "v")
-      if (r % 4 == 0 && r < rounds) e = e.localCheckpoint()
+        .localCheckpoint() // read twice next round; see scaladoc
       r += 1
     }
     e.select(explode(array(col("u"), col("v"))).as("n"))
