@@ -4490,6 +4490,57 @@ object PipelineQueries {
                 | THEN (a * nn - b * b) * 10000
                 |      div (a * CAST(nn AS DECIMAL(38,0)))
                 | END AS BIGINT)""".stripMargin).as("neyman_gain_bp"))
+    },
+
+    // ---- watermark-lateness audit (q219): replay the event stream in
+    //      a simulated ingest order (event time + content-addressed
+    //      0-10 min jitter — multi-source interleaving) and measure, for
+    //      each candidate watermark delay, how many events the running
+    //      event-time high-water mark would DROP — the tuning table
+    //      behind every `withWatermark` delay choice (StreamOps defaults
+    //      to 30 min; this is where that number comes from). The running
+    //      max runs on Scale.prefixMaxLongBy — range partition +
+    //      broadcast prefix maxes, NO single-partition window, so the
+    //      replay survives a 100× stream history. ----
+    QueryDef(
+      "q219_watermark_audit",
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS tus,
+         |         epoch_us(ts) + (${OracleSql.md5Long(
+                    "'jit:' || CAST(event_id AS VARCHAR)")} % 600)
+         |           * 1000000 AS arr_us
+         |  FROM events),
+         |w AS (
+         |  SELECT tus, max(tus) OVER (ORDER BY arr_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+         |  FROM e),
+         |l AS (SELECT wm - tus AS late_us FROM w),
+         |d AS (SELECT unnest([60, 300, 600, 900]) AS delay_s)
+         |SELECT CAST(d.delay_s AS BIGINT) AS delay_s,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CASE WHEN late_us > d.delay_s * 1000000
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(CAST(sum(CASE WHEN late_us > d.delay_s * 1000000
+         |              THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+         |            // count(*) AS BIGINT) AS dropped_ppm
+         |FROM d CROSS JOIN l GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.eventsTs(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("arr_us", col("tus") +
+          pmod(TextAnalysis.md5Long(concat(lit("jit:"),
+            col("event_id").cast("string"))), lit(600L)) * 1000000L)
+      Scale.prefixMaxLongBy(ev, Seq("arr_us", "event_id"), "tus", "wm")
+        .select((col("wm") - col("tus")).as("late_us"))
+        .select(explode(typedLit(Seq(60L, 300L, 600L, 900L)))
+          .as("delay_s"), col("late_us"))
+        .groupBy("delay_s")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > col("delay_s") * 1000000L, 1L)
+            .otherwise(0L)).as("n_dropped"))
+        .select(col("delay_s"), col("n_events"), col("n_dropped"),
+          expr("n_dropped * 1000000 div n_events").as("dropped_ppm"))
+        .orderBy("delay_s")
     }
   )
 

@@ -125,6 +125,52 @@ object Scale {
     (result, offsets.last)
   }
 
+  /** Running MAX of `valueCol` over a composite total order — the
+    * prefix-max sibling of [[prefixSumLongByWithTotal]] (same range
+    * partition + per-partition aggregate + broadcast exclusive prefix,
+    * NO single-partition window): per partition pid the carried-in seed
+    * is max of all earlier partitions' maxes, so each row's `cumCol` is
+    * the max over every row at-or-before it in the order. The primitive
+    * behind watermark replay (running max event-time) and
+    * high-water-mark audits.
+    */
+  def prefixMaxLongBy(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      cumCol: String = "cummax",
+      partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val parts = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = ranged.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val rdd = ranged.rdd.cache()
+    val maxes = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+      Iterator((pid, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = maxes.scanLeft(Long.MinValue)(math.max) // exclusive
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    val result = spark
+      .createDataFrame(out, schema.add(cumCol, LongType, nullable = false))
+      .localCheckpoint() // pin before releasing the range-pinned input
+    rdd.unpersist(blocking = false)
+    result
+  }
+
   /** Distributed global row numbering under a composite total order —
     * `row_number() OVER (ORDER BY ...)` without the one-partition window:
     * a prefix sum of ones. Order columns must form a total order (no

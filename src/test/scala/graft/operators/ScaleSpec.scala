@@ -213,4 +213,23 @@ class ScaleSpec extends SparkSpec {
         s"caps=$caps budget=$budget")
     }
   }
+
+  test("prefixMaxLongBy == window cummax, under any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    val rows = (1L to 3000L).map(i => (i, rnd.nextInt(100000).toLong))
+    val df = rows.toDF("id", "v").repartition(17)
+    val got = Scale.prefixMaxLongBy(df, Seq("id"), "v", "cm")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // single-partition window reference (fine at spec scale)
+    val want = rows.toDF("id", "v")
+      .withColumn("cm", max("v").over(Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want)
+    // and with a forced tiny partition count (seed-carry across parts)
+    val got3 = Scale.prefixMaxLongBy(df, Seq("id"), "v", "cm", partitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got3 == want)
+  }
 }
