@@ -38,6 +38,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(FuseVectorFolds))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseVectorFolds
+    if (!spark.experimental.extraOptimizations.contains(FuseContainsChain))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseContainsChain
   }
 }
 
@@ -53,5 +56,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectOptimizerRule(_ => FuseVectorFolds)
+    e.injectOptimizerRule(_ => FuseContainsChain)
   }
 }

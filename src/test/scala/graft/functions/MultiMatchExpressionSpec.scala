@@ -73,6 +73,58 @@ class MultiMatchExpressionSpec extends SparkSpec with graft.PropHelper {
     })
   }
 
+  test("FuseContainsChain rewrites contains-OR chains into one automaton pass") {
+    GraftFunctions.register(spark)
+    // parquet-backed source: a local relation would constant-fold the
+    // whole filter before the rule could be observed
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    val terms = Seq("big table", "slow scan", "stream merge", "vector",
+      "window window")
+    val chain = terms.map(t => contains($"text", lit(t))).reduce(_ || _)
+    val q = docs.filter(chain)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_multi_match"),
+      s"contains chain did not fuse:\n$plan")
+    assert(!plan.contains("Contains("),
+      s"chain leaves survived the rewrite:\n$plan")
+    // identical row set vs the unfused semantics (computed per-term)
+    val want = docs.collect().filter { r =>
+      !r.isNullAt(1) && terms.exists(r.getString(1).contains)
+    }.map(_.getLong(0)).sorted.toSeq
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == want)
+    assert(want.nonEmpty, "corpus should trip the chain")
+    // NULL text stays NULL through the rewrite (projection form)
+    val withNull = docs.limit(1)
+      .select($"doc_id", lit(null).cast("string").as("text"))
+    val nulls = withNull.select(chain.as("hit")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("FuseContainsChain leaves short, mixed, and differing-text chains alone") {
+    GraftFunctions.register(spark)
+    // parquet-backed (local relations constant-fold and prove nothing)
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text", $"source".as("other"))
+    // only 3 terms: below threshold
+    val short3 = Seq("a", "b", "c").map(t => contains($"text", lit(t)))
+      .reduce(_ || _)
+    val p1 = df.filter(short3).queryExecution.optimizedPlan.toString
+    assert(!p1.contains("graft_multi_match") && p1.contains("Contains("), p1)
+    // mixed text columns: must not fuse across different inputs
+    val mixed = contains($"text", lit("a")) || contains($"other", lit("b")) ||
+      contains($"text", lit("c")) || contains($"other", lit("d"))
+    val p2 = df.filter(mixed).queryExecution.optimizedPlan.toString
+    assert(!p2.contains("graft_multi_match") && p2.contains("Contains("), p2)
+    // empty-string term (constant-true contains): left untouched
+    val withEmpty = Seq("a", "", "c", "d", "e")
+      .map(t => contains($"text", lit(t))).reduce(_ || _)
+    val p3 = df.filter(withEmpty).queryExecution.optimizedPlan.toString
+    assert(!p3.contains("graft_multi_match"), p3)
+    assert(df.filter(withEmpty).count() == df.count(),
+      "empty term matches everything")
+  }
+
   test("more than 64 terms (multi-word bitset) and a 1000-term automaton") {
     val terms = (0 until 1000).map(i => s"term$i needle")
     val df = Seq((1L, "has term7 needle and term999 needle here"),
