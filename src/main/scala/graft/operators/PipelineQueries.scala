@@ -4541,6 +4541,82 @@ object PipelineQueries {
         .select(col("delay_s"), col("n_events"), col("n_dropped"),
           expr("n_dropped * 1000000 div n_events").as("dropped_ppm"))
         .orderBy("delay_s")
+    },
+
+    // ---- IDF-weighted set similarity (q220): jaccard where each token
+    //      counts by its corpus rarity — two docs sharing "the" are not
+    //      similar, two sharing a rare identifier are. The scorer the
+    //      plain-jaccard dedup paths (q31/q91) upgrade to when common
+    //      boilerplate tokens dominate; scored here on the planted-twin
+    //      pair set (candidate generation stays q31's job — q97's
+    //      framing). Weights = round(1e6·ln((N+1)/(df+1))) quantized
+    //      per token BEFORE the per-pair sums; df table broadcast. ----
+    QueryDef(
+      "q220_idf_jaccard",
+      s"""WITH base AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+         |n AS (SELECT count(*) AS n FROM base),
+         |dfq AS (
+         |  SELECT tok, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM base) x
+         |  GROUP BY 1),
+         |pa AS (
+         |  SELECT doc_id AS pair_id, unnest(toks) AS tok, 1 AS in_a, 0 AS in_b
+         |  FROM base WHERE doc_id < 10),
+         |pb AS (
+         |  SELECT doc_id AS pair_id, unnest(toks || ['graftidfx']) AS tok,
+         |         0 AS in_a, 1 AS in_b
+         |  FROM base WHERE doc_id < 10),
+         |u AS (
+         |  SELECT pair_id, tok, max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (SELECT * FROM pa UNION ALL SELECT * FROM pb) t
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT u.pair_id, u.in_a, u.in_b,
+         |         CAST(round(1000000 * ln(CAST(n.n + 1 AS DOUBLE)
+         |           / (coalesce(dfq.df, 0) + 1))) AS BIGINT) AS wq
+         |  FROM u LEFT JOIN dfq ON dfq.tok = u.tok CROSS JOIN n)
+         |SELECT pair_id AS id_a, pair_id + 1000000 AS id_b,
+         |       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+         |       CAST(count(*) AS BIGINT) AS n_union,
+         |       CAST(CAST(sum(in_a * in_b) AS HUGEINT) * 10000
+         |            // count(*) AS BIGINT) AS jacc_bp,
+         |       CAST(CAST(sum(in_a * in_b * wq) AS HUGEINT) * 10000
+         |            // CAST(sum(wq) AS HUGEINT) AS BIGINT) AS widf_bp
+         |FROM w GROUP BY 1, 2 ORDER BY id_a""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(TextAnalysis.wsTokens(col("text"))).as("toks"))
+        .localCheckpoint() // df table + both pair sides read this
+      val n = base.agg(count(lit(1)).as("n"))
+      val dfq = base.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val pa = base.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("pair_id"), explode(col("toks")).as("tok"),
+          lit(1L).as("in_a"), lit(0L).as("in_b"))
+      val pb = base.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("pair_id"),
+          explode(concat(col("toks"), array(lit("graftidfx")))).as("tok"),
+          lit(0L).as("in_a"), lit(1L).as("in_b"))
+      pa.union(pb)
+        .groupBy("pair_id", "tok")
+        .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+        .join(broadcast(dfq), Seq("tok"), "left_outer")
+        .crossJoin(broadcast(n))
+        .select(col("pair_id"), col("in_a"), col("in_b"),
+          round(lit(1000000) * log((col("n") + lit(1)).cast("double")
+            / (coalesce(col("df"), lit(0L)) + lit(1)))).cast("long")
+            .as("wq"))
+        .groupBy(col("pair_id").as("id_a"))
+        .agg(sum(col("in_a") * col("in_b")).as("n_inter"),
+          count(lit(1)).as("n_union"),
+          sum(col("in_a") * col("in_b") * col("wq")).as("iw"),
+          sum("wq").as("uw"))
+        .select(col("id_a"), (col("id_a") + 1000000L).as("id_b"),
+          col("n_inter"), col("n_union"),
+          expr("n_inter * 10000 div n_union").as("jacc_bp"),
+          expr("iw * 10000 div uw").as("widf_bp"))
+        .orderBy("id_a")
     }
   )
 

@@ -698,4 +698,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(vp == (a / nn).toLong && vn == (b * b / (BigInt(nn) * nn)).toLong)
     assert(gain == ((a * nn - b * b) * 10000 / (a * nn)).toLong)
   }
+
+  test("q220: IDF weighting punishes a rare-token divergence far beyond plain jaccard") {
+    val rows = run("q220_idf_jaccard", sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10)
+    rows.foreach { case (id, inter, union, jacc, widf) =>
+      // the twin differs by exactly one (corpus-unseen) token
+      assert(union == inter + 1, s"pair $id")
+      assert(jacc == 10000L * inter / union)
+      // that token carries the maximum possible idf, so the weighted
+      // score drops far below the count-based one
+      assert(widf < jacc - 2000, s"pair $id: widf $widf vs jacc $jacc")
+      assert(widf >= 0 && widf <= 10000)
+    }
+  }
 }
