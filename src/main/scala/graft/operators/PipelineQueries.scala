@@ -4617,6 +4617,53 @@ object PipelineQueries {
           expr("n_inter * 10000 div n_union").as("jacc_bp"),
           expr("iw * 10000 div uw").as("widf_bp"))
         .orderBy("id_a")
+    },
+
+    // ---- local clustering coefficient (q221): per-node
+    //      2·tri/(d·(d−1)) over the co-purchase graph — triangles
+    //      (q154) say how cliquish the graph is; THIS says which nodes
+    //      sit in cliques (spam rings cluster, organic hubs don't).
+    //      Same degree-ordered wedge join, each triangle then credits
+    //      its three vertices. ----
+    QueryDef(
+      "q221_local_clustering",
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 3 = 0 AND l_partkey % 2 = 0),
+        |e0 AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS src,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS dst
+        |  FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b),
+        |w AS (SELECT e1.src AS s, e1.dst AS w1, e2.dst AS w2
+        |      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+        |tri AS (
+        |  SELECT n, count(*) AS n_tri FROM (
+        |    SELECT unnest([s, w1, w2]) AS n
+        |    FROM w JOIN e0 ON e0.a = w.w1 AND e0.b = w.w2) t
+        |  GROUP BY 1)
+        |SELECT deg.n, CAST(deg.d AS BIGINT) AS d,
+        |       CAST(coalesce(tri.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(CASE WHEN deg.d >= 2 THEN
+        |         CAST(10000 * 2 * coalesce(tri.n_tri, 0) AS HUGEINT)
+        |           // (deg.d * (deg.d - 1)) END AS BIGINT) AS lcc_bp
+        |FROM deg LEFT JOIN tri ON tri.n = deg.n
+        |ORDER BY deg.n""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 3 === 0 && col("l_partkey") % 2 === 0)
+        .select("l_orderkey", "l_partkey")
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
+      graft.graph.Graph.localClustering(e).orderBy("n")
     }
   )
 

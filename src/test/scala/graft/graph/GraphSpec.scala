@@ -148,4 +148,35 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCorePeel(path.toDF("u", "v"), k = 3, rounds = 4)
       .count() == 0L)
   }
+
+  test("localClustering matches a sequential reference; clique = 10000, star center = 0") {
+    import graft.graph.Graph
+    val rnd = new scala.util.Random(31)
+    val pairs = (for (_ <- 1 to 220) yield {
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val got = Graph.localClustering(pairs.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val adj = pairs.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    adj.foreach { case (n, nbrs) =>
+      val d = nbrs.size.toLong
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x)(y) }.toLong
+      val lcc = if (d >= 2) 10000L * 2 * tri / (d * (d - 1)) else -1L
+      assert(got(n) == ((d, tri, lcc)), s"node $n: ${got(n)} vs ($d,$tri,$lcc)")
+    }
+    // closed-form shapes
+    val k4 = for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)
+    val cl = Graph.localClustering(k4.toDF("u", "v")).collect()
+    assert(cl.forall(r => r.getLong(3) == 10000L), "K4 nodes must be 10000")
+    val star = (1L to 5L).map(i => (0L, i))
+    val st = Graph.localClustering(star.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(0L).getLong(3) == 0L, "star center has no closed wedge")
+    assert((1L to 5L).forall(i => st(i).isNullAt(3)), "leaves are NULL (d=1)")
+  }
 }
