@@ -595,6 +595,38 @@ class PlanSpec extends SparkSpec {
     assert(nAggs >= 2, s"the source aggregate must partial+final:\n$plan")
   }
 
+  test("q217 max-sim: queries broadcast; per-(query,doc) max partial+final; bounded cut") {
+    val plan = planOf("q217_maxsim")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the query set must broadcast:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"the doc-level max must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus×queries must ride the broadcast, not a product:\n$plan")
+  }
+
+  test("q219 watermark replay: the running max never plans a single-partition window") {
+    val plan = planOf("q219_watermark_audit")
+    assert(!plan.contains("Window"),
+      s"prefixMaxLongBy must not fall back to a window:\n$plan")
+  }
+
+  test("q212 whitening: the 64-row mean table broadcasts back; aggs partial+final") {
+    val plan = planOf("q212_embedding_whiten")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the dims-row mean table must broadcast:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4, s"both passes must map-side combine:\n$plan")
+  }
+
+  test("q221 local clustering: wedge machinery stays equi-join, no product") {
+    val plan = planOf("q221_local_clustering")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the closing-edge probe must stay an equi-join:\n$plan")
+  }
+
   test("q200 CDC: doc-keyed windows only — never one global partition") {
     val plan = planOf("q200_cdc_dedup")
     assert(plan.contains("Window"), s"expected the cut/lag windows:\n$plan")
