@@ -637,6 +637,57 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Golden-record survivorship merge — the MDM/entity-resolution step
+    * AFTER clustering: [[dedupByClusters]] keeps one arbitrary-rule
+    * winner per near-dup component, but a curation pipeline often wants
+    * a field-wise MERGE of the cluster instead (keep the longest text,
+    * the modal source, the breadth stats). One row per multi-member
+    * cluster with:
+    *   - `rep_id`: smallest member id (the stable cluster key),
+    *   - `src_mode`: most frequent `sourceCol` value, ties to the
+    *     lexicographically smallest (min(struct(-cnt, src)) — the LPA
+    *     tie-break idiom, deterministic on any partitioning),
+    *   - `golden_text_id`/`golden_text_chars`: the member with the
+    *     longest `textCol` (ties to the smallest id),
+    *   - `n_members`/`n_sources`/`total_chars`.
+    *
+    * Scale shape: components come from [[connectedComponents]] (label
+    * propagation, no quadratic step); everything after is two keyed aggs
+    * on (cluster) and (cluster, source) — map-side combinable, never
+    * wider than the member table. Texts never shuffle: only their
+    * lengths ride the agg (the winner's id is returned, not its body).
+    */
+  def goldenRecords(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val cc = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster").as("cluster_id"))
+    val members = docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("tc"),
+        col(sourceCol).as("__src"))
+      .join(cc, idCol) // inner: only docs that are in some pair
+    val perCluster = members.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      min(col(idCol)).as("rep_id"),
+      countDistinct(col("__src")).as("n_sources"),
+      sum("tc").as("total_chars"),
+      max(struct(col("tc"), (-col(idCol)).as("nid"))).as("gw"))
+    val srcMode = members
+      .groupBy("cluster_id", "__src").agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("__src"))).as("sm"))
+      .select(col("cluster_id"), col("sm.__src").as("src_mode"))
+    perCluster.join(srcMode, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("rep_id"),
+        col("src_mode"), col("n_sources"),
+        (-col("gw.nid")).as("golden_text_id"),
+        col("gw.tc").as("golden_text_chars"),
+        col("total_chars"))
+  }
+
   // ---------- SimHash ----------
 
   /** SimHash bit width and band layout (4 bands of 15 bits over a 60-bit

@@ -25,6 +25,10 @@ object GraftFunctions {
     // graft_multi_match(text, t1, t2, ...): the term list is a constant
     // (foldable varargs tail), the automaton builds once per plan
     "graft_multi_match" -> (exprs => MultiMatch(exprs.head,
+      exprs.tail.map(_.eval().toString))),
+    // graft_multi_count(text, t1, t2, ...): per-term non-overlapping
+    // counts in sorted-distinct-term order (same constant-list contract)
+    "graft_multi_count" -> (exprs => MultiCount(exprs.head,
       exprs.tail.map(_.eval().toString))))
 
   /** Imperative registration on an existing session: the SQL names plus

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native multi-pattern substring matcher:
@@ -93,6 +93,8 @@ final class AcAutomaton(termsIn: Array[String]) extends Serializable {
   val sortedTerms: Array[String] = termsIn.distinct.sorted
   @transient lazy val sortedUtf8: Array[UTF8String] =
     sortedTerms.map(UTF8String.fromString)
+  @transient private lazy val termByteLens: Array[Int] =
+    sortedTerms.map(_.getBytes("UTF-8").length)
 
   // trie with dense byte-indexed goto tables (node count = total term
   // bytes + 1 — blocklist-sized, not corpus-sized), BFS fail links,
@@ -171,10 +173,100 @@ final class AcAutomaton(termsIn: Array[String]) extends Serializable {
     }
     acc
   }
+
+  /** Per-term NON-OVERLAPPING occurrence counts in sorted-term order —
+    * the left-to-right greedy count `replace(text, term, '')` implies
+    * (each term independent; a match is accepted iff it starts after the
+    * previous accepted match of the SAME term ends). Fixed-length
+    * patterns arrive in end-position == start-position order, so
+    * greedy-accept here is exactly the replace semantics — which is what
+    * makes a column of these counts bit-equal to the composed
+    * `(length(t) − length(replace(t, m, ''))) / length(m)` form on any
+    * engine. Still one automaton pass: O(|text| + matches), independent
+    * of term count.
+    */
+  def scanCounts(bytes: Array[Byte]): Array[Long] = {
+    val g = gotoTab
+    val o = outTab
+    val ho = hasOut
+    val lens = termByteLens
+    val cnt = new Array[Long](sortedTerms.length)
+    val lastEnd = new Array[Int](sortedTerms.length)
+    java.util.Arrays.fill(lastEnd, -1)
+    var st = 0
+    var i = 0
+    while (i < bytes.length) {
+      st = g(st)(bytes(i) & 0xff)
+      if (ho(st)) {
+        val ob = o(st)
+        var w = 0
+        while (w < ob.length) {
+          var bits = ob(w)
+          while (bits != 0L) {
+            val t = (w << 6) + java.lang.Long.numberOfTrailingZeros(bits)
+            bits &= bits - 1
+            if (i - lens(t) + 1 > lastEnd(t)) { cnt(t) += 1; lastEnd(t) = i }
+          }
+          w += 1
+        }
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+/** Native multi-pattern occurrence counter:
+  * `graft_multi_count(text, terms)` → array<long>, the per-term
+  * NON-overlapping match counts aligned to the SORTED DISTINCT term
+  * list. Bit-equal to the composed
+  * `(length(t) − length(replace(t, m, ''))) / length(m)` column for each
+  * marker — the language-ID / marker-profile scoring primitive
+  * (TextAnalysis.langId), where k markers as composed columns cost k
+  * replace passes per row but one automaton costs a single pass.
+  */
+case class MultiCount(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if terms.nonEmpty && terms.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_multi_count expects (string, non-empty terms), " +
+        s"got ${child.dataType.catalogString} / ${terms.size} terms")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_multi_count"
+
+  @transient private lazy val automaton = new AcAutomaton(terms.toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    MultiCount.compute(input.asInstanceOf[UTF8String], automaton)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val acRef = ctx.addReferenceObj("graftAcc", automaton,
+        classOf[AcAutomaton].getName)
+      val helper = MultiCount.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($in, $acRef);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MultiCount {
+  def compute(s: UTF8String, ac: AcAutomaton): ArrayData =
+    new GenericArrayData(ac.scanCounts(s.getBytes))
 }
 
 object MultiMatchFunctions {
   /** Sorted distinct terms of `terms` occurring as substrings of `text`. */
   def graftMultiMatch(text: Column, terms: Seq[String]): Column =
     Bridge.column(MultiMatch(Bridge.expression(text), terms))
+
+  /** Non-overlapping per-term counts, aligned to `terms.distinct.sorted`. */
+  def graftMultiCount(text: Column, terms: Seq[String]): Column =
+    Bridge.column(MultiCount(Bridge.expression(text), terms))
 }

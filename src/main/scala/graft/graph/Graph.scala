@@ -303,4 +303,58 @@ object Graph {
     e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("degree"))
   }
+
+  /** Newman modularity Q of a community assignment — the standard "are
+    * these communities real" score that pairs with [[labelPropagation]]
+    * the way ARI (q194) pairs with k-means: Q = Σ_c [e_c/m − (d_c/2m)²],
+    * the intra-community edge fraction minus what a degree-preserving
+    * random rewiring would put there. Q ≈ 0 means the partition is no
+    * better than chance; 0.3+ means real structure.
+    *
+    * `edges`: directed-both-ways (src, dst), no self-loops — the same
+    * relation [[labelPropagation]] consumes, so callers pass one edge
+    * list to both. `labels`: (id, label). Returns ONE row
+    * (n_nodes, n_communities, m_edges, intra_edges, q_bp).
+    *
+    * Exactness at scale: with S = Σ_c d_c² and E = Σ_c e_c, Q is the
+    * rational (4mE − S)/(4m²) — all three terms are exact Longs
+    * (S ≤ (2m)² needs ~2·log₂m bits; 10⁷ edges → 2·10¹⁴, well inside
+    * Long), so q_bp = ⌊10⁴·(4mE−S)/(4m²)⌋ is computed in integer
+    * arithmetic with an EXPLICIT floor (num − pmod(num, den), since
+    * integer `div` truncates toward zero and Q can be negative for
+    * adversarial partitions). Cost: two keyed aggs (degree, d_c) plus
+    * one labels-join to classify edges as intra/inter — everything
+    * downstream of the edge list is community-count sized, and the
+    * 1-row aggregates combine via broadcast crossJoins.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val lab = labels.select(col("id"), col("label"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, "id").groupBy("label").agg(sum("d").as("dsum"))
+    val comm = dc.agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("dsum") * col("dsum")).as("sd2"),
+      // Σ_c d_c = Σ deg = 2m exactly, and it's even — shiftright keeps
+      // the halving in Long arithmetic (no double round-trip)
+      shiftright(sum("dsum"), 1).as("m_edges"))
+    val intra2 = e
+      .join(lab.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .agg(sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("intra2"))
+    val nn = lab.agg(count(lit(1)).as("n_nodes"))
+    nn.crossJoin(broadcast(comm)).crossJoin(broadcast(intra2))
+      .select(col("n_nodes"), col("n_communities"), col("m_edges"),
+        shiftright(col("intra2"), 1).as("intra_edges"),
+        col("sd2"))
+      .withColumn("num",
+        lit(10000L) * (lit(4L) * col("m_edges") * col("intra_edges") - col("sd2")))
+      .withColumn("den", lit(4L) * col("m_edges") * col("m_edges"))
+      .select(col("n_nodes"), col("n_communities"), col("m_edges"),
+        col("intra_edges"),
+        // num − pmod(num, den) is exactly divisible, so truncating `div`
+        // IS the floor quotient — and it stays in Long (num can exceed
+        // 2^52, where a double round-trip would lose bits)
+        expr("(num - pmod(num, den)) div den").as("q_bp"))
+  }
 }

@@ -93,8 +93,33 @@ object TextAnalysis {
 
   /** Heuristic language guess: argmax of marker-hit counts ("und" if no
     * marker fires). Deterministic tie-break by profile order.
+    *
+    * All 25 markers are counted by ONE `graft_multi_count` automaton
+    * pass over the padded text (non-overlapping counts — bit-equal to
+    * the replace-based form, which is what the q33/q208 oracles spell),
+    * instead of 25 separate length−replace passes; per-language scores
+    * are then integer sums over the counts array. Measured ~4× on the
+    * half-doc scorer (q208). [[langIdComposed]] keeps the builtin-only
+    * reference form the spec equates this against.
     */
   def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val sorted = langMarkers.flatMap(_._2).distinct.sorted
+    val idx = sorted.zipWithIndex.toMap
+    val counts =
+      graft.functions.MultiMatchFunctions.graftMultiCount(padded, sorted)
+    val scores = langMarkers.map { case (lang, markers) =>
+      (lang,
+        markers.map(m => element_at(counts, idx(m) + 1)).reduce(_ + _))
+    }
+    argmaxLang(scores)
+  }
+
+  /** Builtin-composed reference form of [[langId]] (k replace passes per
+    * row) — the expression tree the oracles mirror; TextAnalysisSpec
+    * asserts langId == langIdComposed over the corpus.
+    */
+  private[graft] def langIdComposed(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scores = langMarkers.map { case (lang, markers) =>
       val score = markers.map(m =>
@@ -102,6 +127,10 @@ object TextAnalysis {
           / m.length).reduce(_ + _)
       (lang, score)
     }
+    argmaxLang(scores)
+  }
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
       case (acc, (lang, score)) =>
@@ -777,5 +806,50 @@ object TextAnalysis {
       .withColumn("keep",
         col("len_ok") && col("mean_len_ok") && col("sym_ok") &&
           col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** C4-style LINE-level cleaning (Raffel et al., JMLR 2020 §2.2) — the
+    * gap between the doc-level Gopher gate ([[gopherRules]]) and the
+    * paragraph-dedup rewrite (Dedup.paragraphDedupRewrite): boilerplate
+    * lives on individual lines (nav bars, cookie banners, code spills),
+    * so C4 keeps a line only if it reads like a sentence, then drops the
+    * page if too little survives.
+    *
+    * Rules, applied to a pre-split `array<string>` lines column:
+    *   - keep a line iff it ends in a terminal punctuation mark, has at
+    *     least `minWords` whitespace words, and contains no `lineBan`
+    *     marker (C4 drops any line with the word "javascript");
+    *   - drop the whole document if ANY raw line contains a `docBan`
+    *     marker (C4 pages with "lorem ipsum" or "{") or if fewer than
+    *     `minLines` lines survive.
+    *
+    * Returns the input columns plus `kept_lines`/`n_lines`/`n_kept`,
+    * filtered to surviving documents. Pure higher-order Column
+    * expressions over the lines array — a single narrow projection, no
+    * explode/shuffle, so the pass stays inside WholeStageCodegen and
+    * scales with the scan at any corpus size.
+    */
+  def c4LineFilter(
+      docs: DataFrame,
+      linesCol: String = "lines",
+      minWords: Int = 5,
+      minLines: Int = 3,
+      terminal: Seq[String] = Seq(".", "!", "?", "\""),
+      lineBan: Seq[String] = Seq("javascript"),
+      docBan: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    val lines = col(linesCol)
+    def lineWords(l: Column): Column =
+      size(filter(split(l, "\\s+"), w => w =!= ""))
+    def keepLine(l: Column): Column =
+      terminal.map(t => l.endsWith(lit(t))).reduce(_ || _) &&
+        lineWords(l) >= minWords &&
+        lineBan.map(m => !l.contains(lit(m))).reduce(_ && _)
+    val banned =
+      docBan.map(m => exists(lines, l => l.contains(lit(m)))).reduce(_ || _)
+    docs
+      .withColumn("kept_lines", filter(lines, keepLine(_)))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(col("kept_lines")).cast("long"))
+      .filter(col("n_kept") >= minLines && !banned)
   }
 }

@@ -135,4 +135,59 @@ class MultiMatchExpressionSpec extends SparkSpec with graft.PropHelper {
     assert(got == Map(1L -> Seq("term7 needle", "term999 needle"),
       2L -> Seq.empty))
   }
+
+  // ---- graft_multi_count: the replace-semantics occurrence counter ----
+
+  /** The composed count the oracles spell: non-overlapping occurrences
+    * via length difference under replace, one column per term, in
+    * sorted-distinct-term order.
+    */
+  private def composedCounts(terms: Seq[String]) =
+    array(terms.distinct.sorted.map(t =>
+      ((length($"text") - length(regexp_replace($"text",
+        java.util.regex.Pattern.quote(t), ""))) / t.length).cast("long")): _*)
+
+  test("multi_count equals composed replace counts on real docs") {
+    val terms = graft.textops.TextAnalysis.langMarkers.flatMap(_._2)
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", concat(lit(" "), lower($"text"), lit(" ")).as("text"))
+    val got = df.select($"doc_id",
+        MultiMatchFunctions.graftMultiCount($"text", terms).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df.select($"doc_id", composedCounts(terms).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(got.values.exists(_.exists(_ > 1)), "corpus should repeat markers")
+  }
+
+  test("multi_count: overlap is counted greedily left-to-right, like replace") {
+    // "aba" in "ababa": match at 0 consumes through index 2, the
+    // overlapping match at 2 is rejected — count 1, exactly what
+    // replace('ababa','aba','') leaves behind. " the the " style
+    // shared-space overlaps behave the same way.
+    val terms = Seq("aba", " the ", "aa")
+    val df = Seq((1L, "ababa"), (2L, " the the the "), (3L, "aaaa"))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        MultiMatchFunctions.graftMultiCount($"text", terms).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = df.select($"doc_id", composedCounts(terms).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    // sorted term order is (" the ", "aa", "aba")
+    assert(got(1L) == Seq(0L, 0L, 1L))
+    assert(got(2L) == Seq(2L, 0L, 0L), "' the the ' overlaps on the space")
+    assert(got(3L) == Seq(0L, 2L, 0L))
+  }
+
+  test("multi_count: multi-byte terms and SQL registration") {
+    GraftFunctions.register(spark)
+    Seq((1L, "的是的的 café café")).toDF("doc_id", "text")
+      .createOrReplaceTempView("mc_docs")
+    val got = spark.sql(
+      """SELECT graft_multi_count(text, '的', 'café', 'zz') AS c
+        |FROM mc_docs""".stripMargin).head().getSeq[Long](0)
+    // sorted order: café, zz, 的
+    assert(got == Seq(2L, 0L, 3L))
+  }
 }

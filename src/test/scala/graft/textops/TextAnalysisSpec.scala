@@ -38,6 +38,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == samples.map(_._2))
   }
 
+  test("langId (one automaton pass) == composed replace form, corpus-wide") {
+    // the automaton path must reproduce the builtin-only expression tree
+    // the q33/q208 oracles mirror — including on half-doc slices, where
+    // marker counts are small and ties matter
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select($"doc_id", $"text")
+    val half = expr("(size(split(text, ' ')) + 1) div 2")
+    val toks = split($"text", " ")
+    val slices = docs.select($"doc_id", $"text")
+      .union(docs.select($"doc_id" + 1000000L,
+        array_join(slice(toks, lit(1), half), " ")))
+    val mismatch = slices
+      .select($"doc_id",
+        TextAnalysis.langId($"text").as("fast"),
+        TextAnalysis.langIdComposed($"text").as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(mismatch == 0L)
+  }
+
   test("qualityScore: clean long text scores higher than short noisy text") {
     val r = Seq(
       ("the quick brown fox jumps over the lazy dog and runs on through the field " * 8,
