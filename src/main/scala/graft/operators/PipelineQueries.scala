@@ -3853,6 +3853,11 @@ object PipelineQueries {
       val r = t
         .withColumn("rn", row_number().over(bySrc.orderBy("doc_id")) - 1)
         .withColumn("n", count(lit(1)).over(bySrc))
+        // read twice (grid spine + resample lookup) — don't rerun the
+        // rank window per consumer; row is (id, src, sc, rn, n)-narrow,
+        // and at 100 TB this relation is the BOUNDED per-source sample
+        // (scaladoc above), not the corpus
+        .localCheckpoint()
       val grid = r
         .select(col("source"), col("rn"), col("n"),
           explode(sequence(lit(0), lit(199))).as("b"))
@@ -3871,11 +3876,13 @@ object PipelineQueries {
       val pt = t.groupBy("source")
         .agg(expr("sum(sc) div count(1)").as("mean_ppm"),
           count(lit(1)).as("n_docs"))
-      pt
-        .join(mr.filter(col("q") === 5)
-          .select(col("source"), col("mean_b").as("ci_lo_ppm")), "source")
-        .join(mr.filter(col("q") === 196)
-          .select(col("source"), col("mean_b").as("ci_hi_ppm")), "source")
+      // both CI ranks in ONE pass over the ranked means — two separate
+      // filter-joins would recompute the B×corpus grid pipeline twice
+      val ci = mr.filter(col("q") === 5 || col("q") === 196)
+        .groupBy("source")
+        .agg(max(when(col("q") === 5, col("mean_b"))).as("ci_lo_ppm"),
+          max(when(col("q") === 196, col("mean_b"))).as("ci_hi_ppm"))
+      pt.join(ci, "source")
         .select(col("source"), col("n_docs"), col("mean_ppm"),
           col("ci_lo_ppm"), col("ci_hi_ppm"))
         .orderBy("source")
