@@ -239,7 +239,9 @@ object Graph {
       edges: DataFrame,
       sources: DataFrame,
       maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // the STATIC edge list is consumed once per round — pin it, or its
+    // upstream derivation (typically a join+distinct) re-runs every hop
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     // each round's frontier is localCheckpointed (it is re-read by the
     // next round's expansion, the anti-join, AND the drain check); the
     // visited set is just the UNION of those checkpointed frontiers —
