@@ -1229,44 +1229,57 @@ object AnalyticsQueries {
     //      per-round neighbor-label counts, per-node max count,
     //      smallest label at the max. ----
     QueryDef(
-      "q145_label_prop", {
-        def iter(prev: String, n: Int): String =
-          s"""cnt$n AS (
-             |  SELECT e.dst AS id, l.label, count(*) AS c
-             |  FROM edges e JOIN $prev l ON l.id = e.src
-             |  GROUP BY 1, 2),
-             |mx$n AS (SELECT id, max(c) AS mc FROM cnt$n GROUP BY 1),
-             |b$n AS (
-             |  SELECT c.id, min(c.label) AS nl
-             |  FROM cnt$n c JOIN mx$n m ON c.id = m.id AND c.c = m.mc
-             |  GROUP BY 1),
-             |l$n AS (
-             |  SELECT p.id, coalesce(b$n.nl, p.label) AS label
-             |  FROM $prev p LEFT JOIN b$n ON p.id = b$n.id)""".stripMargin
-        s"""WITH pairs AS (
-           |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-           |edges AS (SELECT s AS src, c AS dst FROM pairs
-           |          UNION ALL SELECT c, s FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |l0 AS (SELECT id, id AS label FROM nodes),
-           |${iter("l0", 1)},
-           |${iter("l1", 2)},
-           |${iter("l2", 3)}
-           |SELECT id, label AS community FROM l3 ORDER BY id""".stripMargin
-      }) { (s, dir) =>
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      // same 1e12 node-id offset as q92 (see the justification there)
-      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select((col("l_suppkey") + 1000000000000L).as("s"),
-          col("o_custkey").as("c"))
-        .distinct()
-      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
-        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
-      graft.graph.Graph.labelPropagation(edges, iterations = 3)
+      "q145_label_prop",
+      s"""WITH $lpaGraphCtes
+         |SELECT id, label AS community FROM l3 ORDER BY id""".stripMargin) {
+      (s, dir) =>
+      graft.graph.Graph.labelPropagation(coPurchaseEdges(s, dir), iterations = 3)
         .select(col("id"), col("label").as("community"))
         .orderBy("id")
+    },
+
+    // ---- modularity of the LPA communities (q223): Newman's Q — the
+    //      "are these communities real" audit that pairs with q145 the
+    //      way ARI (q194) pairs with k-means. Q = Σ_c [e_c/m −
+    //      (d_c/2m)²] as the exact rational (4mE − S)/(4m²) in integer
+    //      arithmetic (explicit floor — see Graph.modularity); the
+    //      oracle replays the full 3-round LPA unroll (shared CTEs with
+    //      q145, so the labeling cannot drift between oracles) and the
+    //      same closed form. ----
+    QueryDef(
+      "q223_modularity",
+      s"""WITH $lpaGraphCtes,
+         |deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY 1),
+         |dc AS (
+         |  SELECT l.label, CAST(sum(d.d) AS HUGEINT) AS dsum
+         |  FROM deg d JOIN l3 l ON l.id = d.id GROUP BY 1),
+         |agg AS (
+         |  SELECT count(*) AS n_communities, sum(dsum * dsum) AS sd2,
+         |         CAST(sum(dsum) AS HUGEINT) // 2 AS m
+         |  FROM dc),
+         |intra AS (
+         |  SELECT CAST(count(*) AS HUGEINT) // 2 AS intra_e
+         |  FROM edges e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+         |  WHERE a.label = b.label),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+         |f AS (
+         |  SELECT n_nodes, n_communities, m, intra_e,
+         |         10000 * (4 * m * intra_e - sd2) AS num, 4 * m * m AS den
+         |  FROM agg, intra, nn)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_communities AS BIGINT) AS n_communities,
+         |       CAST(m AS BIGINT) AS m_edges,
+         |       CAST(intra_e AS BIGINT) AS intra_edges,
+         |       CAST((num - ((num % den + den) % den)) // den AS BIGINT)
+         |         AS q_bp
+         |FROM f""".stripMargin) { (s, dir) =>
+      // edge list read by BOTH the LPA rounds and the modularity
+      // aggregates — pin it once (labelPropagation checkpoints its own
+      // copy; without this the join+distinct would still rerun for the
+      // degree and intra-edge passes)
+      val edges = coPurchaseEdges(s, dir).localCheckpoint()
+      graft.graph.Graph.modularity(
+        edges, graft.graph.Graph.labelPropagation(edges, iterations = 3))
     },
 
     // ---- exact ROC-AUC of a quality signal (q151): does stopword
@@ -2960,4 +2973,55 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }
   )
+
+  /** The q92/q145/q168/q223 supplier⇄customer co-purchase graph:
+    * directed-both-ways edge list over distinct (supplier, customer)
+    * pairs, suppliers offset by 1e12 (see q92's justification). ONE
+    * spelling shared by every consumer so the graph cannot drift
+    * between queries. (def, not val: `defs` above initializes first.)
+    */
+  private[operators] def coPurchaseEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("l_suppkey") + 1000000000000L).as("s"),
+        col("o_custkey").as("c"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("c").as("dst"))
+      .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+  }
+
+  /** CTEs pairs/edges/nodes/l0/l1/l2/l3: the co-purchase graph plus the
+    * FULL 3-round deterministic-LPA unroll (synchronous rounds, ties to
+    * the smallest label) — mirrors [[coPurchaseEdges]] +
+    * Graph.labelPropagation(3) and is shared by the q145 and q223
+    * oracles so the labeling cannot drift between them. (def, not val:
+    * `defs` above initializes first.)
+    */
+  private def lpaGraphCtes: String = {
+    def iter(prev: String, n: Int): String =
+      s"""cnt$n AS (
+         |  SELECT e.dst AS id, l.label, count(*) AS c
+         |  FROM edges e JOIN $prev l ON l.id = e.src
+         |  GROUP BY 1, 2),
+         |mx$n AS (SELECT id, max(c) AS mc FROM cnt$n GROUP BY 1),
+         |b$n AS (
+         |  SELECT c.id, min(c.label) AS nl
+         |  FROM cnt$n c JOIN mx$n m ON c.id = m.id AND c.c = m.mc
+         |  GROUP BY 1),
+         |l$n AS (
+         |  SELECT p.id, coalesce(b$n.nl, p.label) AS label
+         |  FROM $prev p LEFT JOIN b$n ON p.id = b$n.id)""".stripMargin
+    s"""pairs AS (
+       |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT s AS src, c AS dst FROM pairs
+       |          UNION ALL SELECT c, s FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |${iter("l0", 1)},
+       |${iter("l1", 2)},
+       |${iter("l2", 3)}""".stripMargin
+  }
 }

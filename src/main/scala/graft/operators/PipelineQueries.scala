@@ -4671,6 +4671,166 @@ object PipelineQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("u"), col("y.l_partkey").as("v"))
       graft.graph.Graph.localClustering(e).orderBy("n")
+    },
+
+    // ---- C4 line-level cleaning (q222): Raffel JMLR 2020 §2.2 — keep
+    //      a line only if it ends in terminal punctuation, has ≥5
+    //      words, and doesn't mention "javascript"; drop the whole page
+    //      on "lorem ipsum"/"{" or when <3 lines survive. The corpus
+    //      has no newlines, so the query PLANTS deterministic line
+    //      structure (8-token lines; md5-parity terminal punctuation;
+    //      marker plants on doc_id strata — the q57 planted-PII
+    //      pattern), then runs TextAnalysis.c4LineFilter: pure
+    //      higher-order array expressions, ONE narrow scan, no explode/
+    //      shuffle — the oracle rebuilds the same lines relationally
+    //      and replays every rule. ----
+    QueryDef(
+      "q222_c4_line_filter",
+      s"""WITH tk AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM documents) x
+         |  WHERE len(toks) > 0),
+         |ix AS (
+         |  SELECT doc_id, toks,
+         |         unnest(range((len(toks) + 7) // 8)) AS i
+         |  FROM tk),
+         |l0 AS (
+         |  SELECT doc_id, i,
+         |         array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS line
+         |  FROM ix),
+         |l1 AS (
+         |  SELECT doc_id, i,
+         |         CASE WHEN doc_id % 7 = 0 AND i = 0
+         |                THEN line || ' javascript'
+         |              WHEN doc_id % 13 = 0 AND i = 1 THEN line || ' {'
+         |              WHEN doc_id % 17 = 0 AND i = 2
+         |                THEN line || ' lorem ipsum'
+         |              ELSE line END AS line
+         |  FROM l0),
+         |l2 AS (
+         |  SELECT doc_id, i,
+         |         line || CASE WHEN ${OracleSql.md5Long("line")} % 3 = 0
+         |                      THEN '' ELSE '.' END AS line
+         |  FROM l1),
+         |lw AS (
+         |  SELECT doc_id, i, line,
+         |         len(list_filter(string_split_regex(line, '\\s+'),
+         |             w -> w <> '')) AS nw
+         |  FROM l2),
+         |kept AS (
+         |  SELECT * FROM lw
+         |  WHERE (ends_with(line, '.') OR ends_with(line, '!')
+         |         OR ends_with(line, '?') OR ends_with(line, '"'))
+         |    AND nw >= 5 AND NOT contains(line, 'javascript')),
+         |alld AS (
+         |  SELECT doc_id, count(*) AS n_lines,
+         |         max(CASE WHEN contains(line, 'lorem ipsum')
+         |                    OR contains(line, '{') THEN 1 ELSE 0 END) AS ban
+         |  FROM l2 GROUP BY 1),
+         |kd AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         CAST(sum(nw) AS BIGINT) AS kept_tokens,
+         |         CAST(len(array_to_string(list(line ORDER BY i), chr(10)))
+         |           AS BIGINT) AS clean_chars
+         |  FROM kept GROUP BY 1)
+         |SELECT a.doc_id, CAST(a.n_lines AS BIGINT) AS n_lines,
+         |       CAST(kd.n_kept AS BIGINT) AS n_kept,
+         |       kd.kept_tokens, kd.clean_chars
+         |FROM alld a JOIN kd USING (doc_id)
+         |WHERE a.ban = 0 AND kd.n_kept >= 3
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = col("toks")
+      val lineAt = (i: org.apache.spark.sql.Column) => {
+        val raw = array_join(slice(toks, i * 8 + 1, lit(8)), " ")
+        val planted =
+          when(col("doc_id") % 7 === 0 && i === 0,
+            concat(raw, lit(" javascript")))
+          .when(col("doc_id") % 13 === 0 && i === 1, concat(raw, lit(" {")))
+          .when(col("doc_id") % 17 === 0 && i === 2,
+            concat(raw, lit(" lorem ipsum")))
+          .otherwise(raw)
+        concat(planted,
+          when(TextAnalysis.md5Long(planted) % 3 === 0, lit(""))
+            .otherwise(lit(".")))
+      }
+      val lineWords = (l: org.apache.spark.sql.Column) =>
+        size(filter(split(l, "\\s+"), w => w =!= "")).cast("long")
+      val lined = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(toks) > 0)
+        .select(col("doc_id"),
+          transform(
+            sequence(lit(0), shiftright(size(toks) + 7, 3) - 1),
+            lineAt).as("lines"))
+      TextAnalysis.c4LineFilter(lined)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          aggregate(col("kept_lines"), lit(0L), (a, l) => a + lineWords(l))
+            .as("kept_tokens"),
+          length(array_join(col("kept_lines"), "\n")).cast("long")
+            .as("clean_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- golden-record survivorship (q224): the MDM merge AFTER
+    //      near-dup clustering — q123 keeps one best ROW per cluster,
+    //      this MERGES the cluster field-wise (modal source with
+    //      deterministic ties, longest-text member, breadth stats).
+    //      Clusters are q60's connected components over the planted-twin
+    //      corpus; oracle replays closure + two-level argmax idioms
+    //      exactly. ----
+    QueryDef(
+      "q224_survivorship",
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' graftplantedtail', source
+         |  FROM documents WHERE doc_id < 10),
+         |t AS (SELECT doc_id, $toksSql AS toks FROM d),
+         |${shingle3Cte("t")},
+         |${bruteJaccardCtes("0.7")},
+         |$closureCtes,
+         |cl AS (SELECT id, least(id, min(r)) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |mem AS (
+         |  SELECT cl.cluster_id, d.doc_id, len(d.text) AS tc,
+         |         d.source AS src
+         |  FROM cl JOIN d ON d.doc_id = cl.id),
+         |per AS (
+         |  SELECT cluster_id, count(*) AS n_members, min(doc_id) AS rep_id,
+         |         count(DISTINCT src) AS n_sources,
+         |         CAST(sum(tc) AS BIGINT) AS total_chars
+         |  FROM mem GROUP BY 1),
+         |gt0 AS (SELECT cluster_id, max(tc) AS mtc FROM mem GROUP BY 1),
+         |gt AS (
+         |  SELECT m.cluster_id, min(m.doc_id) AS golden_text_id,
+         |         CAST(min(g.mtc) AS BIGINT) AS golden_text_chars
+         |  FROM mem m JOIN gt0 g
+         |    ON g.cluster_id = m.cluster_id AND m.tc = g.mtc
+         |  GROUP BY 1),
+         |cs AS (SELECT cluster_id, src, count(*) AS cnt
+         |       FROM mem GROUP BY 1, 2),
+         |cm AS (SELECT cluster_id, max(cnt) AS mc FROM cs GROUP BY 1),
+         |sv AS (
+         |  SELECT cs.cluster_id, min(cs.src) AS src_mode
+         |  FROM cs JOIN cm
+         |    ON cm.cluster_id = cs.cluster_id AND cs.cnt = cm.mc
+         |  GROUP BY 1)
+         |SELECT p.cluster_id, CAST(p.n_members AS BIGINT) AS n_members,
+         |       p.rep_id, sv.src_mode,
+         |       CAST(p.n_sources AS BIGINT) AS n_sources,
+         |       gt.golden_text_id, gt.golden_text_chars, p.total_chars
+         |FROM per p JOIN sv USING (cluster_id) JOIN gt USING (cluster_id)
+         |ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text", "source")
+      val twins = base.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftplantedtail")).as("text"),
+          col("source"))
+      val corpus = base.union(twins)
+      val pairs = Dedup.nearDupPairs(
+          corpus.select("doc_id", "text"), threshold = 0.7)
+        .select("id_a", "id_b")
+      Dedup.goldenRecords(corpus, pairs).orderBy("cluster_id")
     }
   )
 

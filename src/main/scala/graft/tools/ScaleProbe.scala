@@ -611,6 +611,63 @@ object ScaleProbe {
     val co256 = timeContains("256-terms", acTerms)
     println(f"[scaleprobe] ac growth=${ac256 / ac16}%.2f vs contains growth=" +
       f"${co256 / co16}%.2f for 16x terms (automaton must stay ~flat)")
+
+    // langId: one graft_multi_count automaton pass vs 25 composed
+    // length-replace passes — same labels, the constant factor is the
+    // whole point.
+    def timeLang(label: String, f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      base.select(f(col("text")).as("l")).groupBy("l").count().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] langid-$label: time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeLang("warmup", graft.textops.TextAnalysis.langId)
+    val lgFast = timeLang("automaton", graft.textops.TextAnalysis.langId)
+    val lgComp = timeLang("composed", graft.textops.TextAnalysis.langIdComposed)
+    println(f"[scaleprobe] langid composed/automaton=${lgComp / lgFast}%.2fx " +
+      "(one AC pass replaces 25 replace passes)")
+
+    // C4 line filter: pure higher-order array exprs, one narrow scan —
+    // wall must be linear in corpus size.
+    def timeC4(label: String, docs: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val n = graft.textops.TextAnalysis.c4LineFilter(
+        docs.select(col("doc_id"), transform(
+          sequence(lit(0), shiftright(size(split(col("text"), " ")) + 7, 3) - 1),
+          i => concat(array_join(
+            slice(split(col("text"), " "), i * 8 + 1, lit(8)), " "), lit(".")))
+          .as("lines"))).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] c4-$label: kept=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeC4("warmup-1x", replicate(1))
+    val c41 = timeC4("1x", replicate(1))
+    val c4n = timeC4(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] c4 time ratio=${c4n / c41}%.2f for ${copies}x docs")
+
+    // survivorship: components + two cluster-keyed aggs — linear in
+    // members (the near-dup pair generation is probed separately above).
+    def timeGolden(label: String, docs: DataFrame): Double = {
+      val pairs = docs.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      val t0 = System.nanoTime()
+      val n = Dedup.goldenRecords(
+        docs.withColumn("source", concat(lit("s"), col("doc_id") % 7)),
+        pairs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] golden-$label: clusters=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeGolden("warmup-1x", replicate(1))
+    val go1 = timeGolden("1x", replicate(1))
+    val gon = timeGolden(s"${copies}x", replicate(copies))
+    println(f"[scaleprobe] golden time ratio=${gon / go1}%.2f for ${copies}x members")
     spark.stop()
   }
 }

@@ -635,4 +635,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"the occurrence join must stay a chunk-hash equi-join:\n$plan")
   }
+
+  test("q222 C4 lines: one narrow scan — no join, no agg, no shuffle before the sort") {
+    val plan = planOf("q222_c4_line_filter")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate") &&
+      !plan.contains("Generate"),
+      s"line rules must stay higher-order array exprs in ONE projection " +
+        s"(no explode/join/agg):\n$plan")
+    // exactly one exchange: the presentation orderBy
+    val nEx = "Exchange".r.findAllIn(plan).length
+    assert(nEx <= 2, s"expected only the final sort exchange:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the two used columns:\n$plan")
+  }
+
+  test("q223 modularity: community aggs stay partial+final; 1-row stats broadcast") {
+    val plan = planOf("q223_modularity")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row aggregate composition must broadcast:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4,
+      s"degree/community/intra aggs must map-side combine:\n$plan")
+  }
+
+  test("q224 survivorship: member aggs keyed by cluster — no doc×doc surface") {
+    val plan = planOf("q224_survivorship")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"survivorship must stay cluster-keyed equi-joins:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no global window may serialize the member table:\n$plan")
+  }
 }

@@ -604,4 +604,31 @@ class DedupSpec extends SparkSpec {
     assert(gnov > 0L && gnov < gn,
       s"a grown page must be partially novel (footer only): $nov")
   }
+
+  test("goldenRecords: field-wise survivorship with deterministic ties") {
+    import org.apache.spark.sql.functions.col
+    // cluster A = {1,2,3}: sources a,a,b -> modal a; longest text is
+    // doc 2; cluster B = {10,11}: sources c,d tie -> lexicographic c;
+    // equal-length texts tie -> smaller id 10. doc 99 is unpaired and
+    // must not appear.
+    val docs = Seq(
+      (1L, "short", "a"), (2L, "the longest text here", "a"),
+      (3L, "medium text", "b"),
+      (10L, "same size", "d"), (11L, "size same", "c"),
+      (99L, "isolated", "z")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.goldenRecords(docs, pairs).orderBy(col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, "a", 2L, 2L, 21L, 5L + 21L + 11L),
+      (10L, 2L, 10L, "c", 2L, 10L, 9L, 18L)), s"got ${got.toSeq}")
+    // partition-invariant (argmax/mode idioms must not depend on order)
+    val got2 = Dedup.goldenRecords(docs.repartition(7), pairs.repartition(3))
+      .orderBy(col("cluster_id")).collect().map(_.toSeq)
+    assert(got2.toSeq == Dedup.goldenRecords(docs, pairs)
+      .orderBy(col("cluster_id")).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -179,4 +179,53 @@ class GraphSpec extends SparkSpec {
     assert(st(0L).getLong(3) == 0L, "star center has no closed wedge")
     assert((1L to 5L).forall(i => st(i).isNullAt(3)), "leaves are NULL (d=1)")
   }
+
+  test("modularity: closed forms — two cliques high, perfect-split zero, one-community zero-ish") {
+    def bidir(pairs: Seq[(Long, Long)]) =
+      pairs.flatMap(e => Seq(e, e.swap)).toDF("src", "dst")
+    // two disjoint K4s, labeled by component: every edge intra.
+    // m=12, E=12, each d_c = 12 → S = 288; Q = (4·12·12 − 288)/(4·144)
+    // = 288/576 = 0.5 exactly
+    val twoK4 = (for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)) ++
+      (for (a <- 10L to 13L; b <- a + 1 to 13L) yield (a, b))
+    val lab2 = ((0L to 3L).map(_ -> 0L) ++ (10L to 13L).map(_ -> 1L))
+      .toDF("id", "label")
+    val r2 = Graph.modularity(bidir(twoK4), lab2).head()
+    assert(r2.getLong(0) == 8 && r2.getLong(1) == 2 &&
+      r2.getLong(2) == 12 && r2.getLong(3) == 12 && r2.getLong(4) == 5000L,
+      s"two-clique Q must be exactly 0.5: $r2")
+    // everything in ONE community: E = m and S = (2m)² → Q = 0 exactly
+    val lab1 = (0L to 13L).map(_ -> 0L).toDF("id", "label")
+    assert(Graph.modularity(bidir(twoK4), lab1).head().getLong(4) == 0L)
+    // adversarial: each K4 SPLIT across two labels → intra-poor,
+    // Q negative — pins the explicit-floor path (truncating div would
+    // round toward zero instead)
+    val labBad = (0L to 13L).map(n => n -> (n % 2)).toDF("id", "label")
+    val qBad = Graph.modularity(bidir(twoK4), labBad).head().getLong(4)
+    assert(qBad < 0L, s"split-clique partition must score negative: $qBad")
+    // sequential reference on a pseudo-random graph + LPA labels
+    val rnd = new scala.util.Random(17)
+    val pairs = (for (_ <- 1 to 150) yield {
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val edges = bidir(pairs)
+    val labels = Graph.labelPropagation(edges, 3)
+    val got = Graph.modularity(edges, labels).head()
+    val labMap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = pairs.size.toLong
+    val deg = pairs.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val dcs = deg.groupBy { case (n, _) => labMap(n) }
+      .map { case (_, ds) => ds.values.sum }
+    val s2 = dcs.map(d => d * d).sum
+    val intra = pairs.count(e => labMap(e._1) == labMap(e._2)).toLong
+    val num = 10000L * (4L * m * intra - s2)
+    val den = 4L * m * m
+    val qRef = java.math.BigDecimal.valueOf(num)
+      .divide(java.math.BigDecimal.valueOf(den), 0,
+        java.math.RoundingMode.FLOOR).longValueExact()
+    assert(got.getLong(2) == m && got.getLong(3) == intra &&
+      got.getLong(4) == qRef, s"got $got, want m=$m intra=$intra q=$qRef")
+  }
 }

@@ -58,6 +58,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("c4LineFilter: each rule trips exactly its crafted violator") {
+    val ok = "this line has plenty of words in it."
+    val short3 = "too few words."
+    val noPunct = "this line has plenty of words but no terminal mark"
+    val js = "this javascript line has plenty of words here."
+    val docs = Seq(
+      // survivor: three clean lines
+      (1L, Seq(ok, ok, ok)),
+      // line rules: short / unterminated / javascript lines drop, but
+      // three clean lines still carry the doc
+      (2L, Seq(ok, short3, noPunct, js, ok, ok)),
+      // doc gate: only two clean lines -> whole doc drops
+      (3L, Seq(ok, ok, noPunct)),
+      // page bans: lorem ipsum / brace anywhere kill the doc even with
+      // three clean lines
+      (4L, Seq(ok, ok, ok, "plus some lorem ipsum filler words here.")),
+      (5L, Seq(ok, ok, ok, "code spill { with enough words here too.")),
+      // alternative terminal marks count
+      (6L, Seq("does this line end with a question mark?",
+        "this one ends with an exclamation mark!",
+        "and this one ends with a quote \""))
+    ).toDF("doc_id", "lines")
+    val got = TextAnalysis.c4LineFilter(docs)
+      .select($"doc_id", $"n_lines", $"n_kept")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((6L, 3L)), 6L -> ((3L, 3L))),
+      s"got $got")
+    // kept_lines preserves original order
+    val kept = TextAnalysis.c4LineFilter(docs).filter($"doc_id" === 2L)
+      .select($"kept_lines").head().getSeq[String](0)
+    assert(kept == Seq(ok, ok, ok))
+  }
+
   test("qualityScore: clean long text scores higher than short noisy text") {
     val r = Seq(
       ("the quick brown fox jumps over the lazy dog and runs on through the field " * 8,
