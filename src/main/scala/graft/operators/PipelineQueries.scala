@@ -4831,6 +4831,186 @@ object PipelineQueries {
           corpus.select("doc_id", "text"), threshold = 0.7)
         .select("id_a", "id_b")
       Dedup.goldenRecords(corpus, pairs).orderBy("cluster_id")
+    },
+
+    // ---- URL canonicalization dedup (q225): the web-crawl dedup key —
+    //      scheme/host case, default ports, fragments, utm_* tracking
+    //      params and query-param order all vary for the SAME page, and
+    //      byte-exact URL dedup misses the family. Deterministic URL
+    //      plant (case/port/fragment vary on doc_id strata), then
+    //      TextAnalysis.urlCanonicalize — pure split/filter/sort
+    //      expressions in the scan stage — and a family report. ----
+    QueryDef(
+      "q225_url_canon",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |         || '://'
+        |         || (CASE WHEN doc_id % 4 < 2 THEN 'WWW.SITE'
+        |                  ELSE 'www.site' END)
+        |         || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        |         || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+        |         || '/Path' || CAST(doc_id % 20 AS VARCHAR)
+        |         || '/?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR)
+        |         || '&a=1'
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+        |           AS raw
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw, canon FROM (
+        |    SELECT doc_id, raw,
+        |      scheme || '://' || host ||
+        |      (CASE WHEN port IS NOT NULL
+        |            AND NOT ((scheme = 'https' AND port = '443')
+        |                  OR (scheme = 'http' AND port = '80'))
+        |            THEN ':' || port ELSE '' END) || path ||
+        |      (CASE WHEN len(keep) > 0
+        |            THEN '?' || array_to_string(keep, '&') ELSE '' END)
+        |        AS canon
+        |    FROM (
+        |      SELECT doc_id, raw,
+        |        lower(string_split(nf, '://')[1]) AS scheme,
+        |        lower(string_split(hp, ':')[1]) AS host,
+        |        string_split(hp, ':')[2] AS port,
+        |        string_split(pq, '?')[1] AS path,
+        |        list_sort(list_filter(
+        |          string_split(string_split(pq, '?')[2], '&'),
+        |          p -> NOT starts_with(p, 'utm_') AND p <> '')) AS keep
+        |      FROM (
+        |        SELECT doc_id, raw, nf, rest,
+        |          string_split(rest, '/')[1] AS hp,
+        |          substr(rest, len(string_split(rest, '/')[1]) + 1) AS pq
+        |        FROM (
+        |          SELECT doc_id, raw, regexp_replace(raw, '#.*', '') AS nf,
+        |            string_split(regexp_replace(raw, '#.*', ''), '://')[2]
+        |              AS rest
+        |          FROM u) x) y) z))
+        |SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT raw) AS BIGINT) AS n_variants,
+        |       min(doc_id) AS rep_doc
+        |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin) { (s, dir) =>
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 4 < 2, lit("WWW.SITE")).otherwise(lit("www.site")),
+        (col("doc_id") % 50).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Path"), (col("doc_id") % 20).cast("string"),
+        lit("/?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        lit("&a=1"),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextAnalysis.urlCanonicalize(col("raw")).as("canon"))
+        .groupBy(col("canon").as("canon_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw")).as("n_variants"),
+          min("doc_id").as("rep_doc"))
+        .orderBy("canon_url")
+    },
+
+    // ---- sampled silhouette (q226): the geometry-only cluster-quality
+    //      audit for the k-means family — ARI (q194) needs ground
+    //      truth, silhouette doesn't. Labels are q61's deterministic
+    //      2-round Lloyd (SHARED oracle CTEs, so the clustering cannot
+    //      drift); per sampled vector a/b are floor-div means of
+    //      round(sqrt(Σ Δ²)) micro-distances and s_bp gets an explicit
+    //      floor (b−a is signed). Work = sample × corpus by
+    //      construction — the sample is the knob. ----
+    QueryDef(
+      "q226_silhouette",
+      s"""WITH ev AS (
+         |  SELECT vec_id, embedding,
+         |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16
+         |           AS cluster
+         |  FROM embeddings),
+         |${centroidCte("ev", "cent0")},
+         |${assignCte("cent0", "a1")},
+         |${centroidCte("a1", "cent1")},
+         |${assignCte("cent1", "a2")},
+         |q AS (
+         |  SELECT vec_id, cluster,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+         |           AS e
+         |  FROM a2),
+         |sm AS (SELECT * FROM q WHERE vec_id < 100),
+         |p AS (
+         |  SELECT sm.vec_id AS i, sm.cluster AS ci, q.cluster AS cj,
+         |         CAST(round(sqrt(CAST(list_sum(list_transform(
+         |             range(1, len(sm.e) + 1),
+         |             ix -> (sm.e[ix] - q.e[ix]) * (sm.e[ix] - q.e[ix])))
+         |           AS DOUBLE))) AS BIGINT) AS d
+         |  FROM sm JOIN q ON q.vec_id <> sm.vec_id),
+         |per AS (
+         |  SELECT i, ci, cj, CAST(sum(d) AS BIGINT) AS sd, count(*) AS cnt
+         |  FROM p GROUP BY 1, 2, 3),
+         |ab AS (
+         |  SELECT i, ci,
+         |         max(CASE WHEN cj = ci THEN sd // cnt END) AS a_micro,
+         |         min(CASE WHEN cj <> ci THEN sd // cnt END) AS b_micro
+         |  FROM per GROUP BY 1, 2)
+         |SELECT i AS vec_id, ci AS cluster,
+         |       CAST(a_micro AS BIGINT) AS a_micro,
+         |       CAST(b_micro AS BIGINT) AS b_micro,
+         |       CAST(CASE WHEN a_micro IS NULL OR b_micro IS NULL
+         |                   OR greatest(a_micro, b_micro) = 0 THEN 0
+         |            ELSE (num - ((num % den + den) % den)) // den END
+         |         AS BIGINT) AS s_bp
+         |FROM (SELECT *, 10000 * (b_micro - a_micro) AS num,
+         |             greatest(a_micro, b_micro) AS den
+         |      FROM ab)
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val labels = Similarity.kmeansLite(emb, k = 16, iters = 2)
+      Similarity.silhouetteSampled(emb, labels, col("vec_id") < 100)
+        .orderBy("vec_id")
+    },
+
+    // ---- mojibake detection + repair (q227): the encoding-damage
+    //      cleanup every web pipeline runs (ftfy's core case) — UTF-8
+    //      text decoded as Latin-1 turns every accented char into a
+    //      2-char digraph ("é" → "Ã©"). Detection is ONE
+    //      graft_multi_count automaton pass over the 13-digraph table;
+    //      repair is the literal replace chain. Deterministic plant on
+    //      doc_id % 9; each repair shrinks the text by exactly one char
+    //      per hit, which the oracle asserts structurally. ----
+    QueryDef(
+      "q227_mojibake", {
+        val pats = TextAnalysis.mojibakeMap
+        val hitsSql = pats.map { case (m, _) =>
+          s"(length(t2) - length(replace(t2, '$m', ''))) // ${m.length}"
+        }.mkString(" + ")
+        val repairSql = pats.foldLeft("t2") { case (acc, (m, r)) =>
+          s"replace($acc, '$m', '$r')"
+        }
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |         text || (CASE WHEN doc_id % 9 = 0
+           |                  THEN ' CafÃ© rÃ©sumÃ© naÃ¯ve touchÃ©'
+           |                  ELSE '' END) AS t2
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, CAST($hitsSql AS BIGINT) AS n_hits,
+           |         CAST(length(t2) AS BIGINT) AS len_before,
+           |         CAST(length($repairSql) AS BIGINT) AS len_after
+           |  FROM d)
+           |SELECT doc_id, n_hits, len_before, len_after
+           |FROM m WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          lit(" CafÃ© rÃ©sumÃ© naÃ¯ve touchÃ©")).otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          TextAnalysis.mojibakeCount(col("t2")).as("n_hits"),
+          length(col("t2")).cast("long").as("len_before"),
+          length(TextAnalysis.mojibakeRepair(col("t2"))).cast("long")
+            .as("len_after"))
+        .filter(col("n_hits") > 0)
+        .orderBy("doc_id")
     }
   )
 

@@ -1091,4 +1091,59 @@ object Similarity {
   /** Signs of projection column `j` over `dim` inputs (+1.0 / −1.0). */
   def jlSigns(j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => if (((jlMasks(j) >>> i) & 1L) == 1L) 1.0 else -1.0)
+
+  /** Sampled silhouette — the cluster-quality audit for [[kmeansLite]]/
+    * [[semDedup]]: for each sampled vector, a = mean distance to its own
+    * cluster's OTHER members, b = the best other-cluster mean, and
+    * s = (b−a)/max(a,b) ∈ [−1, 1] (negative = probably mis-assigned;
+    * singletons score 0 by convention). ARI (q194) needs ground-truth
+    * labels; silhouette audits the geometry alone.
+    *
+    * Exactness: embeddings micro-quantize (round(1e6·x), the kmeansLite
+    * convention), distances are round(sqrt(Σ Δ²)) — integer sums under
+    * 2^53 and a correctly-rounded sqrt, so every a/b/s value is
+    * bit-reproducible across engines and partitionings; the final s_bp
+    * uses an explicit floor (b−a is signed). Scale shape: cost is
+    * sample × corpus distances by construction — the SAMPLE is the knob
+    * (the q136 contract: the estimate converges in sample size, not
+    * corpus fraction); the sampled side broadcasts, per-(i, cluster)
+    * sums combine map-side, nothing is ever corpus × corpus.
+    */
+  def silhouetteSampled(
+      corpus: DataFrame,
+      labels: DataFrame,
+      samplePred: Column,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = (c: Column) =>
+      transform(c, x => round(x.cast("double") * 1000000).cast("long"))
+    val sids = corpus.filter(samplePred)
+      .select(col(idCol).cast("long").as("__sid"))
+    val all = corpus.join(labels, idCol)
+      .select(col(idCol).cast("long").as("j"), q(col(embCol)).as("ej"),
+        col("cluster").as("cj"))
+      .localCheckpoint() // spine AND broadcast sample both read this
+    val sample = all.join(sids, all("j") === sids("__sid"), "left_semi")
+      .select(col("j").as("i"), col("ej").as("ei"), col("cj").as("ci"))
+    val d = round(sqrt(aggregate(
+      zip_with(col("ei"), col("ej"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x).cast("double"))).cast("long")
+    val per = all.join(broadcast(sample), col("j") =!= col("i"))
+      .select(col("i"), col("ci"), col("cj"), d.as("d"))
+      .groupBy("i", "ci", "cj")
+      .agg(sum("d").as("sd"), count(lit(1)).as("cnt"))
+    per
+      .select(col("i"), col("ci"),
+        when(col("cj") === col("ci"), expr("sd div cnt")).as("a0"),
+        when(col("cj") =!= col("ci"), expr("sd div cnt")).as("b0"))
+      .groupBy(col("i").as(idCol), col("ci").as("cluster"))
+      .agg(max("a0").as("a_micro"), min("b0").as("b_micro"))
+      .withColumn("num", lit(10000L) * (col("b_micro") - col("a_micro")))
+      .withColumn("den", greatest(col("a_micro"), col("b_micro")))
+      .withColumn("s_bp",
+        when(col("a_micro").isNull || col("b_micro").isNull ||
+          col("den") === 0, lit(0L))
+          .otherwise(expr("(num - pmod(num, den)) div den")))
+      .drop("num", "den")
+  }
 }

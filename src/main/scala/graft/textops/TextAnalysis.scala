@@ -808,6 +808,65 @@ object TextAnalysis {
           col("alpha_ok") && col("stop_ok"))
   }
 
+  /** URL canonicalization — the web-crawl dedup key: the same page
+    * arrives as `HTTPS://WWW.Site.COM:443/p?utm_source=x&b=2&a=1#sec`
+    * and `https://www.site.com/p?a=1&b=2`, and a byte-exact URL dedup
+    * misses the equivalence. Normalizes: scheme+host lowercased, default
+    * ports dropped (443/https, 80/http), fragment stripped, `utm_*`
+    * tracking params removed, remaining query params sorted. Path CASE
+    * IS PRESERVED (paths are case-sensitive by spec). Pure
+    * split/filter/sort Column expressions — evaluates in the scan stage,
+    * mirrorable verbatim in any engine with list functions.
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(element_at(split(noFrag, "://"), 1))
+    val rest = element_at(split(noFrag, "://"), 2)
+    val hostport = element_at(split(rest, "/"), 1)
+    val host = lower(element_at(split(hostport, ":"), 1))
+    val port = try_element_at(split(hostport, ":"), lit(2))
+    val portPart = when(port.isNotNull &&
+        !((scheme === "https" && port === "443") ||
+          (scheme === "http" && port === "80")),
+      concat(lit(":"), port)).otherwise(lit(""))
+    val pathq = rest.substr(length(hostport) + 1, length(rest))
+    val path = element_at(split(pathq, "\\?"), 1)
+    val query = try_element_at(split(pathq, "\\?"), lit(2))
+    val keep = array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    concat(scheme, lit("://"), host, portPart, path,
+      when(size(keep) > 0, concat(lit("?"), array_join(keep, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** The classic UTF-8-decoded-as-Latin-1 mojibake digraphs (the ftfy
+    * repertoire's accented-Latin core): é encoded as UTF-8 C3 A9 and
+    * re-decoded as Latin-1 renders "Ã©", and so on. Exposed so oracle
+    * SQL generates from the same table. Patterns are mutually
+    * prefix-free, so replacement order doesn't matter; kept sorted for
+    * determinism.
+    */
+  val mojibakeMap: Seq[(String, String)] = Seq(
+    "Ã¡" -> "á", "Ã¤" -> "ä", "Ã§" -> "ç", "Ã¨" -> "è", "Ã©" -> "é",
+    "Ã®" -> "î", "Ã¯" -> "ï", "Ã±" -> "ñ", "Ã³" -> "ó", "Ã´" -> "ô",
+    "Ã¶" -> "ö", "Ãº" -> "ú", "Ã¼" -> "ü").sortBy(_._1)
+
+  /** Repair [[mojibakeMap]] digraphs (literal, non-overlapping
+    * left-to-right replaces — engine-portable semantics). */
+  def mojibakeRepair(text: Column): Column =
+    mojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Total mojibake digraph occurrences — ONE graft_multi_count
+    * automaton pass (bit-equal to the per-pattern length−replace
+    * composition the oracle spells). */
+  def mojibakeCount(text: Column): Column = {
+    val counts = graft.functions.MultiMatchFunctions.graftMultiCount(
+      text, mojibakeMap.map(_._1))
+    aggregate(counts, lit(0L), (a, x) => a + x)
+  }
+
   /** C4-style LINE-level cleaning (Raffel et al., JMLR 2020 §2.2) — the
     * gap between the doc-level Gopher gate ([[gopherRules]]) and the
     * paragraph-dedup rewrite (Dedup.paragraphDedupRewrite): boilerplate

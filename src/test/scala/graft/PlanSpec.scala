@@ -666,4 +666,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"no global window may serialize the member table:\n$plan")
   }
+
+  test("q225 URL canon: canonicalization inline in the scan stage; one agg family") {
+    val plan = planOf("q225_url_canon")
+    assert(!plan.contains("Join"),
+      s"canonicalization is pure expressions — no join may appear:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"family report must map-side combine:\n$plan")
+  }
+
+  test("q226 silhouette: sample broadcasts; per-(i,cluster) sums partial+final") {
+    val plan = planOf("q226_silhouette")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the bounded sample×corpus probe must BROADCAST the sample:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"never an unbroadcast product:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"distance sums must map-side combine:\n$plan")
+  }
+
+  test("q227 mojibake: one narrow scan — automaton count + replace chain inline") {
+    val plan = planOf("q227_mojibake")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"detect+repair must stay scan+project+filter:\n$plan")
+    assert(plan.contains("graft_multi_count"),
+      s"native counter missing from the projection:\n$plan")
+  }
 }

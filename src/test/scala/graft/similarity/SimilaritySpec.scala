@@ -489,4 +489,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._1 == 3L && got.head._2 > 0.99, got.toSeq.toString)
     assert(got(1)._1 == 1L && got(1)._2 < 0.7)
   }
+
+  test("silhouetteSampled: separated clusters score high, a planted straggler negative, singleton 0") {
+    import org.apache.spark.sql.functions.col
+    // two tight, far-apart clusters + one vector assigned to the WRONG
+    // cluster + a singleton cluster
+    def v(base: Float, jitter: Float) = Array(base + jitter, base - jitter)
+    val corpus = (
+      (1L to 5L).map(i => (i, v(0f, i * 0.01f))) ++        // cluster 0 @ ~0
+      (11L to 15L).map(i => (i, v(10f, (i - 10) * 0.01f))) ++ // cluster 1 @ ~10
+      Seq((21L, v(0f, 0.02f)),                              // near 0 but labeled 1
+        (31L, v(100f, 0f)))                                 // singleton cluster 2
+    ).toDF("vec_id", "embedding")
+    val labels = ((1L to 5L).map(_ -> 0L) ++ (11L to 15L).map(_ -> 1L) ++
+      Seq(21L -> 1L, 31L -> 2L)).toDF("vec_id", "cluster")
+    val got = Similarity.silhouetteSampled(corpus, labels, col("vec_id") >= 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    (1L to 5L).foreach(i =>
+      assert(got(i)._2 > 9000, s"tight-cluster member $i: ${got(i)}"))
+    assert(got(21L)._2 < 0, s"mis-assigned vector must score negative: ${got(21L)}")
+    assert(got(31L)._2 == 0, s"singleton scores 0 by convention: ${got(31L)}")
+    // sequential reference for one vector: vec 1 against its cluster and
+    // cluster 1 (floor-div means of rounded micro distances)
+    def d(a: Array[Float], b: Array[Float]): Long = {
+      val q = (x: Float) => Math.round(x.toDouble * 1000000)
+      // sum in Long like the operator's aggregate, THEN one double cast
+      math.round(math.sqrt(
+        a.zip(b).map { case (x, y) =>
+          val dx = q(x) - q(y); dx * dx }.sum.toDouble))
+    }
+    val e = ((1L to 5L).map(i => i -> v(0f, i * 0.01f)) ++
+      (11L to 15L).map(i => i -> v(10f, (i - 10) * 0.01f)) ++
+      Seq(21L -> v(0f, 0.02f), 31L -> v(100f, 0f))).toMap
+    val own = (2L to 5L).map(j => d(e(1L), e(j))).sum / 4
+    val c1 = ((11L to 15L) :+ 21L).map(j => d(e(1L), e(j))).sum / 6
+    val c2 = d(e(1L), e(31L))
+    val b = math.min(c1, c2)
+    val a = own
+    val sRef = math.floorDiv(10000L * (b - a), math.max(a, b))
+    assert(got(1L)._2 == sRef, s"vec 1: got ${got(1L)._2}, want $sRef")
+  }
 }

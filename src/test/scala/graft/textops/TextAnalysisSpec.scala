@@ -58,6 +58,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("urlCanonicalize: case/port/fragment/utm/param-order variants collapse; path case survives") {
+    val cases = Seq(
+      // every normalization at once
+      "HTTPS://WWW.Site.COM:443/Path/a?utm_source=x&b=2&a=1#frag" ->
+        "https://www.site.com/Path/a?a=1&b=2",
+      // plain form is a fixpoint
+      "https://www.site.com/Path/a?a=1&b=2" ->
+        "https://www.site.com/Path/a?a=1&b=2",
+      // non-default port survives; http default port drops
+      "http://h.io:8080/p?x=1" -> "http://h.io:8080/p?x=1",
+      "HTTP://H.IO:80/p?x=1" -> "http://h.io/p?x=1",
+      // all params tracking -> no query at all
+      "https://a.b/p?utm_source=x&utm_medium=y" -> "https://a.b/p",
+      // no query, no port
+      "https://a.b/CaseKept" -> "https://a.b/CaseKept")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlCanonicalize($"url").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("mojibakeRepair: the Latin-1 round-trip restores the original; count matches") {
+    val clean = "café résumé naïve touché señor für ación côté"
+    // the actual damage: UTF-8 bytes re-decoded as Latin-1
+    val damaged = new String(
+      clean.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = Seq((damaged, clean)).toDF("t", "want")
+      .select(TextAnalysis.mojibakeRepair($"t").as("got"), $"want",
+        TextAnalysis.mojibakeCount($"t").as("n"))
+      .head()
+    assert(r.getString(0) == r.getString(1),
+      s"repair mismatch: ${r.getString(0)}")
+    // every accented char in `clean` is one 2-byte digraph
+    assert(r.getLong(2) == clean.count(_ > 127),
+      s"count: ${r.getLong(2)} vs ${clean.count(_ > 127)}")
+    // clean ASCII is untouched and counts zero
+    val r2 = Seq("plain ascii text.").toDF("t")
+      .select(TextAnalysis.mojibakeRepair($"t").as("got"),
+        TextAnalysis.mojibakeCount($"t").as("n")).head()
+    assert(r2.getString(0) == "plain ascii text." && r2.getLong(1) == 0L)
+  }
+
   test("c4LineFilter: each rule trips exactly its crafted violator") {
     val ok = "this line has plenty of words in it."
     val short3 = "too few words."
