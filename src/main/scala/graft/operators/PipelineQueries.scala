@@ -4769,7 +4769,7 @@ object PipelineQueries {
           length(array_join(col("kept_lines"), "\n")).cast("long")
             .as("clean_chars"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- golden-record survivorship (q224): the MDM merge AFTER
     //      near-dup clustering — q123 keeps one best ROW per cluster,
@@ -4966,7 +4966,7 @@ object PipelineQueries {
       val labels = Similarity.kmeansLite(emb, k = 16, iters = 2)
       Similarity.silhouetteSampled(emb, labels, col("vec_id") < 100)
         .orderBy("vec_id")
-    },
+    }.copy(headline = true),
 
     // ---- mojibake detection + repair (q227): the encoding-damage
     //      cleanup every web pipeline runs (ftfy's core case) — UTF-8
