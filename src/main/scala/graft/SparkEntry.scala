@@ -18,7 +18,8 @@ object SparkEntry {
       graft.operators.KvQueries.defs ++
       graft.operators.PipelineQueries.defs ++
       graft.operators.StreamMediaQueries.defs ++
-      graft.operators.AnalyticsQueries.defs
+      graft.operators.AnalyticsQueries.defs ++
+      graft.operators.AuditQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

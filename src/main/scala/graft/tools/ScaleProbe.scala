@@ -564,6 +564,32 @@ object ScaleProbe {
     val trn = timeTri(s"${copies}x", triEdges(copies))
     println(f"[scaleprobe] triangles time ratio=${trn / tr1}%.2f for ${copies}x edges")
 
+    // RA link prediction (q229 shape): hub-capped wedge join — disjoint
+    // copies preserve per-copy degrees, so capped wedge volume
+    // (Σ min(deg,64)²) grows linearly; wall must track it.
+    def timeLink(label: String, edges: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val e0 = edges.distinct()
+      val adj = e0.select(col("u").as("z"), col("v").as("n"))
+        .unionAll(e0.select(col("v").as("z"), col("u").as("n")))
+      val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+      val piv = adj.join(deg, "z").filter(col("d") <= 64)
+      val cand = piv.as("x").join(piv.as("y"),
+          col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+        .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+        .agg(sum(expr("1000000 div x.d")).as("ra_micro"))
+      val n = cand.join(e0, cand("u") === e0("u") && cand("v") === e0("v"),
+        "left_anti").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] link-$label: candidates=$n time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeLink("warmup-1x", triEdges(1))
+    val lk1 = timeLink("1x", triEdges(1))
+    val lkn = timeLink(s"${copies}x", triEdges(copies))
+    println(f"[scaleprobe] link time ratio=${lkn / lk1}%.2f for ${copies}x edges")
+
     // CDC chunking: per-doc windows + one chunk-hash agg — wall must be
     // linear in corpus tokens (prefixed copies keep chunk statistics).
     def timeCdc(label: String, docs: DataFrame): Double = {

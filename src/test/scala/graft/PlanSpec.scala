@@ -692,4 +692,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_multi_count"),
       s"native counter missing from the projection:\n$plan")
   }
+
+  test("q228 zonemap: predicate table broadcasts; no global-sort window for the ranking") {
+    val plan = planOf("q228_zonemap_skip")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the literal predicate set must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"clustered ranking must use globalRank prefix sums, not a window:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"zone-map build must map-side combine:\n$plan")
+  }
+
+  test("q229 link prediction: wedge join stays equi-keyed — no product surface") {
+    val plan = planOf("q229_link_predict")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedges must join on the pivot key only:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"existing edges must be excluded by anti-join:\n$plan")
+  }
+
+  test("q230 calibration: one corpus scan, bin agg partial+final") {
+    val plan = planOf("q230_calibration")
+    val nScans = "Scan parquet".r.findAllIn(plan).length
+    assert(nScans == 1, s"expected ONE documents scan, got $nScans:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 2, s"bin aggregate must map-side combine:\n$plan")
+    // the global-rate window runs over the AGGREGATED ≤10-row bin frame,
+    // below (after) the exchange-backed aggregate — never over the corpus
+    assert(plan.contains("Window"), s"global rate must reuse bin rows:\n$plan")
+  }
+
+  test("q231 kendall: the pair join broadcasts the bounded sample") {
+    val plan = planOf("q231_kendall_tau")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"sample² pair join must broadcast one side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"never an unbroadcast product:\n$plan")
+  }
+
+  test("q232 matryoshka: both passes broadcast the query set; corpus never shuffles pre-topk") {
+    val plan = planOf("q232_matryoshka")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"never an unbroadcast product:\n$plan")
+    // two brute-force passes => two local top-k prunes before the k-merge
+    val nLocal = "SerializeFromObject".r.findAllIn(plan).length
+    assert(nLocal >= 2, s"both passes must localTopK map-side:\n$plan")
+  }
 }
