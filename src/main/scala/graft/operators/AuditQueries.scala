@@ -450,6 +450,285 @@ object AuditQueries {
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           col("top1_match"))
         .orderBy("query_id")
+    },
+
+    // ---- HITS hubs & authorities (q233) on the customer→part purchase
+    //      bipartite graph (Kleinberg 1999): two power-iteration rounds
+    //      fully unrolled, max-normalized to integer micro-units after
+    //      each half-step (global max = a broadcast 1-row aggregate), so
+    //      every score is engine- and partition-exact. Each half-step is
+    //      one edge-keyed join + one grouped sum — the iterate is
+    //      O(|edges|) shuffle per round, scores never exceed 1e6. ----
+    QueryDef(
+      "q233_hits",
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |a1 AS (SELECT p, 1000000 * count(*) AS a FROM e GROUP BY 1),
+        |a1n AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a1) AS a
+        |        FROM a1),
+        |h1 AS (SELECT e.c, sum(a1n.a) AS h FROM e JOIN a1n USING (p)
+        |       GROUP BY 1),
+        |h1n AS (SELECT c, (h * 1000000) // (SELECT max(h) FROM h1) AS h
+        |        FROM h1),
+        |a2 AS (SELECT e.p, sum(h1n.h) AS a FROM e JOIN h1n USING (c)
+        |       GROUP BY 1),
+        |a2n AS (SELECT p, (a * 1000000) // (SELECT max(a) FROM a2) AS a
+        |        FROM a2)
+        |SELECT CAST(p AS BIGINT) AS part_id, CAST(a AS BIGINT) AS auth_micro,
+        |       rank FROM (
+        |  SELECT p, a, row_number() OVER (ORDER BY a DESC, p) AS rank
+        |  FROM a2n) t
+        |WHERE rank <= 15 ORDER BY rank""".stripMargin) { (s, dir) =>
+      val e = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      def maxNorm(df: org.apache.spark.sql.DataFrame, vCol: String) =
+        df.crossJoin(broadcast(df.agg(max(vCol).as("_mx"))))
+          .select(df.columns.filter(_ != vCol).map(col) :+
+            expr(s"($vCol * 1000000) div _mx").as(vCol): _*)
+      val a1 = maxNorm(e.groupBy("p").agg((count(lit(1)) * 1000000L).as("a")), "a")
+      val h1 = maxNorm(e.join(a1, "p").groupBy("c").agg(sum("a").as("h")), "h")
+      val a2 = maxNorm(e.join(h1, "c").groupBy("p").agg(sum("h").as("a")), "a")
+      a2.orderBy(col("a").desc, col("p")).limit(15)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("a").desc, col("p"))))
+        .select(col("p").as("part_id"), col("a").as("auth_micro"), col("rank"))
+        .orderBy("rank")
+    },
+
+    // ---- seasonal decomposition + residual anomalies (q234): per
+    //      (event_type, hour-of-day) seasonal mean profile in exact
+    //      cents, residual = value − seasonal mean, per-type MAD of the
+    //      residuals (lower-median, q174's discrete-element rule — an
+    //      ELEMENT of the data, engine-exact), anomaly = |dev| beyond
+    //      3×1.4826×MAD. The diurnal profile a metrics pipeline
+    //      subtracts before alerting: a z-score on the RAW value (q79)
+    //      flags every rush hour; on the residual it flags real
+    //      outliers. Profile is |types|×24 rows (broadcast); medians
+    //      ride per-type windows (parallel across types). ----
+    QueryDef(
+      "q234_seasonal",
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, hour(ts) AS hr,
+         |         ${Exact.centsSql("value")} AS cents
+         |  FROM events),
+         |seas AS (
+         |  SELECT event_type, hr,
+         |         CAST(sum(cents) AS BIGINT) // count(*) AS mean_cents
+         |  FROM ev GROUP BY 1, 2),
+         |res AS (
+         |  SELECT ev.event_id, ev.event_type,
+         |         ev.cents - seas.mean_cents AS resid
+         |  FROM ev JOIN seas ON seas.event_type = ev.event_type
+         |                   AND seas.hr = ev.hr),
+         |cnt AS (SELECT event_type, count(*) AS n FROM res GROUP BY 1),
+         |rr AS (
+         |  SELECT event_type, resid,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY resid, event_id) AS rn
+         |  FROM res),
+         |med AS (
+         |  SELECT rr.event_type, rr.resid AS med
+         |  FROM rr JOIN cnt USING (event_type)
+         |  WHERE rr.rn = (cnt.n + 1) // 2),
+         |dv AS (
+         |  SELECT res.event_id, res.event_type,
+         |         abs(res.resid - med.med) AS dev
+         |  FROM res JOIN med USING (event_type)),
+         |rd AS (
+         |  SELECT event_type, dev,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY dev, event_id) AS rn
+         |  FROM dv),
+         |mad AS (
+         |  SELECT rd.event_type, rd.dev AS mad
+         |  FROM rd JOIN cnt USING (event_type)
+         |  WHERE rd.rn = (cnt.n + 1) // 2)
+         |SELECT c.event_type, CAST(c.n AS BIGINT) AS n,
+         |       CAST(m.med AS BIGINT) AS med_resid_cents,
+         |       CAST(d.mad AS BIGINT) AS mad_cents,
+         |       CAST((SELECT count(*) FROM dv
+         |             WHERE dv.event_type = c.event_type
+         |               AND dv.dev * 10000 > 3 * 14826 * d.mad)
+         |         AS BIGINT) AS n_anomalies
+         |FROM cnt c JOIN med m ON m.event_type = c.event_type
+         |JOIN mad d ON d.event_type = c.event_type
+         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.eventsTs(s, dir)
+        .select(col("event_id"), col("event_type"), hour(col("ts")).as("hr"),
+          Exact.cents(col("value")).as("cents"))
+      val seas = ev.groupBy("event_type", "hr")
+        .agg(expr("CAST(sum(cents) AS BIGINT) div count(*)").as("mean_cents"))
+      val res = ev.join(broadcast(seas), Seq("event_type", "hr"))
+        .select(col("event_id"), col("event_type"),
+          (col("cents") - col("mean_cents")).as("resid"))
+      val cnt = res.groupBy("event_type").agg(count(lit(1)).as("n"))
+      def lowerMedianBy(df: org.apache.spark.sql.DataFrame, vCol: String,
+          out: String) = {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col(vCol), col("event_id"))
+        df.withColumn("_rn", row_number().over(w))
+          .join(broadcast(cnt), "event_type")
+          .filter(col("_rn") === expr("(n + 1) div 2"))
+          .select(col("event_type"), col(vCol).as(out))
+      }
+      val med = lowerMedianBy(res, "resid", "med")
+      val dv = res.join(broadcast(med), "event_type")
+        .select(col("event_id"), col("event_type"),
+          abs(col("resid") - col("med")).as("dev"))
+      val mad = lowerMedianBy(dv, "dev", "mad")
+      val anom = dv.join(broadcast(mad), "event_type")
+        .filter(col("dev") * 10000L > lit(3L) * 14826L * col("mad"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_anomalies"))
+      cnt.join(med, "event_type").join(mad, "event_type")
+        .join(anom, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"),
+          col("med").as("med_resid_cents"), col("mad").as("mad_cents"),
+          coalesce(col("n_anomalies"), lit(0L)).as("n_anomalies"))
+        .orderBy("event_type")
+    },
+
+    // ---- Kaplan-Meier churn survival (q235): per-user observation =
+    //      first→last event elapsed FULL hours; churned if the last
+    //      event predates the corpus end by > 24 h, else right-censored
+    //      (still active). The curve is reported as LOG-survival in
+    //      integer micro-nats — Σ round(1e6·ln(1−d/n)) over event times
+    //      — because ln() is quantized per STEP (the q105/q156 rule)
+    //      and the cumulative sum is then order-independent integer
+    //      arithmetic; exp() (not correctly-rounded everywhere) never
+    //      runs. All elapsed math in raw epoch ticks with floor-div —
+    //      calendar hour-boundary counting would disagree with elapsed
+    //      hours. At-risk counts come from a suffix sum over the per-t
+    //      aggregate (≤ |distinct t| rows), never a per-user window. ----
+    QueryDef(
+      "q235_kaplan_meier",
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS fst, max(epoch_us(ts)) AS lst
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(lst) AS endus FROM u),
+        |obs AS (
+        |  SELECT user_id, (lst - fst) // 3600000000 AS t,
+        |         CASE WHEN lst < endus - 86400000000 THEN 1 ELSE 0 END AS ev
+        |  FROM u CROSS JOIN mx),
+        |bt AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |         CAST(sum(1 - ev) AS BIGINT) AS c,
+        |         CAST(count(*) AS BIGINT) AS m
+        |  FROM obs GROUP BY 1),
+        |km AS (
+        |  SELECT t, d, c,
+        |         sum(m) OVER (ORDER BY t DESC) AS n_risk,
+        |         CASE WHEN d = 0 THEN 0 ELSE NULL END AS _pad
+        |  FROM bt),
+        |terms AS (
+        |  SELECT t, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+        |         CASE WHEN d = 0 THEN 0
+        |              WHEN d >= n_risk THEN -99000000
+        |              ELSE CAST(round(1000000 * ln(1.0 -
+        |                     CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+        |                   AS BIGINT) END AS term
+        |  FROM km)
+        |SELECT t AS t_hours, n_risk, d AS d_churned, c AS c_censored,
+        |       CAST(sum(term) OVER (ORDER BY t) AS BIGINT)
+        |         AS log_surv_micronat
+        |FROM terms ORDER BY t""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // Tables.events normalizes ts to Long NANOS; the oracle reads
+      // epoch MICROS — both floor-div by their own ticks-per-hour /
+      // ticks-per-day, and ns values are exact µs×1000, so quotients
+      // and the censor comparison agree exactly.
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(min("ts").as("fst"), max("ts").as("lst"))
+      val mx = u.agg(max("lst").as("endns"))
+      val obs = u.crossJoin(broadcast(mx))
+        .select(expr("(lst - fst) div 3600000000000").as("t"),
+          when(col("lst") < col("endns") - lit(86400000000000L), 1L)
+            .otherwise(0L).as("ev"))
+      val bt = obs.groupBy("t")
+        .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"),
+          count(lit(1)).as("m"))
+      // suffix/prefix sums run over the AGGREGATED per-t frame
+      // (≤ |distinct durations| rows at any corpus size)
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bt.withColumn("n_risk", sum("m").over(wDesc))
+        .withColumn("term",
+          when(col("d") === 0, 0L)
+            .when(col("d") >= col("n_risk"), -99000000L)
+            .otherwise(round(lit(1000000) *
+              log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+              .cast("long")))
+        .withColumn("log_surv_micronat", sum("term").over(wAsc))
+        .select(col("t").as("t_hours"), col("n_risk"),
+          col("d").as("d_churned"), col("c").as("c_censored"),
+          col("log_surv_micronat"))
+        .orderBy("t_hours")
+    },
+
+    // ---- column-storage advisor (q236): per-column run/NDV statistics
+    //      under the table's physical sort order — run count (RLE
+    //      viability), distinct count (dict width via exact bin()
+    //      bit-length), mean run length, plain byte mass. The companion
+    //      to q228: zone maps say what a sort buys the READER, this
+    //      says what it buys the WRITER. Adjacency is an equi-join on
+    //      globalRank positions (rank r joins r−1) — never a
+    //      single-partition lag window over the table. ----
+    QueryDef(
+      "q236_storage_advisor",
+      """WITH r AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p,
+        |         row_number() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |j AS (
+        |  SELECT a.s, a.p, b.s AS ps, b.p AS pp
+        |  FROM r a LEFT JOIN r b ON b.rn = a.rn - 1),
+        |u AS (
+        |  SELECT 'o_orderstatus' AS col_name, s AS v, ps AS pv FROM j
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', p, pp FROM j)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+        |       CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS runs,
+        |       CAST(CAST(1000 * count(*) AS HUGEINT) //
+        |         CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END)
+        |              AS HUGEINT) AS BIGINT)
+        |         AS avg_run_len_milli,
+        |       CAST(CASE WHEN count(DISTINCT v) <= 1 THEN 0
+        |            ELSE length(bin(count(DISTINCT v) - 1)) END AS BIGINT)
+        |         AS dict_bits,
+        |       CAST(sum(length(v)) AS BIGINT) AS plain_bytes
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ranked = Scale.globalRank(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus").as("s"), col("o_orderpriority").as("p")),
+        "rn", "o_orderkey")
+      val prev = ranked.select((col("rn") + 1).as("rn"),
+        col("s").as("ps"), col("p").as("pp"))
+      val j = ranked.join(prev, Seq("rn"), "left")
+      val u = j.select(lit("o_orderstatus").as("col_name"),
+          col("s").as("v"), col("ps").as("pv"))
+        .unionAll(j.select(lit("o_orderpriority").as("col_name"),
+          col("p").as("v"), col("pp").as("pv")))
+      u.groupBy("col_name")
+        .agg(count(lit(1)).as("n"), countDistinct("v").as("ndv"),
+          sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L)
+            .otherwise(0L)).as("runs"),
+          sum(length(col("v"))).cast("long").as("plain_bytes"))
+        .select(col("col_name"), col("n"), col("ndv"), col("runs"),
+          expr("(1000 * n) div runs").as("avg_run_len_milli"),
+          when(col("ndv") <= 1, 0L)
+            .otherwise(length(bin(col("ndv") - 1)).cast("long"))
+            .as("dict_bits"),
+          col("plain_bytes"))
+        .orderBy("col_name")
     }
   )
 }

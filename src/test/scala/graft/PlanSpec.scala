@@ -732,6 +732,43 @@ class PlanSpec extends SparkSpec {
       s"never an unbroadcast product:\n$plan")
   }
 
+  test("q233 HITS: edge-keyed equi-joins + broadcast max-norms only") {
+    val plan = planOf("q233_hits")
+    assert(!plan.contains("CartesianProduct"),
+      s"normalization constants must broadcast:\n$plan")
+    val nAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggs >= 4, s"each half-step sum must map-side combine:\n$plan")
+  }
+
+  test("q234 seasonal: profile broadcasts; medians partition by type (no global sort)") {
+    val plan = planOf("q234_seasonal")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |types|×24 seasonal profile must broadcast:\n$plan")
+    assert(!plan.contains("SinglePartition, "),
+      s"per-type windows must not serialize globally:\n$plan")
+  }
+
+  test("q235 KM: curve windows run over the per-t aggregate, not per-user rows") {
+    val plan = planOf("q235_kaplan_meier")
+    // the Window input must be the aggregated bt frame: Window sits
+    // above a HashAggregate, and the per-user frame is never window-sorted
+    val winIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && winIdx < aggIdx,
+      s"window must consume the per-t aggregate:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the corpus-end timestamp must broadcast:\n$plan")
+  }
+
+  test("q236 advisor: adjacency is a rank equi-join — no window, no product") {
+    val plan = planOf("q236_storage_advisor")
+    assert(!plan.contains("Window"),
+      s"physical-order adjacency must use globalRank, not a lag window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank join must stay equi-keyed:\n$plan")
+  }
+
   test("q232 matryoshka: both passes broadcast the query set; corpus never shuffles pre-topk") {
     val plan = planOf("q232_matryoshka")
     assert(plan.contains("BroadcastNestedLoopJoin"),

@@ -137,6 +137,96 @@ class AuditSpec extends SparkSpec {
       BigDecimal(tau).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
   }
 
+  test("q233: HITS authorities equal a driver recompute of the unrolled rounds") {
+    val edges = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+      .join(spark.read.parquet(s"$sf0001/orders.parquet")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byPart = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val a1 = byPart.view.mapValues(cs => 1000000L * cs.size).toMap
+    val a1mx = a1.values.max
+    val a1n = a1.view.mapValues(a => a * 1000000L / a1mx).toMap
+    val h1 = byCust.view.mapValues(ps => ps.toSeq.map(a1n).sum).toMap
+    val h1mx = h1.values.max
+    val h1n = h1.view.mapValues(h => h * 1000000L / h1mx).toMap
+    val a2 = byPart.view.mapValues(cs => cs.toSeq.map(h1n).sum).toMap
+    val a2mx = a2.values.max
+    val want = a2.view.mapValues(a => a * 1000000L / a2mx).toMap
+    val got = run("q233_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 15)
+    got.foreach { case (p, auth, _) =>
+      assert(auth == want(p), s"part $p")
+    }
+    // the global top part normalizes to exactly 1e6
+    assert(got.head._2 == 1000000L)
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("q234: residuals de-season the diurnal profile; MAD is a data element") {
+    val rows = run("q234_seasonal").collect()
+    assert(rows.length == 5, "one row per event type")
+    val nTotal = spark.read.parquet(s"$sf0001/events.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nTotal)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mad_cents") >= 0)
+      // anomalies are a small tail, never the bulk
+      assert(r.getAs[Long]("n_anomalies") * 10 < r.getAs[Long]("n"),
+        s"${r.getString(0)}: anomaly rule flags >10% of rows")
+    }
+  }
+
+  test("q235: KM invariants — at-risk telescopes, log-survival is non-increasing") {
+    val rows = run("q235_kaplan_meier").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nUsers = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.head._2 == nUsers, "everyone is at risk at the first time")
+    assert(rows.map(r => r._3 + r._4).sum == nUsers,
+      "every user churns or is censored exactly once")
+    rows.sliding(2).foreach {
+      case Array((t1, n1, d1, c1, s1), (t2, n2, _, _, s2)) =>
+        assert(t1 < t2)
+        assert(n2 == n1 - d1 - c1, "at-risk must telescope")
+        assert(s2 <= s1, "log-survival is non-increasing")
+      case _ =>
+    }
+    assert(rows.head._5 <= 0, "log-survival starts ≤ 0")
+  }
+
+  test("q236: run/NDV statistics equal a driver recompute in physical order") {
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .collect().sortBy(_.getLong(0))
+    def stats(vs: Array[String]): (Long, Long, Long, Long) = {
+      val runs = 1L + vs.sliding(2).count(w => w.length == 2 && w(0) != w(1))
+      (vs.length.toLong, vs.distinct.length.toLong, runs,
+        vs.map(_.length.toLong).sum)
+    }
+    val want = Map(
+      "o_orderstatus" -> stats(ord.map(_.getString(1))),
+      "o_orderpriority" -> stats(ord.map(_.getString(2))))
+    val rows = run("q236_storage_advisor").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (n, ndv, runs, bytes) = want(r.getString(0))
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("ndv") == ndv)
+      assert(r.getAs[Long]("runs") == runs, r.getString(0))
+      assert(r.getAs[Long]("plain_bytes") == bytes)
+      assert(r.getAs[Long]("avg_run_len_milli") == 1000L * n / runs)
+      val bits = r.getAs[Long]("dict_bits")
+      assert(ndv <= (1L << bits) && (bits == 0 || ndv > (1L << (bits - 1))),
+        s"${r.getString(0)}: $ndv values need $bits bits")
+    }
+  }
+
   test("q232: overlap equals a driver recompute of both top-10 sets") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select("vec_id", "embedding").collect()
