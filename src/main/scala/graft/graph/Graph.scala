@@ -336,7 +336,10 @@ object Graph {
     val dc = deg.join(lab, "id").groupBy("label").agg(sum("d").as("dsum"))
     val comm = dc.agg(
       count(lit(1)).as("n_communities"),
-      sum(col("dsum") * col("dsum")).as("sd2"),
+      // square in DECIMAL: a single giant community's dsum² passes 2⁶³
+      // at ~3·10⁹ total degree
+      sum(col("dsum").cast("decimal(38,0)") * col("dsum").cast("decimal(38,0)"))
+        .as("sd2"),
       // Σ_c d_c = Σ deg = 2m exactly, and it's even — shiftright keeps
       // the halving in Long arithmetic (no double round-trip)
       shiftright(sum("dsum"), 1).as("m_edges"))
@@ -349,14 +352,24 @@ object Graph {
       .select(col("n_nodes"), col("n_communities"), col("m_edges"),
         shiftright(col("intra2"), 1).as("intra_edges"),
         col("sd2"))
+      // DECIMAL(38,0) for the products: 10⁴·4·m·e is ~2·log₂m + 16 bits
+      // and overflows Long silently for m ≳ 1.5·10⁷ edges — far below
+      // the engine's scale target. 38 decimal digits carry m up to
+      // ~10¹⁶ edges exactly. The quotient is a basis-point value, so
+      // the final `div` result fits Long trivially.
       .withColumn("num",
-        lit(10000L) * (lit(4L) * col("m_edges") * col("intra_edges") - col("sd2")))
-      .withColumn("den", lit(4L) * col("m_edges") * col("m_edges"))
+        lit(10000L).cast("decimal(38,0)") *
+          (lit(4L) * col("m_edges").cast("decimal(38,0)") *
+            col("intra_edges").cast("decimal(38,0)") -
+            col("sd2").cast("decimal(38,0)")))
+      .withColumn("den",
+        lit(4L) * col("m_edges").cast("decimal(38,0)") *
+          col("m_edges").cast("decimal(38,0)"))
       .select(col("n_nodes"), col("n_communities"), col("m_edges"),
         col("intra_edges"),
         // num − pmod(num, den) is exactly divisible, so truncating `div`
-        // IS the floor quotient — and it stays in Long (num can exceed
-        // 2^52, where a double round-trip would lose bits)
+        // IS the floor quotient (Q can be negative; plain div truncates
+        // toward zero) — exact in DECIMAL, returned as Long
         expr("(num - pmod(num, den)) div den").as("q_bp"))
   }
 }

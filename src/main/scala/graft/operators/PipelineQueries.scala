@@ -4850,8 +4850,9 @@ object PipelineQueries {
         |                  ELSE 'www.site' END)
         |         || CAST(doc_id % 50 AS VARCHAR) || '.COM'
         |         || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
-        |         || '/Path' || CAST(doc_id % 20 AS VARCHAR)
-        |         || '/?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN ''
+        |             ELSE '/Path' || CAST(doc_id % 20 AS VARCHAR) || '/' END)
+        |         || '?utm_source=feed&b=' || CAST(doc_id % 4 AS VARCHAR)
         |         || '&a=1'
         |         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
         |           AS raw
@@ -4877,9 +4878,11 @@ object PipelineQueries {
         |          string_split(string_split(pq, '?')[2], '&'),
         |          p -> NOT starts_with(p, 'utm_') AND p <> '')) AS keep
         |      FROM (
+        |        -- authority ends at the FIRST of '/','?' — mirrors the
+        |        -- engine's query-without-path handling
         |        SELECT doc_id, raw, nf, rest,
-        |          string_split(rest, '/')[1] AS hp,
-        |          substr(rest, len(string_split(rest, '/')[1]) + 1) AS pq
+        |          regexp_split_to_array(rest, '[/?]')[1] AS hp,
+        |          substr(rest, len(regexp_split_to_array(rest, '[/?]')[1]) + 1) AS pq
         |        FROM (
         |          SELECT doc_id, raw, regexp_replace(raw, '#.*', '') AS nf,
         |            string_split(regexp_replace(raw, '#.*', ''), '://')[2]
@@ -4895,8 +4898,12 @@ object PipelineQueries {
         when(col("doc_id") % 4 < 2, lit("WWW.SITE")).otherwise(lit("www.site")),
         (col("doc_id") % 50).cast("string"), lit(".COM"),
         when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
-        lit("/Path"), (col("doc_id") % 20).cast("string"),
-        lit("/?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
+        // every 7th doc has a query but NO path — the crawl shape that
+        // pins the '?'-terminates-authority rule
+        when(col("doc_id") % 7 === 0, lit(""))
+          .otherwise(concat(lit("/Path"), (col("doc_id") % 20).cast("string"),
+            lit("/"))),
+        lit("?utm_source=feed&b="), (col("doc_id") % 4).cast("string"),
         lit("&a=1"),
         when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
       Tables.documents(s, dir)

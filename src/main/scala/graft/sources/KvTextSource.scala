@@ -237,15 +237,20 @@ private class KvTextScan(
 
 /** Micro-batch tail of a kvtext directory: each batch reads the shard
   * files that APPEARED since the last offset — "follow the reference
-  * engine's output as its reducers commit". The offset is the
-  * lexicographically greatest path already processed, which is
-  * deterministic under re-listing and checkpoint recovery because shard
-  * files are IMMUTABLE once their producer's rename makes them visible
-  * (the kvtext write protocol guarantees exactly that; in-progress
-  * attempts live under `_temporary` and are filtered as metadata).
-  * Producers must therefore emit monotonically increasing names —
-  * `mr-out-<partition>` already sorts that way per job; timestamped
-  * prefixes generalize it across jobs.
+  * engine's output as its reducers commit". The offset is the explicit
+  * SET of paths already processed (serialized as a sorted JSON array):
+  * shard names are NOT lexicographically monotone in commit order
+  * (`mr-out-10` < `mr-out-9`, and reducers commit in arbitrary order),
+  * so a high-watermark-by-name offset would silently skip any shard
+  * that appears after a higher-sorting one. Set-difference against the
+  * directory listing has no such ordering assumption: every visible
+  * file is read exactly once no matter when its producer's rename lands.
+  * This is deterministic under re-listing and checkpoint recovery
+  * because shard files are IMMUTABLE once visible (the kvtext write
+  * protocol guarantees exactly that; in-progress attempts live under
+  * `_temporary` and are filtered as metadata). Offset size is one path
+  * string per shard ever seen — bounded by reducer count per job, the
+  * same order as Spark's own FileStreamSource seen-map.
   */
 private class KvTextMicroBatchStream(
     props: Map[String, String],
@@ -258,25 +263,72 @@ private class KvTextMicroBatchStream(
   private def listAll(): Seq[(String, Long)] =
     KvTextSource.resolveFiles(props, requireNonEmpty = false).sortBy(_._1)
 
-  override def initialOffset(): Offset = KvTextOffset("")
+  override def initialOffset(): Offset = KvTextOffset(Set.empty)
   override def latestOffset(): Offset =
-    KvTextOffset(listAll().lastOption.map(_._1).getOrElse(""))
-  override def deserializeOffset(json: String): Offset = KvTextOffset(json)
+    KvTextOffset(listAll().map(_._1).toSet)
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.isEmpty) KvTextOffset(Set.empty)
+    else if (t.startsWith("[")) KvTextOffset(KvTextOffset.parse(t))
+    // legacy high-watermark offset from a pre-set-offset checkpoint:
+    // its contract was "everything sorting <= watermark was processed"
+    else KvTextOffset(listAll().map(_._1).filter(_ <= t).toSet)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[KvTextOffset].watermark
-    val hi = end.asInstanceOf[KvTextOffset].watermark
-    rangesOf(listAll().filter { case (f, _) => f > lo && f <= hi })
+    val lo = start.asInstanceOf[KvTextOffset].seen
+    val hi = end.asInstanceOf[KvTextOffset].seen
+    rangesOf(listAll().filter { case (f, _) => hi.contains(f) && !lo.contains(f) })
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new KvTextReaderFactory(required.fieldNames.toSeq)
 }
 
-/** Offset = greatest processed path; serialized as the raw string. */
-private case class KvTextOffset(watermark: String) extends Offset {
-  override def json(): String = watermark
+/** Offset = set of processed paths; serialized as a sorted JSON string
+  * array so checkpoint bytes are deterministic for a given set. */
+private case class KvTextOffset(seen: Set[String]) extends Offset {
+  override def json(): String =
+    seen.toSeq.sorted.map(KvTextOffset.quote).mkString("[", ",", "]")
+}
+
+private object KvTextOffset {
+  private[sources] def quote(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+  /** Parse the array form produced by [[quote]]. */
+  private[sources] def parse(json: String): Set[String] = {
+    val out = Set.newBuilder[String]
+    var i = 0
+    while (i < json.length) {
+      if (json.charAt(i) == '"') {
+        val b = new StringBuilder
+        i += 1
+        while (json.charAt(i) != '"') {
+          if (json.charAt(i) == '\\') {
+            json.charAt(i + 1) match {
+              case 'u' =>
+                b.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+                i += 5
+              case c => b.append(c); i += 1
+            }
+          } else b.append(json.charAt(i))
+          i += 1
+        }
+        out += b.toString
+      }
+      i += 1
+    }
+    out.result()
+  }
 }
 
 private class KvTextReaderFactory(fields: Seq[String])
@@ -300,19 +352,39 @@ private class KvTextReader(split: KvTextInputPartition, fields: Seq[String])
     while (b != -1 && b != '\n') { b = stream.read(); remaining -= 1 }
     remaining -= 1 // the newline itself
   }
-  private val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-    stream, java.nio.charset.StandardCharsets.UTF_8))
+  private val in = new java.io.BufferedInputStream(stream, 64 * 1024)
   private val wantKey = fields.contains("key")
   private val wantValue = fields.contains("value")
   private var row: InternalRow = _
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+
+  // Byte-exact line read: returns the line (terminator stripped, a
+  // trailing '\r' before '\n' included in the strip) and decrements
+  // `remaining` by the RAW bytes consumed — terminator included — so
+  // split accounting is correct for both LF and CRLF files. A
+  // BufferedReader.readLine would consume 2 bytes per CRLF terminator
+  // while the old accounting assumed 1, letting a split run past its
+  // end into lines the next split also reads (duplicates).
+  private def readLineCounted(): String = {
+    lineBuf.reset()
+    var b = in.read()
+    if (b == -1) return null
+    var consumed = 0L
+    while (b != -1 && b != '\n') { lineBuf.write(b); consumed += 1; b = in.read() }
+    if (b == '\n') consumed += 1
+    remaining -= consumed
+    val raw = lineBuf.toByteArray
+    val len = if (raw.nonEmpty && raw(raw.length - 1) == '\r') raw.length - 1
+              else raw.length
+    new String(raw, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   override def next(): Boolean = {
     // read while the line STARTS inside the range; the final straddling
-    // line is read whole (readLine crosses the boundary naturally)
-    val line = if (remaining <= 0) null else in.readLine()
+    // line is read whole (the byte loop crosses the boundary naturally)
+    val line = if (remaining <= 0) null else readLineCounted()
     if (line == null) false
     else {
-      remaining -= line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
       // column pruning is real work avoided, not cosmetics: an unwanted
       // side is never substring'd into existence
       val cut = line.lastIndexOf(' ')

@@ -209,7 +209,18 @@ object StreamOps {
                 } else SessionAcc(acc.startUs, math.max(acc.lastUs, t), acc.n + 1L)
             }
             state.update(acc)
-            state.setTimeoutTimestamp(acc.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            // Spark's flatMapGroupsWithState filters input rows older
+            // than the watermark (StreamOpsSpec pins that), so surviving
+            // events have ts >= watermark and lastUs + gap lands past it
+            // in the common case. The clamp is the invariant guard for
+            // the boundary (ts == watermark exactly) and for any future
+            // divergence between the late-events and eviction watermarks
+            // (they are separate values in the engine): a timeout <=
+            // current watermark is REJECTED by Spark and would fail the
+            // whole query, so never request one. watermark+1 means "this
+            // session is already expired — close it at the next trigger".
+            val want = acc.lastUs / 1000L + gapMinutes * 60L * 1000L
+            state.setTimeoutTimestamp(math.max(want, state.getCurrentWatermarkMs() + 1L))
             closed.iterator
           }
       }

@@ -822,7 +822,10 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = lower(element_at(split(noFrag, "://"), 1))
     val rest = element_at(split(noFrag, "://"), 2)
-    val hostport = element_at(split(rest, "/"), 1)
+    // the authority ends at the FIRST of '/' or '?' (fragment already
+    // stripped): a URL with a query but no path — 'https://site.com?a=1',
+    // a common crawl shape — must not fold '?a=1' into the host
+    val hostport = element_at(split(rest, "[/?]"), 1)
     val host = lower(element_at(split(hostport, ":"), 1))
     val port = try_element_at(split(hostport, ":"), lit(2))
     val portPart = when(port.isNotNull &&

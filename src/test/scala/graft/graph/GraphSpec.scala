@@ -228,4 +228,25 @@ class GraphSpec extends SparkSpec {
     assert(got.getLong(2) == m && got.getLong(3) == intra &&
       got.getLong(4) == qRef, s"got $got, want m=$m intra=$intra q=$qRef")
   }
+
+  test("modularity: exact past the Long overflow bound (m = 1.6e7 edges)") {
+    // 10⁴·(4mE − S) passes 2⁶³ once m ≳ 1.5·10⁷ with S ≪ 4mE — Long
+    // arithmetic would throw under ANSI (or silently wrap without it);
+    // the DECIMAL(38,0) path must stay exact. 32M directed rows on 1000
+    // nodes (multigraph of self-loops, one community per node): each
+    // node is src of 32000 rows → dsum = 32000 per 1-node community,
+    // m = E = 16·10⁶, S = 1000·32000² = 1.024e12,
+    // num = 10⁴·(4·16e6·16e6 − S) ≈ 1.023e19 > 2⁶³. Q = 9990 bp exactly.
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = spark.range(32L * 1000 * 1000)
+      .select(($"id" % 1000).as("src"), ($"id" % 1000).as("dst"))
+    val labels = spark.range(1000).select($"id", $"id".as("label"))
+    val r = Graph.modularity(edges, labels).head()
+    assert(r.getLong(2) == 16000000L && r.getLong(3) == 16000000L,
+      s"m/intra: $r")
+    // num = 10⁴·(4·16e6·16e6 − 1000·32000²) = 10²²·1.022976
+    // den = 4·(16e6)² = 1.024e15 → Q = 9990.0 bp exactly
+    assert(r.getLong(4) == 9990L, s"q_bp past the Long bound: $r")
+  }
 }

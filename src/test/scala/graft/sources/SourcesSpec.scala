@@ -138,7 +138,7 @@ class SourcesSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1))).toSet ==
         Set(("a", "1"), ("b", "2")))
       // a later shard with a lexicographically higher name tails in;
-      // the earlier shard is NOT re-read (offset watermark)
+      // the earlier shard is NOT re-read (seen-set offset)
       Files.writeString(new java.io.File(dir, "mr-out-9").toPath, "c 3\n")
       q.processAllAvailable()
       val rows = spark.table("kvtail").collect()
@@ -146,9 +146,51 @@ class SourcesSpec extends SparkSpec {
       assert(rows.size == 3 && rows.toSet ==
         Set(("a", "1"), ("b", "2"), ("c", "3")),
         s"tail must deliver each shard exactly once, got $rows")
+      // shard names are NOT monotone in commit order: 'mr-out-10' sorts
+      // BELOW the already-seen 'mr-out-9', so a high-watermark-by-name
+      // offset would silently drop it — the seen-set offset must not
+      Files.writeString(new java.io.File(dir, "mr-out-10").toPath, "d 4\n")
+      q.processAllAvailable()
+      val rows2 = spark.table("kvtail").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(rows2.size == 4 && rows2.toSet ==
+        Set(("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")),
+        s"a shard sorting below the last-seen name must still arrive, got $rows2")
     } finally {
       q.stop()
       spark.sql("DROP TABLE IF EXISTS kvtail")
+    }
+  }
+
+  test("kvtext byte-range splits: exact parity on CRLF line endings") {
+    // CRLF terminators consume 2 bytes per line; the reader's split
+    // accounting must count raw bytes or a split runs past its end into
+    // lines the next split also owns (duplicates)
+    val dir = Files.createTempDirectory("kvtext-crlf").toFile
+    val lines = (0 until 500).map(i => s"key$i ${i * 3}")
+    Files.writeString(new java.io.File(dir, "mr-out-0").toPath,
+      lines.mkString("\r\n") + "\r\n")
+    val expected = lines.map { l =>
+      val cut = l.lastIndexOf(' '); (l.substring(0, cut), l.substring(cut + 1))
+    }.sorted
+    for (splitBytes <- Seq(64, 777, 4096)) {
+      val got = spark.read.format("kvtext")
+        .option("maxSplitBytes", splitBytes.toString).load(dir.toString)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(got == expected,
+        s"splitBytes=$splitBytes on CRLF dropped or duplicated lines " +
+          s"(${got.length} vs ${expected.length})")
+    }
+  }
+
+  test("kvtext offset JSON round-trips arbitrary paths") {
+    val sets = Seq(
+      Set.empty[String],
+      Set("/tmp/out/mr-out-0"),
+      Set("a b", "quo\"te", "back\\slash", "new\nline", "mr-out-10", "mr-out-9"))
+    sets.foreach { s =>
+      val enc = KvTextOffset(s).json()
+      assert(KvTextOffset.parse(enc) == s, s"round-trip failed for $s: $enc")
     }
   }
 

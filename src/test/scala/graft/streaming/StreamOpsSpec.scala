@@ -307,6 +307,52 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session emitter: watermark-stale batches neither crash the query nor leak state") {
+    import StreamOps.{SEvent, ClosedSession}
+    def ev(u: Long, hhmm: String) =
+      SEvent(u, Timestamp.valueOf(s"2024-01-01 $hhmm:00"))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    // tight 1-minute watermark delay so batch 2's events land far below
+    // the watermark. This pins the engine contract the emitter's timeout
+    // clamp is written against: flatMapGroupsWithState FILTERS input
+    // older than the watermark (so the stale user never gets state), and
+    // any event surviving the filter has ts >= watermark, so the clamped
+    // setTimeoutTimestamp can never be rejected — the query must keep
+    // running through a stale-only batch, not die with
+    // IllegalArgumentException.
+    val q = StreamOps.sessionEmitter(spark,
+        StreamOps.withWatermark(input.toDF(), "1 minute").as[SEvent],
+        gapMinutes = 10)
+      .writeStream.format("memory").queryName("stale_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(ev(99, "12:00")) // watermark → 11:59
+      q.processAllAvailable()
+      // batch 2: ONLY events hours older than the watermark, for a user
+      // with no prior state — filtered as late, no crash, no state
+      input.addData(ev(1, "09:00"), ev(1, "09:05"))
+      q.processAllAvailable()
+      input.addData(ev(98, "13:00")) // advance watermark; fire timeouts
+      q.processAllAvailable()
+      input.addData(ev(97, "14:00")) // one more trigger for the close
+      q.processAllAvailable()
+      assert(q.isActive && q.exception.isEmpty,
+        s"stale-only batch must not fail the query: ${q.exception}")
+      val got = spark.sql("SELECT * FROM stale_sessions").as[ClosedSession]
+        .collect().toSet
+      // dropped-late contract: user 1 produced NO session (its rows
+      // never reached the state function), while the on-time sentinel
+      // sessions closed normally
+      assert(!got.exists(_.userId == 1L),
+        s"watermark-stale rows must be dropped, not sessionized: $got")
+      assert(got.exists(_.userId == 99L) && got.exists(_.userId == 98L),
+        s"on-time sessions must still close via timeout: $got")
+    } finally q.stop()
+  }
+
   test("blocklist gate: stateless stream == batch; banned docs drop mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     val terms = Seq("banned phrase", "spamword")

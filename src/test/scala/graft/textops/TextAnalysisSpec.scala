@@ -72,7 +72,14 @@ class TextAnalysisSpec extends SparkSpec {
       // all params tracking -> no query at all
       "https://a.b/p?utm_source=x&utm_medium=y" -> "https://a.b/p",
       // no query, no port
-      "https://a.b/CaseKept" -> "https://a.b/CaseKept")
+      "https://a.b/CaseKept" -> "https://a.b/CaseKept",
+      // query with NO path: '?' must terminate the authority, not fold
+      // into the host (common crawl shape)
+      "HTTPS://Site.COM?b=2&a=1" -> "https://site.com?a=1&b=2",
+      "https://Site.com:443?utm_source=x&a=1" -> "https://site.com?a=1",
+      "http://h.io:8080?x=1" -> "http://h.io:8080?x=1",
+      // bare host is a fixpoint
+      "https://site.com" -> "https://site.com")
     val got = cases.map(_._1).toDF("url")
       .select(TextAnalysis.urlCanonicalize($"url").as("c"))
       .collect().map(_.getString(0)).toSeq
