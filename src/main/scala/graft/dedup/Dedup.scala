@@ -565,65 +565,97 @@ object Dedup {
 
   // ---------- cluster resolution (transitive closure) ----------
 
-  /** Connected components over near-dup pairs: min-label propagation
-    * until fixpoint. Near-duplicate similarity is not transitive, so
-    * production dedup groups pairs into components and keeps one
-    * representative per component — this is that step.
+  /** Connected components over near-dup pairs: alternating large-star /
+    * small-star contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Near-duplicate similarity is
+    * not transitive, so production dedup groups pairs into components
+    * and keeps one representative per component — this is that step.
     *
-    * Each iteration is one join + aggregate (labels flow along edges);
-    * iterations needed = component diameter, which for near-dup clusters
-    * is tiny (dup clusters are dense). `localCheckpoint` truncates the
-    * growing lineage each round — without it the plan doubles per
-    * iteration. Deterministic: min() propagation converges to the same
-    * labels on any partitioning.
+    * Why star contraction and not 1-hop min-label propagation: label
+    * propagation needs DIAMETER rounds, and a pathological chain-shaped
+    * dup cluster (serial edits, boilerplate drift) at corpus scale can
+    * have diameter in the thousands. The star operations shortcut
+    * pointers every round, so the round count is O(log n) no matter the
+    * topology — a diameter-50 path converges in ~6 rounds (GraphSpec
+    * would fail on the propagation form at maxIter 12).
+    *
+    * Per round: large-star hangs every node's LARGER neighbors off the
+    * minimum of its closed neighborhood; small-star then hangs the
+    * SMALLER neighbors (and the node) off that minimum. Both are one
+    * keyed agg + one join over the current edge set — linear shuffles,
+    * no neighborhood materialized in memory. The fixpoint is the star
+    * forest: every non-root points directly at its component's min id.
+    * Convergence is checked EXACTLY (same count + same union-distinct
+    * count ⟺ same edge set — no hash-collision risk), and hitting the
+    * cap fails loudly: silently-split clusters make a wrongly
+    * "deduplicated" corpus. `localCheckpoint` per round truncates the
+    * branching lineage (each round reads the previous edge set thrice).
+    * Deterministic: min-based, so the same labels fall out on any
+    * partitioning.
     *
     * Returns (id, cluster) where cluster = min id in the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // checkpoint edges once: every iteration joins against them, and the
-    // upstream pair lineage (LSH + exact verify) must not re-execute per
-    // round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // checkpoint input pairs once: the upstream lineage (LSH + exact
+    // verify) must not re-execute per round
+    val input = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // directed child → parent: every edge points at its smaller endpoint
+    var g = input
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .localCheckpoint()
-    // labels only ever DECREASE (least(...) below), so the label sum is
-    // strictly monotone: unchanged sum ⟺ fixpoint. That makes the
-    // convergence check a scalar aggregate over the just-checkpointed
-    // round — not the join + inequality filter an order-free comparison
-    // would need. DECIMAL(38,0): node ids can carry 1e12-style offsets,
-    // and a Long sum over billions of such labels would overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s // empty edge set
+
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    // Output stays child → parent (v > u ≥ m).
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = n.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      n.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
     }
-    var prevSum = labelSum(labels)
-    var converged = false
+    // small-star(u) on the directed graph (all out-neighbors < u):
+    // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      e.join(m, "src")
+        .select(explode(array(
+          struct(col("src").as("s"), col("m").as("d")),
+          struct(col("dst").as("s"), col("m").as("d")))).as("x"))
+        .select(col("x.s").as("src"), col("x.d").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var converged = g.isEmpty // no edges ⟺ already the (empty) fixpoint
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src").as("id")).agg(min("cluster").as("ncluster"))
-      val updated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val s = labelSum(updated)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = updated
+      val next = smallStar(largeStar(g)).localCheckpoint()
+      val c = g.count()
+      converged = next.count() == c && g.union(next).distinct().count() == c
+      g.unpersist(blocking = false)
+      g = next
       i += 1
     }
-    // propagation moves the min label one hop per round, so hitting the
-    // cap means some component has diameter > maxIter and labels are NOT
-    // final — loud failure beats silently-split clusters (and a wrongly
-    // "deduplicated" corpus)
     require(converged,
-      s"connectedComponents did not converge within $maxIter iterations " +
-        "(a component's diameter exceeds maxIter); raise maxIter")
-    labels
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(star contraction needs ~log2(n) — raise maxIter or inspect the " +
+        "edge set for adversarial growth)")
+    // fixpoint is a star forest: every dst is a component root. Roots
+    // label themselves; nodes only ever seen in self-pairs label
+    // themselves too (the union keeps the old contract: every id that
+    // appears in `pairs` gets a label).
+    input
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .join(g.select(col("src").as("id"), col("dst").as("root")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster"))
   }
 
   /** Keep-one-per-cluster dedup: drops every doc whose component

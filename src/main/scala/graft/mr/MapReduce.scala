@@ -57,6 +57,33 @@ object MapReduce {
       .mapGroups((k, it) => KV(k, reducef(k, it.map(_.value).toSeq)))
   }
 
+  /** [[run]] with a STREAMING reduce: `reducef` consumes the group's
+    * values as an Iterator instead of a materialized Seq, so a reduce
+    * that folds incrementally (count, concat-fold, max — anything
+    * single-pass) processes a group of ANY size in constant memory.
+    * `mapGroups` streams rows off the sorted shuffle; it is the
+    * `.toSeq` in [[run]] that buffers — this variant removes it. The
+    * Seq form stays for reference parity (worker.go:167-183 hands the
+    * reduce a complete slice); wc/indexer-style apps pass through both
+    * identically (GoldenParitySpec runs wc through this path against
+    * the committed golden).
+    */
+  def runStreaming(
+      spark: SparkSession,
+      glob: String,
+      mapf: MapF,
+      reducef: (String, Iterator[String]) => String,
+      nReduce: Int = 10): Dataset[KV] = {
+    import spark.implicits._
+    val files = spark.sparkContext
+      .wholeTextFiles(glob, minPartitions = spark.sparkContext.defaultParallelism)
+      .map { case (path, contents) => (path.substring(path.lastIndexOf('/') + 1), contents) }
+    files.toDS()
+      .flatMap { case (name, contents) => mapf(name, contents) }
+      .groupByKey(_.key)
+      .mapGroups((k, it) => KV(k, reducef(k, it.map(_.value))))
+  }
+
   /** Sequential oracle mirroring mrsequential.go
     * (/root/reference/src/main/mrsequential.go:37-83): scan+map over files
     * in order, global key sort, run-length group, reduce. Pure Scala — no

@@ -214,7 +214,7 @@ object AuditQueries {
             .orderBy(col("ra_micro").desc, col("u"), col("v"))))
         .select("u", "v", "cn", "ra_micro", "rank")
         .orderBy("rank")
-    },
+    }.copy(headline = true),
 
     // ---- probability-calibration audit (q230): a weak deterministic
     //      English-detector probability (stopword share of tokens, in
@@ -498,7 +498,7 @@ object AuditQueries {
             .orderBy(col("a").desc, col("p"))))
         .select(col("p").as("part_id"), col("a").as("auth_micro"), col("rank"))
         .orderBy("rank")
-    },
+    }.copy(headline = true),
 
     // ---- seasonal decomposition + residual anomalies (q234): per
     //      (event_type, hour-of-day) seasonal mean profile in exact

@@ -621,7 +621,7 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true),
 
     // ---- dedup observability: the cluster-SIZE distribution — how many
     //      near-dup clusters exist at each size and how many docs dedup
@@ -1925,7 +1925,7 @@ object PipelineQueries {
       Dedup.clusterRepresentatives(
           Dedup.connectedComponents(pairs), corpus, length(col("text")))
         .orderBy("cluster_id")
-    },
+    }.copy(headline = true),
 
     // ---- per-source vocabulary coverage: OOV rate against the corpus
     //      top-1000 vocabulary (count-desc, token-asc boundary) — the
@@ -3886,7 +3886,7 @@ object PipelineQueries {
         .select(col("source"), col("n_docs"), col("mean_ppm"),
           col("ci_lo_ppm"), col("ci_hi_ppm"))
         .orderBy("source")
-    },
+    }.copy(headline = true),
 
     // ---- code-switching detection (q208): documents whose HEAD and
     //      TAIL halves identify as different languages — mixed-language

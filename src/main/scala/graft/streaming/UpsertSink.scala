@@ -217,13 +217,65 @@ object UpsertSink {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .write.mode("overwrite").parquet(s"$tableDir/v$version")
+      // physical layout = one partition dir per bucket, so a reader (or
+      // the next merge) of bucket b scans ONLY bucket=b/ of each version
+      // it references — partition pruning instead of a full-version scan
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$tableDir/v$version")
     val manifest = prevManifest.filter { case (b, _) => !touched(b) } ++
       touched.map(_ -> version)
     commitFile(spark, tableDir, s"_MANIFEST.v$version",
       (s"buckets:$nBuckets" +:
         manifest.toSeq.sorted.map { case (b, v) => s"$b:$v" }).mkString("\n"))
     commitPointer(spark, tableDir, Pointer(version, appId, batchId))
+  }
+
+  /** Compact a bucketed table: rewrite EVERY live bucket into one new
+    * version and point the whole manifest at it. Without this, a
+    * long-running stream leaves each bucket pinned at whichever version
+    * last rewrote it — the manifest fans out across an unbounded set of
+    * version directories, every snapshot read unions all of them, and
+    * [[vacuum]] can reclaim none (each old version stays live through
+    * the one bucket still referencing it). After compaction the manifest
+    * references exactly one version, so a follow-up vacuum reclaims
+    * everything older.
+    *
+    * Crash-safe by the same rule as the write path: the new version dir
+    * is INVISIBLE until the manifest + `_LATEST` pointer commit (readers
+    * resolve through the pointer). A compaction that dies mid-write
+    * leaves a stray un-referenced `v<n+1>` dir that the next writer's
+    * `mode("overwrite")` clobbers — never a torn snapshot
+    * (UpsertSinkSpec restarts a compaction mid-flight to pin this).
+    * The pointer keeps the previous (appId, batchId) replay marker:
+    * compaction is a maintenance commit, not a batch — a re-delivered
+    * micro-batch after a restart still deduplicates correctly.
+    *
+    * Returns the new version, or None when the table is already compact
+    * (single referenced version) or has no data.
+    */
+  def compact(spark: SparkSession, tableDir: String): Option[Long] = {
+    readPointer(spark, tableDir) match {
+      // a plain (non-bucketed) table has no manifest and each version is
+      // already a full snapshot — nothing to compact, vacuum suffices
+      case Some(p) if p.version >= 0 &&
+          fs(spark, tableDir).exists(
+            new Path(tableDir, s"_MANIFEST.v${p.version}")) =>
+        val (n, entries) = readManifest(spark, tableDir, p.version)
+        if (entries.values.toSet == Set(p.version)) None
+        else readBuckets(spark, tableDir, entries) match {
+          case None => None
+          case Some(snap) =>
+            val newV = p.version + 1
+            snap.write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$tableDir/v$newV")
+            commitFile(spark, tableDir, s"_MANIFEST.v$newV",
+              (s"buckets:$n" +:
+                entries.keys.toSeq.sorted.map(b => s"$b:$newV")).mkString("\n"))
+            commitPointer(spark, tableDir, Pointer(newV, p.appId, p.batchId))
+            Some(newV)
+        }
+      case _ => None
+    }
   }
 
   /** Reclaim version directories (and manifests) no longer reachable

@@ -4,12 +4,16 @@ import graft.{GraftSession, SparkEntry}
 
 /** Timing sweep over the whole catalog: runs every query `passes` times
   * at `sfDir` and prints the fastest observed wall time per query,
-  * slowest first — the tool that finds un-benched slow queries.
+  * slowest first — the tool that finds un-benched slow queries. With a
+  * third arg it also writes the sorted sweep as one JSON object
+  * (`{"sf":…,"passes":N,"queries":{name:sec,…}}`, slowest first) so the
+  * sweep is a committable round artifact.
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val outJson = args.lift(2)
     val spark = GraftSession.getOrCreate("graft-timeall")
     val best = scala.collection.mutable.Map.empty[String, Double]
     (1 to passes).foreach { p =>
@@ -27,8 +31,14 @@ object TimeAll {
       }
       println(s"[timeall] pass $p done")
     }
-    best.toSeq.sortBy(-_._2).foreach { case (n, s) =>
-      println(f"[timeall] $s%7.3f  $n")
+    val sorted = best.toSeq.sortBy(-_._2)
+    sorted.foreach { case (n, s) => println(f"[timeall] $s%7.3f  $n") }
+    outJson.foreach { path =>
+      val qs = sorted.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+      val total = f"${sorted.map(_._2).sum}%.3f"
+      java.nio.file.Files.writeString(java.nio.file.Path.of(path),
+        s"""{"sf":"$dir","passes":$passes,"total_best_sec":$total,"queries":{$qs}}\n""")
+      println(s"[timeall] wrote $path")
     }
     spark.stop()
   }

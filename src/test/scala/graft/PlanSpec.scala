@@ -769,6 +769,49 @@ class PlanSpec extends SparkSpec {
       s"rank join must stay equi-keyed:\n$plan")
   }
 
+  test("q88 salted join: salt survives into the join keys under AQE skew-join") {
+    // the salted paths exist for skew AQE can't fix (hot key + dim too
+    // big to broadcast); they must keep their shape when AQE's own
+    // skew-join handling is ON — the runtime re-planner must not strip
+    // or bypass the salt
+    val prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      val df = SparkEntry.queries("q88_salted_join")(spark, sf0001)
+      df.collect() // AQE finalizes the plan only after execution
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"expected a finalized AQE plan:\n$plan")
+      val joinOnSalt = plan.linesIterator.exists(l =>
+        l.contains("Join") && l.contains("_salt"))
+      assert(joinOnSalt, s"join must key on (o_custkey, _salt):\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"salted join degenerated to a product:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+  }
+
+  test("q47 salted agg: two-phase (key,salt)→key aggregation survives AQE") {
+    val prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      val df = SparkEntry.queries("q47_salted_agg")(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"expected a finalized AQE plan:\n$plan")
+      // phase 1 spreads the hot key over (key, _salt) reducers —
+      // partial AND final of the first agg both carry the salt key
+      val saltAggs = plan.linesIterator.count(l =>
+        l.contains("HashAggregate") && l.contains("_salt"))
+      assert(saltAggs >= 2,
+        s"expected partial+final HashAggregate on (l_returnflag, _salt), " +
+          s"found $saltAggs:\n$plan")
+      // phase 2 merges partials per key only
+      val keyOnly = plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("l_returnflag") &&
+          !l.contains("_salt"))
+      assert(keyOnly, s"missing the final per-key merge aggregate:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev)
+  }
+
   test("q232 matryoshka: both passes broadcast the query set; corpus never shuffles pre-topk") {
     val plan = planOf("q232_matryoshka")
     assert(plan.contains("BroadcastNestedLoopJoin"),

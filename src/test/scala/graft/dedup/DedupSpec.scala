@@ -174,6 +174,29 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("connected components: star contraction beats diameter — 50-hop path in ≤12 rounds") {
+    // a chain-shaped dup cluster (serial edits) has diameter = length;
+    // 1-hop min-label propagation would need 50 rounds and fail this
+    // cap — star contraction needs ~log2(50)
+    val pairs = (1L to 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 51 && cc.values.forall(_ == 1L),
+      s"whole path must label to min id 1: $cc")
+    // self-pairs label themselves (old contract preserved)
+    val selfs = Seq((7L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val sc = Dedup.connectedComponents(selfs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc == Map(7L -> 7L, 8L -> 8L, 9L -> 8L), s"got $sc")
+    // a genuinely-too-small cap still fails LOUDLY, never returns a
+    // silently-split labeling
+    val long = (1L to 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(long, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("nearDupPairs equals local brute force on randomized corpora") {
     // Property behind the q31 oracle: LSH + estimate-filter + exact verify
     // reproduces the brute-force answer (recall budget ~1e-6/pair at the

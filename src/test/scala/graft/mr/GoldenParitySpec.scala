@@ -33,6 +33,20 @@ class GoldenParitySpec extends SparkSpec {
         s"(missing ${missing.size}, extra ${extra.size})")
   }
 
+  test("wc through the STREAMING reduce path is byte-identical to the golden") {
+    // the Iterator form never materializes a group: a single-pass fold
+    // (here: count) runs in constant memory per group at any group size
+    val got = MapReduce.goldenLines(
+      MapReduce.runStreaming(spark, glob, MrApps.wcMap,
+        (_, values) => values.foldLeft(0L)((n, _) => n + 1).toString))
+      .collect().toSet
+    val golden = Files.readAllLines(Paths.get(s"$mainDir/mymrout"),
+      StandardCharsets.UTF_8).asScala.toSet
+    assert((golden -- got).isEmpty && (got -- golden).isEmpty,
+      s"streaming-reduce wc diverged from golden " +
+        s"(missing ${(golden -- got).size}, extra ${(got -- golden).size})")
+  }
+
   test("wc distributed == sequential oracle") {
     val dist = MapReduce.run(spark, glob, MrApps.wcMap, MrApps.wcReduce)
       .collect().map(kv => kv.key -> kv.value).toMap

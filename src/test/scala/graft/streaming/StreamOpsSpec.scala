@@ -141,6 +141,57 @@ class StreamOpsSpec extends SparkSpec {
     assert(sess.count(_._1 == 8) == 1)
   }
 
+  test("streaming session windows: within-watermark events merge, beyond-watermark events drop; == batch replay of the kept events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionCounts(
+        StreamOps.withWatermark(input.toDF(), "5 minutes"), "10 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: user 7's session + user 8's singleton
+      input.addData(Ev(ts(0), "a", 1.0, 7), Ev(ts(3), "a", 1.0, 7),
+        Ev(ts(0), "a", 1.0, 8))
+      q.processAllAvailable()
+      // batch 2: an event still INSIDE user 7's open session gap and
+      // inside the watermark — must merge, not open a new session
+      input.addData(Ev(ts(8), "a", 1.0, 7))
+      q.processAllAvailable()
+      // sentinel one hour on: watermark passes every open session + gap
+      input.addData(Ev(ts(59), "s", 1.0, 99))
+      q.processAllAvailable()
+      // batch 4: user 7 again at 10:04 — the watermark is now ~10:54,
+      // so this late event must be DROPPED (no new session, no merge)
+      input.addData(Ev(ts(4), "late", 1.0, 7))
+      q.processAllAvailable()
+      input.addData(Ev(Timestamp.valueOf("2024-01-01 12:00:00"), "s", 1.0, 98))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT sess_start, sess_end, user_id, n_events FROM sess_late")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3))).toSet
+      // batch replay over exactly the KEPT events (the late 10:04 row
+      // excluded) must agree on every closed session
+      val kept = Seq(
+        Ev(ts(0), "a", 1.0, 7), Ev(ts(3), "a", 1.0, 7), Ev(ts(8), "a", 1.0, 7),
+        Ev(ts(0), "a", 1.0, 8), Ev(ts(59), "s", 1.0, 99))
+      val batchRes = StreamOps.sessionCounts(kept.toDF(), "10 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(batchRes.subsetOf(got),
+        s"streaming sessions must equal batch replay of kept events:\n" +
+          s"stream=$got\nbatch=$batchRes")
+      // the dropped event contributed nothing: user 7 has exactly ONE
+      // session and it counts 3 events (00, 03, 08 merged; 04 dropped)
+      val u7 = got.filter(_._3 == 7L)
+      assert(u7.size == 1 && u7.head._4 == 3L,
+        s"late event must not reopen or inflate user 7's session: $u7")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess_late")
+    }
+  }
+
   test("windowed term counts: streaming (append) == batch; top-k cut is deterministic") {
     val docs = Seq(
       (ts(1), "spark spark flink"),

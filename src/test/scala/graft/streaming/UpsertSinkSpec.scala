@@ -151,6 +151,68 @@ class UpsertSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("bucketed 8-way"))
   }
 
+  test("compaction folds a fanned-out manifest into one version; vacuum then reclaims all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert9").toString
+    // six batches, each touching one key → the manifest ends up
+    // referencing several version dirs (each bucket pinned where it was
+    // last rewritten), none of which vacuum alone can reclaim
+    (0 until 6).foreach { i =>
+      UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+        Seq(KvStreaming.KvChange(i.toLong, s"k$i", s"v$i")).toDF(), i.toLong)
+    }
+    def snapshot() = UpsertSink.loadBucketed(spark, dir).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    def versionDirs() = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("v\\d+")).toSet
+    val snap = snapshot()
+    val vBefore = UpsertSink.latestVersion(spark, dir).get
+    assert(versionDirs().size > 1, "setup must fan out across versions")
+    val newV = UpsertSink.compact(spark, dir)
+    assert(newV.contains(vBefore + 1), s"compact returned $newV")
+    assert(snapshot() == snap, "compaction must not change the snapshot")
+    val removed = UpsertSink.vacuum(spark, dir)
+    assert(removed.nonEmpty && versionDirs() == Set(s"v${vBefore + 1}"),
+      s"post-compaction vacuum must leave only the compacted version, " +
+        s"removed=$removed left=${versionDirs()}")
+    assert(snapshot() == snap)
+    // already-compact table: no-op
+    assert(UpsertSink.compact(spark, dir).isEmpty)
+    // compaction preserves the replay marker: a re-delivered batch from
+    // the same lineage is still recognized and dropped
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(999L, "k0", "POISON")).toDF(), 5L)
+    assert(snapshot() == snap, "replay after compaction must stay a no-op")
+    // and a genuinely new batch still applies on top
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(1000L, "k0", "fresh")).toDF(), 6L)
+    assert(snapshot() == snap.updated("k0", "fresh"))
+  }
+
+  test("a compaction that dies mid-write never tears the snapshot; restart recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsertA").toString
+    (0 until 4).foreach { i =>
+      UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+        Seq(KvStreaming.KvChange(i.toLong, s"k$i", s"v$i")).toDF(), i.toLong)
+    }
+    def snapshot() = UpsertSink.loadBucketed(spark, dir).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    val snap = snapshot()
+    val v = UpsertSink.latestVersion(spark, dir).get
+    // simulate the crash window: compact() writes v<n+1> FIRST and only
+    // then commits manifest + pointer — a death in between leaves a
+    // stray version dir and an untouched pointer
+    Seq(("zz", 1L, "torn", 0)).toDF("key", "seq", "value", "bucket")
+      .write.partitionBy("bucket").parquet(s"$dir/v${v + 1}")
+    assert(snapshot() == snap,
+      "readers resolve through _LATEST — a stray version dir must be invisible")
+    // restart: rerun compaction; mode(overwrite) clobbers the stray dir
+    val newV = UpsertSink.compact(spark, dir)
+    assert(newV.contains(v + 1))
+    assert(snapshot() == snap, "recovered compaction must converge to the same state")
+    UpsertSink.vacuum(spark, dir)
+    assert(snapshot() == snap)
+  }
+
   test("vacuum reclaims superseded versions; the snapshot is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert7").toString
     (0 to 3).foreach { i =>

@@ -282,6 +282,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(t == Seq(("a", "b")), s"tiny corpus table: $t")
   }
 
+  test("bpeTrain launches at most 2 Spark jobs regardless of merge count") {
+    // the corpus-sized work is ONE word-count aggregation; the merge
+    // loop runs on the driver over the collected vocab-bounded dict. A
+    // per-merge distributed round would launch O(merges) jobs — unusable
+    // at a real 32k vocab. ≤2 covers AQE's shuffle-map + result jobs.
+    val docs = (0 until 200).map(i => (i.toLong, s"alpha beta gamma delta w$i"))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val table = TextAnalysis.bpeTrain(docs, merges = 50)
+      // listener events are async; the job-START events we count are
+      // posted synchronously with submission, but give the bus a beat
+      Thread.sleep(500)
+      assert(table.size == 50, s"expected 50 merges, got ${table.size}")
+      assert(jobs.get() <= 2,
+        s"training must be collect-once + driver loop, saw ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bigramNll equals a driver-side recompute; gibberish outscores prose") {
     val docs = Seq(
       (1L, "the cat sat on the mat and the cat slept"),
