@@ -632,15 +632,24 @@ object Dedup {
         .distinct()
     }
 
-    var converged = g.isEmpty // no edges ⟺ already the (empty) fixpoint
+    // fixpoint test: the contraction is done exactly when g is a star
+    // forest — no node is both a child (src) and a parent (dst). Both
+    // ops leave a star forest unchanged and preserve components, so
+    // star-forest ⟺ converged. This is ONE semi-join over node-sized
+    // distinct projections per round — not an edge-set equality compare
+    // (which costs a 2×-edge distinct shuffle + three count jobs).
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("dst")).distinct()
+        .join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+        .isEmpty
+    var converged = g.isEmpty || isStarForest(g)
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(g)).localCheckpoint()
-      val c = g.count()
-      converged = next.count() == c && g.union(next).distinct().count() == c
       g.unpersist(blocking = false)
       g = next
       i += 1
+      converged = isStarForest(g)
     }
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +

@@ -694,6 +694,28 @@ object ScaleProbe {
     val go1 = timeGolden("1x", replicate(1))
     val gon = timeGolden(s"${copies}x", replicate(copies))
     println(f"[scaleprobe] golden time ratio=${gon / go1}%.2f for ${copies}x members")
+
+    // connected components on a CHAIN — the adversarial topology for
+    // component resolution: diameter = n, so 1-hop propagation needs n
+    // rounds (unrunnable here) while star contraction needs ~log2(n).
+    // 10× the chain should add ~constant rounds (log 10 ≈ 3), so wall
+    // grows far SLOWER than data — the property SCALE.md claims.
+    def timeChain(label: String, n: Long): Double = {
+      val pairs = spark.range(n)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val t0 = System.nanoTime()
+      val comps = Dedup.connectedComponents(pairs, maxIter = 40)
+        .select(countDistinct(col("cluster"))).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] cc-chain-$label: n=$n components=$comps time=$secs%.2fs")
+      clearBlocks()
+      secs
+    }
+    timeChain("warmup", 10000L)
+    val cc1 = timeChain("1x", 100000L)
+    val ccn = timeChain(s"${copies}x", copies * 100000L)
+    println(f"[scaleprobe] cc-chain time ratio=${ccn / cc1}%.2f for ${copies}x " +
+      "chain length (log-round contraction ⇒ well below data ratio)")
     spark.stop()
   }
 }
