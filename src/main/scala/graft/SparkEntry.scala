@@ -19,7 +19,8 @@ object SparkEntry {
       graft.operators.PipelineQueries.defs ++
       graft.operators.StreamMediaQueries.defs ++
       graft.operators.AnalyticsQueries.defs ++
-      graft.operators.AuditQueries.defs
+      graft.operators.AuditQueries.defs ++
+      graft.operators.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

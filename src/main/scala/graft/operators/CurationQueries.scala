@@ -1,0 +1,370 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.tables.Tables
+import graft.textops.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation statistics and entity-resolution operators, round-6
+  * extension set: Zipf power-law fit, Fellegi–Sunter record linkage,
+  * char-bigram LM perplexity quality scoring, and Good–Turing unseen-mass
+  * estimation.
+  *
+  * Reference surface: none — the MapReduce engine (SURVEY.md §2.4 ABSENT
+  * rows; /root/reference/src/mr/worker.go:76-190) has no corpus-statistics
+  * or linkage tooling; these are the curation operators a 100 TB
+  * training-data pipeline runs on top of its data plane.
+  *
+  * Scale notes (100 TB):
+  *  - Zipf fit (q237): one token-count aggregation, then
+  *    [[Scale.globalRank]] (range-partitioned prefix sums — never a
+  *    single-partition window) ranks the vocabulary; the OLS fit reads
+  *    only the top-R ranked rows and reduces them to ONE moment row.
+  *    All regression arithmetic is integer (micro-nat quantization per
+  *    point, DECIMAL(38,0) moment products), so the oracle hash-matches.
+  *  - record linkage (q238): candidate pairs come ONLY from blocking
+  *    passes (nation × balance-bucket, nation × name-suffix) — two
+  *    equi-join shuffles, never an all-pairs compare — with the LSH-style
+  *    live-block cap (2..maxBlock) guarding degenerate blocks on both
+  *    sides. Σ block² bounded by maxBlock × n.
+  *  - char-LM scoring (q239): the trained LM is vocabulary-bounded
+  *    (≤ 27² bigram rows + 27 context rows) and BROADCAST; scoring is one
+  *    narrow scan + per-doc aggregate. Training is one count aggregation
+  *    over the reference slice.
+  *  - Good–Turing (q240): two nested count aggregations; the
+  *    frequency-of-frequencies table is ≤ max-count rows and its r+1
+  *    lookup is an equi-join on that tiny table, not a window.
+  */
+object CurationQueries {
+
+  private val toksSql = OracleSql.wsTokens()
+
+  /** round(1e6·ln(1/27)) — the unseen-context fallback, pinned as a
+    * literal on BOTH sides so no ln() boundary can flip it. */
+  private val qlnUnseenCtx = -3295837L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Zipf power-law fit (q237): rank the vocabulary by frequency
+    //      and OLS-fit ln(freq) = intercept − alpha·ln(rank) over the
+    //      top 200 ranks — the corpus-health number (alpha ≈ 1 for
+    //      natural language) a curation pipeline tracks per snapshot to
+    //      catch template/boilerplate floods (alpha collapses) or
+    //      over-dedup (alpha inflates). Per-point micro-nat
+    //      quantization BEFORE the moment sums keeps every sum integer
+    //      and order-insensitive; the slope/intercept divisions keep
+    //      both numerators positive so DuckDB floor-div == Spark
+    //      truncating div. ----
+    QueryDef(
+      "q237_zipf_fit",
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM toks GROUP BY tok),
+         |r AS (SELECT tok, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+         |          AS rank
+         |      FROM c),
+         |p AS (SELECT rank, cnt, tok,
+         |        CAST(round(1000000 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+         |        CAST(round(1000000 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+         |      FROM r WHERE rank <= 200),
+         |g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+         |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+         |      FROM p),
+         |a AS (SELECT n, sy, sx,
+         |        CAST(CAST((sx * sy - n * sxy) * 1000 AS HUGEINT)
+         |             // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+         |          AS alpha_milli
+         |      FROM g),
+         |t1 AS (SELECT tok AS top_token, cnt AS top_cnt FROM r WHERE rank = 1)
+         |SELECT CAST(n AS BIGINT) AS n_ranked, alpha_milli,
+         |       CAST(CAST(sy * 1000 + alpha_milli * sx AS HUGEINT)
+         |            // CAST(n * 1000 AS HUGEINT) AS BIGINT)
+         |         AS intercept_micro,
+         |       top_token, top_cnt
+         |FROM a CROSS JOIN t1""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      val c = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val ranked = Scale.globalRank(
+        c.withColumn("neg", -col("cnt")), "rank", "neg", "tok")
+      val p = ranked.filter(col("rank") <= 200).select(
+        col("rank"), col("cnt"), col("tok"),
+        round(lit(1000000d) * log(col("rank").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1000000d) * log(col("cnt").cast("double")))
+          .cast("long").as("y"))
+      val g = p.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val a = g.select(col("n"), col("sy"), col("sx"),
+        expr("CAST(((sx * sy - n * sxy) * 1000) div (n * sxx - sx * sx) AS BIGINT)")
+          .as("alpha_milli"))
+      val t1 = p.filter(col("rank") === 1)
+        .select(col("tok").as("top_token"), col("cnt").as("top_cnt"))
+      a.crossJoin(broadcast(t1)).select(
+        col("n").cast("long").as("n_ranked"),
+        col("alpha_milli"),
+        expr("CAST((sy * 1000 + alpha_milli * sx) div (n * 1000) AS BIGINT)")
+          .as("intercept_micro"),
+        col("top_token"), col("top_cnt"))
+    },
+
+    // ---- Fellegi–Sunter record linkage (q238): probabilistic entity
+    //      resolution over a dirty customer table — planted near-dupes
+    //      (typo'd name, drifted balance, sometimes-lost segment) must
+    //      be recovered through BLOCKING (two passes: nation ×
+    //      balance-kilobucket, nation × name-suffix — a perturbation
+    //      that escapes one block survives the other) and field-wise
+    //      agreement weights in milli-bans (name exact/fuzzy/miss via
+    //      levenshtein, segment, balance-within-10¢). Decision bands:
+    //      ≥8000 match, ≥3000 possible. The balance bucket shifts by
+    //      +100000 before the div so the numerator stays positive
+    //      (floor == trunc). ----
+    QueryDef(
+      "q238_record_linkage",
+      """WITH base AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nat,
+        |         c_mktsegment AS seg,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |dup AS (
+        |  SELECT id + 1000000 AS id,
+        |         replace(name, 'Customer#', 'Custmer#') AS name, nat,
+        |         CASE WHEN id % 3 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+        |         bal_c + 5 AS bal_c
+        |  FROM base WHERE id < 60),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |k1 AS (SELECT id, nat, (bal_c + 100000) // 100000 AS bk FROM u),
+        |c1 AS (SELECT nat, bk FROM k1 GROUP BY nat, bk
+        |       HAVING count(*) BETWEEN 2 AND 1000),
+        |p1 AS (SELECT a.id AS id_a, b.id AS id_b
+        |       FROM k1 a JOIN k1 b
+        |         ON a.nat = b.nat AND a.bk = b.bk AND a.id < b.id
+        |       JOIN c1 ON c1.nat = a.nat AND c1.bk = a.bk),
+        |k2 AS (SELECT id, nat, right(name, 4) AS nk FROM u),
+        |c2 AS (SELECT nat, nk FROM k2 GROUP BY nat, nk
+        |       HAVING count(*) BETWEEN 2 AND 1000),
+        |p2 AS (SELECT a.id AS id_a, b.id AS id_b
+        |       FROM k2 a JOIN k2 b
+        |         ON a.nat = b.nat AND a.nk = b.nk AND a.id < b.id
+        |       JOIN c2 ON c2.nat = a.nat AND c2.nk = a.nk),
+        |pairs AS (SELECT id_a, id_b FROM p1
+        |          UNION SELECT id_a, id_b FROM p2),
+        |sc AS (
+        |  SELECT p.id_a, p.id_b,
+        |         CAST(CASE WHEN a.name = b.name THEN 9000
+        |              WHEN levenshtein(a.name, b.name) <= 2 THEN 5000
+        |              ELSE -4000 END
+        |         + CASE WHEN a.seg = b.seg THEN 1500 ELSE -2500 END
+        |         + CASE WHEN abs(a.bal_c - b.bal_c) <= 10 THEN 3000
+        |                ELSE -1500 END AS BIGINT) AS score_milli
+        |  FROM pairs p
+        |  JOIN u a ON a.id = p.id_a
+        |  JOIN u b ON b.id = p.id_b)
+        |SELECT id_a, id_b, score_milli,
+        |       CASE WHEN score_milli >= 8000 THEN 'match'
+        |            WHEN score_milli >= 3000 THEN 'possible'
+        |            ELSE 'nonmatch' END AS decision
+        |FROM sc
+        |WHERE score_milli >= 3000
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val dup = base.filter(col("id") < 60).select(
+        (col("id") + 1000000L).as("id"),
+        expr("replace(name, 'Customer#', 'Custmer#')").as("name"),
+        col("nat"),
+        when(col("id") % 3 === 0, lit("UNKNOWN")).otherwise(col("seg"))
+          .as("seg"),
+        (col("bal_c") + 5L).as("bal_c"))
+      val u = base.unionByName(dup).localCheckpoint()
+
+      // one blocking pass: equi-join on the block key, gated through the
+      // live-block cap (the LSH maxBucket idiom — degenerate blocks drop)
+      def pass(keyed: DataFrame, keys: Seq[String]): DataFrame = {
+        val live = keyed.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c").between(2, 1000))
+          .select(keys.map(col): _*)
+        val l = keyed.select(col("id").as("id_a") +: keys.map(col): _*)
+        val r = keyed.select(col("id").as("id_b") +: keys.map(col): _*)
+        l.join(r, keys).filter(col("id_a") < col("id_b"))
+          .join(live, keys, "left_semi")
+          .select("id_a", "id_b")
+      }
+      val p1 = pass(
+        u.select(col("id"), col("nat"),
+          expr("(bal_c + 100000) div 100000").as("bk")),
+        Seq("nat", "bk"))
+      val p2 = pass(
+        u.select(col("id"), col("nat"),
+          expr("right(name, 4)").as("nk")),
+        Seq("nat", "nk"))
+      val pairs = p1.union(p2).distinct()
+      val a = u.select(col("id").as("id_a"), col("name").as("na"),
+        col("seg").as("sa"), col("bal_c").as("ba"))
+      val b = u.select(col("id").as("id_b"), col("name").as("nb"),
+        col("seg").as("sb"), col("bal_c").as("bb"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (when(col("na") === col("nb"), 9000L)
+            .when(levenshtein(col("na"), col("nb")) <= 2, 5000L)
+            .otherwise(-4000L)
+            + when(col("sa") === col("sb"), 1500L).otherwise(-2500L)
+            + when(abs(col("ba") - col("bb")) <= 10, 3000L)
+              .otherwise(-1500L)).as("score_milli"))
+        .filter(col("score_milli") >= 3000)
+        .select(col("id_a"), col("id_b"), col("score_milli"),
+          when(col("score_milli") >= 8000, "match").otherwise("possible")
+            .as("decision"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- char-bigram LM perplexity scoring (q239): the CCNet-style
+    //      quality signal — train a Laplace-smoothed character-bigram
+    //      LM on the English slice, score EVERY doc's cross-entropy
+    //      against it (high = un-English/garbled/boilerplate-coded).
+    //      Bigrams restricted to [a-z ]² so multilingual text scores on
+    //      its latin content only. Per-bigram log-probs are micro-nat
+    //      quantized ONCE in the (≤ 27²-row, broadcast) LM table, so
+    //      doc scores are integer sums — one narrow scan + one per-doc
+    //      aggregate at any corpus size. ----
+    QueryDef(
+      "q239_charlm_perplexity",
+      s"""WITH d2 AS (SELECT doc_id, lang, text FROM documents
+         |            WHERE len(text) >= 2),
+         |bg AS (
+         |  SELECT doc_id, lang, g FROM (
+         |    SELECT doc_id, lang,
+         |           unnest(list_transform(range(1, len(text)),
+         |             i -> substring(text, CAST(i AS INT), 2))) AS g
+         |    FROM d2)
+         |  WHERE regexp_matches(g, '^[a-z ]{2}$$')),
+         |bc AS (SELECT g, count(*) AS c FROM bg WHERE lang = 'en' GROUP BY g),
+         |cc AS (SELECT substring(g, 1, 1) AS c1, sum(c) AS ctx
+         |       FROM bc GROUP BY 1),
+         |lm AS (SELECT g,
+         |         CAST(round(1000000 * ln((CAST(c AS DOUBLE) + 1)
+         |                / (CAST(ctx AS DOUBLE) + 27))) AS BIGINT) AS qln
+         |       FROM bc JOIN cc ON substring(bc.g, 1, 1) = cc.c1),
+         |cu AS (SELECT c1,
+         |         CAST(round(1000000 * ln(1.0
+         |                / (CAST(ctx AS DOUBLE) + 27))) AS BIGINT) AS qln_u
+         |       FROM cc),
+         |du AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS k
+         |       FROM bg GROUP BY doc_id, g),
+         |sc AS (
+         |  SELECT doc_id, sum(k) AS n_bigrams,
+         |         sum(k * coalesce(lm.qln, cu.qln_u, $qlnUnseenCtx)) AS total
+         |  FROM du
+         |  LEFT JOIN lm ON du.g = lm.g
+         |  LEFT JOIN cu ON substring(du.g, 1, 1) = cu.c1
+         |  GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       CAST((0 - total) // n_bigrams AS BIGINT) AS xent_micro
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d2 = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .filter(length(col("text")) >= 2)
+      val bg = d2.select(col("doc_id"), col("lang"), explode(
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2)))).as("g"))
+        .filter(col("g").rlike("^[a-z ]{2}$"))
+        .localCheckpoint()
+      val bc = bg.filter(col("lang") === "en")
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val cc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
+        .agg(sum("c").as("ctx"))
+      val lm = bc.join(cc, substring(bc("g"), 1, 1) === cc("c1"))
+        .select(col("g"),
+          round(lit(1000000d) *
+            log((col("c").cast("double") + 1) / (col("ctx").cast("double") + 27)))
+            .cast("long").as("qln"))
+      val cu = cc.select(col("c1"),
+        round(lit(1000000d) * log(lit(1.0) / (col("ctx").cast("double") + 27)))
+          .cast("long").as("qln_u"))
+      val du = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
+      du.join(broadcast(lm), Seq("g"), "left")
+        .join(broadcast(cu),
+          substring(col("g"), 1, 1) === col("c1"), "left")
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          sum(col("k") * coalesce(col("qln"), col("qln_u"),
+            lit(qlnUnseenCtx))).as("total"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(0 - total) div n_bigrams").as("xent_micro"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Good–Turing unseen-mass estimate (q240): from the word-TRIGRAM
+    //      frequency-of-frequencies table S(r), the probability mass of
+    //      UNSEEN trigrams p0 = S(1)/N and the smoothed adjusted
+    //      counts r* = (r+1)·S(r+1)/S(r) for r ≤ 10 — the classic
+    //      LM-smoothing statistic: how much of the n-gram distribution a
+    //      model built on this corpus will never have seen. Trigrams,
+    //      not unigrams, because the unigram vocabulary saturates (no
+    //      singleton tail — min unigram count in this corpus is 26)
+    //      while the trigram space has the Zipf tail the estimator
+    //      exists for. Two nested count aggregations; the S(r+1) lookup
+    //      is an equi-join on the tiny S table. ----
+    QueryDef(
+      "q240_good_turing",
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |toks AS (
+         |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+         |    AS tok
+         |  FROM t WHERE len(toks) >= 3),
+         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS r
+         |      FROM toks GROUP BY tok),
+         |s AS (SELECT r, CAST(count(*) AS BIGINT) AS s_r FROM c GROUP BY r),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |s1 AS (SELECT coalesce(
+         |         (SELECT s_r FROM s WHERE r = 1), 0) AS n1)
+         |SELECT s.r, s.s_r, coalesce(s2.s_r, 0) AS s_next,
+         |       CAST((1000 * (s.r + 1) * coalesce(s2.s_r, 0)) // s.s_r
+         |         AS BIGINT) AS r_star_milli,
+         |       CAST((1000000 * s1.n1) // n.n AS BIGINT) AS p0_ppm
+         |FROM s
+         |LEFT JOIN s s2 ON s2.r = s.r + 1
+         |CROSS JOIN n CROSS JOIN s1
+         |WHERE s.r <= 10
+         |ORDER BY s.r""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("tok"))
+      val c = toks.groupBy("tok").agg(count(lit(1)).as("r"))
+      val sTab = c.groupBy("r").agg(count(lit(1)).as("s_r"))
+        .localCheckpoint()
+      val n = toks.agg(count(lit(1)).as("n"))
+      val s1 = sTab.filter(col("r") === 1)
+        .agg(coalesce(sum("s_r"), lit(0L)).as("n1"))
+      val nxt = sTab.select((col("r") - 1).as("r"), col("s_r").as("s_next"))
+      sTab.filter(col("r") <= 10)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(s1))
+        .select(col("r"), col("s_r"),
+          coalesce(col("s_next"), lit(0L)).as("s_next"),
+          expr("(1000 * (r + 1) * coalesce(s_next, 0)) div s_r")
+            .as("r_star_milli"),
+          expr("(1000000 * n1) div n").as("p0_ppm"))
+        .orderBy("r")
+    }
+  )
+}

