@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.catalog.QueryDef
+import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.textops.TextAnalysis
 import org.apache.spark.sql.DataFrame
@@ -365,6 +366,349 @@ object CurationQueries {
             .as("r_star_milli"),
           expr("(1000000 * n1) div n").as("p0_ppm"))
         .orderBy("r")
+    },
+
+    // ---- Pareto frontier / skyline (q241): the non-dominated set over
+    //      (length, lexical-diversity) — multi-objective data selection
+    //      without collapsing metrics into one weighted score. Uses the
+    //      sort-by-x-then-exclusive-prefix-max-of-y skyline: on DISTINCT
+    //      (x,y) points sorted (x DESC, y DESC), a point is dominated
+    //      iff some strictly-earlier point has y ≥ its y. The ranking
+    //      and running max are the Scale primitives (range-partitioned
+    //      prefix passes), the "previous row" is a rank equi-join —
+    //      never a single-partition window. ----
+    QueryDef(
+      "q241_pareto_frontier",
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 1),
+         |p AS (SELECT doc_id, n_chars AS x,
+         |        (1000 * len(list_distinct(toks))) // len(toks) AS y
+         |      FROM t),
+         |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_docs,
+         |        min(doc_id) AS rep_doc
+         |      FROM p GROUP BY x, y),
+         |w AS (SELECT x, y, n_docs, rep_doc,
+         |        max(y) OVER (ORDER BY x DESC, y DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS exclmax
+         |      FROM g)
+         |SELECT x AS n_chars, CAST(y AS BIGINT) AS ttr_milli, n_docs,
+         |       rep_doc
+         |FROM w
+         |WHERE exclmax IS NULL OR exclmax < y
+         |ORDER BY n_chars DESC""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val p = t.select(col("doc_id"), col("n_chars").as("x"),
+        expr("(1000 * cast(size(array_distinct(toks)) as bigint)) " +
+          "div size(toks)").as("y"))
+      val g = p.groupBy("x", "y")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+        .withColumn("nx", -col("x")).withColumn("ny", -col("y"))
+      val ranked = Scale.globalRank(g, "r", "nx", "ny")
+      val pm = Scale.prefixMaxLongBy(ranked, Seq("nx", "ny"), "y", "inclmax")
+      val prev = pm.select((col("r") + 1).as("r"),
+        col("inclmax").as("exclmax"))
+      pm.join(prev, Seq("r"), "left")
+        .filter(col("exclmax").isNull || col("exclmax") < col("y"))
+        .select(col("x").as("n_chars"), col("y").as("ttr_milli"),
+          col("n_docs"), col("rep_doc"))
+        .orderBy(col("n_chars").desc)
+    },
+
+    // ---- split-conformal prediction audit (q242): distribution-free
+    //      coverage for an is-English classifier — calibrate per-class
+    //      nonconformity thresholds at α = 0.1 on a content-addressed
+    //      half split (the q104 md5 discipline — stable across engines
+    //      and reruns), then report per-class test coverage and mean
+    //      prediction-set size. The k-th-smallest calibration quantile
+    //      is an EXACT rank pick (k = ⌈0.9·(n+1)⌉ as pure integer
+    //      arithmetic), found by globalRank + per-class base join —
+    //      no float quantile interpolation to disagree on, no
+    //      single-partition window. Thresholds collapse to ONE
+    //      broadcast row. ----
+    QueryDef(
+      "q242_conformal",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 1),
+         |s AS (
+         |  SELECT doc_id,
+         |         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS label,
+         |         (1000 * len(list_filter(toks,
+         |            t -> list_contains(${PipelineQueries.stopwordsSql}, t))))
+         |           // len(toks) AS score
+         |  FROM d),
+         |h AS (SELECT *,
+         |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+         |          || '|graftconf'), 1, 6)) AS BIGINT) % 10000 AS bucket
+         |      FROM s),
+         |caln AS (
+         |  SELECT label, doc_id,
+         |         CASE WHEN label = 'en' THEN 1000 - score ELSE score END AS nc
+         |  FROM h WHERE bucket < 5000),
+         |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_c
+         |        FROM caln GROUP BY label),
+         |rk AS (SELECT label, nc,
+         |         row_number() OVER (PARTITION BY label ORDER BY nc, doc_id)
+         |           AS rr
+         |       FROM caln),
+         |thr AS (SELECT r.label, r.nc AS q_c
+         |        FROM rk r JOIN cnt c ON r.label = c.label
+         |        WHERE r.rr = (9 * (c.n_c + 1) + 9) // 10),
+         |th1 AS (SELECT
+         |          coalesce(max(CASE WHEN label = 'en' THEN q_c END),
+         |            1000001) AS q_en,
+         |          coalesce(max(CASE WHEN label = 'other' THEN q_c END),
+         |            1000001) AS q_other
+         |        FROM thr),
+         |te AS (SELECT label, 1000 - score AS nc_en, score AS nc_other
+         |       FROM h WHERE bucket >= 5000),
+         |ag AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN (label = 'en' AND nc_en <= q_en)
+         |              OR (label = 'other' AND nc_other <= q_other)
+         |              THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |         CAST(sum((CASE WHEN nc_en <= q_en THEN 1 ELSE 0 END)
+         |              + (CASE WHEN nc_other <= q_other THEN 1 ELSE 0 END))
+         |           AS BIGINT) AS setsz
+         |  FROM te CROSS JOIN th1 GROUP BY label)
+         |SELECT label, n_test, n_covered,
+         |       CAST((1000000 * n_covered) // n_test AS BIGINT)
+         |         AS coverage_ppm,
+         |       CAST((1000 * setsz) // n_test AS BIGINT)
+         |         AS avg_set_size_milli
+         |FROM ag ORDER BY label""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val sc = d.select(col("doc_id"),
+        when(col("lang") === "en", "en").otherwise("other").as("label"),
+        expr(s"(1000 * cast(size(filter(toks, " +
+          s"t -> array_contains($sparkStopArray, t))) as bigint)) " +
+          "div size(toks)").as("score"))
+      val split = Scale.hashSplit(sc, "doc_id", "graftconf",
+        Seq("cal" -> 5000, "tst" -> 5000))
+      val caln = split.filter(col("split") === "cal")
+        .select(col("label"), col("doc_id"),
+          when(col("label") === "en", lit(1000L) - col("score"))
+            .otherwise(col("score")).as("nc"))
+      val cnt = caln.groupBy("label").agg(count(lit(1)).as("n_c"))
+      val ranked = Scale.globalRank(caln, "gr", "label", "nc", "doc_id")
+      val base = ranked.groupBy("label").agg(min("gr").as("b0"))
+      val thr = ranked.join(broadcast(base), "label")
+        .join(broadcast(cnt), "label")
+        .filter(col("gr") - col("b0") + 1 ===
+          expr("(9 * (n_c + 1) + 9) div 10"))
+        .select(col("label"), col("nc").as("q_c"))
+      val th1 = thr.agg(
+        coalesce(max(when(col("label") === "en", col("q_c"))), lit(1000001L))
+          .as("q_en"),
+        coalesce(max(when(col("label") === "other", col("q_c"))),
+          lit(1000001L)).as("q_other"))
+      val te = split.filter(col("split") === "tst")
+        .select(col("label"), (lit(1000L) - col("score")).as("nc_en"),
+          col("score").as("nc_other"))
+      te.crossJoin(broadcast(th1))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when((col("label") === "en" && col("nc_en") <= col("q_en")) ||
+            (col("label") === "other" && col("nc_other") <= col("q_other")),
+            1L).otherwise(0L)).as("n_covered"),
+          sum(when(col("nc_en") <= col("q_en"), 1L).otherwise(0L) +
+            when(col("nc_other") <= col("q_other"), 1L).otherwise(0L))
+            .as("setsz"))
+        .select(col("label"), col("n_test"), col("n_covered"),
+          expr("(1000000 * n_covered) div n_test").as("coverage_ppm"),
+          expr("(1000 * setsz) div n_test").as("avg_set_size_milli"))
+        .orderBy("label")
+    },
+
+    // ---- DBSCAN density clustering (q243): Ester KDD'96 over embedding
+    //      space, decomposed Spark-first — the quadratic neighbor search
+    //      IS the banded-LSH candidate generator (32 planes / 8 bands
+    //      sized for the eps angle), and the label logic
+    //      (core ⟺ ≥ minPts−1 eps-neighbors; clusters = star-contraction
+    //      CC over core–core edges; border → min adjacent core's
+    //      cluster; else noise) is [[Similarity.dbscanFromPairs]].
+    //      Fixture: five great-circle CHAINS planted at 10° spacing
+    //      (adjacent sim cos10° ≈ 0.985 ≥ eps 0.966, skip-one cos20°
+    //      ≈ 0.940 < eps) — the path topology that actually exercises
+    //      all three roles: interior points core, endpoints border,
+    //      naturals noise. The oracle rebuilds the identical planted
+    //      vectors (orthonormalized double math, FLOAT-cast — q30's
+    //      determinism contract), replays the banded candidate join
+    //      with the live-bucket cap, and closes core components
+    //      recursively. ----
+    QueryDef(
+      "q243_dbscan", dbscanOracleSql) { (s, dir) =>
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val ae = base.filter(col("vec_id") < 10 && col("vec_id") % 2 === 0)
+        .select(expr("vec_id div 2").as("c"), col("embedding").as("ea"),
+          (col("vec_id") + 1).as("bk_id"))
+      val be = base.select(col("vec_id").as("bk_id"),
+        col("embedding").as("eb"))
+      // orthonormalize (A', B') per chain — operation-for-operation the
+      // oracle's o1..o6 CTEs, so the FLOAT-cast planted vectors are
+      // bit-identical across engines
+      val o = ae.join(be, "bk_id").drop("bk_id")
+        .withColumn("na", sqrt(aggregate(
+          transform(col("ea"), z => z.cast("double") * z.cast("double")),
+          lit(0.0), (acc, v) => acc + v)))
+        .withColumn("ap", transform(col("ea"),
+          z => z.cast("double") / col("na")))
+        .withColumn("proj", aggregate(
+          zip_with(col("ap"), col("eb"), (x, y) => x * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+        .withColumn("bp", zip_with(col("eb"), col("ap"),
+          (x, y) => x.cast("double") - col("proj") * y))
+        .withColumn("nb", sqrt(aggregate(
+          transform(col("bp"), z => z * z), lit(0.0), (acc, v) => acc + v)))
+        .withColumn("bq", transform(col("bp"), z => z / col("nb")))
+      val angles = array(chainAngles.map { case (i, ci, si) =>
+        struct(lit(i).as("i"), lit(ci).as("ci"), lit(si).as("si"))
+      }: _*)
+      val pts = o.select(col("c"), col("ap"), col("bq"),
+          explode(angles).as("ang"))
+        .select((lit(2000000L) + col("c") * 10 + col("ang.i")).as("vec_id"),
+          zip_with(col("ap"), col("bq"),
+            (x, y) => (col("ang.ci") * x + col("ang.si") * y).cast("float"))
+            .as("embedding"))
+      val uni = base.unionByName(pts).localCheckpoint()
+      val pairs = Similarity.embeddingNearDups(uni, threshold = 0.966,
+        nPlanes = 32, bands = 8).select("id_a", "id_b")
+      Similarity.dbscanFromPairs(uni.select("vec_id"), pairs, minPts = 3)
+        .orderBy("vec_id")
     }
   )
+
+  /** Spark array literal of [[PipelineQueries.stopwords]] for expr() use. */
+  private def sparkStopArray: String =
+    PipelineQueries.stopwords.map(w => s"'$w'").mkString("array(", ",", ")")
+
+  /** q243 chain geometry: angles 20°..60° in 10° steps — adjacent points
+    * land at cos 10° ≈ 0.985 (≥ eps) and skip-one at cos 20° ≈ 0.940
+    * (< eps), and the chain start sits ≥ 20° from the base vector A so A
+    * itself stays outside eps. Values interpolate into BOTH the Spark
+    * literals and the oracle SQL from the same Doubles (shortest
+    * round-trip repr), so the planted floats agree bit-for-bit. */
+  private def chainAngles: Seq[(Int, Double, Double)] =
+    (0 until 5).map { i =>
+      val a = math.toRadians(20.0 + 10.0 * i)
+      (i, math.cos(a), math.sin(a))
+    }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** 32-plane / 8-band hyperplane signature CTEs over `uni` — the
+    * wider-band mirror of PipelineQueries.hyperplaneSigCtes, sized so
+    * the 15° eps angle keeps per-pair recall ≈ 1 − 5.6e-5. */
+  private def sig32Ctes: String = {
+    val (nPlanes, bands, dim) = (32, 8, 64)
+    val rowsPerBand = nPlanes / bands
+    def dSql(p: Int): String =
+      (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE) * ${Similarity.planeWeight(p, i)}")
+        .mkString(" + ")
+    def bSql(b: Int): String =
+      (0 until rowsPerBand).map(j =>
+        s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+    s"""sg AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |${(0 until nPlanes).map(p => s"         ${dSql(p)} AS d$p").mkString(",\n")}
+       |  FROM uni),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |${(0 until bands).map(b => s"         ${bSql(b)} AS b$b").mkString(",\n")}
+       |  FROM sg)""".stripMargin
+  }
+
+  private def dbscanOracleSql: String = {
+    val angleRows = chainAngles
+      .map { case (i, ci, si) => s"($i, $ci, $si)" }.mkString(", ")
+    val bx = (0 until 8)
+      .map(k => s"SELECT vec_id, $k AS band, b$k AS bucket FROM bk")
+      .mkString("\n      UNION ALL ")
+    s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+       |pl AS (
+       |  SELECT a.vec_id // 2 AS c, a.embedding AS ea, b.embedding AS eb
+       |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+       |  WHERE a.vec_id < 10 AND a.vec_id % 2 = 0),
+       |o1 AS (SELECT c, ea, eb,
+       |         sqrt(list_sum(list_transform(ea,
+       |           z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE)))) AS na
+       |       FROM pl),
+       |o2 AS (SELECT c, eb,
+       |         list_transform(ea, z -> CAST(z AS DOUBLE) / na) AS ap
+       |       FROM o1),
+       |o3 AS (SELECT c, eb, ap,
+       |         list_sum(list_transform(list_zip(ap, eb),
+       |           x -> x[1] * CAST(x[2] AS DOUBLE))) AS proj
+       |       FROM o2),
+       |o4 AS (SELECT c, ap,
+       |         list_transform(list_zip(eb, ap),
+       |           x -> CAST(x[1] AS DOUBLE) - proj * x[2]) AS bp
+       |       FROM o3),
+       |o5 AS (SELECT c, ap, bp,
+       |         sqrt(list_sum(list_transform(bp, z -> z * z))) AS nb
+       |       FROM o4),
+       |o6 AS (SELECT c, ap, list_transform(bp, z -> z / nb) AS bq FROM o5),
+       |ang AS (SELECT * FROM (VALUES $angleRows) t(i, ci, si)),
+       |pts AS (
+       |  SELECT CAST(2000000 + 10 * c + i AS BIGINT) AS vec_id,
+       |         list_transform(list_zip(ap, bq),
+       |           x -> CAST(ci * x[1] + si * x[2] AS FLOAT)) AS embedding
+       |  FROM o6 CROSS JOIN ang),
+       |uni AS (SELECT vec_id, embedding FROM base
+       |        UNION ALL SELECT vec_id, embedding FROM pts),
+       |$sig32Ctes,
+       |bx AS ($bx),
+       |bc AS (SELECT band, bucket, count(*) AS cbk FROM bx
+       |       GROUP BY band, bucket),
+       |live AS (SELECT band, bucket FROM bc WHERE cbk BETWEEN 2 AND 1000),
+       |bl AS (SELECT bx.* FROM bx JOIN live USING (band, bucket)),
+       |cp AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM bl a JOIN bl b
+       |         ON a.band = b.band AND a.bucket = b.bucket
+       |        AND a.vec_id < b.vec_id),
+       |pr AS (
+       |  SELECT id_a, id_b
+       |  FROM cp
+       |  JOIN uni ua ON ua.vec_id = cp.id_a
+       |  JOIN uni ub ON ub.vec_id = cp.id_b
+       |  WHERE ${cosineSql("ua.embedding", "ub.embedding")} >= 0.966),
+       |ed AS (SELECT id_a AS s, id_b AS d FROM pr
+       |       UNION SELECT id_b, id_a FROM pr),
+       |deg AS (SELECT s AS id, count(*) AS deg FROM ed GROUP BY s),
+       |core AS (SELECT id FROM deg WHERE deg >= 2),
+       |ce AS (SELECT e.s, e.d FROM ed e
+       |       JOIN core c1 ON e.s = c1.id JOIN core c2 ON e.d = c2.id),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM ce
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN ce e ON reach.r = e.s),
+       |cl AS (SELECT c.id, least(c.id, coalesce(min(r.r), c.id)) AS cluster
+       |       FROM core c LEFT JOIN reach r ON r.id = c.id GROUP BY c.id),
+       |bo AS (SELECT e.s AS id, min(cl.cluster) AS cluster
+       |       FROM ed e JOIN cl ON cl.id = e.d
+       |       WHERE e.s NOT IN (SELECT id FROM core)
+       |       GROUP BY e.s)
+       |SELECT u.vec_id,
+       |       CASE WHEN cl.id IS NOT NULL THEN 'core'
+       |            WHEN bo.id IS NOT NULL THEN 'border'
+       |            ELSE 'noise' END AS role,
+       |       CAST(coalesce(cl.cluster, bo.cluster, -1) AS BIGINT) AS cluster
+       |FROM uni u
+       |LEFT JOIN cl ON cl.id = u.vec_id
+       |LEFT JOIN bo ON bo.id = u.vec_id
+       |ORDER BY u.vec_id""".stripMargin
+  }
 }

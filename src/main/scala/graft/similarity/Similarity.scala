@@ -1146,4 +1146,61 @@ object Similarity {
           .otherwise(expr("(num - pmod(num, den)) div den")))
       .drop("num", "den")
   }
+
+  /** DBSCAN roles + clusters from a PRECOMPUTED eps-neighbor pair list
+    * (Ester et al. KDD'96, decomposed for a distributed engine): the
+    * quadratic part of DBSCAN is the neighbor search, and that is
+    * exactly what the banded LSH candidate generators already bound —
+    * so this takes `pairs` (undirected, each pair once, already
+    * eps-filtered, e.g. from [[embeddingNearDups]]) and runs only the
+    * label-assignment logic:
+    *
+    *  - core: |eps-neighbors| ≥ minPts − 1 (the standard ≥ minPts
+    *    including the point itself)
+    *  - cluster: connected components over CORE–CORE edges
+    *    (Dedup.connectedComponents — star-contraction, O(log n) rounds),
+    *    keep-min labels; an isolated core keeps its own id
+    *  - border: non-core with ≥1 core neighbor → the MIN adjacent core's
+    *    cluster (a deterministic tiebreak where classic DBSCAN is
+    *    order-dependent)
+    *  - noise: everything else, cluster = −1
+    *
+    * Scale: degree count and role joins are equi-joins on node-sized
+    * tables; nothing here exceeds the pair list already paid for.
+    * Returns (idCol, role ∈ core|border|noise, cluster).
+    */
+  def dbscanFromPairs(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      minPts: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val ed = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
+      .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+    val deg = ed.groupBy("s").agg(count(lit(1)).as("deg"))
+    val core = deg.filter(col("deg") >= minPts - 1).select(col("s").as("id"))
+    val coreEdges = ed
+      .join(core.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+      .join(core.withColumnRenamed("id", "d"), Seq("d"), "left_semi")
+      .select(col("s").as("id_a"), col("d").as("id_b"))
+    val cc = graft.dedup.Dedup.connectedComponents(coreEdges)
+    val coreCl = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .localCheckpoint() // read twice below (core join + border lookup)
+    val border = ed
+      .join(core.withColumnRenamed("id", "s"), Seq("s"), "left_anti")
+      .join(coreCl.select(col("id").as("d"), col("cluster")), Seq("d"))
+      .groupBy(col("s").as("id"))
+      .agg(min("cluster").as("cluster"))
+    nodes.select(col(idCol))
+      .join(coreCl.select(col("id").as(idCol),
+        col("cluster").as("c_cl")), Seq(idCol), "left")
+      .join(border.select(col("id").as(idCol),
+        col("cluster").as("b_cl")), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("c_cl").isNotNull, "core")
+          .when(col("b_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("c_cl"), col("b_cl"), lit(-1L)).as("cluster"))
+  }
 }

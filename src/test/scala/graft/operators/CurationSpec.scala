@@ -127,4 +127,105 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
       s"S(r) lookup must stay an equi-join over the aggregate:\n$plan")
   }
+
+  // ---- q241 Pareto frontier ----
+
+  test("q241: frontier is a strict staircase and mutually non-dominated") {
+    val rows = run("q241_pareto_frontier")
+      .select("n_chars", "ttr_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    // output is ordered x desc; y must strictly increase along it
+    rows.sliding(2).foreach {
+      case Array((x1, y1), (x2, y2)) =>
+        assert(x1 > x2 && y2 > y1,
+          s"($x1,$y1) vs ($x2,$y2): frontier must be strictly monotone")
+      case _ =>
+    }
+    // no pair dominates another
+    for (a <- rows; b <- rows if a != b)
+      assert(!(a._1 >= b._1 && a._2 >= b._2),
+        s"$a dominates $b — not a frontier")
+  }
+
+  test("q241: skyline runs on Scale primitives — no single-partition window") {
+    val plan = planOf("q241_pareto_frontier")
+    assert(!plan.contains("Window"),
+      s"exclusive prefix max must be the Scale primitive + rank join:\n$plan")
+  }
+
+  // ---- q242 conformal ----
+
+  test("q242: prediction sets are sane — coverage and set size within bounds") {
+    val rows = run("q242_conformal").collect()
+    assert(rows.map(_.getAs[String]("label")).sorted.toSeq ==
+      Seq("en", "other"))
+    rows.foreach { r =>
+      val cov = r.getAs[Long]("coverage_ppm")
+      val sz = r.getAs[Long]("avg_set_size_milli")
+      assert(cov >= 0 && cov <= 1000000)
+      // avg set size ∈ [0, 2] classes (milli)
+      assert(sz >= 0 && sz <= 2000)
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+    }
+  }
+
+  test("q242: thresholds collapse to one broadcast row (no product joins)") {
+    val plan = planOf("q242_conformal")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row threshold table must broadcast:\n$plan")
+  }
+
+  // ---- q243 DBSCAN ----
+
+  test("dbscanFromPairs: path, triangle, pair, star, singleton topologies") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L, 22L,
+      30L, 40L, 41L, 42L).toDF("vec_id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), // path of 5
+      (10L, 11L),                             // isolated pair
+      (20L, 21L), (21L, 22L), (20L, 22L),     // triangle
+      (40L, 41L), (40L, 42L)                  // star: hub 40
+    ).toDF("id_a", "id_b")
+    val got = graft.similarity.Similarity
+      .dbscanFromPairs(nodes, pairs, minPts = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    // path: interior core (cluster 2 = min core), endpoints border
+    assert(got(2L) == ("core", 2L) && got(3L) == ("core", 2L) &&
+      got(4L) == ("core", 2L))
+    assert(got(1L) == ("border", 2L) && got(5L) == ("border", 2L))
+    // pair of two: degree 1 each, no core neighbor → noise
+    assert(got(10L) == ("noise", -1L) && got(11L) == ("noise", -1L))
+    // triangle: all degree 2 → all core, one cluster labeled 20
+    assert(got(20L) == ("core", 20L) && got(21L) == ("core", 20L) &&
+      got(22L) == ("core", 20L))
+    // star: hub is an ISOLATED core (no core neighbor) keeping its own
+    // id; leaves are borders of it
+    assert(got(30L) == ("noise", -1L))
+    assert(got(40L) == ("core", 40L))
+    assert(got(41L) == ("border", 40L) && got(42L) == ("border", 40L))
+  }
+
+  test("q243: planted chains resolve to exactly 3 cores + 2 borders each; naturals noise") {
+    val rows = run("q243_dbscan").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    (0 until 5).foreach { c =>
+      val ids = (0 until 5).map(i => 2000000L + 10 * c + i)
+      val cl = 2000001L + 10 * c // min CORE id of the chain
+      assert(rows(ids.head) == ("border", cl) && rows(ids.last) == ("border", cl))
+      ids.slice(1, 4).foreach(id => assert(rows(id) == ("core", cl)))
+    }
+    val naturals = rows.filter(_._1 < 2000000L)
+    assert(naturals.values.forall(_ == ("noise", -1L)),
+      "no natural embedding sits within eps of another")
+  }
+
+  test("q243: candidate generation is the bucket join — no product surface") {
+    val plan = planOf("q243_dbscan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"DBSCAN neighbors must come from the banded LSH join:\n$plan")
+  }
 }
