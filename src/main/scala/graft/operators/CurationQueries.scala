@@ -583,8 +583,164 @@ object CurationQueries {
         nPlanes = 32, bands = 8).select("id_a", "id_b")
       Similarity.dbscanFromPairs(uni.select("vec_id"), pairs, minPts = 3)
         .orderBy("vec_id")
+    },
+
+    // ---- greedy k-center coreset (q244): farthest-point traversal
+    //      (Gonzalez'85, the 2-approximation every coreset/data-pruning
+    //      pipeline uses) — from seed vec 0, each step picks the point
+    //      maximizing its min distance to the chosen centers. k is
+    //      small and user-chosen, so the loop is DRIVER-coordinated
+    //      (the q133 MMR discipline): each round one bounded
+    //      TakeOrdered over the corpus with the ≤k chosen vectors
+    //      broadcast as literals — the corpus is scanned k times and
+    //      never shuffled. Distances micro-quantize per center BEFORE
+    //      the min, ties break on vec_id, so the greedy trace is
+    //      deterministic and the oracle unrolls it step for step.
+    //      maxmin_micro of step i is the corpus coverage radius once
+    //      i centers exist — the stopping-curve a pruning run reads. ----
+    QueryDef(
+      "q244_kcenter_coreset", kcenterOracleSql) { (s, dir) =>
+      import s.implicits._
+      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .localCheckpoint()
+      val seed = base.filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0)
+      var chosen = Vector((0L, seed, 0L)) // (id, embedding, maxmin)
+      for (_ <- 1 to 4) {
+        val dqs = chosen.map { case (_, emb, _) =>
+          val centLit = array(emb.map(x => lit(x)): _*)
+          round(lit(1000000d) * aggregate(
+            zip_with(col("embedding"), centLit, (a, b) =>
+              (a.cast("double") - b.cast("double")) *
+                (a.cast("double") - b.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)).cast("long")
+        }
+        val md = if (dqs.size == 1) dqs.head else least(dqs: _*)
+        val pick = base
+          .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+          .select(col("vec_id"), md.as("md"), col("embedding"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1).head
+        chosen :+= ((pick.getLong(0), pick.getSeq[Float](2),
+          pick.getLong(1)))
+      }
+      chosen.zipWithIndex
+        .map { case ((id, _, mm), i) => (i, id, mm) }
+        .toDF("step", "vec_id", "maxmin_micro")
+        .orderBy("step")
+    },
+
+    // ---- exact 1-D Wasserstein drift (q245): earth-mover distance
+    //      between each source's doc-length distribution and the
+    //      corpus — W1 = Σ_v |F_src(v) − F_corpus(v)|·gap(v), the
+    //      magnitude-aware complement of KS (q189, max gap only) and
+    //      PSI (q159, binned). CDFs are ppm-quantized integer prefix
+    //      sums over the (source × distinct-value) grid — the corpus
+    //      CDF is the SUM of the per-source ones (every doc has a
+    //      source), so no second pass; value adjacency is a globalRank
+    //      equi-join, not a global window. The per-source cumulative
+    //      window partitions by source (bounded: one grid per source).
+    //      Grid size = |distinct metric values| — bounded by the metric
+    //      domain, the documented knob at 100 TB (quantize the metric
+    //      first if unbounded). ----
+    QueryDef(
+      "q245_wasserstein_drift",
+      """WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |cv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM v GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT v FROM v),
+        |srcs AS (SELECT DISTINCT source FROM v),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |       FROM v GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM v),
+        |sg AS (SELECT s.source, g.v FROM srcs s CROSS JOIN g),
+        |sgc AS (SELECT sg.source, sg.v, coalesce(cv.c, 0) AS c
+        |        FROM sg LEFT JOIN cv
+        |          ON cv.source = sg.source AND cv.v = sg.v),
+        |cum AS (SELECT source, v,
+        |          sum(c) OVER (PARTITION BY source ORDER BY v) AS cum_s
+        |        FROM sgc),
+        |call AS (SELECT v, sum(cum_s) AS cum_all FROM cum GROUP BY v),
+        |gr AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM g),
+        |gap AS (SELECT a.v, b.v - a.v AS gap
+        |        FROM gr a JOIN gr b ON b.r = a.r + 1),
+        |f AS (SELECT cum.source, cum.v,
+        |        abs((1000000 * cum.cum_s) // ns.n_s
+        |            - (1000000 * call.cum_all) // na.n_all) AS dppm
+        |      FROM cum
+        |      JOIN call ON call.v = cum.v
+        |      JOIN ns ON ns.source = cum.source
+        |      CROSS JOIN na)
+        |SELECT f.source, ns.n_s AS n_docs,
+        |       CAST(sum(f.dppm * gap.gap) AS BIGINT) AS w1_ppm_chars
+        |FROM f
+        |JOIN gap ON gap.v = f.v
+        |JOIN ns ON ns.source = f.source
+        |GROUP BY f.source, ns.n_s
+        |ORDER BY f.source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.documents(s, dir)
+        .select(col("source"), col("n_chars").as("v"))
+      val cv = v.groupBy("source", "v").agg(count(lit(1)).as("c"))
+      val g = v.select("v").distinct().localCheckpoint()
+      val srcs = v.select("source").distinct()
+      val ns = v.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val na = v.agg(count(lit(1)).as("n_all"))
+      val sg = srcs.crossJoin(broadcast(g))
+      val sgc = sg.join(cv, Seq("source", "v"), "left")
+        .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("source").orderBy("v")
+      val cum = sgc.select(col("source"), col("v"),
+        sum("c").over(w).as("cum_s"))
+      val callT = cum.groupBy("v").agg(sum("cum_s").as("cum_all"))
+      val gr = Scale.globalRank(g, "r", "v")
+      val gap = gr
+        .join(gr.select((col("r") - 1).as("r"), col("v").as("v2")), "r")
+        .select(col("v"), (col("v2") - col("v")).as("gap"))
+      val f = cum.join(callT, "v").join(broadcast(ns), "source")
+        .crossJoin(broadcast(na))
+        .select(col("source"), col("v"),
+          abs(expr("(1000000 * cum_s) div n_s") -
+            expr("(1000000 * cum_all) div n_all")).as("dppm"))
+      f.join(gap, "v").groupBy("source")
+        .agg(sum(expr("dppm * gap")).as("w1_ppm_chars"))
+        .join(broadcast(ns), "source")
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("w1_ppm_chars"))
+        .orderBy("source")
     }
   )
+
+  /** q244 oracle: the greedy farthest-point trace unrolled (q133's MMR
+    * discipline) — each step a correlated min-distance argmax with the
+    * same per-center micro-quantization and vec_id tiebreak. */
+  private def kcenterOracleSql: String = {
+    def l2q(a: String, b: String): String =
+      s"""CAST(round(1000000 * list_sum(list_transform(list_zip($a, $b),
+         |  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+         |       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))
+         |  AS BIGINT)""".stripMargin
+    val steps = (1 to 4).map { i =>
+      val prev = s"sel${i - 1}"
+      s"""s$i AS (
+         |  SELECT c.vec_id, c.embedding,
+         |         (SELECT min(${l2q("c.embedding", "s.embedding")})
+         |          FROM $prev s) AS md
+         |  FROM c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  ORDER BY md DESC, c.vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id, embedding FROM $prev
+         |          UNION ALL SELECT vec_id, embedding FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 4)
+      .map(i => s"UNION ALL SELECT $i, vec_id, md FROM s$i")
+      .mkString("\n")
+    s"""WITH c AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |sel0 AS (SELECT vec_id, embedding FROM c WHERE vec_id = 0),
+       |$steps
+       |SELECT 0 AS step, vec_id, CAST(0 AS BIGINT) AS maxmin_micro
+       |FROM sel0
+       |$out
+       |ORDER BY step""".stripMargin
+  }
 
   /** Spark array literal of [[PipelineQueries.stopwords]] for expr() use. */
   private def sparkStopArray: String =

@@ -228,4 +228,61 @@ class CurationSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"),
       s"DBSCAN neighbors must come from the banded LSH join:\n$plan")
   }
+
+  // ---- q244 k-center coreset ----
+
+  test("q244: coverage radius is non-increasing and the first pick is the true argmax") {
+    val rows = run("q244_kcenter_coreset").collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 5)
+    assert(rows.head.getAs[Long]("vec_id") == 0L &&
+      rows.head.getAs[Long]("maxmin_micro") == 0L)
+    val radii = rows.tail.map(_.getAs[Long]("maxmin_micro"))
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a,
+        s"greedy maxmin radius must not increase: $a then $b")
+      case _ =>
+    }
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5,
+      "centers must be distinct")
+    // step 1 is the plain farthest point from the seed — recompute
+    val seed = graft.tables.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val far = graft.tables.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") > 0)
+      .collect().map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble)
+        val d = e.zip(seed).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + (x - y) * (x - y)
+        }
+        (r.getLong(0), math.round(1000000d * d))
+      }.maxBy { case (id, d) => (d, -id) }
+    assert(rows(1).getAs[Long]("vec_id") == far._1,
+      s"step-1 center must be the farthest point ${far._1}")
+  }
+
+  // ---- q245 Wasserstein drift ----
+
+  test("q245: W1 is non-negative and bounded by the metric range; all sources present") {
+    val rows = run("q245_wasserstein_drift").collect()
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    val range = graft.tables.Tables.documents(spark, sf0001)
+      .agg((max("n_chars") - min("n_chars")).cast("long")).head.getLong(0)
+    rows.foreach { r =>
+      val w1 = r.getAs[Long]("w1_ppm_chars")
+      assert(w1 >= 0 && w1 <= 1000000L * range,
+        s"${r.getString(0)}: W1 $w1 outside [0, 1e6·range]")
+    }
+  }
+
+  test("q245: cumulative windows are per-source partitioned; adjacency is a rank join") {
+    val plan = planOf("q245_wasserstein_drift")
+    // the only Window is the per-source CDF — partitioned by source
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(source"),
+      s"no unpartitioned window allowed:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row totals must broadcast:\n$plan")
+  }
 }
