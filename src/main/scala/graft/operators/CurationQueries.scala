@@ -707,6 +707,69 @@ object CurationQueries {
         .select(col("source"), col("n_s").as("n_docs"),
           col("w1_ppm_chars"))
         .orderBy("source")
+    },
+
+    // ---- TextRank keywords (q246): Mihalcea & Tarau EMNLP'04 — PageRank
+    //      over the token co-occurrence graph (adjacent-token pairs,
+    //      undirected, count ≥ 2) picks corpus keywords by graph
+    //      centrality instead of raw frequency. Pure composition:
+    //      the pair explode is one narrow scan, the graph is
+    //      vocabulary-sized, and the ranking is [[Graph.pageRankMicro]]
+    //      (integer micro arithmetic, q92's oracle-exact iteration).
+    //      Top-20 cut is a bounded TakeOrdered. ----
+    QueryDef(
+      "q246_textrank", {
+        def iter(prev: String, out: String): String =
+          s"""i$out AS (
+             |  SELECT e.dst AS id, sum(r.rank_micro // o.outdeg) AS inbox
+             |  FROM edges e JOIN outdeg o ON e.src = o.src
+             |  JOIN $prev r ON r.id = e.src
+             |  GROUP BY e.dst),
+             |$out AS (
+             |  SELECT n.id,
+             |         CAST(150000 + coalesce(i.inbox, 0) * 85 // 100 AS BIGINT)
+             |           AS rank_micro
+             |  FROM nodes n LEFT JOIN i$out i ON n.id = i.id)""".stripMargin
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksSql AS toks FROM documents
+           |  WHERE len($toksSql) >= 2),
+           |pr0 AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |           i -> CASE WHEN toks[i] < toks[i + 1]
+           |                THEN [toks[i], toks[i + 1]]
+           |                ELSE [toks[i + 1], toks[i]] END)) AS p
+           |  FROM t),
+           |pp AS (SELECT p[1] AS a, p[2] AS b FROM pr0 WHERE p[1] <> p[2]),
+           |co AS (SELECT a, b FROM pp GROUP BY a, b HAVING count(*) >= 2),
+           |edges AS (SELECT a AS src, b AS dst FROM co
+           |          UNION ALL SELECT b, a FROM co),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT id AS token, rank_micro
+           |FROM r3 ORDER BY rank_micro DESC, token LIMIT 20""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pp = t.select(explode(
+          transform(sequence(lit(1), size(col("toks")) - 1), i => struct(
+            least(element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("a"),
+            greatest(element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val co = pp.groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val edges = co.select(col("a").as("src"), col("b").as("dst"))
+        .union(co.select(col("b").as("src"), col("a").as("dst")))
+      graft.graph.Graph.pageRankMicro(edges, iterations = 3)
+        .select(col("id").as("token"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("token")).limit(20)
     }
   )
 

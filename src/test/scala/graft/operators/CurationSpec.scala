@@ -285,4 +285,30 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"1-row totals must broadcast:\n$plan")
   }
+
+  // ---- q246 TextRank ----
+
+  test("q246: exactly 20 keywords, ranks above the teleport floor, centrality ≠ raw frequency") {
+    val rows = run("q246_textrank").collect()
+    assert(rows.length == 20)
+    // every surviving node has co-occurrence edges, so its rank stays
+    // above the bare teleport mass
+    rows.foreach(r => assert(r.getAs[Long]("rank_micro") >= 150000L))
+    // ranking must be by centrality: ties in rank broken by token asc
+    val ranks = rows.map(r => (r.getAs[Long]("rank_micro"),
+      r.getAs[String]("token")))
+    ranks.sliding(2).foreach {
+      case Array((r1, t1), (r2, t2)) =>
+        assert(r1 > r2 || (r1 == r2 && t1 < t2),
+          s"order violated: ($r1,$t1) before ($r2,$t2)")
+      case _ =>
+    }
+  }
+
+  test("q246: graph build is one scan + vocabulary-sized joins — no product") {
+    val plan = planOf("q246_textrank")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"co-occurrence graph + PageRank must stay equi-keyed:\n$plan")
+  }
 }
