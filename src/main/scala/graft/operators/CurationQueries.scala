@@ -770,8 +770,292 @@ object CurationQueries {
       graft.graph.Graph.pageRankMicro(edges, iterations = 3)
         .select(col("id").as("token"), col("rank_micro"))
         .orderBy(col("rank_micro").desc, col("token")).limit(20)
+    },
+
+    // ---- Theil–Sen robust trend (q248): median of pairwise daily-count
+    //      slopes — the outlier-proof replacement for OLS trend on event
+    //      volume (one corrupted day moves OLS, not the median slope).
+    //      Day-grain first (the aggregate is bounded by the calendar),
+    //      THEN the pair join — n(n−1)/2 pairs of DAYS, never of events.
+    //      Slopes are milli-quantized with truncate-toward-zero
+    //      semantics on both engines (Spark div truncates; the oracle's
+    //      sign-split CASE makes DuckDB's floor-div match — the q190
+    //      discipline). Median = exact lower-median rank pick via
+    //      globalRank. ----
+    QueryDef(
+      "q248_theil_sen",
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.day AS d1, b.day AS d2, a.c AS c1, b.c AS c2
+        |      FROM d a JOIN d b ON b.day > a.day),
+        |sl AS (SELECT d1, d2,
+        |         CASE WHEN c2 >= c1
+        |              THEN (1000 * (c2 - c1)) // (d2 - d1)
+        |              ELSE -((1000 * (c1 - c2)) // (d2 - d1)) END AS s_milli
+        |       FROM p),
+        |r AS (SELECT s_milli,
+        |        row_number() OVER (ORDER BY s_milli, d1, d2) AS rr
+        |      FROM sl),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sl),
+        |med AS (SELECT s_milli FROM r CROSS JOIN n WHERE rr = (m + 1) // 2),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+        |SELECT dd.n_days, n.m AS n_pairs,
+        |       CAST(med.s_milli AS BIGINT) AS theil_sen_slope_milli
+        |FROM dd CROSS JOIN n CROSS JOIN med""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(expr("ts div 86400000000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // tiny day-grain table, read 3× below
+      val a = d.select(col("day").as("d1"), col("c").as("c1"))
+      val b = d.select(col("day").as("d2"), col("c").as("c2"))
+      val sl = a.join(b, col("d2") > col("d1"))
+        .select(col("d1"), col("d2"),
+          expr("(1000 * (c2 - c1)) div (d2 - d1)").as("s_milli"))
+      val ranked = Scale.globalRank(sl, "rr", "s_milli", "d1", "d2")
+      val n = sl.agg(count(lit(1)).as("m"))
+      val med = ranked.crossJoin(broadcast(n))
+        .filter(col("rr") === expr("(m + 1) div 2"))
+        .select(col("s_milli"))
+      val dd = d.agg(count(lit(1)).as("n_days"))
+      dd.crossJoin(broadcast(n)).crossJoin(broadcast(med))
+        .select(col("n_days"), col("m").as("n_pairs"),
+          col("s_milli").as("theil_sen_slope_milli"))
+    },
+
+    // ---- Mann–Whitney U (q249): exact rank-sum test of the English vs
+    //      non-English length distributions — the nonparametric "are
+    //      these samples from the same distribution" companion to KS
+    //      (q189) and W1 (q245). Average tie-ranks stay integer by
+    //      working in DOUBLED rank units (rank2(v) = 2·cum_before +
+    //      cnt + 1), computed from VALUE-grain counts + an exclusive
+    //      prefix sum — no row-level ranking, no single-partition
+    //      window on the engine side. Rank-biserial effect size in
+    //      milli (positive-numerator floor-div, then one subtraction).
+    //      One output row. ----
+    QueryDef(
+      "q249_mann_whitney",
+      """WITH v AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS grp,
+        |         n_chars AS v
+        |  FROM documents),
+        |cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS c1
+        |       FROM v GROUP BY v),
+        |cum AS (SELECT v, cnt, c1,
+        |          coalesce(sum(cnt) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS cb
+        |        FROM cv),
+        |r1 AS (SELECT CAST(sum(c1 * (2 * cb + cnt + 1)) AS BIGINT) AS r1x2
+        |       FROM cum),
+        |nn AS (SELECT
+        |         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n1,
+        |         CAST(sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n2
+        |       FROM v)
+        |SELECT nn.n1, nn.n2,
+        |       CAST(r1.r1x2 - nn.n1 * (nn.n1 + 1) AS BIGINT) AS u1_x2,
+        |       CAST(2 * nn.n1 * nn.n2
+        |            - (r1.r1x2 - nn.n1 * (nn.n1 + 1)) AS BIGINT) AS u2_x2,
+        |       CAST((1000 * (r1.r1x2 - nn.n1 * (nn.n1 + 1)))
+        |            // (nn.n1 * nn.n2) - 1000 AS BIGINT)
+        |         AS rank_biserial_milli
+        |FROM r1 CROSS JOIN nn""".stripMargin) { (s, dir) =>
+      val v = Tables.documents(s, dir)
+        .select(when(col("lang") === "en", 1).otherwise(2).as("grp"),
+          col("n_chars").as("v"))
+      val cv = v.groupBy("v").agg(count(lit(1)).as("cnt"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c1"))
+      val cum = Scale.prefixSumLong(cv, "v", "cnt", "cumin")
+        .withColumn("cb", col("cumin") - col("cnt"))
+      val r1 = cum.agg(sum(col("c1") *
+        (lit(2L) * col("cb") + col("cnt") + 1)).as("r1x2"))
+      val nn = v.agg(
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+      r1.crossJoin(broadcast(nn)).select(
+        col("n1"), col("n2"),
+        expr("r1x2 - n1 * (n1 + 1)").as("u1_x2"),
+        expr("2 * n1 * n2 - (r1x2 - n1 * (n1 + 1))").as("u2_x2"),
+        expr("(1000 * (r1x2 - n1 * (n1 + 1))) div (n1 * n2) - 1000")
+          .as("rank_biserial_milli"))
+    },
+
+    // ---- binary changepoint (q250): the split day maximizing the gap
+    //      between left and right mean daily event volume — the
+    //      one-change detector a pipeline owner runs when a source's
+    //      throughput steps. Day-grain prefix sums (Scale primitives —
+    //      the totals come back with the prefix offsets for free, so
+    //      they inline as literals instead of a second aggregation
+    //      pass); means in positive milli floor-divs; argmax by
+    //      (delta DESC, day) is a bounded TakeOrdered. ----
+    QueryDef(
+      "q250_changepoint",
+      """WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT day, c,
+        |        row_number() OVER (ORDER BY day) AS rr,
+        |        sum(c) OVER (ORDER BY day) AS cum
+        |      FROM d),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(c) AS BIGINT) AS tot FROM d),
+        |s AS (SELECT r.day,
+        |        (1000 * r.cum) // r.rr AS lm,
+        |        (1000 * (t.tot - r.cum)) // (t.n - r.rr) AS rm
+        |      FROM r CROSS JOIN t WHERE r.rr < t.n)
+        |SELECT day AS split_day, CAST(lm AS BIGINT) AS left_mean_milli,
+        |       CAST(rm AS BIGINT) AS right_mean_milli,
+        |       CAST(abs(lm - rm) AS BIGINT) AS delta_milli
+        |FROM s ORDER BY abs(lm - rm) DESC, day LIMIT 1""".stripMargin) {
+      (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(expr("ts div 86400000000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+      val (withCum, tot) =
+        Scale.prefixSumLongByWithTotal(d, Seq("day"), "c", "cum")
+      val (ranked, n) = Scale.globalRankWithTotal(withCum, "rr", "day")
+      ranked.filter(col("rr") < n)
+        .select(col("day"),
+          expr("(1000 * cum) div rr").as("lm"),
+          expr(s"(1000 * ($tot - cum)) div ($n - rr)").as("rm"))
+        .select(col("day").as("split_day"), col("lm").as("left_mean_milli"),
+          col("rm").as("right_mean_milli"),
+          abs(col("lm") - col("rm")).as("delta_milli"))
+        .orderBy(col("delta_milli").desc, col("split_day"))
+        .limit(1)
+    },
+
+    // ---- KMV distinct sketch + pairwise overlap (q247): k-minimum-
+    //      values signatures (Beyer SIGMOD'07) over per-source trigram
+    //      sets — unlike HLL (q50/q144/q191, union-only), KMV supports
+    //      INTERSECTION/jaccard estimation directly, and given a fixed
+    //      hash it is fully DETERMINISTIC, so the estimate itself is
+    //      oracle-checked (no approx tolerance needed). Signature = 64
+    //      smallest 52-bit md5 values per source via TopKAggregator
+    //      (bounded k state per map task — never a per-source sort);
+    //      52 bits so the aggregator's double scores stay exact.
+    //      Estimators: jacc ≈ |merged ∩ both|/|merged|, distinct-union
+    //      ≈ (k−1)·2⁵²/h_k when the sketch saturates, exact |union|
+    //      below k. The exact-jaccard audit column replays the full
+    //      gram join (the q205 PR-curve discipline: the sketch is the
+    //      scale path, the exact side is the audit). ----
+    QueryDef(
+      "q247_kmv_sketch", kmvOracleSql) { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      import graft.functions.{Scored, TopKAggregator}
+      val five = Seq("src0", "src1", "src2", "src3", "src4")
+      val t = Tables.documents(s, dir)
+        .filter(col("source").isin(five: _*))
+        .select(col("source"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val tg = t.select(col("source"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))).as("g"))
+        .distinct().localCheckpoint() // sketch + exact audit both read it
+      val sh = tg.select(col("source"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast("long").as("h"))
+        .distinct()
+      val topk = udaf(new TopKAggregator(64), Encoders.product[Scored])
+      val sig = sh.groupBy("source")
+        .agg(topk((-col("h")).cast("double"), col("h")).as("sg"))
+        .select(col("source"),
+          transform(col("sg"), x => x.getField("id")).as("sig"))
+      val pairs = sig.select(col("source").as("source_a"), col("sig").as("sa"))
+        .join(sig.select(col("source").as("source_b"), col("sig").as("sb")),
+          col("source_a") < col("source_b"))
+        .withColumn("mg", slice(
+          array_sort(array_distinct(concat(col("sa"), col("sb")))), 1, 64))
+        .select(col("source_a"), col("source_b"),
+          size(col("mg")).cast("long").as("kmin_used"),
+          size(filter(col("mg"), v =>
+            array_contains(col("sa"), v) && array_contains(col("sb"), v)))
+            .cast("long").as("matches"),
+          element_at(col("mg"), size(col("mg"))).as("maxh"))
+      val ex = tg.select(col("source").as("source_a"), col("g"))
+        .join(tg.select(col("source").as("source_b"), col("g")), "g")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      val cnts = tg.groupBy("source").agg(count(lit(1)).as("n"))
+      pairs
+        .join(ex, Seq("source_a", "source_b"), "left")
+        .join(broadcast(cnts.select(col("source").as("source_a"),
+          col("n").as("na"))), "source_a")
+        .join(broadcast(cnts.select(col("source").as("source_b"),
+          col("n").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("kmin_used"),
+          col("matches"),
+          expr("(1000 * matches) div kmin_used").as("jacc_est_milli"),
+          when(col("kmin_used") < 64, col("kmin_used"))
+            .otherwise(expr(
+              "((kmin_used - 1) * 4503599627370496) div maxh"))
+            .as("union_est"),
+          expr("(1000 * coalesce(inter, 0)) " +
+            "div (na + nb - coalesce(inter, 0))").as("exact_jacc_milli"))
+        .orderBy("source_a", "source_b")
     }
   )
+
+  /** q247 oracle: the KMV signatures, merged-k estimators and the exact
+    * gram-join audit replayed value for value. */
+  private def kmvOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, $toksSql AS toks FROM documents
+       |  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+       |    AND len($toksSql) >= 3),
+       |tg AS (
+       |  SELECT DISTINCT source,
+       |         unnest(list_transform(range(1, len(toks) - 1),
+       |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |           AS g
+       |  FROM t),
+       |sh AS (SELECT DISTINCT source,
+       |         CAST(('0x' || substring(md5(g), 1, 13)) AS BIGINT) AS h
+       |       FROM tg),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rr
+       |       FROM sh),
+       |sig AS (SELECT source, list(h ORDER BY h) AS sig
+       |        FROM rk WHERE rr <= 64 GROUP BY source),
+       |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+       |            a.sig AS sa, b.sig AS sb
+       |          FROM sig a JOIN sig b ON a.source < b.source),
+       |m AS (SELECT source_a, source_b, sa, sb,
+       |        list_sort(list_distinct(list_concat(sa, sb)))[1:64] AS mg
+       |      FROM pairs),
+       |x AS (SELECT source_a, source_b,
+       |        CAST(len(mg) AS BIGINT) AS kmin_used,
+       |        CAST(len(list_filter(mg, v -> list_contains(sa, v)
+       |          AND list_contains(sb, v))) AS BIGINT) AS matches,
+       |        mg[len(mg)] AS maxh
+       |      FROM m),
+       |ex AS (SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS inter
+       |       FROM tg a JOIN tg b ON a.g = b.g AND a.source < b.source
+       |       GROUP BY 1, 2),
+       |cnts AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |         FROM tg GROUP BY source)
+       |SELECT x.source_a, x.source_b, x.kmin_used, x.matches,
+       |       CAST((1000 * x.matches) // x.kmin_used AS BIGINT)
+       |         AS jacc_est_milli,
+       |       CAST(CASE WHEN x.kmin_used < 64 THEN x.kmin_used
+       |            ELSE ((x.kmin_used - 1) * 4503599627370496) // x.maxh
+       |            END AS BIGINT) AS union_est,
+       |       CAST((1000 * coalesce(ex.inter, 0))
+       |            // (ca.n + cb.n - coalesce(ex.inter, 0)) AS BIGINT)
+       |         AS exact_jacc_milli
+       |FROM x
+       |LEFT JOIN ex ON ex.source_a = x.source_a AND ex.source_b = x.source_b
+       |JOIN cnts ca ON ca.source = x.source_a
+       |JOIN cnts cb ON cb.source = x.source_b
+       |ORDER BY x.source_a, x.source_b""".stripMargin
 
   /** q244 oracle: the greedy farthest-point trace unrolled (q133's MMR
     * discipline) — each step a correlated min-distance argmax with the

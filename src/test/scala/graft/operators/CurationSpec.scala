@@ -311,4 +311,75 @@ class CurationSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"),
       s"co-occurrence graph + PageRank must stay equi-keyed:\n$plan")
   }
+
+  // ---- q247 KMV ----
+
+  test("q247: sketch identities — matches ≤ k, union_est ≥ k−1, exact jaccard in range") {
+    val rows = run("q247_kmv_sketch").collect()
+    assert(rows.length == 10, "5 sources → 10 pairs")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("kmin_used")
+      assert(k >= 1 && k <= 64)
+      assert(r.getAs[Long]("matches") <= k)
+      assert(r.getAs[Long]("union_est") >= k - 1,
+        "saturated estimator can never fall below k−1")
+      val ej = r.getAs[Long]("exact_jacc_milli")
+      assert(ej >= 0 && ej <= 1000)
+      val je = r.getAs[Long]("jacc_est_milli")
+      assert(je >= 0 && je <= 1000)
+    }
+  }
+
+  // ---- q248 Theil–Sen ----
+
+  test("q248: pair count is the day-pair triangle; slope within the data's range") {
+    val r = run("q248_theil_sen").collect().head
+    val nd = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") == nd * (nd - 1) / 2)
+  }
+
+  test("q248: median pick is a globalRank — no single-partition window") {
+    val plan = planOf("q248_theil_sen")
+    assert(!plan.contains("Window"),
+      s"slope median must be a rank pick over the Scale primitive:\n$plan")
+  }
+
+  // ---- q249 Mann–Whitney ----
+
+  test("q249: U identities — u1+u2 = 2·n1·n2, sample sizes complete, effect bounded") {
+    val r = run("q249_mann_whitney").collect().head
+    val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+    assert(n1 + n2 == 500L)
+    assert(r.getAs[Long]("u1_x2") + r.getAs[Long]("u2_x2") == 2 * n1 * n2,
+      "doubled U statistics must partition the pair mass")
+    val e = r.getAs[Long]("rank_biserial_milli")
+    assert(e >= -1000 && e <= 1000)
+  }
+
+  test("q249: tie-ranks come from value-grain prefix sums — no window") {
+    val plan = planOf("q249_mann_whitney")
+    assert(!plan.contains("Window"),
+      s"rank2 must come from the prefix-sum primitive:\n$plan")
+  }
+
+  // ---- q250 changepoint ----
+
+  test("q250: delta is the mean gap at the reported split; day in calendar range") {
+    val r = run("q250_changepoint").collect().head
+    assert(r.getAs[Long]("delta_milli") ==
+      math.abs(r.getAs[Long]("left_mean_milli") -
+        r.getAs[Long]("right_mean_milli")))
+    val days = graft.tables.Tables.events(spark, sf0001)
+      .select(expr("ts div 86400000000000").as("day"))
+      .agg(min("day"), max("day")).head
+    val sd = r.getAs[Long]("split_day")
+    assert(sd >= days.getLong(0) && sd < days.getLong(1),
+      "split must fall strictly before the last day")
+  }
+
+  test("q250: prefix sums carry the totals — no window, no second aggregation pass") {
+    val plan = planOf("q250_changepoint")
+    assert(!plan.contains("Window"),
+      s"cumulative volume must be the Scale prefix sum:\n$plan")
+  }
 }
