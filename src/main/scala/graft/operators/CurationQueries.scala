@@ -1000,6 +1000,54 @@ object CurationQueries {
           expr("(1000 * coalesce(inter, 0)) " +
             "div (na + nb - coalesce(inter, 0))").as("exact_jacc_milli"))
         .orderBy("source_a", "source_b")
+    },
+
+    // ---- exact weighted median (q251): per-language TOKEN-weighted
+    //      median document length — "the doc length at which half the
+    //      corpus' token mass sits below", the size statistic that
+    //      matters for packing/curriculum decisions (an unweighted
+    //      median over-counts short docs). v* = min v with
+    //      2·cumw(v) ≥ W, all integer. VALUE-grain first (group ×
+    //      distinct-length rows), cumulative weight per group over that
+    //      bounded grain, qualifying-min per group — no row-level
+    //      ranking anywhere. ----
+    QueryDef(
+      "q251_weighted_median",
+      s"""WITH d AS (
+         |  SELECT lang, n_chars AS v,
+         |         CAST(len($toksSql) AS BIGINT) AS w
+         |  FROM documents WHERE len($toksSql) >= 1),
+         |g AS (SELECT lang, v, CAST(sum(w) AS BIGINT) AS w
+         |      FROM d GROUP BY lang, v),
+         |c AS (SELECT lang, v, w,
+         |        CAST(sum(w) OVER (PARTITION BY lang ORDER BY v)
+         |          AS BIGINT) AS cumw
+         |      FROM g),
+         |t AS (SELECT lang, CAST(sum(w) AS BIGINT) AS tw
+         |      FROM g GROUP BY lang)
+         |SELECT c.lang, t.tw AS total_tokens,
+         |       min(c.v) AS wmedian_chars
+         |FROM c JOIN t ON t.lang = c.lang
+         |WHERE 2 * c.cumw >= t.tw
+         |GROUP BY c.lang, t.tw
+         |ORDER BY c.lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars").as("v"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("lang"), col("v"), size(col("toks")).cast("long").as("w"))
+      val g = d.groupBy("lang", "v").agg(sum("w").as("w"))
+      val w = Window.partitionBy("lang").orderBy("v")
+      val c = g.select(col("lang"), col("v"), col("w"),
+        sum("w").over(w).as("cumw"))
+      val t = g.groupBy("lang").agg(sum("w").as("tw"))
+      c.join(broadcast(t), "lang")
+        .filter(lit(2L) * col("cumw") >= col("tw"))
+        .groupBy(col("lang"), col("tw").as("total_tokens"))
+        .agg(min("v").as("wmedian_chars"))
+        .select(col("lang"), col("total_tokens"), col("wmedian_chars"))
+        .orderBy("lang")
     }
   )
 

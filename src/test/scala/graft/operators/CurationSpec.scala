@@ -382,4 +382,24 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       s"cumulative volume must be the Scale prefix sum:\n$plan")
   }
+
+  // ---- q251 weighted median ----
+
+  test("q251: at least half the token mass sits at/below the median, strictly less below it") {
+    import graft.textops.TextAnalysis
+    val med = run("q251_weighted_median").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val d = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("n_chars"),
+        size(TextAnalysis.wsTokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") >= 1)
+    med.foreach { case (lang, (tw, v)) =>
+      val below = d.filter(col("lang") === lang && col("n_chars") < v)
+        .agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+      val atOrBelow = d.filter(col("lang") === lang && col("n_chars") <= v)
+        .agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+      assert(2 * atOrBelow >= tw, s"$lang: median $v too small")
+      assert(2 * below < tw, s"$lang: median $v not minimal")
+    }
+  }
 }
