@@ -1048,8 +1048,96 @@ object CurationQueries {
         .agg(min("v").as("wmedian_chars"))
         .select(col("lang"), col("total_tokens"), col("wmedian_chars"))
         .orderBy("lang")
+    },
+
+    // ---- PCA top principal direction (q252): power iteration on the
+    //      centered second-moment matrix of the embedding space — the
+    //      dominant axis of variation, the first diagnostic of embedding
+    //      collapse/anisotropy (and the direction whitening q212 would
+    //      remove first). Spark-first decomposition: embeddings are
+    //      micro-quantized per cell (order-free), the d×d moment matrix
+    //      is ONE pass with map-side combine onto d² = 4096 keys —
+    //      bounded at ANY corpus size — and the 3 power iterations are
+    //      relational matvecs (equi-join + group-by over the 4096-row
+    //      moment relation) with integer max-norm renormalization, so
+    //      every value is exact DECIMAL arithmetic the oracle replays
+    //      (truncating division parity via the q190 sign-split). ----
+    QueryDef(
+      "q252_pca_power", pcaOracleSql) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val xq = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("p", "xval")))
+        .select(col("vec_id"), (col("p") + 1).as("i"),
+          round(lit(1000000d) * col("xval").cast("double"))
+            .cast("long").as("x"))
+      val nDf = e.agg(count(lit(1)).as("nn"))
+      val mu = xq.groupBy("i").agg(sum("x").as("sx"))
+        .crossJoin(broadcast(nDf))
+        .select(col("i"), expr("sx div nn").as("mu"))
+      val xc = xq.join(broadcast(mu), "i")
+        .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("x"))
+      val m = xc
+        .join(xc.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
+          "vec_id")
+        .groupBy("i", "j")
+        .agg(sum(col("x").cast("decimal(38,0)") * col("y")).as("m"))
+        .localCheckpoint() // the 4096-row moment relation feeds 3 matvecs
+      var v = mu.select(col("i"), lit(1000000L).as("v"))
+      for (_ <- 1 to 3) {
+        val w = m.join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
+          .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
+        val mx = w.agg(max(abs(col("w"))).as("mx"))
+        v = w.crossJoin(broadcast(mx))
+          .select(col("i"),
+            expr("CAST((w * 1000000) div mx AS BIGINT)").as("v"))
+      }
+      v.select(col("i").cast("int").as("dim"),
+          col("v").as("loading_micro"))
+        .orderBy("dim")
     }
   )
+
+  /** q252 oracle: quantized centering, the d² moment aggregation and all
+    * three integer-renormalized matvecs replayed; DuckDB's floor-div is
+    * sign-split back to truncation (the q190 discipline). */
+  private def pcaOracleSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""w$k AS (SELECT m.i, sum(m.m * $prev.v) AS w
+         |       FROM m JOIN $prev ON $prev.i = m.j GROUP BY m.i),
+         |mx$k AS (SELECT max(abs(w)) AS mx FROM w$k),
+         |v$k AS (SELECT w$k.i,
+         |          CAST(CASE WHEN w >= 0
+         |               THEN CAST(w * 1000000 AS HUGEINT)
+         |                    // CAST(mx AS HUGEINT)
+         |               ELSE -(CAST(-(w * 1000000) AS HUGEINT)
+         |                      // CAST(mx AS HUGEINT)) END AS BIGINT) AS v
+         |        FROM w$k CROSS JOIN mx$k)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |xq AS (SELECT vec_id,
+       |         unnest(range(1, len(embedding) + 1)) AS i,
+       |         CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+       |           AS BIGINT) AS x
+       |       FROM e),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+       |mu AS (SELECT i,
+       |         CASE WHEN sx >= 0 THEN sx // nn ELSE -((-sx) // nn) END
+       |           AS mu
+       |       FROM (SELECT i, CAST(sum(x) AS BIGINT) AS sx
+       |             FROM xq GROUP BY i) CROSS JOIN n),
+       |xc AS (SELECT xq.vec_id, xq.i, xq.x - mu.mu AS x
+       |       FROM xq JOIN mu USING (i)),
+       |m AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j,
+       |         sum(CAST(a.x AS DECIMAL(38,0)) * b.x) AS m
+       |  FROM xc a JOIN xc b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM mu),
+       |${iter("v0", 1)},
+       |${iter("v1", 2)},
+       |${iter("v2", 3)}
+       |SELECT CAST(i AS INT) AS dim, v AS loading_micro
+       |FROM v3 ORDER BY dim""".stripMargin
+  }
 
   /** q247 oracle: the KMV signatures, merged-k estimators and the exact
     * gram-join audit replayed value for value. */

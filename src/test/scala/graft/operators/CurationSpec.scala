@@ -402,4 +402,37 @@ class CurationSpec extends SparkSpec {
       assert(2 * below < tw, s"$lang: median $v not minimal")
     }
   }
+
+  // ---- q252 PCA power iteration ----
+
+  test("q252: max-norm invariant holds and the direction beats the uniform start on Rayleigh quotient") {
+    val v = run("q252_pca_power").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v.size == 64)
+    assert(v.values.map(math.abs).max == 1000000L,
+      "renormalization must pin max |loading| to exactly 1e6")
+    // recompute the centered moment matrix the query's way (micro
+    // quantization + truncating mean) and compare Rayleigh quotients
+    val rows = graft.tables.Tables.embeddings(spark, sf0001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => math.round(1000000d * x)).toArray)
+    val n = rows.length
+    val d = rows.head.length
+    val mu = Array.tabulate(d)(i => rows.map(_(i)).sum / n) // trunc like div
+    val xc = rows.map(r => Array.tabulate(d)(i => (r(i) - mu(i)).toDouble))
+    def rayleigh(vec: Array[Double]): Double = {
+      val mv = xc.foldLeft(new Array[Double](d)) { (acc, row) =>
+        val dot = row.indices.foldLeft(0.0)((s, i) => s + row(i) * vec(i))
+        row.indices.foreach(i => acc(i) += row(i) * dot)
+        acc
+      }
+      val num = vec.indices.foldLeft(0.0)((s, i) => s + vec(i) * mv(i))
+      val den = vec.foldLeft(0.0)((s, x) => s + x * x)
+      num / den
+    }
+    val got = rayleigh(Array.tabulate(d)(i => v(i + 1).toDouble))
+    val uniform = rayleigh(Array.fill(d)(1.0))
+    assert(got > uniform,
+      s"power iteration must increase the Rayleigh quotient: $got <= $uniform")
+  }
 }
