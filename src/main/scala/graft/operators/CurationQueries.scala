@@ -1094,6 +1094,116 @@ object CurationQueries {
       v.select(col("i").cast("int").as("dim"),
           col("v").as("loading_micro"))
         .orderBy("dim")
+    },
+
+    // ---- F1-optimal threshold (q253): sweep every observed score as a
+    //      decision threshold for the is-English stopword scorer and
+    //      pick the F1 argmax — the calibration step between a scorer
+    //      (q111/q239) and a gate (q131): "where do I actually cut?".
+    //      TP/FP/FN for ALL thresholds come from VALUE-grain counts +
+    //      two exclusive prefix sums (suffix = total − prefix, totals
+    //      inlined from the prefix offsets) — one pass over the corpus,
+    //      one tiny pass over the score grain, bounded TakeOrdered
+    //      argmax. All-integer F1/precision/recall in milli. ----
+    QueryDef(
+      "q253_f1_threshold",
+      s"""WITH d AS (
+         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |         (1000 * len(list_filter($toksSql,
+         |            t -> list_contains(${PipelineQueries.stopwordsSql}, t))))
+         |           // len($toksSql) AS sc
+         |  FROM documents WHERE len($toksSql) >= 1),
+         |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS c_en,
+         |        CAST(count(*) - sum(y) AS BIGINT) AS c_ot
+         |      FROM d GROUP BY sc),
+         |tt AS (SELECT CAST(sum(c_en) AS BIGINT) AS t_en,
+         |         CAST(sum(c_ot) AS BIGINT) AS t_ot FROM g),
+         |c AS (SELECT sc, c_en, c_ot,
+         |        CAST(coalesce(sum(c_en) OVER (ORDER BY sc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS eb,
+         |        CAST(coalesce(sum(c_ot) OVER (ORDER BY sc
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS ob
+         |      FROM g),
+         |f AS (SELECT sc AS threshold,
+         |        tt.t_en - c.eb AS tp, tt.t_ot - c.ob AS fp, c.eb AS fn
+         |      FROM c CROSS JOIN tt)
+         |SELECT threshold, tp, fp, fn,
+         |       CAST((2000 * tp) // (2 * tp + fp + fn) AS BIGINT) AS f1_milli,
+         |       CAST((1000 * tp) // (tp + fp) AS BIGINT) AS precision_milli,
+         |       CAST((1000 * tp) // (tp + fn) AS BIGINT) AS recall_milli
+         |FROM f
+         |ORDER BY CAST((2000 * tp) // (2 * tp + fp + fn) AS BIGINT) DESC,
+         |         threshold
+         |LIMIT 1""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          expr(s"(1000 * cast(size(filter(toks, " +
+            s"t -> array_contains($sparkStopArray, t))) as bigint)) " +
+            "div size(toks)").as("sc"))
+      val g = d.groupBy("sc").agg(sum("y").as("c_en"),
+        (count(lit(1)) - sum("y")).as("c_ot"))
+      val (p1, tEn) = Scale.prefixSumLongByWithTotal(g, Seq("sc"), "c_en", "cum_en")
+      val (p2, tOt) = Scale.prefixSumLongByWithTotal(p1, Seq("sc"), "c_ot", "cum_ot")
+      p2.select(col("sc").as("threshold"),
+          (lit(tEn) - (col("cum_en") - col("c_en"))).as("tp"),
+          (lit(tOt) - (col("cum_ot") - col("c_ot"))).as("fp"),
+          (col("cum_en") - col("c_en")).as("fn"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          expr("(2000 * tp) div (2 * tp + fp + fn)").as("f1_milli"),
+          expr("(1000 * tp) div (tp + fp)").as("precision_milli"),
+          expr("(1000 * tp) div (tp + fn)").as("recall_milli"))
+        .orderBy(col("f1_milli").desc, col("threshold"))
+        .limit(1)
+    },
+
+    // ---- quality-gate parity audit (q254): per-language keep rate of
+    //      the Gopher filter + the four-fifths disparate-impact rule —
+    //      the bias check a curation pipeline owes its corpus: a gate
+    //      tuned on English silently strips other languages (stopword
+    //      and alpha-ratio rules are anglocentric by construction, and
+    //      this measures exactly how much). One gopherRules scan with
+    //      lang ridden through the same projection, one group-by, the
+    //      best rate broadcast from a 1-row aggregate. ----
+    QueryDef(
+      "q254_filter_parity",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |${PipelineQueries.gopherCountsCte("t")},
+         |j AS (SELECT t.lang,
+         |        CASE WHEN ${PipelineQueries.gopherKeepSql} THEN 1 ELSE 0 END
+         |          AS k
+         |      FROM c JOIN t USING (doc_id)),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(k) AS BIGINT) AS kept
+         |      FROM j GROUP BY lang),
+         |r AS (SELECT lang, n, kept,
+         |        CAST((1000 * kept) // n AS BIGINT) AS keep_milli FROM g),
+         |b AS (SELECT max(keep_milli) AS best FROM r)
+         |SELECT lang, n, kept, keep_milli,
+         |       CAST(CASE WHEN b.best = 0 THEN 1000
+         |            ELSE (1000 * keep_milli) // b.best END AS BIGINT)
+         |         AS parity_milli,
+         |       1000 * keep_milli < 800 * b.best AS below_four_fifths
+         |FROM r CROSS JOIN b ORDER BY lang""".stripMargin) { (s, dir) =>
+      val gr = TextAnalysis.gopherRules(
+        Tables.documents(s, dir), passthrough = Seq("lang"))
+      val g = gr.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      val r = g.select(col("lang"), col("n"), col("kept"),
+        expr("(1000 * kept) div n").as("keep_milli"))
+      val b = r.agg(max("keep_milli").as("best"))
+      r.crossJoin(broadcast(b))
+        .select(col("lang"), col("n"), col("kept"), col("keep_milli"),
+          when(col("best") === 0, 1000L)
+            .otherwise(expr("(1000 * keep_milli) div best"))
+            .as("parity_milli"),
+          (lit(1000L) * col("keep_milli") < lit(800L) * col("best"))
+            .as("below_four_fifths"))
+        .orderBy("lang")
     }
   )
 

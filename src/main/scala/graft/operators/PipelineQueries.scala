@@ -46,7 +46,7 @@ object PipelineQueries {
     * (doc_id, toks) — ONE spelling shared by q131 (per-rule verdicts)
     * and q135 (corpus keep count) so the rule SQL cannot drift.
     */
-  private def gopherCountsCte(from: String): String =
+  private[operators] def gopherCountsCte(from: String): String =
     s"""c AS (
        |  SELECT doc_id,
        |         CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -63,7 +63,7 @@ object PipelineQueries {
   /** The composed Gopher keep predicate over [[gopherCountsCte]]'s
     * columns — mirrors TextAnalysis.gopherRules defaults exactly.
     */
-  private val gopherKeepSql: String =
+  private[operators] val gopherKeepSql: String =
     """(n_tokens >= 40 AND n_tokens <= 100000
       |        AND word_chars >= n_tokens * 3 AND word_chars <= n_tokens * 10
       |        AND sym_words * 10 <= n_tokens

@@ -435,4 +435,50 @@ class CurationSpec extends SparkSpec {
     assert(got > uniform,
       s"power iteration must increase the Rayleigh quotient: $got <= $uniform")
   }
+
+  // ---- q253 F1 threshold ----
+
+  test("q253: reported cut is the true F1 argmax over every observed threshold") {
+    import graft.textops.TextAnalysis
+    val r = run("q253_f1_threshold").collect().head
+    val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"))
+    assert(r.getAs[Long]("f1_milli") == 2000 * tp / (2 * tp + fp + fn))
+    assert(r.getAs[Long]("recall_milli") == 1000 * tp / (tp + fn))
+    // brute-force the sweep
+    val scored = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("lang"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select((col("lang") === "en").as("y"),
+        expr("(1000 * cast(size(filter(toks, t -> array_contains(" +
+          "array('the','a','an','and','or','of','to','in','is','it'), t)" +
+          ")) as bigint)) div size(toks)").as("sc"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val bestF1 = scored.map(_._2).distinct.map { t =>
+      val tp2 = scored.count { case (y, s) => y && s >= t }.toLong
+      val fp2 = scored.count { case (y, s) => !y && s >= t }.toLong
+      val fn2 = scored.count { case (y, s) => y && s < t }.toLong
+      2000 * tp2 / (2 * tp2 + fp2 + fn2)
+    }.max
+    assert(r.getAs[Long]("f1_milli") == bestF1,
+      s"reported F1 ${r.getAs[Long]("f1_milli")} != brute-force max $bestF1")
+  }
+
+  // ---- q254 filter parity ----
+
+  test("q254: parity is relative to the best language and the four-fifths flag is consistent") {
+    val rows = run("q254_filter_parity").collect()
+    assert(rows.length == 5)
+    val best = rows.map(_.getAs[Long]("keep_milli")).max
+    rows.foreach { r =>
+      val keep = r.getAs[Long]("keep_milli")
+      val parity = r.getAs[Long]("parity_milli")
+      assert(parity == 1000 * keep / best)
+      assert(parity <= 1000)
+      assert(r.getAs[Boolean]("below_four_fifths") == (1000 * keep < 800 * best))
+      assert(r.getAs[Long]("kept") <= r.getAs[Long]("n"))
+    }
+    assert(rows.exists(_.getAs[Long]("parity_milli") == 1000),
+      "the best language must sit at parity 1000")
+  }
 }
