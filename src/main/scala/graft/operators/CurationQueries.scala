@@ -1204,6 +1204,64 @@ object CurationQueries {
           (lit(1000L) * col("keep_milli") < lit(800L) * col("best"))
             .as("below_four_fifths"))
         .orderBy("lang")
+    },
+
+    // ---- personalized PageRank seed expansion (q255): restrict the
+    //      teleport mass to a SEED set (the 5 lowest supplier nodes of
+    //      the q92 bipartite graph) and let 3 integer iterations push
+    //      mass outward — the "grow this curated allowlist through the
+    //      link structure" primitive. Rank can only ORIGINATE at seeds,
+    //      so every positive-rank node is provably link-connected to
+    //      the seed set within 3 hops. Top-30 cut bounded TakeOrdered.
+    //      Composes [[Graph.personalizedPageRankMicro]]. ----
+    QueryDef(
+      "q255_personalized_ppr", {
+        def iter(prev: String, out: String): String =
+          s"""i$out AS (
+             |  SELECT e.dst AS id, sum(r.rank_micro // o.outdeg) AS inbox
+             |  FROM edges e JOIN outdeg o ON e.src = o.src
+             |  JOIN $prev r ON r.id = e.src
+             |  GROUP BY e.dst),
+             |$out AS (
+             |  SELECT n.id,
+             |         CAST(CASE WHEN sd.id IS NOT NULL THEN 150000 ELSE 0 END
+             |              + coalesce(i.inbox, 0) * 85 // 100 AS BIGINT)
+             |           AS rank_micro
+             |  FROM nodes n
+             |  LEFT JOIN seeds sd ON sd.id = n.id
+             |  LEFT JOIN i$out i ON n.id = i.id)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT s AS src, c AS dst FROM pairs
+           |          UNION ALL SELECT c, s FROM pairs),
+           |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |seeds AS (SELECT id FROM nodes
+           |          WHERE id >= 1000000000000 AND id < 1000000000005),
+           |r0 AS (SELECT n.id,
+           |         CAST(CASE WHEN sd.id IS NOT NULL THEN 1000000 ELSE 0 END
+           |           AS BIGINT) AS rank_micro
+           |       FROM nodes n LEFT JOIN seeds sd ON sd.id = n.id),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT id, rank_micro FROM r3
+           |ORDER BY rank_micro DESC, id LIMIT 30""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 1000000000000L).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+      val seeds = edges.select(col("src").as("id"))
+        .filter(col("id") >= 1000000000000L && col("id") < 1000000000005L)
+        .distinct()
+      graft.graph.Graph.personalizedPageRankMicro(edges, seeds, 3)
+        .orderBy(col("rank_micro").desc, col("id")).limit(30)
     }
   )
 

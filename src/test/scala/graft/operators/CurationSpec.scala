@@ -481,4 +481,33 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("parity_milli") == 1000),
       "the best language must sit at parity 1000")
   }
+
+  // ---- q255 personalized PageRank ----
+
+  test("personalizedPageRankMicro: exact mass flow on a directed chain; 0 beyond the horizon") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = graft.graph.Graph
+      .personalizedPageRankMicro(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-computed: teleport 150000 only at the seed, damping 85/100
+    assert(got(1L) == 150000L)
+    assert(got(2L) == 127500L) // 150000*85/100
+    assert(got(3L) == 108375L) // 127500*85/100
+    assert(got(4L) == 614125L) // 722500*85/100 (wavefront)
+    assert(got(5L) == 0L, "mass cannot travel further than `iterations` hops")
+  }
+
+  test("q255: seeds hold the top ranks and every positive rank is seed-reachable mass") {
+    val rows = run("q255_personalized_ppr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 30)
+    val seedIds = (0 until 5).map(1000000000000L + _).toSet
+    val top5 = rows.sortBy { case (id, r) => (-r, id) }.take(5).map(_._1).toSet
+    assert(top5 == seedIds,
+      s"the 5 seeds must dominate the PPR ranking, got $top5")
+    rows.foreach { case (_, r) => assert(r > 0) }
+  }
 }
