@@ -1262,8 +1262,135 @@ object CurationQueries {
         .distinct()
       graft.graph.Graph.personalizedPageRankMicro(edges, seeds, 3)
         .orderBy(col("rank_micro").desc, col("id")).limit(30)
+    },
+
+    // ---- interpolated Kneser–Ney bigram LM scoring (q256): the real
+    //      LM-smoothing (Chen & Goodman '98) next to q239's Laplace —
+    //      absolute discount D = N₁/(N₁+2N₂) with the discounted mass
+    //      re-spent on CONTINUATION probability N₁₊(·w)/|types| ("how
+    //      many contexts does w complete"), which is what separates
+    //      common-but-bound words from genuinely productive ones.
+    //      Four-level backoff (hit / both-known / context-only /
+    //      continuation-only / floor) as ONE CASE expression whose text
+    //      is shared verbatim between the Spark plan and the oracle, so
+    //      the double→ln→round arithmetic is structurally identical.
+    //      LM tables are vocabulary-bounded and broadcast (the q239
+    //      scale contract); scoring is one narrow scan + per-doc agg. ----
+    QueryDef(
+      "q256_kneser_ney",
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |  WHERE len($toksSql) >= 2),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(toks)), i -> toks[i]))
+         |           AS w1,
+         |         unnest(list_transform(range(1, len(toks)), i -> toks[i + 1]))
+         |           AS w2
+         |  FROM t),
+         |tr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |       FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+         |c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |          CAST(count(*) AS BIGINT) AS n1p1
+         |        FROM tr GROUP BY w1),
+         |c2t AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pw2
+         |        FROM tr GROUP BY w2),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n1,
+         |         CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n2
+         |       FROM tr),
+         |dt AS (SELECT CASE WHEN n1 = 0 THEN 500
+         |         ELSE greatest((1000 * n1) // (n1 + 2 * n2), 1) END AS dm,
+         |         nt
+         |       FROM gl),
+         |du AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+         |       FROM bg GROUP BY doc_id, w1, w2),
+         |sc AS (
+         |  SELECT du.doc_id, du.k, $knQlnSql AS qln
+         |  FROM du
+         |  LEFT JOIN tr USING (w1, w2)
+         |  LEFT JOIN c1t USING (w1)
+         |  LEFT JOIN c2t USING (w2)
+         |  CROSS JOIN dt),
+         |ag AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(k * qln) AS BIGINT) AS total
+         |       FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |       CAST((0 - total) // n_bigrams AS BIGINT) AS kn_xent_micro
+         |FROM ag ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bg = t.select(col("doc_id"), col("lang"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 1), i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint() // feeds both the trainer and the scorer
+      val tr = bg.filter(col("lang") === "en")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint() // 3 derived LM tables below
+      val c1t = tr.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1p1"))
+      val c2t = tr.groupBy("w2").agg(count(lit(1)).as("n1pw2"))
+      val gl = tr.agg(count(lit(1)).as("nt"),
+        sum(when(col("c12") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c12") === 2, 1L).otherwise(0L)).as("n2"))
+      // D pinned into (0, 1): 500 milli when no singletons exist (D is
+      // then undefined), floored at 1 milli so the interpolated mass —
+      // and with it every backoff ln() — stays strictly positive
+      val dt = gl.select(
+        when(col("n1") === 0, 500L)
+          .otherwise(greatest(
+            expr("(1000 * n1) div (n1 + 2 * n2)"), lit(1L))).as("dm"),
+        col("nt"))
+      val du = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      du.join(broadcast(tr), Seq("w1", "w2"), "left")
+        .join(broadcast(c1t), Seq("w1"), "left")
+        .join(broadcast(c2t), Seq("w2"), "left")
+        .crossJoin(broadcast(dt))
+        .withColumn("qln", expr(knQlnSql))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          sum(col("k") * col("qln")).as("total"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(0 - total) div n_bigrams").as("kn_xent_micro"))
+        .orderBy("doc_id")
     }
   )
+
+  /** The Kneser–Ney per-bigram log-prob CASE — ONE expression string
+    * evaluated by BOTH engines (Spark expr() and the DuckDB oracle), so
+    * the double arithmetic is structurally identical token for token.
+    * Levels: seen bigram (discounted + interpolated), unseen bigram
+    * with known context and continuation, known context only
+    * (continuation floor 1/(2·types)), continuation only, full floor. */
+  private def knQlnSql: String =
+    """CASE
+      |  WHEN c12 IS NOT NULL THEN CAST(round(1000000 * ln(
+      |    (greatest(CAST(c12 AS DOUBLE) - CAST(dm AS DOUBLE) / 1000, 0.0)
+      |     + (CAST(dm AS DOUBLE) / 1000) * CAST(n1p1 AS DOUBLE)
+      |       * (CAST(n1pw2 AS DOUBLE) / CAST(nt AS DOUBLE)))
+      |    / CAST(c1 AS DOUBLE))) AS BIGINT)
+      |  WHEN c1 IS NOT NULL AND n1pw2 IS NOT NULL THEN
+      |    CAST(round(1000000 * ln(
+      |      ((CAST(dm AS DOUBLE) / 1000) * CAST(n1p1 AS DOUBLE)
+      |       * (CAST(n1pw2 AS DOUBLE) / CAST(nt AS DOUBLE)))
+      |      / CAST(c1 AS DOUBLE))) AS BIGINT)
+      |  WHEN c1 IS NOT NULL THEN
+      |    CAST(round(1000000 * ln(
+      |      ((CAST(dm AS DOUBLE) / 1000) * CAST(n1p1 AS DOUBLE)
+      |       * (1.0 / (2 * CAST(nt AS DOUBLE))))
+      |      / CAST(c1 AS DOUBLE))) AS BIGINT)
+      |  WHEN n1pw2 IS NOT NULL THEN CAST(round(1000000 * ln(
+      |    CAST(n1pw2 AS DOUBLE) / CAST(nt AS DOUBLE))) AS BIGINT)
+      |  ELSE CAST(round(1000000 * ln(
+      |    1.0 / (2 * CAST(nt AS DOUBLE)))) AS BIGINT)
+      |END""".stripMargin
 
   /** q252 oracle: quantized centering, the d² moment aggregation and all
     * three integer-renormalized matvecs replayed; DuckDB's floor-div is

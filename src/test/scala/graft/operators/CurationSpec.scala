@@ -510,4 +510,31 @@ class CurationSpec extends SparkSpec {
       s"the 5 seeds must dominate the PPR ranking, got $top5")
     rows.foreach { case (_, r) => assert(r > 0) }
   }
+
+  // ---- q256 Kneser–Ney ----
+
+  test("q256: cross-entropy is positive and the training language scores strictly lowest") {
+    val x = run("q256_kneser_ney")
+    val rows = x.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("kn_xent_micro") > 0))
+    val byLang = x.join(
+        graft.tables.Tables.documents(spark, sf0001).select("doc_id", "lang"),
+        "doc_id")
+      .groupBy("lang").agg(avg("kn_xent_micro").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (lang, m) =>
+      assert(en < m,
+        s"KN LM trained on en must perplex $lang more: en=$en $lang=$m")
+    }
+  }
+
+  test("q256: all LM tables broadcast — the bigram stream shuffles only per doc") {
+    val plan = planOf("q256_kneser_ney")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocabulary-bounded KN tables must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row discount table must broadcast:\n$plan")
+  }
 }
