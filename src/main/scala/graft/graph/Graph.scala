@@ -90,10 +90,9 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
-    val seedFlags = nodes
-      .join(seeds.select(col("id")), Seq("id"), "left_semi")
-      .withColumn("is_seed", lit(true))
-    val flagged = nodes.join(seedFlags, Seq("id"), "left_outer")
+    val flagged = nodes
+      .join(seeds.select(col("id")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
       .localCheckpoint()
     var ranks = flagged.select(col("id"),

@@ -4,7 +4,7 @@ import graft.catalog.QueryDef
 import graft.similarity.Similarity
 import graft.tables.Tables
 import graft.textops.TextAnalysis
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation statistics and entity-resolution operators, round-6
@@ -546,41 +546,16 @@ object CurationQueries {
     //      recursively. ----
     QueryDef(
       "q243_dbscan", dbscanOracleSql) { (s, dir) =>
-      val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val ae = base.filter(col("vec_id") < 10 && col("vec_id") % 2 === 0)
-        .select(expr("vec_id div 2").as("c"), col("embedding").as("ea"),
-          (col("vec_id") + 1).as("bk_id"))
-      val be = base.select(col("vec_id").as("bk_id"),
-        col("embedding").as("eb"))
-      // orthonormalize (A', B') per chain — operation-for-operation the
-      // oracle's o1..o6 CTEs, so the FLOAT-cast planted vectors are
-      // bit-identical across engines
-      val o = ae.join(be, "bk_id").drop("bk_id")
-        .withColumn("na", sqrt(aggregate(
-          transform(col("ea"), z => z.cast("double") * z.cast("double")),
-          lit(0.0), (acc, v) => acc + v)))
-        .withColumn("ap", transform(col("ea"),
-          z => z.cast("double") / col("na")))
-        .withColumn("proj", aggregate(
-          zip_with(col("ap"), col("eb"), (x, y) => x * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v))
-        .withColumn("bp", zip_with(col("eb"), col("ap"),
-          (x, y) => x.cast("double") - col("proj") * y))
-        .withColumn("nb", sqrt(aggregate(
-          transform(col("bp"), z => z * z), lit(0.0), (acc, v) => acc + v)))
-        .withColumn("bq", transform(col("bp"), z => z / col("nb")))
-      val angles = array(chainAngles.map { case (i, ci, si) =>
-        struct(lit(i).as("i"), lit(ci).as("ci"), lit(si).as("si"))
-      }: _*)
-      val pts = o.select(col("c"), col("ap"), col("bq"),
-          explode(angles).as("ang"))
-        .select((lit(2000000L) + col("c") * 10 + col("ang.i")).as("vec_id"),
-          zip_with(col("ap"), col("bq"),
-            (x, y) => (col("ang.ci") * x + col("ang.si") * y).cast("float"))
-            .as("embedding"))
-      val uni = base.unionByName(pts).localCheckpoint()
+      val uni = dbscanUni(s, dir)
+      // 56 planes / 8 bands = 7 sign bits per band: 128 bucket values
+      // per band bound the false-candidate surface (mean bucket ~n/128)
+      // while the planted ADJACENT edges at cos 10° ≈ 0.985 still
+      // collide in ≥1 band with p ≈ 1 − 1.3e-4 (p_bit = 0.945,
+      // p_band = 0.945⁷ = 0.673, miss = 0.327⁸). 56 not 64: the packed
+      // signature lives in ONE Long and the sign-bit fold must not
+      // overflow its 64th doubling under ANSI mode.
       val pairs = Similarity.embeddingNearDups(uni, threshold = 0.966,
-        nPlanes = 32, bands = 8).select("id_a", "id_b")
+        nPlanes = 56, bands = 8).select("id_a", "id_b")
       Similarity.dbscanFromPairs(uni.select("vec_id"), pairs, minPts = 3)
         .orderBy("vec_id")
     },
@@ -1074,18 +1049,31 @@ object CurationQueries {
       val mu = xq.groupBy("i").agg(sum("x").as("sx"))
         .crossJoin(broadcast(nDf))
         .select(col("i"), expr("sx div nn").as("mu"))
-      val xc = xq.join(broadcast(mu), "i")
-        .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("x"))
-      val m = xc
-        .join(xc.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
-          "vec_id")
-        .groupBy("i", "j")
-        .agg(sum(col("x").cast("decimal(38,0)") * col("y")).as("m"))
-        .localCheckpoint() // the 4096-row moment relation feeds 3 matvecs
+      // the 64×64 moment matrix is NEVER materialized: each power-
+      // iteration matvec distributes as w_i = Σ_rows xc_i · (xc·v) —
+      // all-integer arithmetic, so the regrouping is EXACT and the
+      // result is bit-identical to the oracle's explicit-matrix form,
+      // at O(n·d) per iteration instead of an O(n·d²) pair explode.
+      // μ and v are d bounded driver values (the Scale.scala
+      // parts-rows precedent), inlined as literal arrays each round.
+      val muArr = mu.orderBy("i").collect().map(_.getLong(1))
+      val muLit = array(muArr.map(lit): _*)
+      val xcA = e.select(transform(col("embedding"), (xv, idx) =>
+        round(lit(1000000d) * xv.cast("double")).cast("long") -
+          element_at(muLit, idx + 1)).as("xc"))
+        .localCheckpoint() // scanned once per power iteration
       var v = mu.select(col("i"), lit(1000000L).as("v"))
       for (_ <- 1 to 3) {
-        val w = m.join(broadcast(v.select(col("i").as("j"), col("v"))), "j")
-          .groupBy("i").agg(sum(col("m") * col("v")).as("w"))
+        val vArr = v.orderBy("i").collect().map(_.getLong(1))
+        val vLit = array(vArr.map(lit): _*)
+        // per-row dot in Long: |xc|≤2e6 micro × |v|≤1e6 × d=64 ≤ 1.3e14
+        val scored = xcA.withColumn("dotv",
+          aggregate(zip_with(col("xc"), vLit, (x, vv) => x * vv),
+            lit(0L), (a, t) => a + t))
+        val w = scored
+          .select(col("dotv"), posexplode(col("xc")).as(Seq("p", "xi")))
+          .groupBy((col("p") + 1).as("i"))
+          .agg(sum(col("xi").cast("decimal(38,0)") * col("dotv")).as("w"))
         val mx = w.agg(max(abs(col("w"))).as("mx"))
         v = w.crossJoin(broadcast(mx))
           .select(col("i"),
@@ -1360,8 +1348,296 @@ object CurationQueries {
         .select(col("doc_id"), col("n_bigrams"),
           expr("(0 - total) div n_bigrams").as("kn_xent_micro"))
         .orderBy("doc_id")
+    },
+
+    // ---- cross-correlation lag scan (q257): which lag best aligns the
+    //      click and purchase daily series — the "does activity X lead
+    //      metric Y, and by how many days" question. Day-grain
+    //      aggregates FIRST (calendar-bounded), then one equi-join per
+    //      overlap on (day + lag) — lags materialize as a 15-element
+    //      literal explode, never a cross product of days. Centering is
+    //      integer milli (means trunc-div over each FULL series, pinned
+    //      definition); the normalized r uses the proven bit-exact
+    //      round(double-product → sqrt → divide) recipe on exact-int
+    //      inputs < 2^53. All 15 lags reported. ----
+    QueryDef(
+      "q257_xcorr_lag",
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT (1000 * sum(c)) // count(*) AS m FROM d
+        |       WHERE event_type = 'click'),
+        |mb AS (SELECT (1000 * sum(c)) // count(*) AS m FROM d
+        |       WHERE event_type = 'purchase'),
+        |a AS (SELECT day, 1000 * c - ma.m AS ca FROM d CROSS JOIN ma
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT day, 1000 * c - mb.m AS cb FROM d CROSS JOIN mb
+        |      WHERE event_type = 'purchase'),
+        |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+        |j AS (SELECT l.lag, a.ca, b.cb
+        |      FROM lags l JOIN a ON true JOIN b ON b.day = a.day + l.lag),
+        |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_overlap,
+        |        CAST(sum(ca * cb) AS BIGINT) AS dot,
+        |        CAST(sum(ca * ca) AS BIGINT) AS sa2,
+        |        CAST(sum(cb * cb) AS BIGINT) AS sb2
+        |      FROM j GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_overlap,
+        |       CAST(CASE WHEN sa2 = 0 OR sb2 = 0 THEN 0
+        |            ELSE round(1000 * CAST(dot AS DOUBLE)
+        |                 / sqrt(CAST(sa2 AS DOUBLE) * CAST(sb2 AS DOUBLE)))
+        |            END AS BIGINT) AS r_milli
+        |FROM g ORDER BY lag""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // tiny; feeds both series and both means
+      def centered(tpe: String, out: String): DataFrame = {
+        val m = d.filter(col("event_type") === tpe)
+          .agg(expr("(1000 * sum(c)) div count(1)").as("m"))
+        d.filter(col("event_type") === tpe).crossJoin(broadcast(m))
+          .select(col("day"), (lit(1000L) * col("c") - col("m")).as(out))
+      }
+      val a = centered("click", "ca")
+      val b = centered("purchase", "cb")
+      val lags = a.sparkSession.range(-7, 8).select(col("id").as("lag"))
+      val j = a.crossJoin(broadcast(lags))
+        .join(b.withColumnRenamed("day", "bday"),
+          col("day") + col("lag") === col("bday"))
+      val g = j.groupBy("lag").agg(count(lit(1)).as("n_overlap"),
+        sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("sa2"),
+        sum(col("cb") * col("cb")).as("sb2"))
+      g.select(col("lag"), col("n_overlap"),
+          when(col("sa2") === 0 || col("sb2") === 0, 0L)
+            .otherwise(round(lit(1000d) * col("dot").cast("double") /
+              sqrt(col("sa2").cast("double") * col("sb2").cast("double")))
+              .cast("long")).as("r_milli"))
+        .orderBy("lag")
+    },
+
+    // ---- Fisher discriminability per dimension (q258): which embedding
+    //      dimensions actually separate the labels — between-class over
+    //      within-class variance per dim (the LDA/feature-selection
+    //      criterion), the supervised companion to q252's unsupervised
+    //      top direction. Micro-quantized cells, truncating integer
+    //      class/global means, DECIMAL(38,0) squared sums (row counts
+    //      never overflow them), one explode pass + label×dim-bounded
+    //      aggregates; top-10 dims via bounded TakeOrdered. ----
+    QueryDef(
+      "q258_fisher_ratio",
+      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |xq AS (SELECT vec_id, label,
+        |         unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+        |           AS BIGINT) AS x
+        |       FROM e),
+        |cs AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n_c,
+        |         CAST(sum(x) AS BIGINT) AS sx
+        |       FROM xq GROUP BY label, i),
+        |cm AS (SELECT label, i, n_c,
+        |         CASE WHEN sx >= 0 THEN sx // n_c
+        |              ELSE -((-sx) // n_c) END AS mu_c
+        |       FROM cs),
+        |gm AS (SELECT i,
+        |         CASE WHEN sum(sx) >= 0 THEN sum(sx) // sum(n_c)
+        |              ELSE -((-sum(sx)) // sum(n_c)) END AS mu
+        |       FROM cs GROUP BY i),
+        |wi AS (SELECT xq.i,
+        |         sum(CAST(xq.x - cm.mu_c AS DECIMAL(38,0))
+        |             * (xq.x - cm.mu_c)) AS w
+        |       FROM xq JOIN cm ON cm.label = xq.label AND cm.i = xq.i
+        |       GROUP BY xq.i),
+        |bt AS (SELECT cm.i,
+        |         sum(CAST(cm.n_c AS DECIMAL(38,0))
+        |             * (CAST(cm.mu_c - gm.mu AS DECIMAL(38,0))
+        |                * (cm.mu_c - gm.mu))) AS b
+        |       FROM cm JOIN gm ON gm.i = cm.i
+        |       GROUP BY cm.i)
+        |SELECT CAST(wi.i AS INT) AS dim,
+        |       CAST(CAST(bt.b * 1000000 AS HUGEINT)
+        |            // CAST(wi.w AS HUGEINT) AS BIGINT) AS fisher_micro
+        |FROM wi JOIN bt ON bt.i = wi.i
+        |WHERE wi.w > 0
+        |ORDER BY fisher_micro DESC, dim LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val xq = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "xval")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+          round(lit(1000000d) * col("xval").cast("double"))
+            .cast("long").as("x"))
+        .localCheckpoint() // read for class stats and within-variance
+      val cs = xq.groupBy("label", "i")
+        .agg(count(lit(1)).as("n_c"), sum("x").as("sx"))
+      val cm = cs.select(col("label"), col("i"), col("n_c"),
+        expr("sx div n_c").as("mu_c"))
+      val gm = cs.groupBy("i").agg(
+        expr("sum(sx) div sum(n_c)").as("mu"))
+      val wi = xq.join(broadcast(cm), Seq("label", "i"))
+        .groupBy("i")
+        .agg(sum((col("x") - col("mu_c")).cast("decimal(38,0)") *
+          (col("x") - col("mu_c"))).as("w"))
+      val bt = cm.join(broadcast(gm), "i")
+        .groupBy("i")
+        .agg(sum(col("n_c").cast("decimal(38,0)") *
+          ((col("mu_c") - col("mu")).cast("decimal(38,0)") *
+            (col("mu_c") - col("mu")))).as("b"))
+      wi.join(bt, "i").filter(col("w") > 0)
+        .select(col("i").cast("int").as("dim"),
+          expr("CAST((b * 1000000) div w AS BIGINT)").as("fisher_micro"))
+        .orderBy(col("fisher_micro").desc, col("dim")).limit(10)
+    },
+
+    // ---- Jensen–Shannon source drift (q259): how far each source's
+    //      unigram distribution sits from the corpus mixture — the
+    //      magnitude-bounded (≤ ln 2), symmetric drift score that KL
+    //      can't give when a source misses corpus tokens. Present-token
+    //      terms stream at (source, token) grain with the jsdTermSql
+    //      expression shared verbatim between engines (q256 discipline:
+    //      per-term pico rounding pins the double→ln arithmetic);
+    //      absent-token mass needs NO token join — it closes in one
+    //      ln 2·(1 − coverage)/2 term from the exact BIGINT covered
+    //      count. One token-keyed shuffle; totals broadcast. ----
+    QueryDef(
+      "q259_js_divergence",
+      s"""WITH toks AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM toks GROUP BY source, tok),
+        |nsrc AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS ns
+        |         FROM cs GROUP BY source),
+        |cq AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_q
+        |       FROM cs GROUP BY tok),
+        |nt AS (SELECT CAST(sum(c_q) AS BIGINT) AS n FROM cq),
+        |terms AS (
+        |  SELECT cs.source, $jsdTermSql AS term_pico, cq.c_q
+        |  FROM cs JOIN cq ON cq.tok = cs.tok
+        |  JOIN nsrc ON nsrc.source = cs.source CROSS JOIN nt),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |          CAST(sum(term_pico) AS BIGINT) AS present_pico,
+        |          CAST(sum(c_q) AS BIGINT) AS cov
+        |        FROM terms GROUP BY source)
+        |SELECT agg.source, n_types,
+        |       (1000000 * cov) // n AS coverage_ppm,
+        |       present_pico + $jsdAbsentSql AS jsd_pico
+        |FROM agg CROSS JOIN nt
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      val cs = toks.groupBy("source", "tok")
+        .agg(count(lit(1)).as("c_s"))
+        .localCheckpoint() // feeds per-source totals, corpus counts, terms
+      val nsrc = cs.groupBy("source").agg(sum("c_s").as("ns"))
+      val cq = cs.groupBy("tok").agg(sum("c_s").as("c_q"))
+      val nt = cq.agg(sum("c_q").as("n"))
+      val terms = cs.join(cq, "tok")
+        .join(broadcast(nsrc), "source")
+        .crossJoin(broadcast(nt))
+        .select(col("source"), expr(jsdTermSql).as("term_pico"), col("c_q"))
+      terms.groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum("term_pico").as("present_pico"),
+          sum("c_q").as("cov"))
+        .crossJoin(broadcast(nt))
+        .select(col("source"), col("n_types"),
+          expr("(1000000 * cov) div n").as("coverage_ppm"),
+          (col("present_pico") + expr(jsdAbsentSql)).as("jsd_pico"))
+        .orderBy("source")
+    },
+
+    // ---- Benford first-digit audit (q260): does the price column's
+    //      leading significant digit follow log10(1 + 1/d) — the
+    //      fabricated/synthetic-numerics detector auditors run first.
+    //      Digit via exact cents-integer string head (no log10 boundary
+    //      risk at powers of ten), one scan → 9-key aggregate, total
+    //      broadcast from a 1-row agg; expected ppm and the chi-square
+    //      contribution are ONE shared expression per engine so the
+    //      double arithmetic is token-identical. A literal 1..9 frame
+    //      left-joins the observed counts so silent-zero digits still
+    //      report their full expected-mass penalty. ----
+    QueryDef(
+      "q260_benford",
+      s"""WITH cents AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |obs AS (SELECT CAST(substr(CAST(c AS STRING), 1, 1) AS BIGINT)
+        |          AS digit,
+        |        CAST(count(*) AS BIGINT) AS observed
+        |        FROM cents GROUP BY 1),
+        |nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+        |frame AS (SELECT unnest(range(1, 10)) AS digit),
+        |j AS (SELECT f.digit, coalesce(o.observed, 0) AS observed
+        |      FROM frame f LEFT JOIN obs o ON o.digit = f.digit)
+        |SELECT digit, observed,
+        |       $benfordExpPpmSql AS expected_ppm,
+        |       $benfordChiSql AS chi_term_micro
+        |FROM j CROSS JOIN nt
+        |ORDER BY digit""".stripMargin) { (s, dir) =>
+      val cents = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      val obs = cents
+        .select(expr("CAST(substr(CAST(c AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val nt = obs.agg(sum("observed").as("n"))
+      val frame = s.range(1, 10).select(col("id").as("digit"))
+      frame.join(obs, Seq("digit"), "left_outer")
+        .select(col("digit"),
+          coalesce(col("observed"), lit(0L)).as("observed"))
+        .crossJoin(broadcast(nt))
+        .select(col("digit"), col("observed"),
+          expr(benfordExpPpmSql).as("expected_ppm"),
+          expr(benfordChiSql).as("chi_term_micro"))
+        .orderBy("digit")
     }
   )
+
+  /** q259's per-present-token JS term — ONE expression string evaluated
+    * by BOTH engines over columns (c_s, ns, c_q, n): ½(p·ln(2p/(p+q)) +
+    * q·ln(2q/(p+q))) in pico units, per-term rounded so the summed
+    * BIGINT is order-free. p = c_s/ns > 0 and q = c_q/n ≥ p·ns/n > 0 on
+    * every present row, so no ln(0) branch is reachable. */
+  private def jsdTermSql: String =
+    """CAST(round(1000000000000 * (
+      |  (CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))
+      |    * ln(2 * (CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))
+      |         / ((CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))
+      |            + (CAST(c_q AS DOUBLE) / CAST(n AS DOUBLE))))
+      |  + (CAST(c_q AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * ln(2 * (CAST(c_q AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / ((CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))
+      |            + (CAST(c_q AS DOUBLE) / CAST(n AS DOUBLE))))
+      |) / 2) AS BIGINT)""".stripMargin
+
+  /** q259's absent-token closure over (cov, n): every corpus token the
+    * source lacks contributes q·ln 2/2 and nothing else, so the whole
+    * absent tail is ln 2·(1 − cov/n)/2 — exact from the covered count,
+    * no anti-join. */
+  private def jsdAbsentSql: String =
+    """CAST(round(1000000000000 * ln(2)
+      |  * (1 - CAST(cov AS DOUBLE) / CAST(n AS DOUBLE)) / 2) AS BIGINT)""".stripMargin
+
+  /** Benford expected share of digit d in ppm — log10(1 + 1/d) via the
+    * same ln quotient on both engines. */
+  private def benfordExpPpmSql: String =
+    """CAST(round(1000000 * ln(1 + 1.0 / CAST(digit AS DOUBLE))
+      |  / ln(10.0)) AS BIGINT)""".stripMargin
+
+  /** Benford chi-square contribution of one digit in micro over
+    * (observed, n, digit): (obs − n·p)²/(n·p), the deviation squared by
+    * explicit self-multiplication (pow() implementations may differ;
+    * x*x is one IEEE multiply on both engines). */
+  private def benfordChiSql: String =
+    """CAST(round(1000000 *
+      |  ((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE)
+      |     * (ln(1 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |   * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE)
+      |     * (ln(1 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))))
+      |  / (CAST(n AS DOUBLE)
+      |     * (ln(1 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))) AS BIGINT)""".stripMargin
 
   /** The Kneser–Ney per-bigram log-prob CASE — ONE expression string
     * evaluated by BOTH engines (Spark expr() and the DuckDB oracle), so
@@ -1536,16 +1812,60 @@ object CurationQueries {
       (i, math.cos(a), math.sin(a))
     }
 
+  /** q243's fixture corpus: the raw embeddings table plus five planted
+    * great-circle chains (P_i = cos θ_i·A′ + sin θ_i·B′ per chain,
+    * orthonormalized double math, FLOAT-cast — the q30 determinism
+    * contract), localCheckpointed because the LSH pass and the label
+    * join both scan it.
+    */
+  private[graft] def dbscanUni(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val ae = base.filter(col("vec_id") < 10 && col("vec_id") % 2 === 0)
+      .select(expr("vec_id div 2").as("c"), col("embedding").as("ea"),
+        (col("vec_id") + 1).as("bk_id"))
+    val be = base.select(col("vec_id").as("bk_id"),
+      col("embedding").as("eb"))
+    // orthonormalize (A', B') per chain — operation-for-operation the
+    // oracle's o1..o6 CTEs, so the FLOAT-cast planted vectors are
+    // bit-identical across engines
+    val o = ae.join(be, "bk_id").drop("bk_id")
+      .withColumn("na", sqrt(aggregate(
+        transform(col("ea"), z => z.cast("double") * z.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("ap", transform(col("ea"),
+        z => z.cast("double") / col("na")))
+      .withColumn("proj", aggregate(
+        zip_with(col("ap"), col("eb"), (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      .withColumn("bp", zip_with(col("eb"), col("ap"),
+        (x, y) => x.cast("double") - col("proj") * y))
+      .withColumn("nb", sqrt(aggregate(
+        transform(col("bp"), z => z * z), lit(0.0), (acc, v) => acc + v)))
+      .withColumn("bq", transform(col("bp"), z => z / col("nb")))
+    val angles = array(chainAngles.map { case (i, ci, si) =>
+      struct(lit(i).as("i"), lit(ci).as("ci"), lit(si).as("si"))
+    }: _*)
+    val pts = o.select(col("c"), col("ap"), col("bq"),
+        explode(angles).as("ang"))
+      .select((lit(2000000L) + col("c") * 10 + col("ang.i")).as("vec_id"),
+        zip_with(col("ap"), col("bq"),
+          (x, y) => (col("ang.ci") * x + col("ang.si") * y).cast("float"))
+          .as("embedding"))
+    base.unionByName(pts).localCheckpoint()
+  }
+
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** 32-plane / 8-band hyperplane signature CTEs over `uni` — the
-    * wider-band mirror of PipelineQueries.hyperplaneSigCtes, sized so
-    * the 15° eps angle keeps per-pair recall ≈ 1 − 5.6e-5. */
-  private def sig32Ctes: String = {
-    val (nPlanes, bands, dim) = (32, 8, 64)
+  /** 56-plane / 8-band hyperplane signature CTEs over `uni` — the
+    * wider-band mirror of PipelineQueries.hyperplaneSigCtes: 128 bucket
+    * values per band bound the false-candidate surface at corpus scale
+    * while adjacent planted edges (cos 10°) still collide with
+    * p ≈ 1 − 1.3e-4. */
+  private def sig56Ctes: String = {
+    val (nPlanes, bands, dim) = (56, 8, 64)
     val rowsPerBand = nPlanes / bands
     def dSql(p: Int): String =
       (0 until dim).map(i =>
@@ -1603,7 +1923,7 @@ object CurationQueries {
        |  FROM o6 CROSS JOIN ang),
        |uni AS (SELECT vec_id, embedding FROM base
        |        UNION ALL SELECT vec_id, embedding FROM pts),
-       |$sig32Ctes,
+       |$sig56Ctes,
        |bx AS ($bx),
        |bc AS (SELECT band, bucket, count(*) AS cbk FROM bx
        |       GROUP BY band, bucket),

@@ -537,4 +537,164 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"the 1-row discount table must broadcast:\n$plan")
   }
+
+  // ---- q257 cross-correlation lag scan ----
+
+  test("q257: all 15 lags reported, r bounded, overlap shrinks toward the lag extremes") {
+    val rows = run("q257_xcorr_lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (-7L to 7L),
+      "one row per lag in [-7, 7], ordered")
+    rows.foreach { case (lag, n, r) =>
+      assert(math.abs(r) <= 1000L, s"lag $lag: |r_milli| $r > 1000")
+      assert(n > 0, s"lag $lag: empty overlap")
+    }
+    val n0 = rows.find(_._1 == 0L).get._2
+    Seq(-7L, 7L).foreach { l =>
+      assert(rows.find(_._1 == l).get._2 <= n0,
+        s"overlap at lag $l must not exceed the aligned overlap")
+    }
+  }
+
+  test("q257: lag-0 r_milli equals a direct integer-Pearson recompute of the day series") {
+    val day = graft.tables.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def series(t: String): Map[Long, Long] = {
+      val s = day.filter(_._1 == t).map(x => x._2 -> x._3).toMap
+      val m = 1000L * s.values.sum / s.size // positive: trunc == floor
+      s.map { case (d, c) => d -> (1000L * c - m) }
+    }
+    val a = series("click")
+    val b = series("purchase")
+    val common = a.keySet.intersect(b.keySet).toSeq
+    val dot = common.map(d => BigInt(a(d)) * BigInt(b(d))).sum
+    val sa2 = common.map(d => BigInt(a(d)) * BigInt(a(d))).sum
+    val sb2 = common.map(d => BigInt(b(d)) * BigInt(b(d))).sum
+    // the q212 recipe: exact-int sums < 2^53, IEEE sqrt/divide, HALF_UP
+    val expected = BigDecimal(
+      1000d * dot.toDouble / math.sqrt(sa2.toDouble * sb2.toDouble))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val got = run("q257_xcorr_lag").filter(col("lag") === 0L)
+      .collect().head.getLong(2)
+    assert(got == expected, s"lag-0 r_milli $got != recompute $expected")
+  }
+
+  test("q257: lags broadcast — no day-by-day product anywhere in the plan") {
+    val plan = planOf("q257_xcorr_lag")
+    assert(!plan.contains("CartesianProduct"),
+      s"15-row lag table and 1-row means must broadcast:\n$plan")
+  }
+
+  // ---- q258 Fisher discriminability ----
+
+  test("q258: top-10 matches an exact driver recompute over every dimension") {
+    val rows = graft.tables.Tables.embeddings(spark, sf0001)
+      .select("label", "embedding").collect()
+      .map(r => (r.get(0),
+        r.getSeq[Float](1).map(x => BigDecimal(1000000d * x)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val d = rows.head._2.length
+    val fisher = (1 to d).flatMap { i =>
+      val byLabel = rows.groupBy(_._1).map { case (_, rs) =>
+        val xs = rs.map(_._2(i - 1))
+        (xs.length.toLong, xs.sum, xs)
+      }
+      val muC = byLabel.map { case (n, sx, xs) => (n, sx / n, xs) } // Long / truncates like div
+      val mu = byLabel.map(_._2).sum / byLabel.map(_._1).sum
+      val w = muC.map { case (_, m, xs) =>
+        xs.map(x => BigInt(x - m) * BigInt(x - m)).sum }.sum
+      val b = muC.map { case (n, m, _) =>
+        BigInt(n) * (BigInt(m - mu) * BigInt(m - mu)) }.sum
+      if (w > 0) {
+        // HUGEINT // floors; b, w >= 0 so floor == BigInt /
+        Some(i -> (b * 1000000 / w).toLong)
+      } else None
+    }
+    val expected = fisher.sortBy { case (i, f) => (-f, i) }.take(10)
+    val got = run("q258_fisher_ratio").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == expected, s"top-10 Fisher mismatch:\n got $got\n exp $expected")
+    assert(got.map(_._2) == got.map(_._2).sorted(Ordering[Long].reverse),
+      "fisher_micro must be non-increasing")
+  }
+
+  test("q258: class and global mean tables broadcast back onto the cell stream") {
+    val plan = planOf("q258_fisher_ratio")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label×dim-bounded stats must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q259 Jensen–Shannon source drift ----
+
+  test("q259: JSD bounded by ln 2, coverage sane, and one source replays exactly on the driver") {
+    val rows = run("q259_js_divergence").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    val ln2pico = math.round(math.log(2) * 1e12)
+    rows.foreach { case (src, nTypes, covPpm, jsd) =>
+      assert(nTypes > 0, src)
+      assert(covPpm > 0 && covPpm <= 1000000L, s"$src coverage $covPpm")
+      // per-term rounding can wobble the sum by < 1 pico per term
+      assert(jsd >= -nTypes && jsd <= ln2pico + nTypes,
+        s"$src: jsd_pico $jsd outside [0, ln2]")
+    }
+    // exact replay of one source with the same per-term pico rounding
+    val toks = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val srcName = rows.head._1
+    val n = toks.map(_._3).sum
+    val cq = toks.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._3).sum }
+    val mine = toks.filter(_._1 == srcName).map(x => x._2 -> x._3).toMap
+    val ns = mine.values.sum
+    def pico(x: Double): Long = BigDecimal(1e12 * x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val present = mine.map { case (t, cS) =>
+      val p = cS.toDouble / ns
+      val q = cq(t).toDouble / n
+      pico((p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q))) / 2)
+    }.sum
+    val cov = mine.keysIterator.map(cq).sum // iterator: a Set.map would dedup equal counts
+    val absent = pico(math.log(2) * (1 - cov.toDouble / n) / 2)
+    val got = rows.find(_._1 == srcName).get._4
+    assert(got == present + absent,
+      s"$srcName: jsd_pico $got != driver replay ${present + absent}")
+  }
+
+  test("q259: totals broadcast; the only shuffle-sized key is the token grain") {
+    val plan = planOf("q259_js_divergence")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row totals and the source-grain table must broadcast:\n$plan")
+  }
+
+  // ---- q260 Benford audit ----
+
+  test("q260: all 9 digits, mass conserved, expected shares are the Benford constants") {
+    val rows = run("q260_benford").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    val total = rows.map(_._2).sum
+    val nLineitem = graft.tables.Tables.lineitem(spark, sf0001).count()
+    assert(total == nLineitem, s"observed mass $total != lineitem $nLineitem")
+    rows.foreach { case (d, _, expPpm, chi) =>
+      val want = math.round(1e6 * math.log(1 + 1.0 / d) / math.log(10))
+      assert(expPpm == want, s"digit $d: expected_ppm $expPpm != $want")
+      assert(chi >= 0L)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1000000L) <= 9,
+      "Benford shares must sum to 1 within per-digit rounding")
+  }
+
+  test("q260: one scan, 9-key aggregate, total broadcast — no product, no window") {
+    val plan = planOf("q260_benford")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
