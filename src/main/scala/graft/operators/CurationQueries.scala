@@ -1592,6 +1592,151 @@ object CurationQueries {
           expr(benfordExpPpmSql).as("expected_ppm"),
           expr(benfordChiSql).as("chi_term_micro"))
         .orderBy("digit")
+    },
+
+    // ---- Heaps' law vocabulary growth (q261): fit V(n) = K·n^β over
+    //      the corpus read in doc_id order — the "how fast does new
+    //      vocabulary keep arriving" curve that sizes tokenizers and
+    //      predicts dedup yield. The growth curve needs NO per-prefix
+    //      rescans: a token first materializes at min(doc_id), so V at
+    //      any prefix is one prefix sum of per-doc first-occurrence
+    //      counts, and n is a prefix sum of per-doc token counts — two
+    //      range-partitioned Scale passes, no single-partition window.
+    //      Log-log least squares on micro-quantized ln points (the q237
+    //      recipe), slope/intercept in exact DECIMAL with q190
+    //      sign-split division. ----
+    QueryDef(
+      "q261_heaps_fit",
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok
+        |           FROM toks GROUP BY doc_id),
+        |firstocc AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+        |newt AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS ntypes
+        |         FROM firstocc GROUP BY fd),
+        |grain AS (SELECT p.doc_id, p.ntok, coalesce(nw.ntypes, 0) AS ntypes
+        |          FROM perdoc p LEFT JOIN newt nw ON nw.doc_id = p.doc_id),
+        |cums AS (SELECT doc_id,
+        |           sum(ntok) OVER (ORDER BY doc_id) AS cum_n,
+        |           sum(ntypes) OVER (ORDER BY doc_id) AS cum_v
+        |         FROM grain),
+        |p AS (SELECT
+        |        CAST(round(1000000 * ln(CAST(cum_n AS DOUBLE))) AS BIGINT)
+        |          AS x,
+        |        CAST(round(1000000 * ln(CAST(cum_v AS DOUBLE))) AS BIGINT)
+        |          AS y
+        |      FROM cums WHERE cum_n >= 1 AND cum_v >= 1),
+        |g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        |      FROM p),
+        |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |          CAST(sum(ntypes) AS BIGINT) AS vocab FROM grain),
+        |b AS (SELECT n, sx, sy,
+        |        CAST(CASE WHEN n * sxy - sx * sy >= 0
+        |          THEN CAST((n * sxy - sx * sy) * 1000 AS HUGEINT)
+        |               // CAST(n * sxx - sx * sx AS HUGEINT)
+        |          ELSE -(CAST(-((n * sxy - sx * sy) * 1000) AS HUGEINT)
+        |                 // CAST(n * sxx - sx * sx AS HUGEINT)) END
+        |          AS BIGINT) AS beta_milli
+        |      FROM g)
+        |SELECT CAST(n AS BIGINT) AS n_points, beta_milli,
+        |       CAST(CASE WHEN sy * 1000 - beta_milli * sx >= 0
+        |         THEN CAST(sy * 1000 - beta_milli * sx AS HUGEINT)
+        |              // CAST(n * 1000 AS HUGEINT)
+        |         ELSE -(CAST(-(sy * 1000 - beta_milli * sx) AS HUGEINT)
+        |                // CAST(n * 1000 AS HUGEINT)) END AS BIGINT)
+        |         AS lnk_micro,
+        |       n_tokens, vocab
+        |FROM b CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val newT = toks.groupBy("tok").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("ntypes"))
+      val grain = perDoc.join(newT, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("ntok"),
+          coalesce(col("ntypes"), lit(0L)).as("ntypes"))
+        .localCheckpoint() // both prefix passes and the totals read it
+      val c1 = Scale.prefixSumLong(grain, "doc_id", "ntok", "cum_n")
+      val c2 = Scale.prefixSumLong(c1, "doc_id", "ntypes", "cum_v")
+      val p = c2.filter(col("cum_n") >= 1 && col("cum_v") >= 1)
+        .select(
+          round(lit(1000000d) * log(col("cum_n").cast("double")))
+            .cast("long").as("x"),
+          round(lit(1000000d) * log(col("cum_v").cast("double")))
+            .cast("long").as("y"))
+      val g = p.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val tot = grain.agg(sum("ntok").as("n_tokens"),
+        sum("ntypes").as("vocab"))
+      g.select(col("n"), col("sx"), col("sy"),
+          expr("CAST(((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx) AS BIGINT)")
+            .as("beta_milli"))
+        .crossJoin(broadcast(tot))
+        .select(col("n").cast("long").as("n_points"), col("beta_milli"),
+          expr("CAST((sy * 1000 - beta_milli * sx) div (n * 1000) AS BIGINT)")
+            .as("lnk_micro"),
+          col("n_tokens"), col("vocab"))
+    },
+
+    // ---- Gini concentration of doc lengths per language (q262): how
+    //      unequally token mass spreads across documents — the
+    //      "is this slice a few mega-docs or many small ones" packing/
+    //      sampling diagnostic. Exact integer Gini from VALUE-grain
+    //      counts: a block of w docs at length v occupying ranks
+    //      base+1..base+w contributes v·(2·w·base + w(w+1)) to the
+    //      DOUBLED rank sum (kept doubled so no division ever happens
+    //      inside an aggregate), so G = (2S − (n+1)T)/(nT) needs only a
+    //      per-language cumulative over the bounded length grain — no
+    //      row-level ranking. DECIMAL(38,0) products, positive divs. ----
+    QueryDef(
+      "q262_gini_lengths",
+      s"""WITH d AS (
+        |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+        |vg AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS w
+        |       FROM d GROUP BY lang, v),
+        |cw AS (SELECT lang, v, w,
+        |         CAST(sum(w) OVER (PARTITION BY lang ORDER BY v)
+        |              - w AS BIGINT) AS base
+        |       FROM vg),
+        |agg AS (SELECT lang,
+        |          CAST(sum(w) AS BIGINT) AS n_docs,
+        |          sum(CAST(v AS DECIMAL(38,0)) * w) AS t,
+        |          sum(CAST(v AS DECIMAL(38,0))
+        |              * (2 * w * CAST(base AS DECIMAL(38,0))
+        |                 + CAST(w AS DECIMAL(38,0)) * (w + 1))) AS s2
+        |        FROM cw GROUP BY lang)
+        |SELECT lang, n_docs,
+        |       CAST(CAST((s2 - (n_docs + 1) * t) * 1000 AS HUGEINT)
+        |            // CAST(n_docs * t AS HUGEINT) AS BIGINT) AS gini_milli
+        |FROM agg WHERE t > 0 ORDER BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("lang"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("v"))
+      val vg = d.groupBy("lang", "v").agg(count(lit(1)).as("w"))
+      // bounded grain: distinct lengths per language, never row-level
+      val cw = vg.withColumn("base",
+        sum("w").over(Window.partitionBy("lang").orderBy("v")) - col("w"))
+      val agg = cw.groupBy("lang").agg(
+        sum("w").as("n_docs"),
+        sum(col("v").cast("decimal(38,0)") * col("w")).as("t"),
+        sum(col("v").cast("decimal(38,0)") *
+          (lit(2) * col("w") * col("base").cast("decimal(38,0)") +
+            col("w").cast("decimal(38,0)") * (col("w") + 1))).as("s2"))
+      agg.filter(col("t") > 0)
+        .select(col("lang"), col("n_docs"),
+          expr("CAST(((s2 - (n_docs + 1) * t) * 1000) div (n_docs * t) AS BIGINT)")
+            .as("gini_milli"))
+        .orderBy("lang")
     }
   )
 

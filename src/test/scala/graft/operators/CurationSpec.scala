@@ -697,4 +697,81 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  // ---- q261 Heaps' law ----
+
+  test("q261: exponent in (0,1), totals exact, and the fit replays on the driver curve") {
+    val r = run("q261_heaps_fit").collect().head
+    val (nPts, beta, lnk, nTok, vocab) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(beta > 0 && beta < 1000, s"Heaps beta_milli $beta outside (0,1)")
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.textops.TextAnalysis.wsTokens(col("text")).as("toks"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[String](1))
+      .sortBy(_._1)
+    assert(nTok == docs.map(_._2.length.toLong).sum)
+    assert(vocab == docs.flatMap(_._2).distinct.length.toLong)
+    // replay: first-occurrence growth curve + micro-ln least squares
+    val seen = collection.mutable.Set[String]()
+    var (cumN, cumV) = (0L, 0L)
+    val pts = docs.map { case (_, toks) =>
+      cumN += toks.length
+      toks.foreach(t => if (seen.add(t)) cumV += 1)
+      (math.round(1e6 * math.log(cumN.toDouble)),
+        math.round(1e6 * math.log(cumV.toDouble)))
+    }.filter(p => p._1 >= 0 && p._2 >= 0)
+    assert(nPts == pts.length.toLong)
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    def truncDiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates
+    val betaExp = truncDiv((n * sxy - sx * sy) * 1000, n * sxx - sx * sx)
+    assert(BigInt(beta) == betaExp, s"beta $beta != replay $betaExp")
+    val lnkExp = truncDiv(sy * 1000 - betaExp * sx, n * 1000)
+    assert(BigInt(lnk) == lnkExp, s"lnk $lnk != replay $lnkExp")
+  }
+
+  test("q261: growth curve comes from Scale prefix passes — no single-partition window") {
+    val plan = planOf("q261_heaps_fit")
+    assert(!plan.contains("Window"),
+      s"prefix sums must be the Scale primitives, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q262 Gini of doc lengths ----
+
+  test("q262: per-language Gini matches the exact sorted-rank recompute") {
+    val got = run("q262_gini_lengths").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5)
+    val byLang = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("lang"),
+        size(graft.textops.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1)
+    got.foreach { case (lang, nDocs, gini) =>
+      val xs = byLang(lang).map(_._2).sorted
+      assert(nDocs == xs.length.toLong)
+      val n = BigInt(xs.length)
+      val t = xs.map(BigInt(_)).sum
+      val s2 = xs.zipWithIndex.map { case (x, i) =>
+        BigInt(2) * (i + 1) * x }.sum
+      val expect = (s2 - (n + 1) * t) * 1000 / (n * t)
+      assert(BigInt(gini) == expect, s"$lang: gini $gini != $expect")
+      assert(gini >= 0 && gini < 1000)
+    }
+  }
+
+  test("q262: the only window runs per-language over the bounded length grain") {
+    val plan = planOf("q262_gini_lengths")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the window must be partitioned (by lang), never a global sort
+    assert(!plan.contains("Window [") ||
+      plan.contains("partitionBy") || plan.contains("lang"),
+      s"window must carry a partition spec:\n$plan")
+  }
 }
