@@ -1737,6 +1737,119 @@ object CurationQueries {
           expr("CAST(((s2 - (n_docs + 1) * t) * 1000) div (n_docs * t) AS BIGINT)")
             .as("gini_milli"))
         .orderBy("lang")
+    },
+
+    // ---- chi-square independence audit (q263): is language independent
+    //      of source in this corpus — the stratification sanity check a
+    //      mixing recipe needs before treating "source" as a usable
+    //      sampling axis. Full source×lang contingency incl. silent-zero
+    //      cells (distinct-list broadcast frame, so a source that never
+    //      emits a language still charges its expected mass); expected
+    //      counts exact in milli (DECIMAL r·c products), chi-square
+    //      contribution per cell as ONE shared double expression
+    //      (explicit x·x squaring, q260 discipline); marginals broadcast
+    //      from bounded aggregates. ----
+    QueryDef(
+      "q263_chisq_independence",
+      s"""WITH obs AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        |       FROM obs GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+        |       FROM obs GROUP BY lang),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |frame AS (SELECT rt.source, ct.lang, rt.r, ct.c
+        |          FROM rt CROSS JOIN ct),
+        |j AS (SELECT f.source, f.lang, coalesce(obs.o, 0) AS observed,
+        |        f.r, f.c
+        |      FROM frame f LEFT JOIN obs
+        |        ON obs.source = f.source AND obs.lang = f.lang)
+        |SELECT source, lang, observed,
+        |       CAST(CAST(1000 * CAST(r AS DECIMAL(38,0)) * c AS HUGEINT)
+        |            // CAST(n AS HUGEINT) AS BIGINT) AS expected_milli,
+        |       $chisqCellSql AS chi_micro
+        |FROM j CROSS JOIN nt
+        |ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val obs = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint() // feeds marginals and the frame join
+      val rt = obs.groupBy("source").agg(sum("o").as("r"))
+      val ct = obs.groupBy("lang").agg(sum("o").as("c"))
+      val nt = obs.agg(sum("o").as("n"))
+      val frame = rt.crossJoin(broadcast(ct))
+      frame.join(obs, Seq("source", "lang"), "left_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("o"), lit(0L)).as("observed"), col("r"), col("c"))
+        .crossJoin(broadcast(nt))
+        .select(col("source"), col("lang"), col("observed"),
+          expr("CAST((1000 * CAST(r AS DECIMAL(38,0)) * c) div n AS BIGINT)")
+            .as("expected_milli"),
+          expr(chisqCellSql).as("chi_micro"))
+        .orderBy("source", "lang")
+    },
+
+    // ---- isotonic calibration (q264): monotone score→P(en) map via
+    //      the minimax characterization iso(s) = max_{i≤s} min_{j≥i}
+    //      avg(y over score-block [i, j]) — PAVA's closed form, which
+    //      (unlike the pooling loop) is order-free relational algebra.
+    //      Everything lives on the VALUE grain (≤1001 distinct milli
+    //      scores, the q253 scorer): inclusive prefix counts via Scale
+    //      passes, the i≤j block-average table is grain², per-i min then
+    //      a prefix max — no row-level work after the first aggregate.
+    //      Block averages are micro floor-divs (all positive), so the
+    //      map is exact and engine-identical. ----
+    QueryDef(
+      "q264_isotonic_calibration",
+      s"""WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         (1000 * len(list_filter($toksSql,
+        |            t -> list_contains(${PipelineQueries.stopwordsSql}, t))))
+        |           // len($toksSql) AS sc
+        |  FROM documents WHERE len($toksSql) >= 1),
+        |g AS (SELECT sc, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(y) AS BIGINT) AS pos
+        |      FROM d GROUP BY sc),
+        |cum AS (SELECT sc, n, pos,
+        |          CAST(sum(n) OVER (ORDER BY sc) AS BIGINT) AS cn,
+        |          CAST(sum(pos) OVER (ORDER BY sc) AS BIGINT) AS cp
+        |        FROM g),
+        |pairs AS (SELECT a.sc AS si,
+        |            (1000000 * (b.cp - a.cp + a.pos))
+        |              // (b.cn - a.cn + a.n) AS avgm
+        |          FROM cum a JOIN cum b ON b.sc >= a.sc),
+        |mj AS (SELECT si, min(avgm) AS m FROM pairs GROUP BY si),
+        |iso AS (SELECT si AS sc, max(m) OVER (ORDER BY si) AS iso_micro
+        |        FROM mj)
+        |SELECT g.sc AS score, g.n, g.pos, iso.iso_micro
+        |FROM g JOIN iso ON iso.sc = g.sc
+        |ORDER BY score""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          expr(s"(1000 * cast(size(filter(toks, " +
+            s"t -> array_contains($sparkStopArray, t))) as bigint)) " +
+            "div size(toks)").as("sc"))
+      val g = d.groupBy("sc")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val c1 = Scale.prefixSumLong(g, "sc", "n", "cn")
+      val cum = Scale.prefixSumLong(c1, "sc", "pos", "cp")
+        .localCheckpoint() // both sides of the grain² pair join
+      val a = cum.select(col("sc").as("si"), col("cn").as("cna"),
+        col("cp").as("cpa"), col("n").as("na"), col("pos").as("posa"))
+      val b = cum.select(col("sc").as("sj"), col("cn").as("cnb"),
+        col("cp").as("cpb"))
+      val pairs = a.join(broadcast(b), col("sj") >= col("si"))
+        .select(col("si"),
+          expr("(1000000 * (cpb - cpa + posa)) div (cnb - cna + na)")
+            .as("avgm"))
+      val mj = pairs.groupBy("si").agg(min("avgm").as("m"))
+      val iso = Scale.prefixMaxLongBy(mj, Seq("si"), "m", "iso_micro")
+      cum.select(col("sc").as("score"), col("n"), col("pos"))
+        .join(broadcast(iso.select(col("si").as("score"), col("iso_micro"))),
+          "score")
+        .orderBy("score")
     }
   )
 
@@ -1770,6 +1883,18 @@ object CurationQueries {
   private def benfordExpPpmSql: String =
     """CAST(round(1000000 * ln(1 + 1.0 / CAST(digit AS DOUBLE))
       |  / ln(10.0)) AS BIGINT)""".stripMargin
+
+  /** q263's per-cell chi-square contribution in micro over (observed,
+    * r, c, n): (o − rc/n)²/(rc/n), deviation squared by explicit
+    * self-multiplication; shared verbatim between engines. */
+  private def chisqCellSql: String =
+    """CAST(round(1000000 *
+      |  ((CAST(observed AS DOUBLE)
+      |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |   * (CAST(observed AS DOUBLE)
+      |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+      |  AS BIGINT)""".stripMargin
 
   /** Benford chi-square contribution of one digit in micro over
     * (observed, n, digit): (obs − n·p)²/(n·p), the deviation squared by

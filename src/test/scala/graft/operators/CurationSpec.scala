@@ -774,4 +774,103 @@ class CurationSpec extends SparkSpec {
       plan.contains("partitionBy") || plan.contains("lang"),
       s"window must carry a partition spec:\n$plan")
   }
+
+  // ---- q263 chi-square independence ----
+
+  test("q263: full 100-cell frame, mass conserved, marginals consistent, cells replay") {
+    val rows = run("q263_chisq_independence").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.length == 100, "20 sources x 5 langs incl. zero cells")
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.map(_._2._1).sum == docs.values.sum)
+    val rTot = docs.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    val cTot = docs.groupBy(_._1._2).map { case (l, xs) => l -> xs.values.sum }
+    val n = docs.values.sum
+    rows.foreach { case ((src, lang), (o, expMilli, chi)) =>
+      assert(o == docs.getOrElse((src, lang), 0L))
+      val r = rTot(src); val c = cTot(lang)
+      assert(expMilli == BigInt(1000) * r * c / n,
+        s"($src,$lang) expected_milli")
+      val e = r.toDouble * c / n
+      val want = BigDecimal(1e6 * ((o - e) * (o - e)) / e)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(chi == want, s"($src,$lang) chi $chi != $want")
+    }
+    // each source's expected mass rebuilds its row total within rounding
+    rTot.foreach { case (src, r) =>
+      val got = rows.filter(_._1._1 == src).map(_._2._2).sum
+      assert(math.abs(got - 1000 * r) <= 5, s"$src marginal drift")
+    }
+  }
+
+  test("q263: bounded marginal frame — broadcasts only, no raw product of documents") {
+    val plan = planOf("q263_chisq_independence")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ---- q264 isotonic calibration ----
+
+  test("q264: map is monotone, bounded, and equals true PAVA within one micro") {
+    val rows = run("q264_isotonic_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "score-ordered")
+    rows.map(_._4).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) <= w(1),
+        "isotonic map must be non-decreasing")
+    }
+    rows.foreach { case (_, nn, pos, iso) =>
+      assert(pos <= nn)
+      assert(iso >= 0 && iso <= 1000000L)
+    }
+    // true PAVA on the grain (exact rationals), compare at micro
+    case class Block(var n: Long, var pos: Long)
+    val blocks = collection.mutable.ArrayBuffer[Block]()
+    rows.foreach { case (_, nn, pos, _) =>
+      blocks += Block(nn, pos)
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        // pool while decreasing: pos_a/n_a >= pos_b/n_b (cross-multiplied)
+        a.pos * b.n >= b.pos * a.n
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.n += b.n; blocks.last.pos += b.pos
+      }
+    }
+    // expand blocks back over the score rows
+    var idx = 0
+    val flat = new Array[(Long, Long)](rows.length)
+    blocks.foreach { b =>
+      var consumed = 0L
+      while (consumed < b.n) {
+        flat(idx) = (b.pos, b.n); consumed += rows(idx)._2; idx += 1
+      }
+    }
+    assert(idx == rows.length, "PAVA blocks must tile the grain")
+    rows.zip(flat).foreach { case ((sc, _, _, iso), (bp, bn)) =>
+      val exact = 1e6 * bp / bn
+      assert(math.abs(iso - exact) <= 1.0,
+        s"score $sc: iso $iso vs PAVA ${exact}")
+    }
+  }
+
+  test("q264: no window anywhere; the grain pair join stays off the row-level path") {
+    // the tail plan is checkpoint-truncated (Scale.prefixMaxLongBy pins
+    // its output), so assert the visible tail plus the head stage the
+    // same way the query builds it: the i<=j join must broadcast.
+    val plan = planOf("q264_isotonic_calibration")
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val cum = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy(col("n_chars").as("sc")).agg(count(lit(1)).as("cn"))
+    val a = cum.select(col("sc").as("si"), col("cn").as("cna"))
+    val b = cum.select(col("sc").as("sj"), col("cn").as("cnb"))
+    val pairPlan = a.join(broadcast(b), col("sj") >= col("si"))
+      .queryExecution.executedPlan.toString
+    assert(pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan)
+  }
 }
