@@ -558,7 +558,7 @@ object CurationQueries {
         nPlanes = 56, bands = 8).select("id_a", "id_b")
       Similarity.dbscanFromPairs(uni.select("vec_id"), pairs, minPts = 3)
         .orderBy("vec_id")
-    },
+    }.copy(headline = true), // slowest catalog query (5-stage composite)
 
     // ---- greedy k-center coreset (q244): farthest-point traversal
     //      (Gonzalez'85, the 2-approximation every coreset/data-pruning
@@ -1250,7 +1250,7 @@ object CurationQueries {
         .distinct()
       graft.graph.Graph.personalizedPageRankMicro(edges, seeds, 3)
         .orderBy(col("rank_micro").desc, col("id")).limit(30)
-    },
+    }.copy(headline = true), // top-5 sweep cost: graph build + 3 rounds
 
     // ---- interpolated Kneser–Ney bigram LM scoring (q256): the real
     //      LM-smoothing (Chen & Goodman '98) next to q239's Laplace —
@@ -1850,6 +1850,268 @@ object CurationQueries {
         .join(broadcast(iso.select(col("si").as("score"), col("iso_micro"))),
           "score")
         .orderBy("score")
+    },
+
+    // ---- Kendall tau-b rank correlation (q265): do daily click and
+    //      purchase volumes co-move — the outlier-proof, tie-aware
+    //      companion to q257's Pearson lag scan. Day-grain aggregates
+    //      FIRST (q248 discipline: pairs are calendar-bounded, never
+    //      event-pairs); ONE strict day-pair pass yields concordant/
+    //      discordant AND both tie masses, so no separate value-grain
+    //      pass; tau-b = (C−D)/√((n0−ta)(n0−tb)) as one shared double
+    //      expression on exact ints < 2⁵³. ----
+    QueryDef(
+      "q265_kendall_tau",
+      s"""WITH d AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |j AS (SELECT a.day, a.c AS av, b.c AS bv
+        |      FROM (SELECT day, c FROM d WHERE event_type = 'click') a
+        |      JOIN (SELECT day, c FROM d WHERE event_type = 'purchase') b
+        |        ON b.day = a.day),
+        |p AS (SELECT x.av - y.av AS da, x.bv - y.bv AS db
+        |      FROM j x JOIN j y ON y.day > x.day),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+        |        CAST(sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS conc,
+        |        CAST(sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS disc,
+        |        CAST(sum(CASE WHEN da = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS ta,
+        |        CAST(sum(CASE WHEN db = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS tb
+        |      FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM j)
+        |SELECT n_days, conc AS concordant, disc AS discordant,
+        |       ta AS tie_a_pairs, tb AS tie_b_pairs,
+        |       $tauBSql AS tau_b_milli
+        |FROM g CROSS JOIN m""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      val a = d.filter(col("event_type") === "click")
+        .select(col("day"), col("c").as("av"))
+      val b = d.filter(col("event_type") === "purchase")
+        .select(col("day").as("bday"), col("c").as("bv"))
+      val j = a.join(b, col("day") === col("bday"))
+        .select(col("day"), col("av"), col("bv"))
+        .localCheckpoint() // both sides of the calendar-bounded pair join
+      val x = j.select(col("day").as("xd"), col("av").as("xa"),
+        col("bv").as("xb"))
+      val y = j.select(col("day").as("yd"), col("av").as("ya"),
+        col("bv").as("yb"))
+      val p = x.join(broadcast(y), col("yd") > col("xd"))
+        .select((col("xa") - col("ya")).as("da"),
+          (col("xb") - col("yb")).as("db"))
+      val g = p.agg(count(lit(1)).as("n0"),
+        sum(when(col("da") * col("db") > 0, 1L).otherwise(0L)).as("conc"),
+        sum(when(col("da") * col("db") < 0, 1L).otherwise(0L)).as("disc"),
+        sum(when(col("da") === 0, 1L).otherwise(0L)).as("ta"),
+        sum(when(col("db") === 0, 1L).otherwise(0L)).as("tb"))
+      val m = j.agg(count(lit(1)).as("n_days"))
+      g.crossJoin(broadcast(m))
+        .select(col("n_days"), col("conc").as("concordant"),
+          col("disc").as("discordant"), col("ta").as("tie_a_pairs"),
+          col("tb").as("tie_b_pairs"),
+          expr(tauBSql).as("tau_b_milli"))
+    },
+
+    // ---- calibration reliability + ECE (q266): how far the stopword
+    //      score's CONFIDENCE sits from observed ACCURACY per decile
+    //      bin — the audit that says whether q264's calibration is even
+    //      needed. All-integer at milli resolution: acc = ⌊1000·pos/n⌋,
+    //      conf = ⌊Σsc/n⌋ per bin, ECE = ⌊1000·Σ n_b·|acc−conf| / n⌋;
+    //      one scan → ≤10-key aggregate, totals broadcast. ----
+    QueryDef(
+      "q266_reliability_ece",
+      s"""WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         (1000 * len(list_filter($toksSql,
+        |            t -> list_contains(${PipelineQueries.stopwordsSql}, t))))
+        |           // len($toksSql) AS sc
+        |  FROM documents WHERE len($toksSql) >= 1),
+        |g AS (SELECT least(sc // 100, 9) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n_b,
+        |        CAST(sum(y) AS BIGINT) AS pos_b,
+        |        CAST(sum(sc) AS BIGINT) AS ssc
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT bin, n_b, pos_b,
+        |        (1000 * pos_b) // n_b AS acc_milli,
+        |        ssc // n_b AS conf_milli
+        |      FROM g),
+        |e AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |        CAST(sum(n_b * abs(acc_milli - conf_milli)) AS BIGINT)
+        |          AS sg
+        |      FROM r)
+        |SELECT bin, n_b, pos_b, acc_milli, conf_milli,
+        |       abs(acc_milli - conf_milli) AS gap_milli,
+        |       (1000 * sg) // n AS ece_micro
+        |FROM r CROSS JOIN e ORDER BY bin""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          expr(s"(1000 * cast(size(filter(toks, " +
+            s"t -> array_contains($sparkStopArray, t))) as bigint)) " +
+            "div size(toks)").as("sc"))
+      val g = d.groupBy(least(expr("sc div 100"), lit(9)).as("bin"))
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"),
+          sum("sc").as("ssc"))
+      val r = g.select(col("bin"), col("n_b"), col("pos_b"),
+          expr("(1000 * pos_b) div n_b").as("acc_milli"),
+          expr("ssc div n_b").as("conf_milli"))
+        .localCheckpoint() // read per-bin and for the ECE total
+      val e = r.agg(sum("n_b").as("n"),
+        sum(col("n_b") * abs(col("acc_milli") - col("conf_milli"))).as("sg"))
+      r.crossJoin(broadcast(e))
+        .select(col("bin"), col("n_b"), col("pos_b"), col("acc_milli"),
+          col("conf_milli"),
+          abs(col("acc_milli") - col("conf_milli")).as("gap_milli"),
+          expr("(1000 * sg) div n").as("ece_micro"))
+        .orderBy("bin")
+    },
+
+    // ---- Neyman-allocation stratified sample (q267): split a
+    //      1000-doc budget across languages ∝ N_h·σ_h (minimum-variance
+    //      stratified sampling), then DETERMINISTICALLY draw each
+    //      stratum's share as its md5-smallest doc_ids — reproducible
+    //      and oracle-checkable, the content-addressed sampling
+    //      discipline (q242). Largest-remainder rounding makes the
+    //      allocations sum exactly to the budget (floor divisions leave
+    //      a ≤|strata| deficit, handed to the biggest remainders via a
+    //      5-row globalRank). Selection is a per-stratum bounded TopK
+    //      heap (map-side k=budget state), never a row-level rank. ----
+    QueryDef(
+      "q267_neyman_sample", {
+        val std = stdMicroSql
+        s"""WITH st AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+          |         CAST(sum(n_chars) AS BIGINT) AS sx,
+          |         sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
+          |  FROM documents GROUP BY lang),
+          |s2 AS (SELECT lang, nh, $std AS std_micro FROM st),
+          |w AS (SELECT lang, nh, std_micro,
+          |        CAST(nh AS DECIMAL(38,0)) * std_micro AS wh FROM s2),
+          |wt AS (SELECT sum(wh) AS wtot FROM w),
+          |a0 AS (SELECT lang, nh, std_micro,
+          |         CAST(CAST(1000 * wh AS HUGEINT)
+          |              // CAST(wtot AS HUGEINT) AS BIGINT) AS alloc0,
+          |         CAST(1000 * wh AS HUGEINT)
+          |           % CAST(wtot AS HUGEINT) AS rem
+          |       FROM w CROSS JOIN wt),
+          |dft AS (SELECT 1000 - CAST(sum(alloc0) AS BIGINT) AS deficit
+          |        FROM a0),
+          |rk AS (SELECT lang,
+          |         CAST(row_number() OVER (ORDER BY rem DESC, lang)
+          |           AS BIGINT) AS rk
+          |       FROM a0),
+          |al AS (SELECT a0.lang, nh, std_micro,
+          |         alloc0 + CASE WHEN rk.rk <= dft.deficit
+          |                  THEN 1 ELSE 0 END AS alloc
+          |       FROM a0 JOIN rk ON rk.lang = a0.lang CROSS JOIN dft),
+          |h AS (SELECT lang, doc_id,
+          |        CAST(('0x' || substring(md5(CAST(doc_id AS STRING)
+          |          || '|neyman'), 1, 13)) AS BIGINT) AS hv
+          |      FROM documents),
+          |r AS (SELECT lang, doc_id,
+          |        row_number() OVER (PARTITION BY lang
+          |                           ORDER BY hv, doc_id) AS rn
+          |      FROM h),
+          |sel AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS picked_n,
+          |          CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |        FROM r JOIN al ON al.lang = r.lang AND r.rn <= al.alloc
+          |        GROUP BY r.lang)
+          |SELECT al.lang, nh AS n_docs, std_micro, alloc,
+          |       coalesce(picked_n, 0) AS picked_n,
+          |       coalesce(sum_ids, 0) AS sum_ids
+          |FROM al LEFT JOIN sel ON sel.lang = al.lang
+          |ORDER BY al.lang""".stripMargin
+      }) { (s, dir) =>
+      import graft.functions.{Scored, TopKAggregator}
+      import org.apache.spark.sql.Encoders
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val st = docs.groupBy("lang").agg(
+        count(lit(1)).as("nh"), sum("n_chars").as("sx"),
+        sum(col("n_chars").cast("decimal(38,0)") * col("n_chars")).as("sxx"))
+      val w = st.select(col("lang"), col("nh"),
+          expr(stdMicroSql).as("std_micro"))
+        .select(col("lang"), col("nh"), col("std_micro"),
+          (col("nh").cast("decimal(38,0)") * col("std_micro")).as("wh"))
+      val wt = w.agg(sum("wh").as("wtot"))
+      val a0 = w.crossJoin(broadcast(wt))
+        .select(col("lang"), col("nh"), col("std_micro"),
+          expr("CAST((1000 * wh) div wtot AS BIGINT)").as("alloc0"),
+          expr("(1000 * wh) % wtot").as("rem"))
+        .withColumn("nrem", -col("rem"))
+        .localCheckpoint() // strata-bounded; feeds rank, deficit, alloc
+      val dft = a0.agg((lit(1000L) - sum("alloc0")).as("deficit"))
+      val rk = Scale.globalRank(a0, "rk", "nrem", "lang")
+        .select(col("lang"), col("rk"))
+      val al = a0.join(broadcast(rk), "lang").crossJoin(broadcast(dft))
+        .select(col("lang"), col("nh"), col("std_micro"),
+          (col("alloc0") +
+            when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+      val topk = udaf(new TopKAggregator(1000), Encoders.product[Scored])
+      val sel = docs.select(col("lang"), col("doc_id"),
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("|neyman"))), 1, 13), 16, 10).cast("long").as("hv"))
+        .groupBy("lang")
+        // smallest hashes first: score = -hv, finish sorts (-score, id)
+        .agg(topk((-col("hv")).cast("double"), col("doc_id")).as("sg"))
+        .join(broadcast(al.select(col("lang"), col("alloc"))), "lang")
+        .select(col("lang"),
+          transform(slice(col("sg"), lit(1), col("alloc").cast("int")),
+            x => x.getField("id")).as("ids"))
+        .select(col("lang"), size(col("ids")).cast("long").as("picked_n"),
+          aggregate(col("ids"), lit(0L), (a, v) => a + v).as("sum_ids"))
+      al.join(sel, Seq("lang"), "left_outer")
+        .select(col("lang"), col("nh").as("n_docs"), col("std_micro"),
+          col("alloc"),
+          coalesce(col("picked_n"), lit(0L)).as("picked_n"),
+          coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
+        .orderBy("lang")
+    },
+
+    // ---- unigram entropy rate per source (q268): Shannon entropy and
+    //      Pielou evenness of each source's token distribution — the
+    //      "is this source diverse text or template spam" one-number
+    //      diagnostic next to q259's drift. Per-term pico rounding of
+    //      −p·ln p (shared expression, order-free BIGINT sum), evenness
+    //      = H/ln(types) milli on the aggregated values. ----
+    QueryDef(
+      "q268_entropy_rate",
+      s"""WITH toks AS (
+        |  SELECT source, unnest($toksSql) AS tok FROM documents),
+        |cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM toks GROUP BY source, tok),
+        |nsrc AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS ns
+        |         FROM cs GROUP BY source),
+        |terms AS (SELECT cs.source, $entropyTermSql AS term_pico
+        |          FROM cs JOIN nsrc ON nsrc.source = cs.source),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |          CAST(sum(term_pico) AS BIGINT) AS h_pico
+        |        FROM terms GROUP BY source)
+        |SELECT agg.source, n_types, ns AS n_tokens, h_pico,
+        |       $evennessSql AS evenness_milli
+        |FROM agg JOIN nsrc ON nsrc.source = agg.source
+        |ORDER BY agg.source""".stripMargin) { (s, dir) =>
+      val cs = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c_s"))
+        .localCheckpoint() // totals and terms both read it
+      val nsrc = cs.groupBy("source").agg(sum("c_s").as("ns"))
+      cs.join(broadcast(nsrc), "source")
+        .select(col("source"), expr(entropyTermSql).as("term_pico"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("term_pico").as("h_pico"))
+        .join(broadcast(nsrc), "source")
+        .select(col("source"), col("n_types"), col("ns").as("n_tokens"),
+          col("h_pico"), expr(evennessSql).as("evenness_milli"))
+        .orderBy("source")
     }
   )
 
@@ -1883,6 +2145,39 @@ object CurationQueries {
   private def benfordExpPpmSql: String =
     """CAST(round(1000000 * ln(1 + 1.0 / CAST(digit AS DOUBLE))
       |  / ln(10.0)) AS BIGINT)""".stripMargin
+
+  /** q267's population std of n_chars in micro over (nh, sx, sxx):
+    * σ = √(n·Σx² − (Σx)²)/n, one shared double expression (q212: sqrt
+    * and ±×÷ are correctly-rounded IEEE in both engines). */
+  private def stdMicroSql: String =
+    """CAST(round(1000000
+      |  * sqrt(CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  / CAST(nh AS DOUBLE)) AS BIGINT)""".stripMargin
+
+  /** q268's per-token entropy term −p·ln p in pico over (c_s, ns). */
+  private def entropyTermSql: String =
+    """CAST(round(-1000000000000
+      |  * (CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))
+      |  * ln(CAST(c_s AS DOUBLE) / CAST(ns AS DOUBLE))) AS BIGINT)""".stripMargin
+
+  /** q268's Pielou evenness H/ln(types) in milli over (h_pico, n_types);
+    * a single-type source is pinned to 0. */
+  private def evennessSql: String =
+    """CAST(CASE WHEN n_types <= 1 THEN 0
+      |  ELSE round(CAST(h_pico AS DOUBLE)
+      |    / (1000000000.0 * ln(CAST(n_types AS DOUBLE))))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q265's tau-b closed form in milli over (conc, disc, n0, ta, tb) —
+    * one shared expression; zero denominator (all pairs tied on an
+    * axis) pinned to 0. */
+  private def tauBSql: String =
+    """CAST(CASE WHEN n0 = ta OR n0 = tb THEN 0
+      |  ELSE round(1000 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+      |    / sqrt((CAST(n0 AS DOUBLE) - CAST(ta AS DOUBLE))
+      |           * (CAST(n0 AS DOUBLE) - CAST(tb AS DOUBLE))))
+      |  END AS BIGINT)""".stripMargin
 
   /** q263's per-cell chi-square contribution in micro over (observed,
     * r, c, n): (o − rc/n)²/(rc/n), deviation squared by explicit

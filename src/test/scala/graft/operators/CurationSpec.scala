@@ -873,4 +873,177 @@ class CurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan)
   }
+
+  // ---- q265 Kendall tau-b ----
+
+  test("q265: pair identities hold and the whole row replays on the driver") {
+    val r = run("q265_kendall_tau").collect().head
+    val (nDays, conc, disc, ta, tb, tau) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val day = graft.tables.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val av = day.filter(_._1 == "click").map(x => x._2 -> x._3).toMap
+    val bv = day.filter(_._1 == "purchase").map(x => x._2 -> x._3).toMap
+    val joint = av.keySet.intersect(bv.keySet).toSeq.sorted
+      .map(d => (av(d), bv(d)))
+    assert(nDays == joint.length.toLong)
+    var (c2, d2, ta2, tb2, n02) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- joint.indices; j <- (i + 1) until joint.length) {
+      val da = joint(i)._1 - joint(j)._1
+      val db = joint(i)._2 - joint(j)._2
+      n02 += 1
+      if (da * db > 0) c2 += 1 else if (da * db < 0) d2 += 1
+      if (da == 0) ta2 += 1
+      if (db == 0) tb2 += 1
+    }
+    assert(n02 == nDays * (nDays - 1) / 2)
+    assert((conc, disc, ta, tb) == ((c2, d2, ta2, tb2)))
+    val expect =
+      if (n02 == ta2 || n02 == tb2) 0L
+      else BigDecimal(1000d * (c2 - d2) /
+        math.sqrt((n02 - ta2).toDouble * (n02 - tb2).toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(tau == expect, s"tau_b_milli $tau != replay $expect")
+    assert(math.abs(tau) <= 1000)
+  }
+
+  test("q265: the day-pair join broadcasts the calendar-bounded series") {
+    val plan = planOf("q265_kendall_tau")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q266 reliability / ECE ----
+
+  test("q266: bin table replays exactly and ECE closes over the bins") {
+    import graft.textops.TextAnalysis
+    val rows = run("q266_reliability_ece").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (bin, nB, pos, acc, conf, gap, _) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(pos <= nB)
+      assert(acc == 1000 * pos / nB)
+      assert(gap == math.abs(acc - conf))
+      assert(conf >= 0 && conf <= 1000)
+    }
+    val scored = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("lang"), TextAnalysis.wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select((col("lang") === "en").as("y"),
+        expr("(1000 * cast(size(filter(toks, t -> array_contains(" +
+          "array('the','a','an','and','or','of','to','in','is','it'), t)" +
+          ")) as bigint)) div size(toks)").as("sc"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    assert(rows.map(_._2).sum == scored.length.toLong)
+    val byBin = scored.groupBy(x => math.min(x._2 / 100, 9L))
+    rows.foreach { case (bin, nB, pos, _, conf, _, _) =>
+      val xs = byBin(bin)
+      assert(nB == xs.length.toLong)
+      assert(pos == xs.count(_._1).toLong)
+      assert(conf == xs.map(_._2).sum / xs.length)
+    }
+    val n = rows.map(_._2).sum
+    val sg = rows.map(r => r._2 * r._6).sum
+    val ece = rows.head._7
+    assert(rows.forall(_._7 == ece), "ECE is one corpus-level number")
+    assert(ece == 1000 * sg / n)
+  }
+
+  test("q266: one scan, bounded bins — no window, no product") {
+    val plan = planOf("q266_reliability_ece")
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q267 Neyman stratified sample ----
+
+  test("q267: allocations close the budget exactly and the draw replays by hash order") {
+    val rows = run("q267_neyman_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 5)
+    assert(rows.map(_._4).sum == 1000L, "largest-remainder must close to B")
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    rows.foreach { case (lang, nDocs, stdMicro, alloc, picked, sumIds) =>
+      val xs = docs.filter(_._2 == lang)
+      assert(nDocs == xs.length.toLong)
+      // std replay with the same IEEE expression
+      val n = xs.length.toDouble
+      val sx = xs.map(_._3).sum.toDouble
+      val sxx = xs.map(x => BigDecimal(x._3) * BigDecimal(x._3)).sum.toDouble
+      val want = BigDecimal(1e6 * math.sqrt(n * sxx - sx * sx) / n)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(stdMicro == want, s"$lang std $stdMicro != $want")
+      assert(picked == math.min(alloc, nDocs))
+      // replay the deterministic draw: md5-smallest `alloc` ids
+      val hashed = graft.tables.Tables.documents(spark, sf0001)
+        .filter(col("lang") === lang)
+        .select(col("doc_id"),
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("|neyman"))), 1, 13), 16, 10).cast("long").as("hv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy { case (id, hv) => (hv, id) }
+        .take(alloc.toInt).map(_._1)
+      assert(sumIds == hashed.sum, s"$lang: sampled set differs")
+    }
+    // Neyman: bigger N*sigma gets at least as much budget
+    val byWeight = rows.sortBy(r => -(BigInt(r._2) * BigInt(r._3)))
+    assert(byWeight.map(_._4).sliding(2).forall(w =>
+      w.length < 2 || w(0) >= w(1) - 1), // remainder +1 can wobble by one
+      "allocation must follow the N*sigma ordering within rounding")
+  }
+
+  test("q267: selection is a bounded TopK aggregate, not a row-level rank") {
+    val plan = planOf("q267_neyman_sample")
+    assert(!plan.contains("Window ["),
+      s"no per-stratum row_number window allowed:\n$plan")
+  }
+
+  // ---- q268 entropy rate ----
+
+  test("q268: entropy and evenness replay exactly for one source; bounds hold") {
+    val rows = run("q268_entropy_rate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, types, toks, h, ev) =>
+      assert(types >= 1 && types <= toks, src)
+      assert(h >= 0, src)
+      assert(ev >= 0 && ev <= 1000, s"$src evenness $ev")
+    }
+    val counts = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("source"),
+        explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val src = rows.head._1
+    val mine = counts.filter(_._1 == src).map(x => x._2 -> x._3)
+    val ns = mine.map(_._2).sum
+    val h2 = mine.map { case (_, c) =>
+      val p = c.toDouble / ns
+      BigDecimal(-1e12 * p * math.log(p))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    val got = rows.find(_._1 == src).get
+    assert(got._2 == mine.length.toLong)
+    assert(got._3 == ns)
+    assert(got._4 == h2, s"$src h_pico ${got._4} != replay $h2")
+    val evExp =
+      if (mine.length <= 1) 0L
+      else BigDecimal(h2.toDouble / (1e9 * math.log(mine.length.toDouble)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got._5 == evExp)
+  }
+
+  test("q268: token-grain shuffle only; totals broadcast") {
+    val plan = planOf("q268_entropy_rate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
