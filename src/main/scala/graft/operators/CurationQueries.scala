@@ -2112,6 +2112,117 @@ object CurationQueries {
         .select(col("source"), col("n_types"), col("ns").as("n_tokens"),
           col("h_pico"), expr(evennessSql).as("evenness_milli"))
         .orderBy("source")
+    },
+
+    // ---- intra-document repetition (q269): fraction of token-trigram
+    //      character mass sitting in trigrams the SAME doc repeats —
+    //      the Gopher-family dup-ngram rule that catches template spam
+    //      and keyword stuffing, which per-doc entropy (the
+    //      tokenEntropy signal) dilutes when the repeated phrase is
+    //      long. Pinned definition: gram char mass = Σ token lengths
+    //      (spaces excluded), dup mass = grams with within-doc count
+    //      ≥ 2 weighted by count·len. One trigram explode → (doc, gram)
+    //      aggregate → per-doc aggregate; top-20 bounded TakeOrdered. ----
+    QueryDef(
+      "q269_intra_repetition",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents
+        |  WHERE len($toksSql) >= 3),
+        |g AS (SELECT doc_id,
+        |        toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram,
+        |        CAST(len(toks[i]) + len(toks[i + 1]) + len(toks[i + 2])
+        |          AS BIGINT) AS glen
+        |      FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |dg AS (SELECT doc_id, gram, glen,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM g GROUP BY doc_id, gram, glen),
+        |d AS (SELECT doc_id,
+        |        CAST(sum(cnt * glen) AS BIGINT) AS total_mass,
+        |        CAST(sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+        |          AS BIGINT) AS dup_mass
+        |      FROM dg GROUP BY doc_id)
+        |SELECT doc_id, total_mass, dup_mass,
+        |       (1000000 * dup_mass) // total_mass AS rep_ppm
+        |FROM d WHERE total_mass > 0
+        |ORDER BY rep_ppm DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 3)
+      val g = t.select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            struct(
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)).as("gram"),
+              (length(element_at(col("toks"), i)) +
+                length(element_at(col("toks"), i + 1)) +
+                length(element_at(col("toks"), i + 2)))
+                .cast("long").as("glen")))).as("x"))
+        .select(col("doc_id"), col("x.gram").as("gram"),
+          col("x.glen").as("glen"))
+      val dg = g.groupBy("doc_id", "gram", "glen")
+        .agg(count(lit(1)).as("cnt"))
+      dg.groupBy("doc_id")
+        .agg(sum(col("cnt") * col("glen")).as("total_mass"),
+          sum(when(col("cnt") >= 2, col("cnt") * col("glen"))
+            .otherwise(0L)).as("dup_mass"))
+        .filter(col("total_mass") > 0)
+        .select(col("doc_id"), col("total_mass"), col("dup_mass"),
+          expr("(1000000 * dup_mass) div total_mass").as("rep_ppm"))
+        .orderBy(col("rep_ppm").desc, col("doc_id")).limit(20)
+    },
+
+    // ---- vocabulary first-seen attribution (q270): which source
+    //      INTRODUCES the corpus' vocabulary when read in doc_id order —
+    //      the acquisition-value signal ("this feed only re-says what
+    //      others already said") that per-source type counts can't
+    //      give. First occurrence is one min(struct(doc_id, source))
+    //      per token (the q112 latest-per-key idiom, inverted); shares
+    //      in ppm against both the source's own type count and the
+    //      global vocabulary. Token-grain shuffles only. ----
+    QueryDef(
+      "q270_vocab_attribution",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest($toksSql) AS tok FROM documents),
+        |fo AS (SELECT tok, arg_min(source, doc_id) AS first_source
+        |       FROM toks GROUP BY tok),
+        |intro AS (SELECT first_source AS source,
+        |            CAST(count(*) AS BIGINT) AS introduced
+        |          FROM fo GROUP BY first_source),
+        |ty AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+        |         AS n_types
+        |       FROM toks GROUP BY source),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM fo)
+        |SELECT ty.source, n_types, coalesce(introduced, 0) AS introduced,
+        |       (1000000 * coalesce(introduced, 0)) // n_types
+        |         AS intro_rate_ppm,
+        |       (1000000 * coalesce(introduced, 0)) // vocab
+        |         AS vocab_share_ppm
+        |FROM ty LEFT JOIN intro ON intro.source = ty.source CROSS JOIN vt
+        |ORDER BY ty.source""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+      val perSrcTok = toks.groupBy("source", "tok")
+        .agg(min("doc_id").as("first_doc"))
+        .localCheckpoint() // feeds global argmin, type counts
+      val fo = perSrcTok
+        .groupBy("tok")
+        .agg(min(struct(col("first_doc"), col("source"))).as("m"))
+        .select(col("tok"), col("m.source").as("first_source"))
+      val intro = fo.groupBy(col("first_source").as("source"))
+        .agg(count(lit(1)).as("introduced"))
+      val ty = perSrcTok.groupBy("source").agg(count(lit(1)).as("n_types"))
+      val vt = fo.agg(count(lit(1)).as("vocab"))
+      ty.join(broadcast(intro), Seq("source"), "left_outer")
+        .crossJoin(broadcast(vt))
+        .select(col("source"), col("n_types"),
+          coalesce(col("introduced"), lit(0L)).as("introduced"),
+          expr("(1000000 * coalesce(introduced, 0)) div n_types")
+            .as("intro_rate_ppm"),
+          expr("(1000000 * coalesce(introduced, 0)) div vocab")
+            .as("vocab_share_ppm"))
+        .orderBy("source")
     }
   )
 

@@ -1046,4 +1046,71 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  // ---- q269 intra-doc repetition ----
+
+  test("q269: ranking identities hold and the top doc replays from its text") {
+    val rows = run("q269_intra_repetition").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    assert(rows.map(_._4).toSeq ==
+      rows.map(_._4).sorted(Ordering[Long].reverse).toSeq)
+    rows.foreach { case (_, total, dup, ppm) =>
+      assert(dup <= total)
+      assert(ppm == 1000000L * dup / total)
+    }
+    val (topDoc, total, dup, _) = rows.head
+    val text = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === topDoc).select("text")
+      .collect().head.getString(0)
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val grams = toks.sliding(3).filter(_.length == 3)
+      .map(g => (g.mkString(" "), g.map(_.length.toLong).sum)).toSeq
+    val byGram = grams.groupBy(_._1)
+    val total2 = grams.map(_._2).sum
+    val dup2 = byGram.valuesIterator
+      .filter(_.length >= 2).map(_.map(_._2).sum).sum
+    assert(total == total2, s"doc $topDoc trigram mass")
+    assert(dup == dup2, s"doc $topDoc duplicate mass")
+  }
+
+  test("q269: explode + two keyed aggregates — no window, no product") {
+    val plan = planOf("q269_intra_repetition")
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q270 vocabulary attribution ----
+
+  test("q270: every token is introduced exactly once and attribution replays") {
+    val rows = run("q270_vocab_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 20)
+    val stream = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val firstSrc = stream.groupBy(_._3).map { case (_, xs) =>
+      xs.minBy(_._1)._2
+    }.toSeq
+    val introExp = firstSrc.groupBy(identity).map { case (s, xs) =>
+      s -> xs.length.toLong }
+    val vocab = stream.map(_._3).distinct.length.toLong
+    assert(rows.map(_._3).sum == vocab,
+      "introduction counts must partition the vocabulary")
+    rows.foreach { case (src, nTypes, intro, rate, share) =>
+      assert(intro == introExp.getOrElse(src, 0L), s"$src attribution")
+      val types2 = stream.filter(_._2 == src).map(_._3).distinct.length.toLong
+      assert(nTypes == types2)
+      assert(intro <= nTypes)
+      assert(rate == 1000000L * intro / nTypes)
+      assert(share == 1000000L * intro / vocab)
+    }
+  }
+
+  test("q270: token-grain shuffles only; summaries broadcast") {
+    val plan = planOf("q270_vocab_attribution")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
