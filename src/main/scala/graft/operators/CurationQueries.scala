@@ -2223,6 +2223,252 @@ object CurationQueries {
           expr("(1000000 * coalesce(introduced, 0)) div vocab")
             .as("vocab_share_ppm"))
         .orderBy("source")
+    },
+
+    // ---- embedding centroid health per label (q271): how tightly each
+    //      label's vectors sit around their own centroid — mean and
+    //      worst cosine-to-centroid, the collapse/contamination check
+    //      run before trusting a labeled embedding slice. Centroid =
+    //      truncating integer micro means (q258's cm), per-vector dot
+    //      against the BROADCAST label×dim centroid, cosine as one
+    //      shared sqrt expression on exact ints < 2⁵³, worst vector via
+    //      min(struct). ----
+    QueryDef(
+      "q271_centroid_health",
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+        |xq AS (SELECT vec_id, label,
+        |         unnest(range(1, len(embedding) + 1)) AS i,
+        |         CAST(round(1000000 * CAST(unnest(embedding) AS DOUBLE))
+        |           AS BIGINT) AS x
+        |       FROM e),
+        |cs AS (SELECT label, i, CAST(count(*) AS BIGINT) AS n_c,
+        |         CAST(sum(x) AS BIGINT) AS sx
+        |       FROM xq GROUP BY label, i),
+        |cm AS (SELECT label, i,
+        |         CASE WHEN sx >= 0 THEN sx // n_c
+        |              ELSE -((-sx) // n_c) END AS mu
+        |       FROM cs),
+        |smm AS (SELECT label, CAST(sum(mu * mu) AS BIGINT) AS smm
+        |        FROM cm GROUP BY label),
+        |pv AS (SELECT xq.vec_id, xq.label,
+        |         CAST(sum(xq.x * cm.mu) AS BIGINT) AS dot,
+        |         CAST(sum(xq.x * xq.x) AS BIGINT) AS sxx
+        |       FROM xq JOIN cm ON cm.label = xq.label AND cm.i = xq.i
+        |       GROUP BY xq.vec_id, xq.label),
+        |cosv AS (SELECT pv.vec_id, pv.label, $cosMicroSql AS cos_micro
+        |         FROM pv JOIN smm ON smm.label = pv.label),
+        |ag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(CASE WHEN sum(cos_micro) >= 0
+        |              THEN sum(cos_micro) // count(*)
+        |              ELSE -((-sum(cos_micro)) // count(*)) END AS BIGINT)
+        |           AS mean_cos_micro,
+        |         CAST(min(cos_micro) AS BIGINT) AS min_cos_micro
+        |       FROM cosv GROUP BY label)
+        |SELECT ag.label, n_vecs, mean_cos_micro, min_cos_micro,
+        |       CAST(min(cosv.vec_id) AS BIGINT) AS outlier_vec
+        |FROM ag JOIN cosv ON cosv.label = ag.label
+        |               AND cosv.cos_micro = ag.min_cos_micro
+        |GROUP BY ag.label, n_vecs, mean_cos_micro, min_cos_micro
+        |ORDER BY ag.label""".stripMargin) { (s, dir) =>
+      val xq = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "xval")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+          round(lit(1000000d) * col("xval").cast("double"))
+            .cast("long").as("x"))
+        .localCheckpoint() // centroid pass + per-vector pass
+      val cs = xq.groupBy("label", "i")
+        .agg(count(lit(1)).as("n_c"), sum("x").as("sx"))
+      val cm = cs.select(col("label"), col("i"),
+        expr("sx div n_c").as("mu"))
+        .localCheckpoint() // label x dim bounded; dot join + norm agg
+      val smm = cm.groupBy("label").agg(sum(col("mu") * col("mu")).as("smm"))
+      val pv = xq.join(broadcast(cm), Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("x") * col("mu")).as("dot"),
+          sum(col("x") * col("x")).as("sxx"))
+      val cosv = pv.join(broadcast(smm), "label")
+        .select(col("vec_id"), col("label"),
+          expr(cosMicroSql).as("cos_micro"))
+      cosv.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("cos_micro").as("sc"),
+          min("cos_micro").as("min_cos_micro"),
+          min(struct(col("cos_micro"), col("vec_id"))).as("mn"))
+        .select(col("label"), col("n_vecs"),
+          expr("sc div n_vecs").as("mean_cos_micro"),
+          col("min_cos_micro"),
+          col("mn.vec_id").as("outlier_vec"))
+        .orderBy("label")
+    },
+
+    // ---- McNemar paired-classifier test (q272): is the trained-marker
+    //      langId actually better than the dumb stopword-ratio gate at
+    //      "is this English", on the SAME documents — the paired test
+    //      that accuracy deltas can't justify (it only weighs the
+    //      DISAGREEING pairs b, c: χ² = (b−c)²/(b+c)). Both classifiers
+    //      ride one scan; counts are exact; χ² is one shared double
+    //      expression. ----
+    QueryDef(
+      "q272_mcnemar", {
+        val scoreCols = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val sum = ms.map { m =>
+            val esc = m.replace("'", "''")
+            s"(length(p) - length(replace(p, '$esc', ''))) // ${m.length}"
+          }.mkString(" + ")
+          s"$sum AS s_$lang"
+        }.mkString(",\n        |         ")
+        val langs = TextAnalysis.langMarkers.map(_._1)
+        val greatest = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        s"""WITH t AS (
+          |  SELECT lang, ' ' || lower(text) || ' ' AS p,
+          |         $toksSql AS toks
+          |  FROM documents WHERE len($toksSql) >= 1),
+          |sc AS (SELECT lang,
+          |         $scoreCols,
+          |         CAST(len(list_filter(toks,
+          |           w -> list_contains(${PipelineQueries.stopwordsSql}, w)))
+          |           AS BIGINT) AS stop_hits,
+          |         CAST(len(toks) AS BIGINT) AS n_tokens
+          |       FROM t),
+          |cl AS (SELECT (lang = 'en') AS y,
+          |         ($greatest > 0 AND s_en = $greatest) AS a,
+          |         (1000 * stop_hits >= 150 * n_tokens) AS b
+          |       FROM sc),
+          |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |        CAST(sum(CASE WHEN a = y THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS ok_a,
+          |        CAST(sum(CASE WHEN b = y THEN 1 ELSE 0 END) AS BIGINT)
+          |          AS ok_b,
+          |        CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+          |          AS BIGINT) AS bd,
+          |        CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+          |          AS BIGINT) AS cd
+          |      FROM cl)
+          |SELECT n, (1000 * ok_a) // n AS acc_langid_milli,
+          |       (1000 * ok_b) // n AS acc_stopgate_milli,
+          |       bd AS only_langid_right, cd AS only_stopgate_right,
+          |       $mcnemarSql AS mcnemar_chi_micro
+          |FROM g""".stripMargin
+      }) { (s, dir) =>
+      val t = Tables.documents(s, dir)
+        .select(col("lang"), col("text"),
+          TextAnalysis.wsTokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+      val cl = t.select(
+        (col("lang") === "en").as("y"),
+        (TextAnalysis.langId(col("text")) === "en").as("a"),
+        (lit(1000L) * size(filter(col("toks"),
+          w => w.isin(PipelineQueries.stopwords: _*))).cast("long") >=
+          lit(150L) * size(col("toks")).cast("long")).as("b"))
+      cl.agg(count(lit(1)).as("n"),
+          sum(when(col("a") === col("y"), 1L).otherwise(0L)).as("ok_a"),
+          sum(when(col("b") === col("y"), 1L).otherwise(0L)).as("ok_b"),
+          sum(when(col("a") === col("y") && col("b") =!= col("y"), 1L)
+            .otherwise(0L)).as("bd"),
+          sum(when(col("a") =!= col("y") && col("b") === col("y"), 1L)
+            .otherwise(0L)).as("cd"))
+        .select(col("n"),
+          expr("(1000 * ok_a) div n").as("acc_langid_milli"),
+          expr("(1000 * ok_b) div n").as("acc_stopgate_milli"),
+          col("bd").as("only_langid_right"),
+          col("cd").as("only_stopgate_right"),
+          expr(mcnemarSql).as("mcnemar_chi_micro"))
+    },
+
+    // ---- Cohen's kappa between two keep-gates (q273): how much the
+    //      Gopher gate and the stopword-density gate actually AGREE
+    //      beyond chance — two gates can share 90% keep rates and still
+    //      keep different halves; kappa = (pₒ−pₑ)/(1−pₑ) is the number
+    //      that tells redundant gate from complementary gate. Exact
+    //      integer contingency from ONE counter scan, expected agreement
+    //      in DECIMAL, sign-split milli division. ----
+    QueryDef(
+      "q273_gate_kappa",
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks FROM documents),
+        |${PipelineQueries.gopherCountsCte("t")},
+        |fl AS (SELECT ${PipelineQueries.gopherKeepSql} AS ga,
+        |         (n_tokens >= 40
+        |          AND 1000 * stop_hits >= 150 * n_tokens) AS gb
+        |       FROM c),
+        |g AS (SELECT
+        |        CAST(sum(CASE WHEN ga AND gb THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS both_keep,
+        |        CAST(sum(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS only_gopher,
+        |        CAST(sum(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS only_stop,
+        |        CAST(sum(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS neither,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM fl),
+        |k AS (SELECT both_keep, only_gopher, only_stop, neither, n,
+        |        CAST(both_keep + only_gopher AS DECIMAL(38,0))
+        |          * (both_keep + only_stop)
+        |        + CAST(only_stop + neither AS DECIMAL(38,0))
+        |          * (only_gopher + neither) AS e
+        |      FROM g)
+        |SELECT both_keep, only_gopher, only_stop, neither, n,
+        |       (1000 * (both_keep + neither)) // n AS po_milli,
+        |       CAST(CAST(e * 1000 AS HUGEINT)
+        |            // CAST(CAST(n AS DECIMAL(38,0)) * n AS HUGEINT)
+        |         AS BIGINT) AS pe_milli,
+        |       CAST(CASE
+        |         WHEN CAST(n AS DECIMAL(38,0)) * n - e = 0 THEN 1000
+        |         WHEN CAST(n AS DECIMAL(38,0)) * (both_keep + neither) - e
+        |              >= 0
+        |         THEN CAST((CAST(n AS DECIMAL(38,0)) * (both_keep + neither)
+        |                    - e) * 1000 AS HUGEINT)
+        |              // CAST(CAST(n AS DECIMAL(38,0)) * n - e AS HUGEINT)
+        |         ELSE -(CAST(-((CAST(n AS DECIMAL(38,0))
+        |                        * (both_keep + neither) - e) * 1000)
+        |                  AS HUGEINT)
+        |                // CAST(CAST(n AS DECIMAL(38,0)) * n - e
+        |                     AS HUGEINT))
+        |         END AS BIGINT) AS kappa_milli
+        |FROM k""".stripMargin) { (s, dir) =>
+      val toks = TextAnalysis.wsTokens(col("text"))
+      val c = Tables.documents(s, dir).select(
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L), (a, w) => a + length(w)).as("word_chars"),
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long")
+          .as("alpha_words"),
+        size(filter(toks, w => w.isin("#", "...", "…"))).cast("long")
+          .as("sym_words"),
+        size(filter(toks, w => w.isin(PipelineQueries.stopwords: _*)))
+          .cast("long").as("stop_hits"))
+      val fl = c.select(
+        (col("n_tokens") >= 40 && col("n_tokens") <= 100000 &&
+          col("word_chars") >= col("n_tokens") * 3 &&
+          col("word_chars") <= col("n_tokens") * 10 &&
+          col("sym_words") * 10 <= col("n_tokens") &&
+          col("alpha_words") * 5 >= col("n_tokens") * 4 &&
+          col("stop_hits") >= 2).as("ga"),
+        (col("n_tokens") >= 40 &&
+          lit(1000L) * col("stop_hits") >= lit(150L) * col("n_tokens"))
+          .as("gb"))
+      val g = fl.agg(
+        sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("only_gopher"),
+        sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("only_stop"),
+        sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("neither"),
+        count(lit(1)).as("n"))
+      g.select(col("*"),
+          ((col("both_keep") + col("only_gopher")).cast("decimal(38,0)") *
+            (col("both_keep") + col("only_stop")) +
+            (col("only_stop") + col("neither")).cast("decimal(38,0)") *
+              (col("only_gopher") + col("neither"))).as("e"))
+        .select(col("both_keep"), col("only_gopher"), col("only_stop"),
+          col("neither"), col("n"),
+          expr("(1000 * (both_keep + neither)) div n").as("po_milli"),
+          expr("CAST((e * 1000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("pe_milli"),
+          expr("""CAST(CASE
+            WHEN CAST(n AS DECIMAL(38,0)) * n - e = 0 THEN 1000
+            ELSE (CAST(n AS DECIMAL(38,0)) * (both_keep + neither) - e)
+                 * 1000 div (CAST(n AS DECIMAL(38,0)) * n - e)
+            END AS BIGINT)""").as("kappa_milli"))
     }
   )
 
@@ -2278,6 +2524,24 @@ object CurationQueries {
     """CAST(CASE WHEN n_types <= 1 THEN 0
       |  ELSE round(CAST(h_pico AS DOUBLE)
       |    / (1000000000.0 * ln(CAST(n_types AS DOUBLE))))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q271's cosine-to-centroid in micro over (dot, sxx, smm); degenerate
+    * zero-norm sides pinned to 0. */
+  private def cosMicroSql: String =
+    """CAST(CASE WHEN sxx = 0 OR smm = 0 THEN 0
+      |  ELSE round(1000000 * CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(smm AS DOUBLE))))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q272's McNemar χ² in micro over the disagreement counts (bd, cd);
+    * no disagreements pins to 0. */
+  private def mcnemarSql: String =
+    """CAST(CASE WHEN bd + cd = 0 THEN 0
+      |  ELSE round(1000000
+      |    * ((CAST(bd AS DOUBLE) - CAST(cd AS DOUBLE))
+      |       * (CAST(bd AS DOUBLE) - CAST(cd AS DOUBLE)))
+      |    / (CAST(bd AS DOUBLE) + CAST(cd AS DOUBLE)))
       |  END AS BIGINT)""".stripMargin
 
   /** q265's tau-b closed form in milli over (conc, disc, n0, ta, tb) —

@@ -1113,4 +1113,127 @@ class CurationSpec extends SparkSpec {
     val plan = planOf("q270_vocab_attribution")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- q271 centroid health ----
+
+  test("q271: one label replays exactly on the driver; bounds and outlier minimality hold") {
+    val rows = run("q271_centroid_health").collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, mean, mn, _) =>
+      assert(n > 0)
+      assert(math.abs(mean) <= 1000000L && math.abs(mn) <= 1000000L)
+      assert(mn <= mean)
+    }
+    val label = rows.head._1
+    val vecs = graft.tables.Tables.embeddings(spark, sf0001)
+      .filter(col("label") === label).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => BigDecimal(1000000d * x)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val d = vecs.head._2.length
+    val nL = vecs.length
+    val mu = Array.tabulate(d) { i =>
+      val sx = vecs.map(_._2(i)).sum
+      sx / nL // Long / truncates like div
+    }
+    val smm = mu.map(m => BigInt(m) * BigInt(m)).sum
+    val coss = vecs.map { case (id, xs) =>
+      val dot = xs.indices.map(i => BigInt(xs(i)) * BigInt(mu(i))).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val c =
+        if (sxx == 0 || smm == 0) 0L
+        else BigDecimal(1e6 * dot.toDouble /
+          (math.sqrt(sxx.toDouble) * math.sqrt(smm.toDouble)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, c)
+    }
+    val got = rows.find(_._1 == label).get
+    val sc = coss.map(x => BigInt(x._2)).sum
+    val meanExp = (sc / nL).toLong // BigInt / truncates
+    assert(got._3 == meanExp, s"mean ${got._3} != $meanExp")
+    val mnExp = coss.map(_._2).min
+    assert(got._4 == mnExp)
+    assert(got._5 == coss.filter(_._2 == mnExp).map(_._1).min)
+  }
+
+  test("q271: centroid and norms broadcast back onto the cell stream") {
+    val plan = planOf("q271_centroid_health")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- q272 McNemar ----
+
+  test("q272: counts replay against the composed reference classifier") {
+    import graft.textops.TextAnalysis
+    val r = run("q272_mcnemar").collect().head
+    val (n, accA, accB, bd, cd, chi) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val cl = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("text"),
+        TextAnalysis.wsTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select((col("lang") === "en").as("y"),
+        // the independent builtin-composed reference form
+        (TextAnalysis.langIdComposed(col("text")) === "en").as("a"),
+        (lit(1000L) * size(filter(col("toks"), w => w.isin(
+          "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")))
+          .cast("long") >= lit(150L) * size(col("toks")).cast("long"))
+          .as("b"))
+      .collect().map(x => (x.getBoolean(0), x.getBoolean(1), x.getBoolean(2)))
+    assert(n == cl.length.toLong)
+    val okA = cl.count { case (y, a, _) => a == y }.toLong
+    val okB = cl.count { case (y, _, b) => b == y }.toLong
+    assert(accA == 1000 * okA / n)
+    assert(accB == 1000 * okB / n)
+    val bd2 = cl.count { case (y, a, b) => a == y && b != y }.toLong
+    val cd2 = cl.count { case (y, a, b) => a != y && b == y }.toLong
+    assert((bd, cd) == ((bd2, cd2)))
+    assert(okA - okB == bd - cd, "disagreements must explain the accuracy gap")
+    val chiExp =
+      if (bd + cd == 0) 0L
+      else BigDecimal(1e6 * (bd - cd).toDouble * (bd - cd) / (bd + cd))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(chi == chiExp)
+  }
+
+  // ---- q273 Cohen's kappa ----
+
+  test("q273: contingency closes, gate A is exactly the Gopher keep, kappa replays") {
+    import graft.textops.TextAnalysis
+    val r = run("q273_gate_kappa").collect().head
+    val (a, b, c, d, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(a + b + c + d == n)
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    assert(n == docs.count())
+    val gopherKept = TextAnalysis.gopherRules(docs)
+      .filter(col("len_ok") && col("mean_len_ok") && col("sym_ok") &&
+        col("alpha_ok") && col("stop_ok")).count()
+    assert(a + b == gopherKept, "gate A must be exactly the Gopher keep")
+    assert(r.getLong(5) == 1000 * (a + d) / n) // po
+    val e = BigInt(a + b) * BigInt(a + c) + BigInt(c + d) * BigInt(b + d)
+    assert(BigInt(r.getLong(6)) == e * 1000 / (BigInt(n) * BigInt(n))) // pe
+    val den = BigInt(n) * BigInt(n) - e
+    val kExp =
+      if (den == 0) BigInt(1000)
+      else {
+        val num = (BigInt(n) * BigInt(a + d) - e) * 1000
+        // truncation toward zero, matching Spark div / the oracle CASE
+        if (num.signum >= 0) num / den else -((-num) / den)
+      }
+    assert(BigInt(r.getLong(7)) == kExp, s"kappa ${r.getLong(7)} != $kExp")
+    assert(math.abs(r.getLong(7)) <= 1000)
+  }
+
+  test("q272/q273: single-scan aggregates — no window, no product, no shuffle-sized join") {
+    Seq("q272_mcnemar", "q273_gate_kappa").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Window ["), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
+    }
+  }
 }
