@@ -2469,6 +2469,111 @@ object CurationQueries {
             ELSE (CAST(n AS DECIMAL(38,0)) * (both_keep + neither) - e)
                  * 1000 div (CAST(n AS DECIMAL(38,0)) * n - e)
             END AS BIGINT)""").as("kappa_milli"))
+    },
+
+    // ---- weighted sample without replacement (q274): Efraimidis–
+    //      Spirakis A-ES — draw 100 docs with probability ∝ token count
+    //      in ONE pass: key = u^(1/w) maximized ⇔ ln(u)/w maximized,
+    //      u = (h+1)/(2⁵²+1) from the content-addressed md5 (so the
+    //      "random" draw is reproducible and oracle-checkable, the q242
+    //      discipline). The key is one shared pico expression; the
+    //      selection is a bounded global TopK heap (map-side k=100
+    //      state) — no sort, no window, one scan. ----
+    QueryDef(
+      "q274_weighted_sample",
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w
+        |  FROM documents WHERE len($toksSql) >= 1),
+        |k AS (SELECT doc_id, w,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS STRING)
+        |          || '|aes'), 1, 13)) AS BIGINT) AS hv
+        |      FROM d)
+        |SELECT doc_id, w, $aesKeySql AS key_pico
+        |FROM k ORDER BY key_pico DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.{Scored, TopKAggregator}
+      import org.apache.spark.sql.Encoders
+      val k = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") >= 1)
+        .select(col("doc_id"), col("w"),
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("|aes"))), 1, 13), 16, 10).cast("long").as("hv"))
+        .select(col("doc_id"), col("w"), expr(aesKeySql).as("key_pico"))
+        .localCheckpoint() // heap pass + the weight join-back below
+      val topk = udaf(new TopKAggregator(100), Encoders.product[Scored])
+      val picked = k
+        .agg(topk(col("key_pico").cast("double"), col("doc_id")).as("sg"))
+        .select(posexplode(transform(col("sg"), x => x.getField("id")))
+          .as(Seq("ord", "doc_id")))
+      picked.join(k, "doc_id")
+        .select(col("doc_id"), col("w"), col("key_pico"))
+        .orderBy(col("key_pico").desc, col("doc_id"))
+    },
+
+    // ---- event-transition Markov chain (q275): the behavioral
+    //      fingerprint of the event stream — per-user consecutive
+    //      event-type transitions, row-normalized in milli, plus the
+    //      stationary distribution from 3 integer power iterations
+    //      (q92's discipline on a type×type-bounded dense chain). The
+    //      only per-row work is the lead() pairing inside each user's
+    //      partition (the q75 sessionize shape); everything after lives
+    //      on the ≤|types|² grain. ----
+    QueryDef(
+      "q275_markov_transitions",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events),
+        |pr AS (SELECT event_type AS f,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS t
+        |       FROM ev),
+        |tc AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM pr WHERE t IS NOT NULL GROUP BY f, t),
+        |rt AS (SELECT f, CAST(sum(c) AS BIGINT) AS rc FROM tc GROUP BY f),
+        |p AS (SELECT tc.f, tc.t, tc.c,
+        |        (1000 * tc.c) // rt.rc AS p_milli
+        |      FROM tc JOIN rt ON rt.f = tc.f),
+        |types AS (SELECT f AS ty FROM rt),
+        |v0 AS (SELECT ty, CAST(1000000 AS BIGINT) AS v FROM types),
+        |v1 AS (SELECT p.t AS ty, CAST(sum(v0.v * p.p_milli) // 1000
+        |         AS BIGINT) AS v
+        |       FROM v0 JOIN p ON p.f = v0.ty GROUP BY p.t),
+        |v2 AS (SELECT p.t AS ty, CAST(sum(v1.v * p.p_milli) // 1000
+        |         AS BIGINT) AS v
+        |       FROM v1 JOIN p ON p.f = v1.ty GROUP BY p.t),
+        |v3 AS (SELECT p.t AS ty, CAST(sum(v2.v * p.p_milli) // 1000
+        |         AS BIGINT) AS v
+        |       FROM v2 JOIN p ON p.f = v2.ty GROUP BY p.t)
+        |SELECT p.f, p.t, p.c, p.p_milli,
+        |       v3.v AS stationary_micro
+        |FROM p JOIN v3 ON v3.ty = p.t
+        |ORDER BY p.f, p.t""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type").as("f"),
+          lead(col("event_type"), 1).over(w).as("t"))
+        .filter(col("t").isNotNull)
+      val tc = pr.groupBy("f", "t").agg(count(lit(1)).as("c"))
+      val rt = tc.groupBy("f").agg(sum("c").as("rc"))
+      val p = tc.join(broadcast(rt), "f")
+        .select(col("f"), col("t"), col("c"),
+          expr("(1000 * c) div rc").as("p_milli"))
+        .localCheckpoint() // type^2-bounded; read by 3 matvecs + output
+      var v = rt.select(col("f").as("ty"), lit(1000000L).as("v"))
+      for (_ <- 1 to 3) {
+        v = v.join(p, col("ty") === col("f"))
+          .groupBy(col("t").as("nty"))
+          .agg(expr("sum(v * p_milli) div 1000").as("nv"))
+          .select(col("nty").as("ty"), col("nv").as("v"))
+      }
+      p.join(broadcast(v.withColumnRenamed("ty", "t")
+          .withColumnRenamed("v", "stationary_micro")), "t")
+        .select(col("f"), col("t"), col("c"), col("p_milli"),
+          col("stationary_micro"))
+        .orderBy("f", "t")
     }
   )
 
@@ -2525,6 +2630,14 @@ object CurationQueries {
       |  ELSE round(CAST(h_pico AS DOUBLE)
       |    / (1000000000.0 * ln(CAST(n_types AS DOUBLE))))
       |  END AS BIGINT)""".stripMargin
+
+  /** q274's Efraimidis–Spirakis key ln(u)/w in pico over (hv, w), with
+    * u = (hv+1)/(2⁵²+1) ∈ (0,1] so ln never sees 0; maximizing this key
+    * is exactly maximizing u^(1/w). */
+  private def aesKeySql: String =
+    """CAST(round(1000000000000
+      |  * ln((CAST(hv AS DOUBLE) + 1) / 4503599627370497.0)
+      |  / CAST(w AS DOUBLE)) AS BIGINT)""".stripMargin
 
   /** q271's cosine-to-centroid in micro over (dot, sxx, smm); degenerate
     * zero-norm sides pinned to 0. */

@@ -1236,4 +1236,86 @@ class CurationSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"), s"$q:\n$plan")
     }
   }
+
+  // ---- q274 weighted sample ----
+
+  test("q274: the draw replays key-exactly and oversamples heavy docs") {
+    val rows = run("q274_weighted_sample").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 100)
+    assert(rows.map(_._3).toSeq ==
+      rows.map(_._3).sorted(Ordering[Long].reverse).toSeq)
+    val all = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.textops.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .select(col("doc_id"), col("w"),
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|aes"))), 1, 13), 16, 10).cast("long").as("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyed = all.map { case (id, w, hv) =>
+      val key = BigDecimal(1e12 *
+        math.log((hv.toDouble + 1) / 4503599627370497.0) / w)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, w, key)
+    }
+    val expect = keyed.sortBy { case (id, _, k) => (-k, id) }.take(100)
+    assert(rows.toSeq == expect.toSeq, "sampled set must replay exactly")
+    val meanSampled = rows.map(_._2).sum.toDouble / rows.length
+    val meanAll = all.map(_._2).sum.toDouble / all.length
+    assert(meanSampled > meanAll,
+      s"weight-proportional draw must oversample heavy docs: $meanSampled <= $meanAll")
+  }
+
+  test("q274: bounded global heap — no window, no row-level ranking") {
+    val plan = planOf("q274_weighted_sample")
+    assert(!plan.contains("Window ["), plan)
+    // the heap is a typed Aggregator (Object/SortAggregate), never a sort
+    // of the corpus; the only Sort permitted is over the 100-row result
+    assert(plan.contains("Aggregate"), plan)
+  }
+
+  // ---- q275 Markov transitions ----
+
+  test("q275: matrix and stationary vector replay exactly on the driver") {
+    val rows = run("q275_markov_transitions").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(rows.nonEmpty && rows.length <= 25)
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val s = xs.sortBy(x => (x._2, x._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val tc = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(_._2._1).sum == trans.length.toLong)
+    val rc = tc.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    rows.foreach { case ((f, t), (c, pMilli, _)) =>
+      assert(c == tc((f, t)))
+      assert(pMilli == 1000 * c / rc(f))
+    }
+    // stationary: 3 rounds of v <- (v * P_milli) / 1000 in integers
+    val types = rc.keys.toSeq.sorted
+    var v = types.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      v = types.map { t =>
+        val nv = types.map { f =>
+          tc.get((f, t)).map(c => v(f) * (1000 * c / rc(f))).getOrElse(0L)
+        }.sum / 1000
+        t -> nv
+      }.toMap
+    }
+    rows.foreach { case ((_, t), (_, _, st)) =>
+      assert(st == v(t), s"stationary($t) $st != ${v(t)}")
+    }
+  }
+
+  test("q275: the only row-level window is the per-user pairing; matvecs broadcast") {
+    val plan = planOf("q275_markov_transitions")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
