@@ -2574,6 +2574,120 @@ object CurationQueries {
         .select(col("f"), col("t"), col("c"), col("p_milli"),
           col("stationary_micro"))
         .orderBy("f", "t")
+    },
+
+    // ---- Benjamini–Hochberg drift screen (q276): which sources'
+    //      language mixes differ SIGNIFICANTLY from the corpus, with
+    //      the false-discovery rate controlled at 5% — the multiple-
+    //      testing correction any 20-slice audit owes its findings
+    //      (raw per-slice p<.05 expects a false alarm per screen).
+    //      Per-source χ² (df=4) against corpus-share expectations, the
+    //      EXACT even-df tail P(X>x) = e^(−x/2)(1+x/2) as one shared
+    //      expression (no incomplete-gamma approximation), BH step-up
+    //      over the 20-row grain via globalRank + running max of the
+    //      passing rank. ----
+    QueryDef(
+      "q276_bh_drift_screen",
+      s"""WITH obs AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        |       FROM obs GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+        |       FROM obs GROUP BY lang),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |frame AS (SELECT rt.source, ct.lang, rt.r, ct.c
+        |          FROM rt CROSS JOIN ct),
+        |j AS (SELECT f.source, f.lang, coalesce(obs.o, 0) AS observed,
+        |        f.r, f.c
+        |      FROM frame f LEFT JOIN obs
+        |        ON obs.source = f.source AND obs.lang = f.lang),
+        |chi AS (SELECT source,
+        |          CAST(sum($chisqCellSql) AS BIGINT) AS chi_micro
+        |        FROM j CROSS JOIN nt GROUP BY source),
+        |pv AS (SELECT source, chi_micro, $chi4PvalSql AS p_micro
+        |       FROM chi),
+        |rk AS (SELECT source, chi_micro, p_micro,
+        |         CAST(row_number() OVER (ORDER BY p_micro, source)
+        |           AS BIGINT) AS rk
+        |       FROM pv),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM rk),
+        |pass AS (SELECT max(CASE WHEN m.m * p_micro <= rk.rk * 50000
+        |                    THEN rk.rk ELSE 0 END) AS kstar
+        |         FROM rk CROSS JOIN m)
+        |SELECT source, chi_micro, p_micro, rk,
+        |       (rk <= kstar) AS significant
+        |FROM rk CROSS JOIN pass ORDER BY rk""".stripMargin) { (s, dir) =>
+      val obs = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rt = obs.groupBy("source").agg(sum("o").as("r"))
+      val ct = obs.groupBy("lang").agg(sum("o").as("c"))
+      val nt = obs.agg(sum("o").as("n"))
+      val chi = rt.crossJoin(broadcast(ct))
+        .join(obs, Seq("source", "lang"), "left_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("o"), lit(0L)).as("observed"), col("r"), col("c"))
+        .crossJoin(broadcast(nt))
+        .groupBy("source")
+        .agg(sum(expr(chisqCellSql)).as("chi_micro"))
+      val pv = chi.select(col("source"), col("chi_micro"),
+        expr(chi4PvalSql).as("p_micro"))
+      val rk = Scale.globalRank(pv, "rk", "p_micro", "source")
+        .localCheckpoint() // source-bounded; threshold scan + output
+      val m = rk.agg(count(lit(1)).as("m"))
+      val pass = rk.crossJoin(broadcast(m))
+        .agg(max(when(col("m") * col("p_micro") <= col("rk") * 50000L,
+          col("rk")).otherwise(0L)).as("kstar"))
+      rk.crossJoin(broadcast(pass))
+        .select(col("source"), col("chi_micro"), col("p_micro"), col("rk"),
+          (col("rk") <= col("kstar")).as("significant"))
+        .orderBy("rk")
+    },
+
+    // ---- source × language mutual information (q277): how much
+    //      knowing the source tells you about the language (and vice
+    //      versa) in one number — the dependence strength q263's χ²
+    //      tests but can't quantify across corpus sizes; normalized by
+    //      the joint entropy (IQR ∈ [0,1]) it's comparable across
+    //      screens. Per-cell pico terms p·ln(p·n²/(r·c)) shared between
+    //      engines over the bounded contingency grain. ----
+    QueryDef(
+      "q277_source_lang_mi",
+      s"""WITH obs AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        |       FROM obs GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+        |       FROM obs GROUP BY lang),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |cells AS (SELECT obs.o, rt.r, ct.c
+        |          FROM obs JOIN rt ON rt.source = obs.source
+        |          JOIN ct ON ct.lang = obs.lang),
+        |g AS (SELECT CAST(sum($miTermSql) AS BIGINT) AS mi_pico,
+        |        CAST(sum($jointEntTermSql) AS BIGINT) AS h_joint_pico,
+        |        CAST(count(*) AS BIGINT) AS n_cells
+        |      FROM cells CROSS JOIN nt)
+        |SELECT mi_pico, h_joint_pico, n_cells,
+        |       CASE WHEN h_joint_pico = 0 THEN 0
+        |            ELSE (1000 * mi_pico) // h_joint_pico END AS iqr_milli
+        |FROM g""".stripMargin) { (s, dir) =>
+      val obs = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rt = obs.groupBy("source").agg(sum("o").as("r"))
+      val ct = obs.groupBy("lang").agg(sum("o").as("c"))
+      val nt = obs.agg(sum("o").as("n"))
+      val g = obs.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+        .crossJoin(broadcast(nt))
+        .agg(sum(expr(miTermSql)).as("mi_pico"),
+          sum(expr(jointEntTermSql)).as("h_joint_pico"),
+          count(lit(1)).as("n_cells"))
+      g.select(col("mi_pico"), col("h_joint_pico"), col("n_cells"),
+        when(col("h_joint_pico") === 0, 0L)
+          .otherwise(expr("(1000 * mi_pico) div h_joint_pico"))
+          .as("iqr_milli"))
     }
   )
 
@@ -2630,6 +2744,28 @@ object CurationQueries {
       |  ELSE round(CAST(h_pico AS DOUBLE)
       |    / (1000000000.0 * ln(CAST(n_types AS DOUBLE))))
       |  END AS BIGINT)""".stripMargin
+
+  /** q276's exact chi-square df=4 upper tail in micro over (chi_micro):
+    * for even df the tail is the closed form e^(−x/2)·Σ_{k<df/2}(x/2)^k/k!,
+    * here e^(−x/2)(1 + x/2) — no incomplete-gamma approximation. */
+  private def chi4PvalSql: String =
+    """CAST(round(1000000
+      |  * exp(-(CAST(chi_micro AS DOUBLE) / 1000000) / 2)
+      |  * (1 + (CAST(chi_micro AS DOUBLE) / 1000000) / 2)) AS BIGINT)""".stripMargin
+
+  /** q277's per-cell mutual-information term p·ln(p/(p_r·p_c)) in pico
+    * over (o, r, c, n); observed cells only, so o ≥ 1 and ln is safe. */
+  private def miTermSql: String =
+    """CAST(round(1000000000000
+      |  * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |       / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))) AS BIGINT)""".stripMargin
+
+  /** q277's joint-entropy term −p·ln p in pico over (o, n). */
+  private def jointEntTermSql: String =
+    """CAST(round(-1000000000000
+      |  * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)""".stripMargin
 
   /** q274's Efraimidis–Spirakis key ln(u)/w in pico over (hv, w), with
     * u = (hv+1)/(2⁵²+1) ∈ (0,1] so ln never sees 0; maximizing this key

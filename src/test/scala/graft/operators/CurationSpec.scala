@@ -1318,4 +1318,78 @@ class CurationSpec extends SparkSpec {
     val plan = planOf("q275_markov_transitions")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- q276 BH drift screen ----
+
+  test("q276: chi, p-value and the BH cutoff all replay on the driver") {
+    val rows = run("q276_bh_drift_screen").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == 20)
+    assert(rows.map(_._4).toSeq == (1L to 20L), "ranked by p ascending")
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rTot = docs.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    val cTot = docs.groupBy(_._1._2).map { case (l, xs) => l -> xs.values.sum }
+    val n = docs.values.sum
+    val langs = cTot.keys.toSeq
+    rows.foreach { case (src, chi, p, _, _) =>
+      val r = rTot(src)
+      val chiExp = langs.map { l =>
+        val o = docs.getOrElse((src, l), 0L)
+        val e = r.toDouble * cTot(l) / n
+        BigDecimal(1e6 * (o - e) * (o - e) / e)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      assert(chi == chiExp, s"$src chi $chi != $chiExp")
+      val x = chi.toDouble / 1e6
+      val pExp = BigDecimal(1e6 * math.exp(-x / 2) * (1 + x / 2))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(p == pExp, s"$src p $p != $pExp")
+    }
+    val m = rows.length.toLong
+    val kstar = rows.map { case (_, _, p, rk, _) =>
+      if (m * p <= rk * 50000L) rk else 0L }.max
+    rows.foreach { case (src, _, _, rk, sig) =>
+      assert(sig == (rk <= kstar), s"$src BH verdict at rank $rk")
+    }
+    // monotone: p never decreases with rank
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq)
+  }
+
+  // ---- q277 mutual information ----
+
+  test("q277: MI and joint entropy replay exactly; normalized IQR bounded") {
+    val r = run("q277_source_lang_mi").collect().head
+    val (mi, hj, nCells, iqr) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy("source", "lang").count().collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    val rTot = docs.groupBy(_._1._1).map { case (s, xs) => s -> xs.values.sum }
+    val cTot = docs.groupBy(_._1._2).map { case (l, xs) => l -> xs.values.sum }
+    val n = docs.values.sum
+    def pico(x: Double) = BigDecimal(1e12 * x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val miExp = docs.map { case ((s, l), o) =>
+      pico(o.toDouble / n *
+        math.log(o.toDouble * n / (rTot(s).toDouble * cTot(l))))
+    }.sum
+    val hjExp = docs.map { case (_, o) =>
+      pico(-(o.toDouble / n) * math.log(o.toDouble / n))
+    }.sum
+    assert(nCells == docs.size.toLong)
+    assert(mi == miExp, s"mi $mi != $miExp")
+    assert(hj == hjExp)
+    assert(iqr == (if (hj == 0) 0L else 1000 * mi / hj))
+    assert(iqr >= 0 && iqr <= 1000)
+    assert(mi >= -nCells, "MI nonneg up to per-cell rounding")
+  }
+
+  test("q276/q277: contingency-grain plans — broadcasts only, no product") {
+    Seq("q276_bh_drift_screen", "q277_source_lang_mi").foreach { q =>
+      assert(!planOf(q).contains("CartesianProduct"), q)
+    }
+  }
 }
