@@ -2688,6 +2688,108 @@ object CurationQueries {
         when(col("h_joint_pico") === 0, 0L)
           .otherwise(expr("(1000 * mi_pico) div h_joint_pico"))
           .as("iqr_milli"))
+    },
+
+    // ---- Mann–Kendall trend test (q278): IS the daily volume trending,
+    //      with significance — the nonparametric partner of q248's
+    //      Theil–Sen slope (that one says how steep, this one says
+    //      whether to believe it). S = Σ sign pairs over the calendar-
+    //      bounded day grid (q248 discipline), variance with the exact
+    //      tie correction Σt(t−1)(2t+5) from value-grain counts, and
+    //      the continuity-corrected z as one shared sqrt expression. ----
+    QueryDef(
+      "q278_mann_kendall",
+      s"""WITH d AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CASE WHEN b.c > a.c THEN 1
+        |             WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |      FROM d a JOIN d b ON b.day > a.day),
+        |s AS (SELECT CAST(sum(sg) AS BIGINT) AS s,
+        |        CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |           AS BIGINT) AS tc
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |               FROM d GROUP BY c) g WHERE t >= 2)
+        |SELECT s.s, m.n AS n_days, ties.tc AS tie_term,
+        |       $mkZSql AS z_milli
+        |FROM s CROSS JOIN m CROSS JOIN ties""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(expr("ts div 86400000000000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // pair join (both sides), n, tie grain
+      val a = d.select(col("day").as("d1"), col("c").as("c1"))
+      val b = d.select(col("day").as("d2"), col("c").as("c2"))
+      val sdf = a.join(broadcast(b), col("d2") > col("d1"))
+        .select(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L).as("sg"))
+        .agg(sum("sg").as("s"), count(lit(1)).as("n_pairs"))
+      val m = d.agg(count(lit(1)).as("n"))
+      val ties = d.groupBy("c").agg(count(lit(1)).as("t"))
+        .filter(col("t") >= 2)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) *
+          (lit(2L) * col("t") + 5)), lit(0L)).as("tc"))
+      sdf.crossJoin(broadcast(m)).crossJoin(broadcast(ties))
+        .select(col("s"), col("n").as("n_days"), col("tc").as("tie_term"),
+          expr(mkZSql).as("z_milli"))
+    },
+
+    // ---- inter-event burstiness per user cohort (q279): Goh–Barabási
+    //      B = (σ−μ)/(σ+μ) of the inter-event gaps — distinguishes
+    //      bursty bot-like traffic (B→1) from Poisson (B→0) and
+    //      metronomic (B→−1), per event type. Gaps from the per-user
+    //      lead() pairing (q75 shape), exact second-grain moments,
+    //      σ via the shared q212 sqrt recipe, B in milli. ----
+    QueryDef(
+      "q279_burstiness",
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type, ts, event_id FROM events),
+        |g AS (SELECT event_type,
+        |        (epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000
+        |          AS gap_s
+        |      FROM ev),
+        |gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |         CAST(sum(gap_s) AS BIGINT) AS sx,
+        |         sum(CAST(gap_s AS DECIMAL(38,0)) * gap_s) AS sxx
+        |       FROM gg GROUP BY event_type),
+        |r AS (SELECT event_type, nh, sx // nh AS mean_s,
+        |        $stdMicroSql AS std_micro
+        |      FROM st)
+        |SELECT event_type, nh AS n_gaps, mean_s, std_micro,
+        |       CAST(CASE WHEN std_micro + 1000000 * mean_s = 0 THEN 0
+        |            WHEN std_micro - 1000000 * mean_s >= 0
+        |            THEN (1000 * (std_micro - 1000000 * mean_s))
+        |                 // (std_micro + 1000000 * mean_s)
+        |            ELSE -((-(1000 * (std_micro - 1000000 * mean_s)))
+        |                   // (std_micro + 1000000 * mean_s))
+        |            END AS BIGINT) AS burstiness_milli
+        |FROM r ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val gg = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type"),
+          expr("(lead(ts) OVER (PARTITION BY user_id, event_type " +
+            "ORDER BY ts, event_id) - ts) div 1000000000").as("gap_s"))
+        .filter(col("gap_s").isNotNull)
+      val st = gg.groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), sum("gap_s").as("sx"),
+          sum(col("gap_s").cast("decimal(38,0)") * col("gap_s")).as("sxx"))
+      val r = st.select(col("event_type"), col("nh"),
+        expr("sx div nh").as("mean_s"),
+        expr(stdMicroSql).as("std_micro"))
+      r.select(col("event_type"), col("nh").as("n_gaps"), col("mean_s"),
+          col("std_micro"),
+          when(col("std_micro") + lit(1000000L) * col("mean_s") === 0, 0L)
+            .otherwise(expr("(1000 * (std_micro - 1000000 * mean_s)) " +
+              "div (std_micro + 1000000 * mean_s)"))
+            .as("burstiness_milli"))
+        .orderBy("event_type")
     }
   )
 
@@ -2766,6 +2868,18 @@ object CurationQueries {
     """CAST(round(-1000000000000
       |  * (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
       |  * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)""".stripMargin
+
+  /** q278's continuity-corrected Mann–Kendall z in milli over
+    * (s, n, tc): var = (n(n−1)(2n+5) − tc)/18, z = (S ∓ 1)/σ, pinned to
+    * 0 at S = 0 or σ = 0. */
+  private def mkZSql: String =
+    """CAST(CASE
+      |  WHEN s = 0 OR n * (n - 1) * (2 * n + 5) - tc <= 0 THEN 0
+      |  ELSE round(1000
+      |    * (CAST(s AS DOUBLE) - (CASE WHEN s > 0 THEN 1 ELSE -1 END))
+      |    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+      |            - CAST(tc AS DOUBLE)) / 18.0))
+      |  END AS BIGINT)""".stripMargin
 
   /** q274's Efraimidis–Spirakis key ln(u)/w in pico over (hv, w), with
     * u = (hv+1)/(2⁵²+1) ∈ (0,1] so ln never sees 0; maximizing this key

@@ -1392,4 +1392,74 @@ class CurationSpec extends SparkSpec {
       assert(!planOf(q).contains("CartesianProduct"), q)
     }
   }
+
+  // ---- q278 Mann-Kendall ----
+
+  test("q278: S, ties and z replay on the driver; pair identities hold") {
+    val r = run("q278_mann_kendall").collect().head
+    val (s, nDays, tc, z) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val days = graft.tables.Tables.events(spark, sf0001)
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).sortBy(_._1)
+    assert(nDays == days.length.toLong)
+    var s2 = 0L
+    for (i <- days.indices; j <- (i + 1) until days.length)
+      s2 += java.lang.Long.signum(days(j)._2 - days(i)._2)
+    assert(s == s2)
+    val tc2 = days.groupBy(_._2).values.map(_.length.toLong)
+      .filter(_ >= 2).map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(tc == tc2)
+    val n = days.length.toLong
+    val varr = (n.toDouble * (n - 1) * (2 * n + 5) - tc) / 18.0
+    val zExp =
+      if (s == 0 || varr <= 0) 0L
+      else BigDecimal(1000 * (s.toDouble - (if (s > 0) 1 else -1)) /
+        math.sqrt(varr)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(z == zExp, s"z $z != $zExp")
+  }
+
+  test("q278: calendar-bounded pair join broadcasts") {
+    assert(!planOf("q278_mann_kendall").contains("CartesianProduct"))
+  }
+
+  // ---- q279 burstiness ----
+
+  test("q279: gaps, moments and B replay on the driver for every type") {
+    val rows = run("q279_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gapsByType = ev.groupBy(x => (x._1, x._2)).toSeq.flatMap {
+      case ((_, t), xs) =>
+        val s = xs.sortBy(x => (x._3, x._4)).map(_._3)
+        s.zip(s.drop(1)).map { case (a, b) => t -> (b - a) / 1000000000L }
+    }.groupBy(_._1)
+    rows.foreach { case (t, nG, mean, std, b) =>
+      val gs = gapsByType(t).map(_._2)
+      assert(nG == gs.length.toLong, s"$t gap count")
+      assert(mean == gs.sum / gs.length)
+      val n = gs.length.toDouble
+      val sx = gs.sum.toDouble
+      val sxx = gs.map(g => BigDecimal(g) * BigDecimal(g)).sum.toDouble
+      val stdExp = BigDecimal(1e6 * math.sqrt(n * sxx - sx * sx) / n)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(std == stdExp, s"$t std $std != $stdExp")
+      assert(math.abs(b) <= 1000)
+      val num = 1000L * (std - 1000000L * mean)
+      val den = std + 1000000L * mean
+      val bExp = if (den == 0) 0L
+        else if (num >= 0) num / den else -((-num) / den)
+      assert(b == bExp, s"$t B $b != $bExp")
+    }
+  }
+
+  test("q279: per-(user,type) pairing window only; no product") {
+    assert(!planOf("q279_burstiness").contains("CartesianProduct"))
+  }
 }
