@@ -2790,6 +2790,97 @@ object CurationQueries {
               "div (std_micro + 1000000 * mean_s)"))
             .as("burstiness_milli"))
         .orderBy("event_type")
+    },
+
+    // ---- duplicate-cluster size spectrum (q280): the shape of exact-
+    //      dup clustering — how many clusters of each size, plus a
+    //      log-log tail slope (q237's fit recipe) over sizes ≥ 2. The
+    //      slope is the "is dedup pathological" one-number answer: a
+    //      heavy tail (shallow slope) means giant boilerplate families
+    //      that CC/LSH stages must survive, a steep one means benign
+    //      pair-dominated duplication. Digest group → size histogram —
+    //      both grains bounded; slope columns ride every row. ----
+    QueryDef(
+      "q280_cluster_spectrum",
+      s"""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL  -- planted duplicate families: sizes 2, 4, 8
+        |  SELECT doc_id + 1000000 * (1 + u.k), text FROM documents,
+        |    unnest(range(0, 1)) AS u(k)
+        |  WHERE doc_id % 10 = 1 AND doc_id < 301
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 * (1 + u.k), text FROM documents,
+        |    unnest(range(0, 3)) AS u(k)
+        |  WHERE doc_id % 10 = 2 AND doc_id < 102
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 * (1 + u.k), text FROM documents,
+        |    unnest(range(0, 7)) AS u(k)
+        |  WHERE doc_id % 10 = 3 AND doc_id < 33),
+        |cl AS (
+        |  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS sz
+        |  FROM d GROUP BY md5(text)),
+        |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+        |      FROM cl GROUP BY sz),
+        |p AS (SELECT CAST(round(1000000 * ln(CAST(sz AS DOUBLE)))
+        |          AS BIGINT) AS x,
+        |        CAST(round(1000000 * ln(CAST(n_clusters AS DOUBLE)))
+        |          AS BIGINT) AS y
+        |      FROM h WHERE sz >= 2),
+        |g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+        |      FROM p),
+        |sl AS (SELECT CASE
+        |         WHEN n <= 1 OR n * sxx - sx * sx = 0 THEN 0
+        |         WHEN n * sxy - sx * sy >= 0
+        |         THEN CAST(CAST((n * sxy - sx * sy) * 1000 AS HUGEINT)
+        |              // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+        |         ELSE -CAST(CAST(-((n * sxy - sx * sy) * 1000) AS HUGEINT)
+        |               // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT)
+        |         END AS tail_slope_milli,
+        |         CAST(n AS BIGINT) AS n_tail_points
+        |       FROM g)
+        |SELECT sz AS cluster_size, n_clusters, tail_slope_milli,
+        |       n_tail_points
+        |FROM h CROSS JOIN sl ORDER BY cluster_size""".stripMargin) {
+      (s, dir) =>
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      def plant(res: Int, below: Long, copies: Int): DataFrame =
+        base.filter(col("doc_id") % 10 === res && col("doc_id") < below)
+          .crossJoin(broadcast(s.range(0, copies).select(col("id").as("k"))))
+          .select((col("doc_id") + lit(1000000L) * (col("k") + 1))
+            .as("doc_id"), col("text"))
+      val d = base.unionByName(plant(1, 301L, 1))
+        .unionByName(plant(2, 102L, 3)).unionByName(plant(3, 33L, 7))
+      val cl = d
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("sz"))
+      val h = cl.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .localCheckpoint() // histogram output + the tail fit
+      val p = h.filter(col("sz") >= 2).select(
+        round(lit(1000000d) * log(col("sz").cast("double")))
+          .cast("long").as("x"),
+        round(lit(1000000d) * log(col("n_clusters").cast("double")))
+          .cast("long").as("y"))
+      val g = p.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      val sl = g.select(
+        when(col("n") <= 1 ||
+          col("n") * col("sxx") - col("sx") * col("sx") === 0, 0L)
+          .otherwise(expr(
+            "CAST(((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx) AS BIGINT)"))
+          .as("tail_slope_milli"),
+        col("n").cast("long").as("n_tail_points"))
+      h.crossJoin(broadcast(sl))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("tail_slope_milli"), col("n_tail_points"))
+        .orderBy("cluster_size")
     }
   )
 

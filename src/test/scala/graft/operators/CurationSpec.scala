@@ -1462,4 +1462,52 @@ class CurationSpec extends SparkSpec {
   test("q279: per-(user,type) pairing window only; no product") {
     assert(!planOf("q279_burstiness").contains("CartesianProduct"))
   }
+
+  // ---- q280 cluster size spectrum ----
+
+  test("q280: histogram and tail slope replay against a driver-planted simulation") {
+    val rows = run("q280_cluster_spectrum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    val texts = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val planted = texts.flatMap { case (id, tx) =>
+      val extra =
+        if (id % 10 == 1 && id < 301) 1
+        else if (id % 10 == 2 && id < 102) 3
+        else if (id % 10 == 3 && id < 33) 7
+        else 0
+      Seq.fill(1 + extra)(tx)
+    }
+    val hist = planted.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.size.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == hist,
+      "cluster-size histogram must replay")
+    val tail = hist.filter(_._1 >= 2).toSeq.map { case (sz, nc) =>
+      (math.round(1e6 * math.log(sz.toDouble)),
+        math.round(1e6 * math.log(nc.toDouble)))
+    }
+    val n = BigInt(tail.length)
+    val sx = tail.map(p => BigInt(p._1)).sum
+    val sy = tail.map(p => BigInt(p._2)).sum
+    val sxy = tail.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = tail.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val num = (n * sxy - sx * sy) * 1000
+    val den = n * sxx - sx * sx
+    val slopeExp =
+      if (n <= 1 || den == 0) BigInt(0)
+      else if (num.signum >= 0) num / den else -((-num) / den)
+    rows.foreach { case (_, _, slope, nPts) =>
+      assert(BigInt(slope) == slopeExp, s"slope $slope != $slopeExp")
+      assert(nPts == tail.length.toLong)
+    }
+    assert(slopeExp < 0, "bigger dup families must be rarer (negative slope)")
+  }
+
+  test("q280: digest aggregate + bounded histogram — no window, no product") {
+    val plan = planOf("q280_cluster_spectrum")
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
