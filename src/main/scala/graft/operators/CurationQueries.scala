@@ -2881,6 +2881,119 @@ object CurationQueries {
         .select(col("sz").as("cluster_size"), col("n_clusters"),
           col("tail_slope_milli"), col("n_tail_points"))
         .orderBy("cluster_size")
+    },
+
+    // ---- degree assortativity (q281): do high-degree nodes link to
+    //      high-degree nodes (Newman's r) on the q92 bipartite
+    //      supplier–customer graph — hub-to-hub wiring changes how
+    //      sampling, PageRank mass and dedup blow-ups behave, and
+    //      neither modularity (q223) nor clustering (q221) sees it.
+    //      Pearson over the symmetric directed edge list: exact DECIMAL
+    //      moments (products overflow Long), the final r through
+    //      correctly-rounded DECIMAL→DOUBLE casts in ONE shared
+    //      expression. Two degree joins keyed on the edge endpoints —
+    //      the only shuffles. ----
+    QueryDef(
+      "q281_assortativity",
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey + 1000000000000 AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT s AS src, c AS dst FROM pairs
+        |          UNION ALL SELECT c, s FROM pairs),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+        |        FROM edges GROUP BY src),
+        |jk AS (SELECT ds.d AS j, dd.d AS k
+        |       FROM edges e JOIN deg ds ON ds.id = e.src
+        |       JOIN deg dd ON dd.id = e.dst),
+        |g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS m,
+        |        sum(CAST(j AS DECIMAL(38,0))) AS sj,
+        |        sum(CAST(k AS DECIMAL(38,0))) AS sk,
+        |        sum(CAST(j AS DECIMAL(38,0)) * k) AS sjk,
+        |        sum(CAST(j AS DECIMAL(38,0)) * j) AS sjj,
+        |        sum(CAST(k AS DECIMAL(38,0)) * k) AS skk
+        |      FROM jk)
+        |SELECT CAST(m AS BIGINT) AS n_edges, $assortSql AS r_milli
+        |FROM g""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 1000000000000L).as("s"),
+          col("o_custkey").as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .union(pairs.select(col("c").as("src"), col("s").as("dst")))
+        .localCheckpoint() // degree pass + the two endpoint joins
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("d"))
+      val jk = edges
+        .join(deg.select(col("id").as("src"), col("d").as("j")), "src")
+        .join(deg.select(col("id").as("dst"), col("d").as("k")), "dst")
+      val g = jk.agg(
+        count(lit(1)).cast("decimal(38,0)").as("m"),
+        sum(col("j").cast("decimal(38,0)")).as("sj"),
+        sum(col("k").cast("decimal(38,0)")).as("sk"),
+        sum(col("j").cast("decimal(38,0)") * col("k")).as("sjk"),
+        sum(col("j").cast("decimal(38,0)") * col("j")).as("sjj"),
+        sum(col("k").cast("decimal(38,0)") * col("k")).as("skk"))
+      g.select(col("m").cast("long").as("n_edges"),
+        expr(assortSql).as("r_milli"))
+    },
+
+    // ---- CUPED variance reduction (q282): how much experiment
+    //      variance the pre-period activity removes — θ = cov(x,y)/
+    //      var(x) with x = each user's first-half purchase cents and
+    //      y = second-half cents, and the achievable reduction is
+    //      exactly ρ² (report it in ppm). The experimentation-platform
+    //      primitive next to q207's bootstrap CI. One conditional
+    //      aggregation builds both periods per user (calendar midpoint
+    //      broadcast), exact DECIMAL moments, shared double closers. ----
+    QueryDef(
+      "q282_cuped",
+      s"""WITH pv AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(round(100 * value) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |bound AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM pv),
+        |u AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END)
+        |          AS BIGINT) AS x,
+        |        CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END)
+        |          AS BIGINT) AS y
+        |      FROM pv CROSS JOIN bound GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |        sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |        sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |        sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+        |        sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+        |        sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        |      FROM u)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |       $cupedThetaSql AS theta_micro,
+        |       $cupedRho2Sql AS rho2_ppm
+        |FROM g""".stripMargin) { (s, dir) =>
+      val pv = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          round(lit(100d) * col("value")).cast("long").as("cents"))
+        .localCheckpoint() // bound agg + the per-user split read it
+      val bound = pv.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val u = pv.crossJoin(broadcast(bound))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("mid"), col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("y"))
+      val g = u.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      g.select(col("n").cast("long").as("n_users"),
+        expr(cupedThetaSql).as("theta_micro"),
+        expr(cupedRho2Sql).as("rho2_ppm"))
     }
   )
 
@@ -2970,6 +3083,40 @@ object CurationQueries {
       |    * (CAST(s AS DOUBLE) - (CASE WHEN s > 0 THEN 1 ELSE -1 END))
       |    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
       |            - CAST(tc AS DOUBLE)) / 18.0))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q281's assortativity r in milli over the DECIMAL moment columns
+    * (m, sj, sk, sjk, sjj, skk): Pearson over the edge list, numerator
+    * and both variance factors through correctly-rounded
+    * DECIMAL→DOUBLE casts; degenerate variance pins to 0. */
+  private def assortSql: String =
+    """CAST(CASE
+      |  WHEN m * sjj - sj * sj = 0 OR m * skk - sk * sk = 0 THEN 0
+      |  ELSE round(1000
+      |    * CAST(m * sjk - sj * sk AS DOUBLE)
+      |    / (sqrt(CAST(m * sjj - sj * sj AS DOUBLE))
+      |       * sqrt(CAST(m * skk - sk * sk AS DOUBLE))))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q282's CUPED θ = cov(x,y)/var(x) in micro over the moment columns;
+    * zero pre-period variance pins to 0. */
+  private def cupedThetaSql: String =
+    """CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |  ELSE round(1000000
+      |    * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE))
+      |  END AS BIGINT)""".stripMargin
+
+  /** q282's achievable variance reduction ρ² in ppm over the moments;
+    * either variance zero pins to 0. */
+  private def cupedRho2Sql: String =
+    """CAST(CASE
+      |  WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0
+      |  ELSE round(1000000
+      |    * (CAST(n * sxy - sx * sy AS DOUBLE)
+      |       * CAST(n * sxy - sx * sy AS DOUBLE))
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+      |       * CAST(n * syy - sy * sy AS DOUBLE)))
       |  END AS BIGINT)""".stripMargin
 
   /** q274's Efraimidis–Spirakis key ln(u)/w in pico over (hv, w), with

@@ -1510,4 +1510,85 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Window ["), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- q281 assortativity ----
+
+  test("q281: r replays on a driver-built graph and sits in [-1000, 1000]") {
+    val r = run("q281_assortativity").collect().head
+    val (m, rMilli) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(rMilli) <= 1000)
+    val pairs = graft.tables.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey")
+      .join(graft.tables.Tables.orders(spark, sf0001)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + 1000000000000L).as("s"),
+        col("o_custkey").as("c")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = pairs.flatMap { case (s, c) => Seq((s, c), (c, s)) }
+    assert(m == edges.length.toLong)
+    val deg = edges.groupBy(_._1).map { case (n, xs) => n -> xs.length.toLong }
+    val jk = edges.map { case (s, c) => (deg(s), deg(c)) }
+    val mm = BigInt(jk.length)
+    val sj = jk.map(p => BigInt(p._1)).sum
+    val sk = jk.map(p => BigInt(p._2)).sum
+    val sjk = jk.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sjj = jk.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val skk = jk.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val vj = mm * sjj - sj * sj
+    val vk = mm * skk - sk * sk
+    val expect =
+      if (vj == 0 || vk == 0) 0L
+      else BigDecimal(1000 * (mm * sjk - sj * sk).toDouble /
+        (math.sqrt(vj.toDouble) * math.sqrt(vk.toDouble)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(rMilli == expect, s"r $rMilli != $expect")
+    // the symmetric edge list makes j/k moments equal by construction
+    assert(sj == sk && sjj == skk)
+  }
+
+  // ---- q282 CUPED ----
+
+  test("q282: theta and rho-squared replay; reduction bounded in [0, 1e6]") {
+    val r = run("q282_cuped").collect().head
+    val (nU, theta, rho2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(rho2 >= 0 && rho2 <= 1000000L)
+    val pv = graft.tables.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+        round(lit(100d) * col("value")).cast("long").as("cents"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = (pv.map(_._2).min + pv.map(_._2).max + 1) / 2
+    val u = pv.groupBy(_._1).map { case (_, xs) =>
+      (xs.filter(_._2 < mid).map(_._3).sum,
+        xs.filter(_._2 >= mid).map(_._3).sum)
+    }.toSeq
+    assert(nU == u.length.toLong)
+    val n = BigInt(u.length)
+    val sx = u.map(p => BigInt(p._1)).sum
+    val sy = u.map(p => BigInt(p._2)).sum
+    val sxy = u.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = u.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val syy = u.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val cv = n * sxy - sx * sy
+    val thetaExp = if (vx == 0) 0L
+      else BigDecimal(1e6 * cv.toDouble / vx.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(theta == thetaExp, s"theta $theta != $thetaExp")
+    val rho2Exp = if (vx == 0 || vy == 0) 0L
+      else BigDecimal(1e6 * cv.toDouble * cv.toDouble /
+        (vx.toDouble * vy.toDouble))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(rho2 == rho2Exp, s"rho2 $rho2 != $rho2Exp")
+  }
+
+  test("q281/q282: moment plans — no window, no product") {
+    Seq("q281_assortativity", "q282_cuped").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Window ["), s"$q:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
 }
