@@ -2994,6 +2994,131 @@ object CurationQueries {
       g.select(col("n").cast("long").as("n_users"),
         expr(cupedThetaSql).as("theta_micro"),
         expr(cupedRho2Sql).as("rho2_ppm"))
+    },
+
+    // ---- deterministic negative-edge sampling (q283): training pairs
+    //      for link prediction need NON-edges, drawn reproducibly — the
+    //      content-addressed md5 trial stream (q242 discipline) maps
+    //      each supplier × trial to a customer RANK (globalRank over
+    //      the customer universe, so no contiguous-key assumption),
+    //      anti-joins the real edge set, and keeps the first two
+    //      surviving trials per supplier via a bounded sort_array pick
+    //      (≤8 trials — never a row-level rank). ----
+    QueryDef(
+      "q283_negative_sampling",
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cust AS (SELECT c_custkey,
+        |           CAST(row_number() OVER (ORDER BY c_custkey) - 1
+        |             AS BIGINT) AS rk
+        |         FROM customer),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cust),
+        |sup AS (SELECT DISTINCT s FROM pairs),
+        |cand AS (SELECT sup.s, t.t,
+        |           CAST(('0x' || substring(md5(CAST(sup.s AS STRING)
+        |             || '|' || CAST(t.t AS STRING) || '|negsamp'), 1, 13))
+        |             AS BIGINT) % nc.nc AS rk
+        |         FROM sup CROSS JOIN nc
+        |         CROSS JOIN (SELECT unnest(range(0, 8)) AS t) t),
+        |cc AS (SELECT cand.s, cand.t, cust.c_custkey AS cand_c
+        |       FROM cand JOIN cust ON cust.rk = cand.rk),
+        |nonedge AS (SELECT cc.s, cc.t, cc.cand_c
+        |            FROM cc LEFT JOIN pairs
+        |              ON pairs.s = cc.s AND pairs.c = cc.cand_c
+        |            WHERE pairs.s IS NULL),
+        |pick AS (SELECT s,
+        |           (list_sort(list({'t': t, 'cc': cand_c})))[1].cc AS neg1,
+        |           CASE WHEN count(*) >= 2
+        |             THEN (list_sort(list({'t': t, 'cc': cand_c})))[2].cc
+        |             END AS neg2,
+        |           CAST(count(*) AS BIGINT) AS n_nonedge_trials
+        |         FROM nonedge GROUP BY s)
+        |SELECT s AS suppkey, neg1, neg2, n_nonedge_trials
+        |FROM pick ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+        .localCheckpoint() // supplier universe + the anti-join target
+      val cust = Scale.globalRank(
+        Tables.customer(s, dir).select("c_custkey"), "rk1", "c_custkey")
+        .select(col("c_custkey"), (col("rk1") - 1).as("rk"))
+      val nc = cust.agg(count(lit(1)).as("nc"))
+      val sup = pairs.select("s").distinct()
+      val cand = sup.crossJoin(broadcast(nc))
+        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("t"))))
+        .select(col("s"), col("t"),
+          pmod(conv(substring(md5(concat(col("s").cast("string"), lit("|"),
+            col("t").cast("string"), lit("|negsamp"))), 1, 13), 16, 10)
+            .cast("long"), col("nc")).as("rk"))
+      val cc = cand.join(cust, "rk")
+        .select(col("s"), col("t"), col("c_custkey").as("cand_c"))
+      val nonedge = cc.join(pairs,
+          cc("s") === pairs("s") && cc("cand_c") === pairs("c"), "left_anti")
+      nonedge.groupBy("s")
+        .agg(sort_array(collect_list(struct(col("t"), col("cand_c"))))
+            .as("lst"),
+          count(lit(1)).as("n_nonedge_trials"))
+        .select(col("s").as("suppkey"),
+          element_at(col("lst"), 1).getField("cand_c").as("neg1"),
+          when(size(col("lst")) >= 2,
+            element_at(col("lst"), 2).getField("cand_c")).as("neg2"),
+          col("n_nonedge_trials"))
+        .orderBy("suppkey")
+    },
+
+    // ---- hard-negative mining (q284): for each probe vector, the most
+    //      similar SAME-label neighbor (the positive) and the most
+    //      similar DIFFERENT-label neighbor (the hard negative) with
+    //      the contrastive margin between them — the triplet-builder
+    //      every embedding-training pipeline runs. Composes
+    //      [[Similarity.bruteForceTopK]]'s pre-cosine `keep` hook
+    //      twice over one broadcast probe set; micro-rounded cosines. ----
+    QueryDef(
+      "q284_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+        |             embedding AS q_embedding
+        |           FROM embeddings WHERE vec_id < 5),
+        |sims AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+        |         q.q_label,
+        |         ${cosineSql("q.q_embedding", "e.embedding")} AS sim
+        |  FROM embeddings e JOIN q ON q.query_id <> e.vec_id),
+        |pos AS (SELECT query_id, neighbor_id, sim,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, neighbor_id) AS rn
+        |        FROM sims WHERE label = q_label),
+        |neg AS (SELECT query_id, neighbor_id, sim,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY sim DESC, neighbor_id) AS rn
+        |        FROM sims WHERE label <> q_label)
+        |SELECT p.query_id, p.neighbor_id AS pos_id,
+        |       CAST(round(1000000 * p.sim) AS BIGINT) AS pos_sim_micro,
+        |       g.neighbor_id AS neg_id,
+        |       CAST(round(1000000 * g.sim) AS BIGINT) AS neg_sim_micro,
+        |       CAST(round(1000000 * p.sim) - round(1000000 * g.sim)
+        |         AS BIGINT) AS margin_micro
+        |FROM pos p JOIN neg g ON g.query_id = p.query_id
+        |WHERE p.rn = 1 AND g.rn = 1
+        |ORDER BY p.query_id""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_embedding"))
+      def top1(keep: org.apache.spark.sql.Column, out: String): DataFrame =
+        Similarity.bruteForceTopK(e, probes, k = 1, keep = keep)
+          .select(col("query_id"), col("neighbor_id").as(s"${out}_id"),
+            round(lit(1000000d) * col("sim")).cast("long")
+              .as(s"${out}_sim_micro"))
+      val pos = top1(col("label") === col("q_label"), "pos")
+      val neg = top1(col("label") =!= col("q_label"), "neg")
+      pos.join(neg, "query_id")
+        .select(col("query_id"), col("pos_id"), col("pos_sim_micro"),
+          col("neg_id"), col("neg_sim_micro"),
+          (col("pos_sim_micro") - col("neg_sim_micro")).as("margin_micro"))
+        .orderBy("query_id")
     }
   )
 

@@ -1591,4 +1591,84 @@ class CurationSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
     }
   }
+
+  // ---- q283 negative sampling ----
+
+  test("q283: every sampled pair is a true non-edge and the draw replays trial-exactly") {
+    val rows = run("q283_negative_sampling").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val pairs = graft.tables.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_suppkey")
+      .join(graft.tables.Tables.orders(spark, sf0001)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val custs = graft.tables.Tables.customer(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0)).sorted
+    val nc = custs.length.toLong
+    // replay the md5 trial stream through Spark's own conv (same expr)
+    val sups = pairs.map(_._1).toSeq.distinct.sorted
+    import spark.implicits._
+    val hashed = sups.flatMap(s => (0L until 8L).map(t => (s, t)))
+      .toDF("s", "t")
+      .select(col("s"), col("t"),
+        pmod(conv(substring(md5(concat(col("s").cast("string"), lit("|"),
+          col("t").cast("string"), lit("|negsamp"))), 1, 13), 16, 10)
+          .cast("long"), lit(nc)).as("rk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = hashed
+      .map { case (s, t, rk) => (s, t, custs(rk.toInt)) }
+      .filter { case (s, _, c) => !pairs.contains((s, c)) }
+      .groupBy(_._1).map { case (s, xs) =>
+        val sorted = xs.sortBy(_._2)
+        (s, sorted.head._3,
+          if (sorted.length >= 2) Some(sorted(1)._3) else None,
+          xs.length.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(rows.toSeq == expect, "negative draw must replay")
+    rows.foreach { case (s, n1, n2, _) =>
+      assert(!pairs.contains((s, n1)), s"($s,$n1) is a real edge")
+      n2.foreach(n => assert(!pairs.contains((s, n))))
+    }
+  }
+
+  test("q283: trials and customer count broadcast; anti-join carries the edge set") {
+    assert(!planOf("q283_negative_sampling").contains("CartesianProduct"))
+  }
+
+  // ---- q284 hard negatives ----
+
+  test("q284: positives share the probe label, negatives never do, top-1 replays") {
+    val rows = run("q284_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 5)
+    val vecs = graft.tables.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.get(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = a.foldLeft(0.0)((s, x) => s + x * x)
+      val nb = b.foldLeft(0.0)((s, x) => s + x * x)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (q, posId, posSim, negId, negSim, margin) =>
+      val (_, qLabel, qEmb) = byId(q)
+      assert(byId(posId)._2 == qLabel, s"probe $q positive label")
+      assert(byId(negId)._2 != qLabel, s"probe $q negative label")
+      assert(margin == posSim - negSim)
+      // exact top-1 replay per side (micro-rounded, id tiebreak)
+      def best(same: Boolean): (Long, Long) =
+        vecs.filter(v => v._1 != q && (v._2 == qLabel) == same)
+          .map(v => (v._1, BigDecimal(1e6 * cos(qEmb, v._3))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+          .minBy { case (id, sm) => (-sm, id) }
+      assert((posId, posSim) == best(same = true), s"probe $q positive")
+      assert((negId, negSim) == best(same = false), s"probe $q negative")
+    }
+  }
 }
