@@ -3119,6 +3119,57 @@ object CurationQueries {
           col("neg_id"), col("neg_sim_micro"),
           (col("pos_sim_micro") - col("neg_sim_micro")).as("margin_micro"))
         .orderBy("query_id")
+    },
+
+    // ---- context-window packing report (q285): concat-then-chunk the
+    //      corpus (doc_id order) into 2048-token windows and report
+    //      what training actually sees — windows, docs straddling a
+    //      boundary, tail padding, and utilization — the numbers that
+    //      decide between padding, packing and truncation strategies.
+    //      One token-count scan + ONE Scale prefix sum gives every
+    //      doc's [start, end) in the token stream; a doc straddles iff
+    //      start div W < (end−1) div W; all stats close in one
+    //      aggregate. ----
+    QueryDef(
+      "q285_packing_report",
+      s"""WITH d AS (
+        |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w
+        |  FROM documents WHERE len($toksSql) >= 1),
+        |c AS (SELECT doc_id, w,
+        |        sum(w) OVER (ORDER BY doc_id) AS cum
+        |      FROM d),
+        |spans AS (SELECT doc_id, w, cum - w AS lo, cum - 1 AS hi
+        |          FROM c),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(w) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN lo // 2048 <> hi // 2048
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
+        |      FROM spans)
+        |SELECT n_docs, n_tokens,
+        |       (n_tokens + 2047) // 2048 AS n_windows,
+        |       straddlers,
+        |       ((n_tokens + 2047) // 2048) * 2048 - n_tokens
+        |         AS tail_pad_tokens,
+        |       (1000000 * n_tokens) // (((n_tokens + 2047) // 2048) * 2048)
+        |         AS utilization_ppm
+        |FROM g""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("w"))
+        .filter(col("w") >= 1)
+      val c = Scale.prefixSumLong(d, "doc_id", "w", "cum")
+      val g = c.select(col("w"), (col("cum") - col("w")).as("lo"),
+          (col("cum") - 1).as("hi"))
+        .agg(count(lit(1)).as("n_docs"), sum("w").as("n_tokens"),
+          sum(when(expr("lo div 2048") =!= expr("hi div 2048"), 1L)
+            .otherwise(0L)).as("straddlers"))
+      g.select(col("n_docs"), col("n_tokens"),
+        expr("(n_tokens + 2047) div 2048").as("n_windows"),
+        col("straddlers"),
+        expr("((n_tokens + 2047) div 2048) * 2048 - n_tokens")
+          .as("tail_pad_tokens"),
+        expr("(1000000 * n_tokens) div (((n_tokens + 2047) div 2048) * 2048)")
+          .as("utilization_ppm"))
     }
   )
 

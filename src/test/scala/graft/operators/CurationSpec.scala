@@ -1671,4 +1671,35 @@ class CurationSpec extends SparkSpec {
       assert((negId, negSim) == best(same = false), s"probe $q negative")
     }
   }
+
+  // ---- q285 packing report ----
+
+  test("q285: every statistic replays from a driver-simulated token stream") {
+    val r = run("q285_packing_report").collect().head
+    val (nD, nT, nW, str, pad, util) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val ws = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.textops.TextAnalysis.wsTokens(col("text")))
+          .cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).sortBy(_._1)
+    assert(nD == ws.length.toLong)
+    assert(nT == ws.map(_._2).sum)
+    assert(nW == (nT + 2047) / 2048)
+    assert(pad == nW * 2048 - nT)
+    assert(util == 1000000L * nT / (nW * 2048))
+    var cum = 0L
+    var straddlers = 0L
+    ws.foreach { case (_, w) =>
+      val lo = cum; val hi = cum + w - 1
+      if (lo / 2048 != hi / 2048) straddlers += 1
+      cum += w
+    }
+    assert(str == straddlers, s"straddlers $str != $straddlers")
+  }
+
+  test("q285: the token stream is one Scale prefix pass — no window") {
+    assert(!planOf("q285_packing_report").contains("Window ["))
+  }
 }
