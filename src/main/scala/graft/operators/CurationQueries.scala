@@ -551,9 +551,10 @@ object CurationQueries {
       // per band bound the false-candidate surface (mean bucket ~n/128)
       // while the planted ADJACENT edges at cos 10° ≈ 0.985 still
       // collide in ≥1 band with p ≈ 1 − 1.3e-4 (p_bit = 0.945,
-      // p_band = 0.945⁷ = 0.673, miss = 0.327⁸). 56 not 64: the packed
-      // signature lives in ONE Long and the sign-bit fold must not
-      // overflow its 64th doubling under ANSI mode.
+      // p_band = 0.945⁷ = 0.673, miss = 0.327⁸). Buckets are per-band
+      // Longs (headroom to 63 bits/band), so at a bigger corpus this
+      // knob grows by log2(n-ratio) bits per band — the SCALE.md
+      // emb-lsh probe measures both regimes.
       val pairs = Similarity.embeddingNearDups(uni, threshold = 0.966,
         nPlanes = 56, bands = 8).select("id_a", "id_b")
       Similarity.dbscanFromPairs(uni.select("vec_id"), pairs, minPts = 3)

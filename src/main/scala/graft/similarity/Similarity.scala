@@ -416,23 +416,38 @@ object Similarity {
     // interpreted projection). Fold order matches the unrolled form's
     // left-associated sum, so signatures are bit-identical.
     val planesCol: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
-    def signBits(emb: Column): Column = {
-      val dots = transform(planesCol, plane =>
+    // one sign-bit fold PER BAND (not one packed Long for the whole
+    // signature): bucket bit j of band bi is the sign of plane
+    // bi·rowsPerBand + j — bit-identical to the former shiftright/AND
+    // extraction for every legacy config, but the bucket-space ceiling
+    // is now 63 bits PER BAND (2^63 values) instead of 63 bits across
+    // ALL bands. That ceiling is what the documented "grow nPlanes with
+    // the corpus" rule runs into at ~1e9 vectors (needs ~30 bits/band).
+    val rowsPerBand = nPlanes / bands
+    require(rowsPerBand <= 63,
+      s"rowsPerBand must fit one Long bucket, got $rowsPerBand")
+    // the dot products are PROJECTED once per row before the band folds
+    // read them — inlining the `dots` tree into each of the `bands`
+    // aggregates re-evaluates all nPlanes dot products per band (no CSE
+    // across array elements; measured 3× on q243)
+    def dots(emb: Column): Column =
+      transform(planesCol, plane =>
         aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
           lit(0.0), (acc, x) => acc + x))
-      aggregate(dots, struct(lit(0L).as("sig"), lit(1L).as("bit")),
-        (acc, d) => struct(
-          when(d >= 0, acc.getField("sig").bitwiseOR(acc.getField("bit")))
-            .otherwise(acc.getField("sig")).as("sig"),
-          (acc.getField("bit") * 2).as("bit")),
-        acc => acc.getField("sig"))
-    }
-    val rowsPerBand = nPlanes / bands
-    val sigs = corpus.select(col(idCol), col(embCol), signBits(col(embCol)).as("sig"))
-    sigs.select(col(idCol), col(embCol),
-      posexplode(array((0 until bands).map(bi =>
-        shiftright(col("sig"), bi * rowsPerBand)
-          .bitwiseAND((1L << rowsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    def bandBuckets(d: Column): Column =
+      array((0 until bands).map { bi =>
+        aggregate(slice(d, bi * rowsPerBand + 1, rowsPerBand),
+          struct(lit(0L).as("sig"), lit(1L).as("bit")),
+          (acc, dd) => struct(
+            when(dd >= 0, acc.getField("sig").bitwiseOR(acc.getField("bit")))
+              .otherwise(acc.getField("sig")).as("sig"),
+            (acc.getField("bit") * 2).as("bit")),
+          acc => acc.getField("sig"))
+      }: _*)
+    corpus
+      .select(col(idCol), col(embCol), dots(col(embCol)).as("_dots"))
+      .select(col(idCol), col(embCol),
+        posexplode(bandBuckets(col("_dots"))).as(Seq("band", "bucket")))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by
@@ -459,7 +474,11 @@ object Similarity {
     * per-band recall cost of one more agreeing bit — e.g. 32 planes for
     * ~1M vectors, 48 for ~1B — or raise maxBucket in step. The guard
     * protects against pathological skew, not against under-provisioned
-    * bucket space.
+    * bucket space. ScaleProbe measures both regimes on sign-masked 10×
+    * corpora: knobs held fixed the candidate surface grows ~n²/2^r (45×
+    * wall for 10× data), with the sizing rule applied (+log2(10) bits
+    * per band) wall tracks the data. Buckets are per-band Longs, so the
+    * rule has headroom to 63 bits PER band — far past any corpus.
     */
   def embeddingNearDups(
       corpus: DataFrame,

@@ -716,6 +716,48 @@ object ScaleProbe {
     val ccn = timeChain(s"${copies}x", copies * 100000L)
     println(f"[scaleprobe] cc-chain time ratio=${ccn / cc1}%.2f for ${copies}x " +
       "chain length (log-round contraction ⇒ well below data ratio)")
+
+    // embedding hyperplane-LSH near-dup (the q30/q243 candidate
+    // generator, now the slowest bench headline's first stage): each
+    // copy gets a deterministic per-copy ±1 sign mask — WITHIN-copy
+    // cosines are preserved exactly (both sides flip identically) while
+    // cross-copy dots scramble to ~0, so pairs must grow exactly
+    // linearly and wall must track the Σ bucket² candidate bound, never
+    // pairs².
+    // per-copy mask from a seeded PRNG — a linear-in-(k,i) parity trick
+    // is NOT enough (parity of a·k+b·i repeats with small period in k,
+    // making some copy pairs identical — observed as a 40k cross-copy
+    // pair explosion before this fix)
+    def flipEmb(n: Int): DataFrame =
+      (0 until n).map { k =>
+        val rnd = new scala.util.Random(k * 1000003L + 7)
+        val mask = array(Array.fill(64)(
+          lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
+        emb.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"), mask, (x, m) => x * m).as("embedding"))
+      }.reduce(_ union _)
+    // THE SIZING RULE IS THE PROBE: with knobs held fixed at the q243
+    // sizing (56/8 = 7 bits/band), 10× data measured 45× wall — the
+    // candidate surface grows n²/2^r when bucket space stays constant.
+    // The documented rule adds log2(copies) sign bits per band
+    // (7 → 11 ⇒ 88 planes / 8 bands), which per-band Long buckets can
+    // hold (63-bit/band ceiling); wall must then track the data.
+    def timeLsh(label: String, corpus: DataFrame, nPlanes: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.similarity.Similarity
+        .embeddingNearDups(corpus, threshold = 0.966,
+          nPlanes = nPlanes, bands = 8).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] emb-lsh-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
+      (n, secs)
+    }
+    timeLsh("warmup-1x", flipEmb(1), 56)
+    val (el1, et1) = timeLsh("1x", flipEmb(1), 56)
+    val (eln, etn) = timeLsh(s"${copies}x-rule-sized", flipEmb(copies), 88)
+    println(f"[scaleprobe] emb-lsh pairs ratio=${eln.toDouble / math.max(el1, 1)}%.2f " +
+      f"time ratio=${etn / et1}%.2f for ${copies}x corpus " +
+      "(sign-masked copies; bits/band grown by log2 copies per the sizing rule)")
     spark.stop()
   }
 }
