@@ -3171,6 +3171,87 @@ object CurationQueries {
           .as("tail_pad_tokens"),
         expr("(1000000 * n_tokens) div (((n_tokens + 2047) div 2048) * 2048)")
           .as("utilization_ppm"))
+    },
+
+    // ---- LSH tuning report (q286): recall vs candidate surface as
+    //      bits-per-band grows — the table that SIZES the hyperplane
+    //      knobs (SCALE.md's emb-lsh probe measured 45× wall when this
+    //      knob lags the corpus). Two configs over the planted-chain
+    //      corpus (5 chains x 4 ground-truth adjacent pairs at cos 10°): the
+    //      7-bit q243 sizing vs the 11-bit rule-sized width that
+    //      per-band Long buckets newly allow. Per config: Σ C(m,2)
+    //      candidate surface from the bucket occupancy (one aggregate —
+    //      the pair explode is never materialized for counting),
+    //      verified pairs, and planted recall. ----
+    QueryDef(
+      "q286_lsh_tuning", {
+        def block(np: Int, sfx: String): String = {
+          val bx = (0 until 8)
+            .map(k => s"SELECT vec_id, $k AS band, b$k AS bucket FROM bk$sfx")
+            .mkString("\n      UNION ALL ")
+          s"""${sigCtes(np, sfx)},
+             |bx$sfx AS ($bx),
+             |bc$sfx AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS m
+             |           FROM bx$sfx GROUP BY band, bucket),
+             |cand$sfx AS (SELECT CAST(coalesce(sum(m * (m - 1) // 2), 0)
+             |               AS BIGINT) AS cands
+             |             FROM bc$sfx WHERE m BETWEEN 2 AND 1000),
+             |live$sfx AS (SELECT band, bucket FROM bc$sfx
+             |             WHERE m BETWEEN 2 AND 1000),
+             |bl$sfx AS (SELECT bx$sfx.* FROM bx$sfx
+             |           JOIN live$sfx USING (band, bucket)),
+             |cp$sfx AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |           FROM bl$sfx a JOIN bl$sfx b
+             |             ON a.band = b.band AND a.bucket = b.bucket
+             |            AND a.vec_id < b.vec_id),
+             |pr$sfx AS (
+             |  SELECT id_a, id_b FROM cp$sfx
+             |  JOIN uni ua ON ua.vec_id = cp$sfx.id_a
+             |  JOIN uni ub ON ub.vec_id = cp$sfx.id_b
+             |  WHERE ${cosineSql("ua.embedding", "ub.embedding")} >= 0.966),
+             |row$sfx AS (
+             |  SELECT CAST($np AS BIGINT) AS n_planes,
+             |         CAST(${np / 8} AS BIGINT) AS bits_per_band,
+             |         (SELECT cands FROM cand$sfx) AS candidate_pairs,
+             |         CAST(count(*) AS BIGINT) AS verified_pairs,
+             |         CAST(sum(CASE WHEN id_a >= 2000000
+             |                  AND id_b = id_a + 1 AND id_a % 10 <= 8
+             |                  THEN 1 ELSE 0 END) AS BIGINT)
+             |           AS planted_found
+             |  FROM pr$sfx)""".stripMargin
+        }
+        s"""WITH $dbscanUniCtes,
+           |${block(56, "_a")},
+           |${block(88, "_b")}
+           |SELECT n_planes, bits_per_band, candidate_pairs, verified_pairs,
+           |       planted_found,
+           |       (1000 * planted_found) // ${5 * (chainAngles.size - 1)}
+           |         AS planted_recall_milli
+           |FROM (SELECT * FROM row_a UNION ALL SELECT * FROM row_b)
+           |ORDER BY n_planes""".stripMargin
+      }) { (s, dir) =>
+      val uni = dbscanUni(s, dir)
+      val rows = Seq(56, 88).map { np =>
+        val bc = Similarity.hyperplaneBuckets(uni, np, 8)
+          .groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+          .filter(col("m").between(2, 1000))
+        val cand = bc.agg(coalesce(
+          sum(expr("m * (m - 1) div 2")), lit(0L)).as("candidate_pairs"))
+        val pr = Similarity.embeddingNearDups(uni, threshold = 0.966,
+          nPlanes = np, bands = 8)
+        val agg = pr.agg(count(lit(1)).as("verified_pairs"),
+          sum(when(col("id_a") >= 2000000L &&
+            col("id_b") === col("id_a") + 1 && col("id_a") % 10 <= 8, 1L)
+            .otherwise(0L)).as("planted_found"))
+        agg.crossJoin(broadcast(cand))
+          .select(lit(np.toLong).as("n_planes"),
+            lit((np / 8).toLong).as("bits_per_band"),
+            col("candidate_pairs"), col("verified_pairs"),
+            col("planted_found"),
+            expr(s"(1000 * planted_found) div ${5 * (chainAngles.size - 1)}")
+              .as("planted_recall_milli"))
+      }
+      rows.reduce(_ unionByName _).orderBy("n_planes")
     }
   )
 
@@ -3582,8 +3663,14 @@ object CurationQueries {
     * values per band bound the false-candidate surface at corpus scale
     * while adjacent planted edges (cos 10°) still collide with
     * p ≈ 1 − 1.3e-4. */
-  private def sig56Ctes: String = {
-    val (nPlanes, bands, dim) = (56, 8, 64)
+  private def sig56Ctes: String = sigCtes(56, "")
+
+  /** Parameterized hyperplane signature CTEs over `uni` — `sg$sfx` /
+    * `bk$sfx` with per-band bucket columns b0..b7; the q243 oracle uses
+    * the 56-plane instance, the q286 tuning report instantiates two
+    * widths side by side. */
+  private def sigCtes(nPlanes: Int, sfx: String): String = {
+    val (bands, dim) = (8, 64)
     val rowsPerBand = nPlanes / bands
     def dSql(p: Int): String =
       (0 until dim).map(i =>
@@ -3591,25 +3678,24 @@ object CurationQueries {
         .mkString(" + ")
     def bSql(b: Int): String =
       (0 until rowsPerBand).map(j =>
-        s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1 << j} ELSE 0 END)")
+        s"(CASE WHEN d${b * rowsPerBand + j} >= 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
-    s"""sg AS MATERIALIZED (
+    s"""sg$sfx AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |${(0 until nPlanes).map(p => s"         ${dSql(p)} AS d$p").mkString(",\n")}
        |  FROM uni),
-       |bk AS MATERIALIZED (
+       |bk$sfx AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |${(0 until bands).map(b => s"         ${bSql(b)} AS b$b").mkString(",\n")}
-       |  FROM sg)""".stripMargin
+       |  FROM sg$sfx)""".stripMargin
   }
 
-  private def dbscanOracleSql: String = {
+  /** The planted great-circle-chain corpus CTEs (base → pl → o1..o6 →
+    * pts → uni) shared by the q243 and q286 oracles. */
+  private def dbscanUniCtes: String = {
     val angleRows = chainAngles
       .map { case (i, ci, si) => s"($i, $ci, $si)" }.mkString(", ")
-    val bx = (0 until 8)
-      .map(k => s"SELECT vec_id, $k AS band, b$k AS bucket FROM bk")
-      .mkString("\n      UNION ALL ")
-    s"""WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings),
+    s"""base AS (SELECT vec_id, embedding FROM embeddings),
        |pl AS (
        |  SELECT a.vec_id // 2 AS c, a.embedding AS ea, b.embedding AS eb
        |  FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
@@ -3640,7 +3726,14 @@ object CurationQueries {
        |           x -> CAST(ci * x[1] + si * x[2] AS FLOAT)) AS embedding
        |  FROM o6 CROSS JOIN ang),
        |uni AS (SELECT vec_id, embedding FROM base
-       |        UNION ALL SELECT vec_id, embedding FROM pts),
+       |        UNION ALL SELECT vec_id, embedding FROM pts)""".stripMargin
+  }
+
+  private def dbscanOracleSql: String = {
+    val bx = (0 until 8)
+      .map(k => s"SELECT vec_id, $k AS band, b$k AS bucket FROM bk")
+      .mkString("\n      UNION ALL ")
+    s"""WITH RECURSIVE $dbscanUniCtes,
        |$sig56Ctes,
        |bx AS ($bx),
        |bc AS (SELECT band, bucket, count(*) AS cbk FROM bx

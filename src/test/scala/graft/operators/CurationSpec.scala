@@ -1702,4 +1702,31 @@ class CurationSpec extends SparkSpec {
   test("q285: the token stream is one Scale prefix pass — no window") {
     assert(!planOf("q285_packing_report").contains("Window ["))
   }
+
+  // ---- q286 LSH tuning ----
+
+  test("q286: wider bands shrink the candidate surface at full planted recall") {
+    val rows = run("q286_lsh_tuning").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(x => (x._1, x._2)).toSeq == Seq((56L, 7L), (88L, 11L)))
+    val Seq(a, b) = rows.toSeq
+    // the planted chains step 10 degrees; cos 10 deg = 0.985 >= 0.966,
+    // so every adjacent pair is ground truth and both configs must
+    // recover all of them (miss probability < 1e-2 per pair and the
+    // whole pipeline is deterministic given the pinned planes)
+    assert(a._6 == 1000L && b._6 == 1000L, "full planted recall")
+    assert(a._5 == 20L && b._5 == 20L, "5 chains x 4 adjacent pairs")
+    assert(b._3 < a._3,
+      s"11-bit bands must cut the candidate surface: ${b._3} !< ${a._3}")
+    rows.foreach { case (_, _, cand, ver, found, _) =>
+      assert(ver >= found)
+      assert(cand >= ver, "verified pairs are a subset of candidates")
+    }
+  }
+
+  test("q286: candidate counting is one bucket aggregate — no pair explode, no product") {
+    val plan = planOf("q286_lsh_tuning")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
