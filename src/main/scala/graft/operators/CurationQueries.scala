@@ -3252,6 +3252,59 @@ object CurationQueries {
               .as("planted_recall_milli"))
       }
       rows.reduce(_ unionByName _).orderBy("n_planes")
+    },
+
+    // ---- partitioning-key skew audit (q287): will keying the shuffle
+    //      on this column balance 32 reducers — the pre-flight every
+    //      repartition/bucketing decision owes the cluster. Hashes
+    //      o_custkey into 32 shards (the engine's md5 discipline, so
+    //      the audit is engine-portable), reports per-shard row/value
+    //      mass, the max/mean skew in ppm, and the hottest raw key per
+    //      shard (hot-key attribution via max(struct)). ----
+    QueryDef(
+      "q287_shard_skew",
+      s"""WITH o AS (
+        |  SELECT o_custkey AS k,
+        |         CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+        |  FROM orders),
+        |kc AS (SELECT k, CAST(count(*) AS BIGINT) AS kn,
+        |         CAST(sum(cents) AS BIGINT) AS kcents
+        |       FROM o GROUP BY k),
+        |sh AS (SELECT CAST(('0x' || substring(md5(CAST(k AS STRING)
+        |           || '|shard'), 1, 13)) AS BIGINT) % 32 AS shard,
+        |         k, kn, kcents
+        |       FROM kc),
+        |g AS (SELECT shard, CAST(sum(kn) AS BIGINT) AS rows_,
+        |        CAST(sum(kcents) AS BIGINT) AS cents,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        max(struct_pack(kn := kn, k := k)) AS hot
+        |      FROM sh GROUP BY shard),
+        |tot AS (SELECT CAST(sum(rows_) AS BIGINT) AS trows FROM g)
+        |SELECT shard, rows_ AS n_rows, cents, n_keys,
+        |       hot.k AS hottest_key, hot.kn AS hottest_rows,
+        |       (32000000 * rows_) // trows AS load_ppm
+        |FROM g CROSS JOIN tot ORDER BY shard""".stripMargin) { (s, dir) =>
+      val kc = Tables.orders(s, dir)
+        .select(col("o_custkey").as("k"),
+          round(lit(100d) * col("o_totalprice")).cast("long").as("cents"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("kn"), sum("cents").as("kcents"))
+      val sh = kc.select(
+        pmod(conv(substring(md5(concat(col("k").cast("string"),
+          lit("|shard"))), 1, 13), 16, 10).cast("long"), lit(32L))
+          .as("shard"),
+        col("k"), col("kn"), col("kcents"))
+      val g = sh.groupBy("shard")
+        .agg(sum("kn").as("n_rows"), sum("kcents").as("cents"),
+          count(lit(1)).as("n_keys"),
+          max(struct(col("kn"), col("k"))).as("hot"))
+        .localCheckpoint() // 32 rows; total + output read it
+      val tot = g.agg(sum("n_rows").as("trows"))
+      g.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_rows"), col("cents"), col("n_keys"),
+          col("hot.k").as("hottest_key"), col("hot.kn").as("hottest_rows"),
+          expr("(32000000 * n_rows) div trows").as("load_ppm"))
+        .orderBy("shard")
     }
   )
 

@@ -1729,4 +1729,43 @@ class CurationSpec extends SparkSpec {
     val plan = planOf("q286_lsh_tuning")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // ---- q287 shard skew ----
+
+  test("q287: mass conserved across 32 shards, loads close to 32M ppm, hot keys replay") {
+    val rows = run("q287_shard_skew").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (0L until 32L))
+    val orders = graft.tables.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        round(lit(100d) * col("o_totalprice")).cast("long").as("cents"),
+        pmod(conv(substring(md5(concat(col("o_custkey").cast("string"),
+          lit("|shard"))), 1, 13), 16, 10).cast("long"), lit(32L))
+          .as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == orders.length.toLong)
+    assert(rows.map(_._3).sum == orders.map(_._2).sum)
+    // per-shard load ppm sums to ~32M (floor loses < 32 ppm)
+    val loadSum = rows.map(_._7).sum
+    assert(loadSum <= 32000000L && loadSum > 32000000L - 32 * 32,
+      s"load ppm column must close: $loadSum")
+    // hot-key attribution replays per shard
+    val byShard = orders.groupBy(_._3)
+    rows.foreach { case (sh, nRows, cents, nKeys, hotK, hotN, _) =>
+      val xs = byShard(sh)
+      assert(nRows == xs.length.toLong)
+      assert(cents == xs.map(_._2).sum)
+      val keyCounts = xs.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      assert(nKeys == keyCounts.size.toLong)
+      val expect = keyCounts.toSeq.maxBy { case (k, n) => (n, k) }
+      assert((hotK, hotN) == ((expect._1, expect._2)), s"shard $sh hot key")
+    }
+  }
+
+  test("q287: key-grain aggregate then 32-row summary — no window, no product") {
+    val plan = planOf("q287_shard_skew")
+    assert(!plan.contains("Window ["), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
