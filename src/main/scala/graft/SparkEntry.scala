@@ -20,7 +20,8 @@ object SparkEntry {
       graft.operators.StreamMediaQueries.defs ++
       graft.operators.AnalyticsQueries.defs ++
       graft.operators.AuditQueries.defs ++
-      graft.operators.CurationQueries.defs
+      graft.operators.CurationQueries.defs ++
+      graft.operators.ScienceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

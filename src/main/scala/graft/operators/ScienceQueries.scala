@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.catalog.QueryDef
+import graft.tables.Tables
+import graft.textops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference, sketch, and spatial operators (q288+).
+  *
+  * Four families a 100 TB curation pipeline leans on that the catalog
+  * did not yet cover:
+  *
+  *  - closed-form multiple regression from one aggregation pass
+  *    (normal equations + Cramer — no iterative solver, no collect of
+  *    data rows, only the 3×3 moment matrix reaches the driver-free
+  *    final select);
+  *  - Misra-Gries heavy hitters: bounded per-partition state (the
+  *    classic mergeable summary) as a CANDIDATE pass, then an exact
+  *    broadcast-semi-join verify — the two-pass shape that finds
+  *    frequent tokens without ever materializing the full
+  *    high-cardinality group-by;
+  *  - grid-bucketed spatial nearest neighbor: cell-size ≥ radius ⇒ the
+  *    3×3 neighbor-cell join provably contains every within-radius
+  *    candidate, so the plan is a hash join on cell ids instead of a
+  *    cross product;
+  *  - ANF/Flajolet-Martin neighborhood function: per-node constant-size
+  *    bit sketches propagated h hops (bit_or is idempotent ⇒ exactly
+  *    the semiring ANF needs), estimating |reachable ≤ h| without the
+  *    O(n²) transitive closure.
+  *
+  * Everything crossing the DuckDB oracle follows the house rule: all
+  * aggregation is exact integer (order-free), and any final double
+  * arithmetic is ONE shared expression string evaluated by both engines
+  * over identical integer inputs (IEEE ±×÷, pow of 2, and round are
+  * bit-identical given identical inputs and operation order).
+  */
+object ScienceQueries {
+
+  private val toksSql = OracleSql.wsTokens()
+
+  // ---------- q288 helpers: shared Cramer spellings ----------
+
+  private def dbl(x: String) = s"CAST($x AS DOUBLE)"
+
+  /** 3×3 determinant by cofactor expansion along the first row — the
+    * ONE operation order both engines evaluate. */
+  private def det3(
+      a: String, b: String, c: String,
+      d: String, e: String, f: String,
+      g: String, h: String, i: String): String = {
+    val Seq(ad, bd, cd, dd, ed, fd, gd, hd, id) =
+      Seq(a, b, c, d, e, f, g, h, i).map(dbl)
+    s"($ad * ($ed * $id - $fd * $hd) - $bd * ($dd * $id - $fd * $gd)" +
+      s" + $cd * ($dd * $hd - $ed * $gd))"
+  }
+
+  private val detSql = det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+  private val det0Sql = det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+  private val det1Sql = det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+  private val det2Sql = det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+
+  private def betaMicroSql(dj: String) = s"CAST(round(1000000 * $dj / d) AS BIGINT)"
+
+  /** R² in ppm from the moment row + the three Cramer numerators:
+    * SSE = syy − (d0·sy + d1·s1y + d2·s2y)/d, SST = syy − sy²/n. */
+  private val r2PpmSql =
+    s"""CAST(round(1000000 * (1 - (CAST(syy AS DOUBLE)
+       | - (d0 * CAST(sy AS DOUBLE) + d1 * CAST(s1y AS DOUBLE)
+       |    + d2 * CAST(s2y AS DOUBLE)) / d)
+       | / (CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+       | AS BIGINT)""".stripMargin.replaceAll("\n", "")
+
+  // ---------- q291 helpers: shared FM-sketch spellings ----------
+
+  /** Lowest-zero-bit position of register `s` as BIGINT: isolate the bit
+    * with (~s)&(s+1) (a power of two ≥ 1 — registers never exceed bit
+    * 52, so s+1 cannot overflow), then ln/ln2. The quotient is r ± ~1e-15
+    * (libm ln is ≤1 ulp either engine), so round() lands on the exact
+    * integer on both sides — never near a .5 boundary. */
+  private def rBitSql(s: String): String =
+    s"CAST(round(ln(CAST(((~$s) & ($s + 1)) AS DOUBLE)) / ln(2.0)) AS BIGINT)"
+
+  /** Per-node reach estimate in milli-units from the 4 trial registers:
+    * 2^(mean r)/0.77351. mean r is an exact multiple of ¼, and
+    * 2^(k+q) = pow(2,k)·c_q with pow-of-2 exact and c_q a literal double
+    * constant, so both engines compute identical bits before the single
+    * final round. */
+  private val reachMilliSql: String = {
+    val rsum =
+      s"(${rBitSql("s0")} + ${rBitSql("s1")} + ${rBitSql("s2")} + ${rBitSql("s3")})"
+    s"""CAST(round(1000 * (pow(2.0, ($rsum - ($rsum % 4)) / 4)
+       | * (CASE $rsum % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 1.189207115002721
+       |    WHEN 2 THEN 1.4142135623730951 ELSE 1.681792830507429 END))
+       | / 0.77351) AS BIGINT)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** 52-bit md5 draw for trial t, +2^52 so the value is never zero (the
+    * added bit 52 sits above every 13-hex-digit draw, so trailing-zero
+    * counts < 52 are untouched). Spark spelling. */
+  private def sparkG(t: Int): String =
+    s"CAST(conv(substring(md5(CAST(id AS STRING) || '|anf$t'), 1, 13), 16, 10) AS BIGINT)" +
+      s" + 4503599627370496"
+
+  /** DuckDB spelling of [[sparkG]] (hex literal cast instead of conv). */
+  private def duckG(t: Int): String =
+    s"CAST(('0x' || substring(md5(CAST(id AS STRING) || '|anf$t'), 1, 13)) AS BIGINT)" +
+      s" + 4503599627370496"
+
+  // ---------- q290 helpers: deterministic planar coordinates ----------
+
+  /** Integer coordinate in [0, 1e6) from the md5 of key+salt — the
+    * engine's portable-hash discipline (q287), reused so the oracle can
+    * derive the identical point set. */
+  private def coordCol(k: org.apache.spark.sql.Column, salt: String) =
+    pmod(conv(substring(md5(concat(k.cast("string"), lit(salt))), 1, 13), 16, 10)
+      .cast("long"), lit(1000000L))
+
+  private def coordSql(k: String, salt: String): String =
+    s"CAST(('0x' || substring(md5(CAST($k AS STRING) || '$salt'), 1, 13)) AS BIGINT) % 1000000"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- multiple linear regression (q288): o_totalprice (whole
+    //      dollars) ~ intercept + n_items + total_qty per order, solved
+    //      in closed form. ONE aggregation collapses the data to a
+    //      10-field moment row (n, Σx, ΣxᵀX, Σxy, Σy²); Cramer's rule on
+    //      the 3×3 normal equations is then a pure expression — no
+    //      iterative descent, no per-row driver traffic, so the plan is
+    //      scan → partial agg → final agg regardless of row count.
+    //      Long moments are exact to sf≈30 for y² sums; past that swap
+    //      syy to DECIMAL(38,0) (the Exact scale note). ----
+    QueryDef(
+      "q288_ols_multi",
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS okey, CAST(count(*) AS BIGINT) AS x1,
+         |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+         |  FROM lineitem GROUP BY l_orderkey),
+         |r AS (
+         |  SELECT CAST(round(o_totalprice) AS BIGINT) AS y, x1, x2
+         |  FROM orders JOIN li ON o_orderkey = okey),
+         |sums AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         |         CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x1 * y) AS BIGINT) AS s1y,
+         |         CAST(sum(x2 * y) AS BIGINT) AS s2y,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM r),
+         |dets AS (
+         |  SELECT n, sy, s1y, s2y, syy,
+         |         $detSql AS d, $det0Sql AS d0, $det1Sql AS d1, $det2Sql AS d2
+         |  FROM sums)
+         |SELECT n, ${betaMicroSql("d0")} AS beta0_micro,
+         |       ${betaMicroSql("d1")} AS beta1_micro,
+         |       ${betaMicroSql("d2")} AS beta2_micro,
+         |       $r2PpmSql AS r2_ppm
+         |FROM dets""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(count(lit(1)).as("x1"),
+          sum(round(col("l_quantity")).cast("long")).as("x2"))
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"),
+          round(col("o_totalprice")).cast("long").as("y"))
+        .join(li, "okey")
+      rows
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(expr("x1 * x1")).as("s11"),
+          sum(expr("x1 * x2")).as("s12"),
+          sum(expr("x2 * x2")).as("s22"),
+          sum("y").as("sy"),
+          sum(expr("x1 * y")).as("s1y"),
+          sum(expr("x2 * y")).as("s2y"),
+          sum(expr("y * y")).as("syy"))
+        .selectExpr("n", "sy", "s1y", "s2y", "syy",
+          s"$detSql AS d", s"$det0Sql AS d0", s"$det1Sql AS d1", s"$det2Sql AS d2")
+        .selectExpr("n",
+          s"${betaMicroSql("d0")} AS beta0_micro",
+          s"${betaMicroSql("d1")} AS beta1_micro",
+          s"${betaMicroSql("d2")} AS beta2_micro",
+          s"$r2PpmSql AS r2_ppm")
+    },
+
+    // ---- Misra-Gries heavy hitters (q289): tokens with frequency
+    //      > n/200. Pass 1 keeps a 200-counter MG summary PER PARTITION
+    //      (mapPartitions — the one shape an Expression can't hold
+    //      cross-row state in): any token with partition count
+    //      > n_p/200 provably survives its partition summary, so the
+    //      union of survivors is a superset of every global heavy
+    //      hitter (pigeonhole over partitions). Pass 2 exact-counts
+    //      ONLY the ≤ parts·200 candidates via a broadcast semi-join —
+    //      the full token group-by (the thing that hurts at 100 TB
+    //      vocabulary cardinality) never materializes, yet the output
+    //      is bitwise the exact answer the oracle computes naively. ----
+    QueryDef(
+      "q289_heavy_hitters",
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |FROM tk CROSS JOIN tot
+         |GROUP BY tok, total
+         |HAVING CAST(count(*) AS BIGINT) * 200 > total
+         |ORDER BY cnt DESC, tok""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val K = 200
+      val toksArr = Tables.documents(s, dir)
+        .select(TextAnalysis.wsTokens(col("text")).as("toks"))
+      val cands = toksArr.as[Seq[String]]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach(_.foreach { t =>
+            m.get(t) match {
+              case Some(v) => m(t) = v + 1L
+              case None if m.size < K => m(t) = 1L
+              case None =>
+                // decrement-all: each decrement cancels one prior
+                // increment, so the loop is amortized O(1) per token
+                val dead = List.newBuilder[String]
+                m.foreach { case (k, v) =>
+                  if (v == 1L) dead += k else m(k) = v - 1L
+                }
+                dead.result().foreach(m.remove)
+            }
+          })
+          m.keysIterator
+        }
+        .toDF("tok").distinct()
+      val tk = toksArr.select(explode(col("toks")).as("tok"))
+      val tot = tk.agg(count(lit(1)).as("total"))
+      tk.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * K > col("total"))
+        .select(col("tok"), col("cnt"))
+        .orderBy(desc("cnt"), col("tok"))
+    },
+
+    // ---- grid-bucketed nearest supplier (q290): customers and
+    //      suppliers get deterministic planar coordinates (md5 → [0,1e6)²,
+    //      so the oracle derives the identical points); find each
+    //      customer's nearest supplier within radius R = 100 000. Cell
+    //      size = R ⇒ every within-R candidate lies in the supplier's
+    //      3×3 neighbor cells, so the engine joins on cell ids (the 9×
+    //      explode rides the SMALL side) — a hash join, never the
+    //      customer×supplier product the oracle is allowed to brute-
+    //      force. Distances are exact integer squares; ties break to
+    //      the lower suppkey via min(struct). ----
+    QueryDef(
+      "q290_grid_knn",
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |         ${coordSql("c_custkey", "|gx")} AS cu,
+         |         ${coordSql("c_custkey", "|gy")} AS cv
+         |  FROM customer),
+         |sp AS (
+         |  SELECT s_suppkey,
+         |         ${coordSql("s_suppkey", "|gx")} AS su,
+         |         ${coordSql("s_suppkey", "|gy")} AS sv
+         |  FROM supplier),
+         |p AS (
+         |  SELECT c_custkey, s_suppkey,
+         |         (cu - su) * (cu - su) + (cv - sv) * (cv - sv) AS d2
+         |  FROM c CROSS JOIN sp),
+         |m AS (
+         |  SELECT c_custkey, min(struct_pack(d2 := d2, sk := s_suppkey)) AS nn
+         |  FROM p WHERE d2 <= 10000000000 GROUP BY c_custkey)
+         |SELECT c_custkey, nn.sk AS nn_suppkey, nn.d2 AS d2
+         |FROM m ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          coordCol(col("c_custkey"), "|gx").as("cu"),
+          coordCol(col("c_custkey"), "|gy").as("cv"))
+        .withColumn("cell", expr("(cu div 100000) * 1000 + (cv div 100000)"))
+      val sup9 = Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          coordCol(col("s_suppkey"), "|gx").as("su"),
+          coordCol(col("s_suppkey"), "|gy").as("sv"))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("cell",
+          expr("((su div 100000) + dx) * 1000 + ((sv div 100000) + dy)"))
+        .select("cell", "s_suppkey", "su", "sv")
+      cust.join(broadcast(sup9), "cell")
+        .withColumn("d2", expr("(cu - su) * (cu - su) + (cv - sv) * (cv - sv)"))
+        .filter(col("d2") <= lit(10000000000L))
+        .groupBy("c_custkey")
+        .agg(min(struct(col("d2").as("d2"), col("s_suppkey").as("sk"))).as("nn"))
+        .select(col("c_custkey"), col("nn.sk").as("nn_suppkey"), col("nn.d2").as("d2"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- ANF neighborhood function (q291): |reachable within h hops|
+    //      per node on the q92 supplier↔customer graph, estimated with
+    //      4 Flajolet-Martin bit registers per node. One bit_or
+    //      aggregate per hop propagates sketches along edges (OR is
+    //      idempotent — re-delivery along parallel paths is free), so
+    //      h hops cost h shuffles with 32 bytes of state per node; the
+    //      exact alternative is the O(n²) transitive closure. The
+    //      oracle unrolls the 3 hops as CTEs (the q92 discipline) over
+    //      the same md5-seeded registers, so both engines hold
+    //      identical bit patterns and the single shared estimate
+    //      expression rounds identically. ----
+    QueryDef(
+      "q291_anf_reach", {
+        def iter(prev: String, idx: Int): String = {
+          val bs = (0 to 3).map(t => s"bit_or(p.s$t) AS b$t").mkString(", ")
+          val os = (0 to 3).map(t => s"n.s$t | coalesce(i.b$t, 0) AS s$t").mkString(", ")
+          s"""i$idx AS (
+             |  SELECT e.dst AS id, $bs
+             |  FROM edges e JOIN $prev p ON p.id = e.src GROUP BY e.dst),
+             |k$idx AS (
+             |  SELECT n.id, $os
+             |  FROM $prev n LEFT JOIN i$idx i ON n.id = i.id)""".stripMargin
+        }
+        val g = (0 to 3).map(t => s"${duckG(t)} AS g$t").mkString(", ")
+        val s0 = (0 to 3).map(t => s"(g$t & (-g$t)) AS s$t").mkString(", ")
+        val ests = (0 to 3).map(h =>
+          s"SELECT $h AS hop, $reachMilliSql AS reach_milli FROM k$h")
+          .mkString(" UNION ALL ")
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT l_suppkey + 1000000000000 AS sk, o_custkey AS ck
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |edges AS (SELECT sk AS src, ck AS dst FROM pairs
+           |          UNION ALL SELECT ck, sk FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |k0 AS (SELECT id, $s0 FROM (SELECT id, $g FROM nodes)),
+           |${iter("k0", 1)},
+           |${iter("k1", 2)},
+           |${iter("k2", 3)},
+           |est AS ($ests)
+           |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           |       CAST(sum(reach_milli) AS BIGINT) AS reach_milli_total
+           |FROM est GROUP BY hop ORDER BY hop""".stripMargin
+      }) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      // same 1e12 node-id offset q92/q98 justify (collision-free to sf≈67)
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("l_suppkey") + 1000000000000L).as("sk"), col("o_custkey").as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      def estimate(sk: org.apache.spark.sql.DataFrame, h: Int) =
+        sk.selectExpr(s"$reachMilliSql AS reach_milli")
+          .agg(count(lit(1)).as("n_nodes"), sum("reach_milli").as("reach_milli_total"))
+          .select(lit(h).as("hop"), col("n_nodes"), col("reach_milli_total"))
+      var sk = nodes
+        .selectExpr("id" +: (0 to 3).map(t => s"${sparkG(t)} AS g$t"): _*)
+        .selectExpr("id" +: (0 to 3).map(t => s"(g$t & (-g$t)) AS s$t"): _*)
+        .localCheckpoint()
+      val perHop = scala.collection.mutable.ArrayBuffer(estimate(sk, 0))
+      (1 to 3).foreach { h =>
+        val inbox = edges
+          .join(sk.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(expr("bit_or(s0)").as("b0"), expr("bit_or(s1)").as("b1"),
+            expr("bit_or(s2)").as("b2"), expr("bit_or(s3)").as("b3"))
+        sk = sk.join(inbox, Seq("id"), "left_outer")
+          .selectExpr("id" +:
+            (0 to 3).map(t => s"s$t | coalesce(b$t, 0) AS s$t"): _*)
+          .localCheckpoint()
+        perHop += estimate(sk, h)
+      }
+      perHop.reduce(_ unionByName _).orderBy("hop")
+    }
+  )
+}

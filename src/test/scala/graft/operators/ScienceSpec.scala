@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts for the q288–q291 science/sketch/spatial family:
+  * driver-replayed golden values on sf0.001 plus the plan shapes that
+  * must survive 100×.
+  */
+class ScienceSpec extends SparkSpec {
+
+  private def run(name: String, dir: String = sf0001) =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  private def planOf(name: String): String =
+    run(name).queryExecution.executedPlan.toString
+
+  /** The engine's portable md5 coordinate, replayed on the driver. */
+  private def md5Coord(k: Long, salt: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((k.toString + salt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16) % 1000000L
+  }
+
+  // ---- q288 multiple OLS ----
+
+  test("q288: betas and R² replay a driver-side normal-equation solve") {
+    val got = run("q288_ols_multi").collect().head
+    // rebuild the moment matrix from raw rows on the driver
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(count(lit(1)).as("x1"), sum(round(col("l_quantity")).cast("long")).as("x2"))
+    val rows = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey").as("okey"), round(col("o_totalprice")).cast("long").as("y"))
+      .join(li, "okey")
+      .select("x1", "x2", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toDouble
+    var (s1, s2, s11, s12, s22, sy, s1y, s2y, syy) = (0d, 0d, 0d, 0d, 0d, 0d, 0d, 0d, 0d)
+    rows.foreach { case (x1, x2, y) =>
+      s1 += x1; s2 += x2; s11 += x1.toDouble * x1; s12 += x1.toDouble * x2
+      s22 += x2.toDouble * x2; sy += y; s1y += x1.toDouble * y
+      s2y += x2.toDouble * y; syy += y.toDouble * y
+    }
+    def det3(m: Double*) =
+      m(0) * (m(4) * m(8) - m(5) * m(7)) - m(1) * (m(3) * m(8) - m(5) * m(6)) +
+        m(2) * (m(3) * m(7) - m(4) * m(6))
+    val d = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val want = Seq(d0 / d, d1 / d, d2 / d).map(b => math.round(1e6 * b))
+    val gotB = Seq(got.getLong(1), got.getLong(2), got.getLong(3))
+    gotB.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) <= 2L, s"beta$i micro: got $g want ~$w")
+    }
+    val sse = syy - (d0 * sy + d1 * s1y + d2 * s2y) / d
+    val sst = syy - sy * sy / n
+    val wantR2 = math.round(1e6 * (1 - sse / sst))
+    assert(math.abs(got.getLong(4) - wantR2) <= 2L)
+    assert(got.getLong(4) > 0L && got.getLong(4) <= 1000000L)
+  }
+
+  test("q288: the data collapses in one aggregate — no window, no sort of rows") {
+    val plan = planOf("q288_ols_multi")
+    assert(!plan.contains("Window ["), "OLS must not window the data")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  // ---- q289 heavy hitters ----
+
+  test("q289: output is EXACTLY the set of tokens with freq > n/200, with exact counts") {
+    val got = run("q289_heavy_hitters").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tk = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("tok"))
+    val total = tk.count()
+    val want = tk.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (_, c) => c * 200 > total }.toMap
+    assert(want.nonEmpty, "fixture should contain heavy hitters")
+    // no false negatives (the MG guarantee) and no false positives
+    // (the exact verify pass), counts exact
+    assert(got === want)
+  }
+
+  test("q289: candidate side is broadcast — the corpus never shuffles for the verify join") {
+    val plan = planOf("q289_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"),
+      "MG candidates must broadcast into the verify join")
+  }
+
+  // ---- q290 grid nearest neighbor ----
+
+  test("q290: matches a driver brute-force over the identical md5 point set") {
+    val got = run("q290_grid_knn").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val custs = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val sups = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val spts = sups.map(k => (k, md5Coord(k, "|gx"), md5Coord(k, "|gy")))
+    val want = custs.flatMap { ck =>
+      val (cu, cv) = (md5Coord(ck, "|gx"), md5Coord(ck, "|gy"))
+      val within = spts.map { case (sk, su, sv) =>
+        ((cu - su) * (cu - su) + (cv - sv) * (cv - sv), sk)
+      }.filter(_._1 <= 10000000000L)
+      if (within.isEmpty) None
+      else { val m = within.min; Some(ck -> (m._2, m._1)) }
+    }.toMap
+    assert(want.nonEmpty, "fixture should place some supplier within R of a customer")
+    assert(got === want)
+  }
+
+  test("q290: the spatial join is a hash join on cell ids — no product anywhere") {
+    val plan = planOf("q290_grid_knn")
+    assert(!plan.contains("CartesianProduct"), "grid join must not cross")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "grid join must be keyed")
+  }
+
+  // ---- q291 ANF reach ----
+
+  test("q291: node count is constant and reach estimates grow monotonically with hops") {
+    val rows = run("q291_anf_reach").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0, 1, 2, 3))
+    assert(rows.map(_._2).distinct.length === 1, "every hop sees every node")
+    val n = rows.head._2
+    rows.sliding(2).foreach { case Array((_, _, a), (_, _, b)) =>
+      assert(b >= a, "OR-only sketches can never shrink the estimate")
+    }
+    // h=0: each node holds ≥1 register bit ⇒ per-node estimate ≥ 1293 milli
+    assert(rows.head._3 >= 1293L * n)
+    // the graph has edges, so three hops must beat the self-only estimate
+    assert(rows.last._3 > rows.head._3)
+  }
+}
