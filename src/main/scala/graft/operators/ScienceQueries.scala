@@ -119,6 +119,40 @@ object ScienceQueries {
   private def coordSql(k: String, salt: String): String =
     s"CAST(('0x' || substring(md5(CAST($k AS STRING) || '$salt'), 1, 13)) AS BIGINT) % 1000000"
 
+  // ---------- q292 helpers: shared Kruskal-Wallis spellings ----------
+
+  /** Per-group H term R_g²/n_g from the half-unit rank sum r2 (= 2R_g):
+    * r2²/(4·n_g), one shared double expression per group row. */
+  private val kwTermSql =
+    "CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4 * CAST(ng AS DOUBLE))"
+
+  /** H = 12·S/(n(n+1)) − 3(n+1) in micro, from the index-ordered fold
+    * S (srs) and the exact total n. */
+  private val kwHSql =
+    "(12 * srs / (CAST(n AS DOUBLE) * (n + 1)) - 3 * (n + 1))"
+
+  private val kwHMicroSql = s"CAST(round(1000000 * $kwHSql) AS BIGINT)"
+
+  /** Tie-corrected H: divide by 1 − Σ(t³−t)/(n³−n); tie_sum is exact
+    * BIGINT (bound: overflows past n ≈ 2e6 rows of one identical value —
+    * switch tie_sum to DECIMAL(38,0) there, the Exact scale note). */
+  private val kwHCorrMicroSql =
+    s"""CAST(round(1000000 * $kwHSql / (1 - CAST(tie_sum AS DOUBLE)
+       | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |    - CAST(n AS DOUBLE)))) AS BIGINT)""".stripMargin.replaceAll("\n", "")
+
+  // ---------- q293 helpers: shared difference-in-differences spellings ----------
+
+  private def meanMilliSql(sc: String, nn: String): String =
+    s"CAST(round(1000 * CAST($sc AS DOUBLE) / CAST($nn AS DOUBLE)) AS BIGINT)"
+
+  private val didMilliSql =
+    s"""CAST(round(1000 * ((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+       |  - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+       | - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+       |  - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))) AS BIGINT)"""
+      .stripMargin.replaceAll("\n", "")
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- multiple linear regression (q288): o_totalprice (whole
@@ -371,6 +405,126 @@ object ScienceQueries {
         perHop += estimate(sk, h)
       }
       perHop.reduce(_ unionByName _).orderBy("hop")
+    },
+
+    // ---- Kruskal-Wallis rank test (q292): does document length differ
+    //      across sources beyond chance — the nonparametric ANOVA every
+    //      mixture audit wants when lengths are anything but normal.
+    //      Midranks come from per-DISTINCT-VALUE counts + ONE
+    //      Scale.prefixSumLong pass (2·cum − c + 1 in half-units — all
+    //      integer, no per-row rank, NO single-partition window); group
+    //      rank sums are exact BIGINT joins on the value key. The only
+    //      float work is the k-term Σ R²/n fold, done index-ordered
+    //      over the ≤k group rows (the q171 list_reduce discipline), so
+    //      both engines add in the same order. Tie correction exact
+    //      from Σ(t³−t). ----
+    QueryDef(
+      "q292_kruskal_wallis",
+      s"""WITH d AS (SELECT source, n_chars AS v FROM documents),
+         |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY v),
+         |mr AS (SELECT v, c,
+         |         2 * sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |           - c + 1 AS mr2
+         |       FROM vc),
+         |gv AS (SELECT source, v, CAST(count(*) AS BIGINT) AS ngv
+         |       FROM d GROUP BY source, v),
+         |g AS (SELECT source, CAST(sum(ngv) AS BIGINT) AS ng,
+         |        CAST(sum(ngv * mr2) AS BIGINT) AS r2
+         |      FROM gv JOIN mr USING (v) GROUP BY source),
+         |gt AS (SELECT source, ng, r2, $kwTermSql AS t FROM g),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list(t ORDER BY source)), (acc, x) -> acc + x) AS srs
+         |      FROM gt),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |          CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+         |        FROM vc)
+         |SELECT n, k, tie_sum, $kwHMicroSql AS h_micro,
+         |       $kwHCorrMicroSql AS h_corr_micro
+         |FROM f CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("source"), col("n_chars").as("v"))
+      val vc = docs.groupBy("v").agg(count(lit(1)).as("c")).localCheckpoint()
+      val mr = Scale.prefixSumLong(vc, "v", "c", "cum")
+        .selectExpr("v", "2 * cum - c + 1 AS mr2")
+      val groups = docs.groupBy("source", "v").agg(count(lit(1)).as("ngv"))
+        .join(mr, "v")
+        .groupBy("source")
+        .agg(sum("ngv").as("ng"), sum(expr("ngv * mr2")).as("r2"))
+        .withColumn("t", expr(kwTermSql))
+      val folded = groups.agg(
+        count(lit(1)).as("k"),
+        expr("""aggregate(
+          transform(sort_array(collect_list(struct(source, t))), g -> g.t),
+          CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("srs"))
+      val tot = vc.agg(sum("c").as("n"), sum(expr("c * c * c - c")).as("tie_sum"))
+      folded.crossJoin(broadcast(tot))
+        .selectExpr("n", "k", "tie_sum",
+          s"$kwHMicroSql AS h_micro", s"$kwHCorrMicroSql AS h_corr_micro")
+    },
+
+    // ---- difference-in-differences (q293): the canonical pre/post ×
+    //      treat/control causal estimator (the q282 CUPED sibling) over
+    //      event spend. Treatment is the engine's md5 split of user_id
+    //      (q104 discipline — re-derivable by any engine), the period
+    //      boundary is the integer midpoint of the observed µs range,
+    //      and every cell is an exact (count, cent-sum) pair from ONE
+    //      conditional aggregate — so the plan is scan → agg no matter
+    //      the event volume, and the four means + DiD are shared
+    //      double expressions over identical integers. ----
+    QueryDef(
+      "q293_did",
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tus,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |b AS (SELECT min(tus) + ((max(tus) - min(tus)) // 2) AS bd FROM ev),
+         |c AS (
+         |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS STRING) || '|did'),
+         |           1, 13)) AS BIGINT) % 2 AS treat,
+         |         CASE WHEN tus >= bd THEN 1 ELSE 0 END AS post, cents
+         |  FROM ev CROSS JOIN b),
+         |p AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+         |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+         |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+         |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+         |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_c_pre,
+         |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_c_post,
+         |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_t_pre,
+         |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_t_post
+         |  FROM c)
+         |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+         |       ${meanMilliSql("s_c_pre", "n_c_pre")} AS mean_c_pre_milli,
+         |       ${meanMilliSql("s_c_post", "n_c_post")} AS mean_c_post_milli,
+         |       ${meanMilliSql("s_t_pre", "n_t_pre")} AS mean_t_pre_milli,
+         |       ${meanMilliSql("s_t_post", "n_t_post")} AS mean_t_post_milli,
+         |       $didMilliSql AS did_cents_milli
+         |FROM p""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).selectExpr(
+        "user_id", "ts div 1000 AS tus",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      val bounds = ev.agg(min("tus").as("lo"), max("tus").as("hi"))
+        .selectExpr("lo + ((hi - lo) div 2) AS bd")
+      val cells = ev.crossJoin(broadcast(bounds))
+        .select(
+          pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit("|did"))),
+            1, 13), 16, 10).cast("long"), lit(2L)).as("treat"),
+          when(col("tus") >= col("bd"), 1).otherwise(0).as("post"),
+          col("cents"))
+      def cell(t: Int, p: Int, v: org.apache.spark.sql.Column) =
+        sum(when(col("treat") === t && col("post") === p, v).otherwise(0L))
+      cells.agg(
+        cell(0, 0, lit(1L)).as("n_c_pre"), cell(0, 1, lit(1L)).as("n_c_post"),
+        cell(1, 0, lit(1L)).as("n_t_pre"), cell(1, 1, lit(1L)).as("n_t_post"),
+        cell(0, 0, col("cents")).as("s_c_pre"), cell(0, 1, col("cents")).as("s_c_post"),
+        cell(1, 0, col("cents")).as("s_t_pre"), cell(1, 1, col("cents")).as("s_t_post"))
+        .selectExpr("n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+          s"${meanMilliSql("s_c_pre", "n_c_pre")} AS mean_c_pre_milli",
+          s"${meanMilliSql("s_c_post", "n_c_post")} AS mean_c_post_milli",
+          s"${meanMilliSql("s_t_pre", "n_t_pre")} AS mean_t_pre_milli",
+          s"${meanMilliSql("s_t_post", "n_t_post")} AS mean_t_post_milli",
+          s"$didMilliSql AS did_cents_milli")
     }
   )
 }

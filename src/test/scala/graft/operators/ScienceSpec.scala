@@ -135,4 +135,74 @@ class ScienceSpec extends SparkSpec {
     // the graph has edges, so three hops must beat the self-only estimate
     assert(rows.last._3 > rows.head._3)
   }
+
+  // ---- q292 Kruskal-Wallis ----
+
+  test("q292: H replays a driver midrank computation; tie correction only raises H") {
+    val got = run("q292_kruskal_wallis").collect().head
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = rows.length
+    // driver midranks over the sorted values
+    val sorted = rows.map(_._2).sorted
+    val mid = sorted.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2 + 1L).sum.toDouble / xs.length) // mean 1-based rank
+    }
+    val byGroup = rows.groupBy(_._1)
+    val srs = byGroup.toSeq.sortBy(_._1).map { case (_, xs) =>
+      val rg = xs.map(x => mid(x._2)).sum
+      rg * rg / xs.length
+    }.sum
+    val h = 12.0 * srs / (n.toDouble * (n + 1)) - 3.0 * (n + 1)
+    val ties = sorted.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val hCorr = h / (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    assert(got.getLong(0) === n.toLong)
+    assert(got.getLong(1) === byGroup.size.toLong)
+    assert(got.getLong(2) === ties)
+    assert(math.abs(got.getLong(3) - math.round(1e6 * h)) <= 2L,
+      s"h_micro: got ${got.getLong(3)} want ~${math.round(1e6 * h)}")
+    assert(math.abs(got.getLong(4) - math.round(1e6 * hCorr)) <= 2L)
+    assert(got.getLong(4) >= got.getLong(3), "tie correction divides by ≤1")
+  }
+
+  test("q292: ranks come from the prefix primitive — no single-partition window") {
+    assert(!planOf("q292_kruskal_wallis").contains("Window ["),
+      "midranks must not use a window")
+  }
+
+  // ---- q293 difference-in-differences ----
+
+  test("q293: cells and DiD replay a driver fold over the raw events") {
+    val got = run("q293_did").collect().head
+    val raw = graft.tables.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "ts div 1000 AS tus",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = raw.map(_._2).min; val hi = raw.map(_._2).max
+    val bd = lo + (hi - lo) / 2
+    def treatOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((u.toString + "|did").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2L
+    }
+    val cells = raw.groupBy { case (u, t, _) => (treatOf(u), if (t >= bd) 1 else 0) }
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val Seq(cPre, cPost, tPre, tPost) =
+      Seq((0L, 0), (0L, 1), (1L, 0), (1L, 1)).map(cells)
+    assert(Seq(got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      === Seq(cPre._1, cPost._1, tPre._1, tPost._1))
+    def mean(x: (Long, Long)) = x._2.toDouble / x._1
+    val did = (mean(tPost) - mean(tPre)) - (mean(cPost) - mean(cPre))
+    assert(math.abs(got.getLong(8) - math.round(1000 * did)) <= 1L)
+    assert(math.abs(got.getLong(4) - math.round(1000 * mean(cPre))) <= 1L)
+  }
+
+  test("q293: one conditional aggregate — no shuffle join, no window") {
+    val plan = planOf("q293_did")
+    assert(!plan.contains("SortMergeJoin"), "DiD must not shuffle-join")
+    assert(!plan.contains("Window ["))
+  }
 }
