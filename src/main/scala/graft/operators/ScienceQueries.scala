@@ -525,6 +525,206 @@ object ScienceQueries {
           s"${meanMilliSql("s_t_pre", "n_t_pre")} AS mean_t_pre_milli",
           s"${meanMilliSql("s_t_post", "n_t_post")} AS mean_t_post_milli",
           s"$didMilliSql AS did_cents_milli")
+    },
+
+    // ---- winnowing fingerprints (q294): the MOSS local-fingerprint
+    //      scheme (Schleimer SIGMOD'03) — per doc, hash every 3-gram in
+    //      ORDER (the q34 native kernel), then keep the min hash of
+    //      each sliding window of 4: any shared substring of ≥ w+k−1
+    //      tokens is GUARANTEED to share a fingerprint, unlike q34's
+    //      single global min (whole-doc) or q31's probabilistic MinHash.
+    //      Matching is a df-capped equi-join on fingerprints (the q134
+    //      containment discipline: Σ df² bounded, common-window grams
+    //      dropped loudly by the cap, never corpus²). ----
+    QueryDef(
+      "q294_winnowing",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |              ELSE list_transform(range(1, len(toks) - 1),
+         |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id,
+         |         list_transform(sh, x -> ${OracleSql.md5Long("x")}) AS hs
+         |  FROM g),
+         |f AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+         |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+         |              i -> list_min(hs[i:i+3]))) END) AS fp
+         |  FROM h),
+         |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+         |ff AS (SELECT doc_id, fp FROM f JOIN dfc USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared_fps
+         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val hs = Tables.documents(s, dir).select(col("doc_id"),
+        graft.functions.GramHashFunctions
+          .graftGramMd5(TextAnalysis.wsTokens(col("text")), 3).as("hs"))
+      val fps = hs.selectExpr("doc_id",
+        """CASE WHEN size(hs) < 4 THEN array(array_min(hs))
+          |     ELSE array_distinct(transform(sequence(1, size(hs) - 3),
+          |          i -> array_min(slice(hs, i, 4)))) END AS fps""".stripMargin)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val capped = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+          .select("fp"),
+        "fp")
+      capped.as("a").join(capped.as("b"), Seq("fp"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- SAX symbolization + motif discovery (q295): each user's
+    //      daily event-count series → 8-segment PAA → 4-symbol SAX word
+    //      (Lin/Keogh DMKD'07), then users sharing a word = a motif.
+    //      Everything before the symbol CASE is exact integer: segment
+    //      day-spans from the closed-form ceil split of the global
+    //      calendar (missing days are true zeros — the gapfill is a
+    //      users×8 generate, never a calendar explode), PAA in milli by
+    //      floor-div, per-user moments as BIGINT sums. The z-vs-
+    //      breakpoint comparison is cross-multiplied to `8·paa − sp  vs
+    //      b·√(8·spp − sp²)` — one IEEE sqrt/mult per side over
+    //      identical integers, so the branch both engines take is
+    //      bit-determined. Motif cardinality ≤ 4⁸ by construction →
+    //      the word-count join broadcasts at any scale. ----
+    QueryDef(
+      "q295_sax_motifs", {
+        val sym =
+          """CASE WHEN 8 * spp - sp * sp = 0 THEN 'b'
+            |     WHEN CAST(8 * paa - sp AS DOUBLE)
+            |          < -0.6745 * sqrt(CAST(8 * spp - sp * sp AS DOUBLE)) THEN 'a'
+            |     WHEN 8 * paa - sp < 0 THEN 'b'
+            |     WHEN CAST(8 * paa - sp AS DOUBLE)
+            |          < 0.6745 * sqrt(CAST(8 * spp - sp * sp AS DOUBLE)) THEN 'c'
+            |     ELSE 'd' END""".stripMargin
+        s"""WITH ev AS (
+           |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+           |span AS (SELECT min(day) AS d0,
+           |           date_diff('day', min(day), max(day)) + 1 AS dd FROM ev),
+           |daily AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+           |          FROM ev GROUP BY 1, 2),
+           |segd AS (SELECT user_id,
+           |           CAST(date_diff('day', d0, day) * 8 // dd AS BIGINT) AS seg,
+           |           c FROM daily CROSS JOIN span),
+           |segc AS (SELECT user_id, seg, CAST(sum(c) AS BIGINT) AS sc
+           |         FROM segd GROUP BY 1, 2),
+           |grid AS (SELECT u.user_id, s.seg,
+           |           CAST(((s.seg + 1) * dd + 7) // 8 - (s.seg * dd + 7) // 8
+           |             AS BIGINT) AS segdays
+           |         FROM (SELECT DISTINCT user_id FROM ev) u
+           |         CROSS JOIN (SELECT unnest(range(0, 8)) AS seg) s
+           |         CROSS JOIN span),
+           |paa AS (SELECT g.user_id, g.seg,
+           |          CAST(1000 * coalesce(sc, 0) // greatest(g.segdays, 1)
+           |            AS BIGINT) AS paa
+           |        FROM grid g LEFT JOIN segc c
+           |          ON g.user_id = c.user_id AND g.seg = c.seg),
+           |mom AS (SELECT user_id, CAST(sum(paa) AS BIGINT) AS sp,
+           |          CAST(sum(paa * paa) AS BIGINT) AS spp
+           |        FROM paa GROUP BY 1),
+           |sym AS (SELECT p.user_id, p.seg, $sym AS sym
+           |        FROM paa p JOIN mom m ON p.user_id = m.user_id),
+           |words AS (SELECT user_id, string_agg(sym, '' ORDER BY seg) AS sax_word
+           |          FROM sym GROUP BY 1),
+           |motif AS (SELECT sax_word, CAST(count(*) AS BIGINT) AS motif_n
+           |          FROM words GROUP BY 1)
+           |SELECT user_id, sax_word, motif_n
+           |FROM words JOIN motif USING (sax_word)
+           |ORDER BY user_id""".stripMargin
+      }) { (s, dir) =>
+      val symSql =
+        """CASE WHEN 8 * spp - sp * sp = 0 THEN 'b'
+          |     WHEN CAST(8 * paa - sp AS DOUBLE)
+          |          < -0.6745 * sqrt(CAST(8 * spp - sp * sp AS DOUBLE)) THEN 'a'
+          |     WHEN 8 * paa - sp < 0 THEN 'b'
+          |     WHEN CAST(8 * paa - sp AS DOUBLE)
+          |          < 0.6745 * sqrt(CAST(8 * spp - sp * sp AS DOUBLE)) THEN 'c'
+          |     ELSE 'd' END""".stripMargin
+      val ev = Tables.eventsTs(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val span = ev.agg(min("day").as("d0"),
+        (datediff(max(col("day")), min(col("day"))) + 1).cast("long").as("dd"))
+      val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+      val segc = daily.crossJoin(broadcast(span))
+        .selectExpr("user_id",
+          "CAST(datediff(day, d0) * 8 div dd AS BIGINT) AS seg", "c")
+        .groupBy("user_id", "seg").agg(sum("c").as("sc"))
+      val grid = ev.select("user_id").distinct()
+        .crossJoin(broadcast(s.range(0, 8).select(col("id").as("seg"))))
+        .crossJoin(broadcast(span))
+        .selectExpr("user_id", "seg",
+          "CAST(((seg + 1) * dd + 7) div 8 - (seg * dd + 7) div 8 AS BIGINT) AS segdays")
+      val paa = grid.join(segc, Seq("user_id", "seg"), "left_outer")
+        .selectExpr("user_id", "seg",
+          "CAST(1000 * coalesce(sc, 0L) div greatest(segdays, 1L) AS BIGINT) AS paa")
+      val mom = paa.groupBy("user_id")
+        .agg(sum("paa").as("sp"), sum(expr("paa * paa")).as("spp"))
+      val words = paa.join(mom, "user_id")
+        .selectExpr("user_id", "seg", s"$symSql AS sym")
+        .groupBy("user_id")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(struct(seg, sym))), x -> x.sym), '')")
+          .as("sax_word"))
+      val motif = words.groupBy("sax_word").agg(count(lit(1)).as("motif_n"))
+      words.join(broadcast(motif), "sax_word")
+        .select("user_id", "sax_word", "motif_n")
+        .orderBy("user_id")
+    },
+
+    // ---- SPRT sequential test (q296): Wald's sequential probability
+    //      ratio test on the click rate — H0 p=0.15 vs H1 p=0.25,
+    //      α=β=0.05. Per-event log-likelihood increments are FIXED
+    //      integer milli constants (511 = ⌊1000·ln(25/15)⌉, −125 =
+    //      ⌊1000·ln(75/85)⌉ — hardcoded, so no libm enters the data
+    //      path), the running sum is ONE Scale.prefixSumLong pass over
+    //      (time, event_id) — no single-partition window — and the
+    //      verdict is the first boundary crossing (±2944 = ±⌊1000·
+    //      ln 19⌉) picked by min(struct). The shape every online
+    //      experiment monitor needs: stop as soon as the evidence
+    //      clears the Wald boundaries, in one linear pass. ----
+    QueryDef(
+      "q296_sprt",
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) AS tus,
+        |         CASE WHEN event_type = 'click' THEN 511 ELSE -125 END AS llr
+        |  FROM events),
+        |c AS (SELECT event_id, tus,
+        |        sum(llr) OVER (ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM ev),
+        |x AS (SELECT min(struct_pack(tus := tus, eid := event_id, cum := cum)) AS x
+        |      FROM c WHERE cum >= 2944 OR cum <= -2944),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(llr) AS BIGINT) AS final_llr_milli FROM ev)
+        |SELECT n_events, final_llr_milli,
+        |       CASE WHEN x IS NULL THEN 'none'
+        |            WHEN x.cum >= 2944 THEN 'h1' ELSE 'h0' END AS decision,
+        |       x.eid AS cross_event_id,
+        |       CAST(x.cum AS BIGINT) AS cum_at_cross
+        |FROM t CROSS JOIN x""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).selectExpr("event_id", "ts div 1000 AS tus",
+        "CASE WHEN event_type = 'click' THEN 511L ELSE -125L END AS llr")
+      val cum = Scale.prefixSumLongBy(ev, Seq("tus", "event_id"), "llr", "cum")
+      val crossing = cum
+        .filter(col("cum") >= 2944L || col("cum") <= -2944L)
+        .agg(min(struct(col("tus").as("tus"), col("event_id").as("eid"),
+          col("cum").as("cum"))).as("x"))
+      val totals = ev.agg(count(lit(1)).as("n_events"), sum("llr").as("final_llr_milli"))
+      totals.crossJoin(broadcast(crossing))
+        .selectExpr("n_events", "final_llr_milli",
+          """CASE WHEN x IS NULL THEN 'none'
+            |     WHEN x.cum >= 2944 THEN 'h1' ELSE 'h0' END AS decision""".stripMargin,
+          "x.eid AS cross_event_id", "x.cum AS cum_at_cross")
     }
   )
 }

@@ -205,4 +205,120 @@ class ScienceSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "DiD must not shuffle-join")
     assert(!plan.contains("Window ["))
   }
+
+  // ---- q294 winnowing ----
+
+  /** 60-bit md5 gram hash — the engine's md5Long (hex chars 18..32). */
+  private def md5Long60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(17, 32), 16)
+  }
+
+  test("q294: pairs replay a driver winnowing (k=3, w=4, df<=50, shared>=2)") {
+    val got = run("q294_winnowing").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val fps = docs.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val grams =
+        if (toks.length < 3) Array(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toArray
+      val hs = grams.map(md5Long60)
+      val f =
+        if (hs.length < 4) Set(hs.min)
+        else hs.sliding(4).map(_.min).toSet
+      id -> f
+    }
+    val dfCount = fps.flatMap { case (id, f) => f.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.length }
+    val keptFps = dfCount.filter(_._2 <= 50).keySet
+    val want = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      shared = (fa & fb & keptFps).size if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    assert(want.nonEmpty, "fixture should contain winnowing pairs")
+    assert(got === want)
+  }
+
+  test("q294: fingerprint match is a df-capped equi-join — no product") {
+    val plan = planOf("q294_winnowing")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- q295 SAX motifs ----
+
+  test("q295: words are 8-symbol a–d strings, motif counts are consistent, and one user replays") {
+    val rows = run("q295_sax_motifs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._2.forall(c => c >= 'a' && c <= 'd')))
+    val byWord = rows.groupBy(_._2)
+    byWord.foreach { case (w, xs) =>
+      assert(xs.forall(_._3 == xs.length.toLong), s"motif_n wrong for $w")
+    }
+    // driver replay for every user over the raw events
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day").collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val d0 = ev.map(_._2).min
+    val dd = java.time.temporal.ChronoUnit.DAYS.between(d0, ev.map(_._2).max) + 1
+    val daily = ev.groupBy(identity).map { case ((u, d), xs) =>
+      (u, java.time.temporal.ChronoUnit.DAYS.between(d0, d), xs.length.toLong)
+    }
+    val want = daily.groupBy(_._1).map { case (u, xs) =>
+      val segSum = xs.groupBy(x => x._2 * 8 / dd)
+        .map { case (s2, ys) => s2 -> ys.map(_._3).sum }
+      val paa = (0L to 7L).map { s2 =>
+        val days = ((s2 + 1) * dd + 7) / 8 - (s2 * dd + 7) / 8
+        1000L * segSum.getOrElse(s2, 0L) / math.max(days, 1L)
+      }
+      val sp = paa.sum; val spp = paa.map(p => p * p).sum
+      val word = paa.map { p =>
+        val lhs = (8 * p - sp).toDouble
+        val v = (8 * spp - sp * sp).toDouble
+        if (v == 0) 'b'
+        else if (lhs < -0.6745 * math.sqrt(v)) 'a'
+        else if (8 * p - sp < 0) 'b'
+        else if (lhs < 0.6745 * math.sqrt(v)) 'c'
+        else 'd'
+      }.mkString
+      u -> word
+    }
+    assert(rows.map(r => r._1 -> r._2).toMap === want)
+  }
+
+  // ---- q296 SPRT ----
+
+  test("q296: first Wald crossing replays a driver cumulative scan") {
+    val got = run("q296_sprt").collect().head
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "ts div 1000 AS tus",
+        "CASE WHEN event_type = 'click' THEN 511L ELSE -125L END AS llr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.getLong(0) === ev.length.toLong)
+    assert(got.getLong(1) === ev.map(_._3).sum)
+    var cum = 0L
+    val firstCross = ev.sortBy(e => (e._2, e._1)).collectFirst {
+      case (eid, _, llr) if { cum += llr; cum >= 2944L || cum <= -2944L } =>
+        (eid, cum)
+    }
+    firstCross match {
+      case Some((eid, c)) =>
+        assert(got.getString(2) === (if (c >= 2944L) "h1" else "h0"))
+        assert(got.getLong(3) === eid)
+        assert(got.getLong(4) === c)
+      case None =>
+        assert(got.getString(2) === "none")
+        assert(got.isNullAt(3))
+    }
+  }
+
+  test("q296: the running sum is the prefix primitive — no single-partition window") {
+    assert(!planOf("q296_sprt").contains("Window ["))
+  }
 }
