@@ -725,6 +725,231 @@ object ScienceQueries {
           """CASE WHEN x IS NULL THEN 'none'
             |     WHEN x.cum >= 2944 THEN 'h1' ELSE 'h0' END AS decision""".stripMargin,
           "x.eid AS cross_event_id", "x.cum AS cum_at_cross")
+    },
+
+    // ---- 1-D Gaussian mixture EM (q297): two-component soft
+    //      clustering of document length — the classic "is this corpus
+    //      bimodal" question answered with TWO unrolled EM iterations.
+    //      Init is mean ± std from exact integer moments; σ² stays at
+    //      the global variance (soft k-means form) so each iteration
+    //      needs only (Σr, Σr·x): responsibilities are micro-quantized
+    //      per row (the q259 discipline — libm exp differs ≤1 ulp, far
+    //      below the quantum), sums are exact BIGINT, and the new means
+    //      are integer floor-divs. Complement counts derive from the
+    //      totals (Σ(1−r) = 1e6·n − Σr), so an iteration is ONE
+    //      aggregate over the scan — EM at 100 TB is h linear passes,
+    //      no driver-side rows. Long bounds: Σr·x ≤ 1e6·n·xm —
+    //      DECIMAL(38,0) past sf≈10 (the Exact scale note). ----
+    QueryDef(
+      "q297_gmm_em", {
+        val varSql =
+          """(CAST(n AS DOUBLE) * CAST(sxmm AS DOUBLE)
+            | - CAST(sxm AS DOUBLE) * CAST(sxm AS DOUBLE))
+            | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin.replaceAll("\n", "")
+        val respSql =
+          """CAST(round(1000000 / (1 + exp(
+            |  (CAST(xm - mu1 AS DOUBLE) * (xm - mu1)
+            |   - CAST(xm - mu2 AS DOUBLE) * (xm - mu2)) / (2 * s2))))
+            | AS BIGINT)""".stripMargin.replaceAll("\n", "")
+        s"""WITH base AS (SELECT 1000 * n_chars AS xm FROM documents),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |          CAST(sum(xm) AS BIGINT) AS sxm,
+           |          CAST(sum(xm * xm) AS BIGINT) AS sxmm FROM base),
+           |p0 AS (SELECT n, sxm,
+           |         CAST(round(CAST(sxm AS DOUBLE) / n - sqrt($varSql)) AS BIGINT) AS mu1,
+           |         CAST(round(CAST(sxm AS DOUBLE) / n + sqrt($varSql)) AS BIGINT) AS mu2,
+           |         $varSql AS s2
+           |       FROM tot),
+           |e1 AS (SELECT n, sxm, s2,
+           |         CAST(sum($respSql) AS BIGINT) AS n1,
+           |         CAST(sum($respSql * xm) AS BIGINT) AS sxr1
+           |       FROM base CROSS JOIN p0 GROUP BY n, sxm, s2),
+           |p1 AS (SELECT n, sxm, s2, sxr1 // n1 AS mu1,
+           |         (1000000 * sxm - sxr1) // (1000000 * n - n1) AS mu2
+           |       FROM e1),
+           |e2 AS (SELECT n, sxm, s2,
+           |         CAST(sum($respSql) AS BIGINT) AS n1,
+           |         CAST(sum($respSql * xm) AS BIGINT) AS sxr1
+           |       FROM base CROSS JOIN p1 GROUP BY n, sxm, s2),
+           |p2 AS (SELECT n, CAST(sxr1 // n1 AS BIGINT) AS mu1,
+           |         CAST((1000000 * sxm - sxr1) // (1000000 * n - n1) AS BIGINT) AS mu2,
+           |         CAST(n1 // n AS BIGINT) AS pi1_ppm
+           |       FROM e2)
+           |SELECT p2.n, p0.mu1 AS mu1_init_milli, p0.mu2 AS mu2_init_milli,
+           |       p2.mu1 AS mu1_milli, p2.mu2 AS mu2_milli, pi1_ppm
+           |FROM p2 CROSS JOIN p0""".stripMargin
+      }) { (s, dir) =>
+      val varSql =
+        """(CAST(n AS DOUBLE) * CAST(sxmm AS DOUBLE)
+          | - CAST(sxm AS DOUBLE) * CAST(sxm AS DOUBLE))
+          | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin.replaceAll("\n", "")
+      val respSql =
+        """CAST(round(1000000 / (1 + exp(
+          |  (CAST(xm - mu1 AS DOUBLE) * (xm - mu1)
+          |   - CAST(xm - mu2 AS DOUBLE) * (xm - mu2)) / (2 * s2))))
+          | AS BIGINT)""".stripMargin.replaceAll("\n", "")
+      val base = Tables.documents(s, dir).selectExpr("1000 * n_chars AS xm")
+      val tot = base.agg(count(lit(1)).as("n"), sum("xm").as("sxm"),
+        sum(expr("xm * xm")).as("sxmm"))
+      val p0 = tot.selectExpr("n", "sxm",
+        s"CAST(round(CAST(sxm AS DOUBLE) / n - sqrt($varSql)) AS BIGINT) AS mu1",
+        s"CAST(round(CAST(sxm AS DOUBLE) / n + sqrt($varSql)) AS BIGINT) AS mu2",
+        s"$varSql AS s2").localCheckpoint()
+      def estep(p: org.apache.spark.sql.DataFrame) = base.crossJoin(broadcast(p))
+        .selectExpr("n", "sxm", "s2", s"$respSql AS r1", "xm")
+        .groupBy("n", "sxm", "s2")
+        .agg(sum("r1").as("n1"), sum(expr("r1 * xm")).as("sxr1"))
+        .selectExpr("n", "sxm", "s2",
+          "sxr1 div n1 AS mu1",
+          "(1000000 * sxm - sxr1) div (1000000 * n - n1) AS mu2", "n1")
+      val p1 = estep(p0).localCheckpoint()
+      val p2 = estep(p1)
+      p2.crossJoin(broadcast(
+        p0.selectExpr("mu1 AS mu1_init_milli", "mu2 AS mu2_init_milli")))
+        .selectExpr("n", "mu1_init_milli", "mu2_init_milli",
+          "CAST(mu1 AS BIGINT) AS mu1_milli", "CAST(mu2 AS BIGINT) AS mu2_milli",
+          "CAST(n1 div n AS BIGINT) AS pi1_ppm")
+    },
+
+    // ---- uplift deciles + Qini (q298): the offline evaluation of a
+    //      targeting model — rank users by an engagement score, split
+    //      into 10 equal-depth deciles via globalRank (NO
+    //      single-partition window), and per decile compare purchase
+    //      conversion between the md5 treatment arms (the q293 split).
+    //      Cumulative Qini — the incremental-conversions curve — comes
+    //      from a bounded 10×10 triangle self-join on decile ids (exact
+    //      integer cumulants, no window, no fold). Everything before
+    //      the two final shared divisions is exact integer. ----
+    QueryDef(
+      "q298_uplift_qini", {
+        val upliftSql =
+          """CASE WHEN nt = 0 OR nc = 0 THEN NULL
+            | ELSE CAST(round(1000 * (CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+            | - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT) END"""
+            .stripMargin.replaceAll("\n", "")
+        val qiniSql =
+          """CASE WHEN nc_cum = 0 THEN NULL
+            | ELSE CAST(round(1000 * (CAST(ct_cum AS DOUBLE)
+            | - CAST(cc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE)
+            |   / CAST(nc_cum AS DOUBLE))) AS BIGINT) END"""
+            .stripMargin.replaceAll("\n", "")
+        s"""WITH u AS (
+           |  SELECT user_id, CAST(count(*) AS BIGINT) AS score,
+           |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+           |         CAST(('0x' || substring(md5(CAST(user_id AS STRING) || '|did'),
+           |           1, 13)) AS BIGINT) % 2 AS treat
+           |  FROM events GROUP BY user_id),
+           |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, user_id) AS rnk,
+           |        count(*) OVER () AS nu FROM u),
+           |d AS (SELECT ((rnk - 1) * 10) // nu AS decile, treat, conv FROM r),
+           |g AS (SELECT decile,
+           |        CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           |        CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |        CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT) AS ct,
+           |        CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT) AS cc
+           |      FROM d GROUP BY decile),
+           |c AS (SELECT a.decile, CAST(sum(b.nt) AS BIGINT) AS nt_cum,
+           |        CAST(sum(b.nc) AS BIGINT) AS nc_cum,
+           |        CAST(sum(b.ct) AS BIGINT) AS ct_cum,
+           |        CAST(sum(b.cc) AS BIGINT) AS cc_cum
+           |      FROM g a JOIN g b ON b.decile <= a.decile GROUP BY a.decile)
+           |SELECT g.decile, nt, nc, ct, cc,
+           |       $upliftSql AS uplift_milli, $qiniSql AS qini_milli
+           |FROM g JOIN c ON g.decile = c.decile
+           |ORDER BY g.decile""".stripMargin
+      }) { (s, dir) =>
+      val upliftSql =
+        """CASE WHEN nt = 0 OR nc = 0 THEN NULL
+          | ELSE CAST(round(1000 * (CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+          | - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT) END"""
+          .stripMargin.replaceAll("\n", "")
+      val qiniSql =
+        """CASE WHEN nc_cum = 0 THEN NULL
+          | ELSE CAST(round(1000 * (CAST(ct_cum AS DOUBLE)
+          | - CAST(cc_cum AS DOUBLE) * CAST(nt_cum AS DOUBLE)
+          |   / CAST(nc_cum AS DOUBLE))) AS BIGINT) END"""
+          .stripMargin.replaceAll("\n", "")
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("treat",
+          pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit("|did"))),
+            1, 13), 16, 10).cast("long"), lit(2L)))
+        .withColumn("negscore", -col("score"))
+      val (ranked, nu) = Scale.globalRankWithTotal(u, "rnk", "negscore", "user_id")
+      val g = ranked
+        .selectExpr(s"((rnk - 1) * 10) div $nu AS decile", "treat", "conv")
+        .groupBy("decile")
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treat") === 1, col("conv")).otherwise(0)).cast("long").as("ct"),
+          sum(when(col("treat") === 0, col("conv")).otherwise(0)).cast("long").as("cc"))
+        .localCheckpoint() // 10 rows; the triangle join reads it twice
+      val c = g.as("a").join(g.as("b"), col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"))
+        .agg(sum("b.nt").as("nt_cum"), sum("b.nc").as("nc_cum"),
+          sum("b.ct").as("ct_cum"), sum("b.cc").as("cc_cum"))
+      g.join(c, "decile")
+        .selectExpr("decile", "nt", "nc", "ct", "cc",
+          s"$upliftSql AS uplift_milli", s"$qiniSql AS qini_milli")
+        .orderBy("decile")
+    },
+
+    // ---- seasonal-naive backtest + MASE (q299): the forecasting
+    //      sanity bar — predict each day's event volume with the value
+    //      7 days prior, score MAE against the walk-forward naive
+    //      (yesterday's value), report the ratio (MASE, Hyndman 2006).
+    //      Zero-event days are REAL zeros: the calendar is one bounded
+    //      sequence-explode off the 1-row span (the q70 gapfill shape),
+    //      lags are plain equi-joins on day−7/day−1 (no window), and
+    //      every error sum is exact integer — only the two final mean/
+    //      ratio divisions are (shared) doubles. ----
+    QueryDef(
+      "q299_mase_backtest",
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1,
+        |           date_diff('day', min(day), max(day)) AS dd FROM ev),
+        |cal AS (SELECT d0 + CAST(gs.i AS INTEGER) AS day
+        |        FROM span CROSS JOIN
+        |          (SELECT unnest(range(0, (SELECT dd + 1 FROM span))) AS i) gs),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY day),
+        |filled AS (SELECT cal.day, coalesce(daily.c, 0) AS c
+        |           FROM cal LEFT JOIN daily ON cal.day = daily.day),
+        |j AS (SELECT t.day, t.c, l7.c AS c7, l1.c AS c1
+        |      FROM filled t
+        |      JOIN filled l7 ON l7.day = t.day - 7
+        |      JOIN filled l1 ON l1.day = t.day - 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |          CAST(sum(abs(c - c7)) AS BIGINT) AS sae7,
+        |          CAST(sum(abs(c - c1)) AS BIGINT) AS sae1
+        |        FROM j),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM filled)
+        |SELECT n_days, n_eval, sae7, sae1,
+        |       CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae7_milli,
+        |       CAST(round(1000 * CAST(sae1 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae1_milli,
+        |       CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE)) AS BIGINT) AS mase_milli
+        |FROM agg CROSS JOIN nd""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select(to_date(col("ts")).as("day"))
+      val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val cal = span
+        .selectExpr("explode(sequence(d0, d1, interval 1 day)) AS day")
+      val daily = ev.groupBy("day").agg(count(lit(1)).as("c"))
+      val filled = cal.join(daily, Seq("day"), "left_outer")
+        .selectExpr("day", "coalesce(c, 0L) AS c")
+        .localCheckpoint() // bounded by the calendar span; read 3×
+      val j = filled.as("t")
+        .join(filled.as("l7"), expr("l7.day = t.day - 7"))
+        .join(filled.as("l1"), expr("l1.day = t.day - 1"))
+        .selectExpr("t.c AS c", "l7.c AS c7", "l1.c AS c1")
+      val agg = j.agg(count(lit(1)).as("n_eval"),
+        sum(expr("abs(c - c7)")).as("sae7"), sum(expr("abs(c - c1)")).as("sae1"))
+      val nd = filled.agg(count(lit(1)).as("n_days"))
+      agg.crossJoin(broadcast(nd))
+        .selectExpr("n_days", "n_eval", "sae7", "sae1",
+          "CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae7_milli",
+          "CAST(round(1000 * CAST(sae1 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae1_milli",
+          "CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE)) AS BIGINT) AS mase_milli")
     }
   )
 }

@@ -321,4 +321,121 @@ class ScienceSpec extends SparkSpec {
   test("q296: the running sum is the prefix primitive — no single-partition window") {
     assert(!planOf("q296_sprt").contains("Window ["))
   }
+
+  // ---- q297 GMM EM ----
+
+  test("q297: two EM iterations replay bit-exactly on the driver (integer sums are order-free)") {
+    val got = run("q297_gmm_em").collect().head
+    val xs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("1000 * n_chars AS xm").collect().map(_.getLong(0))
+    val n = xs.length.toLong
+    val sxm = xs.sum; val sxmm = xs.map(x => x * x).sum
+    val s2 = (n.toDouble * sxmm.toDouble - sxm.toDouble * sxm.toDouble) /
+      (n.toDouble * n.toDouble)
+    var mu1 = math.round(sxm.toDouble / n - math.sqrt(s2))
+    var mu2 = math.round(sxm.toDouble / n + math.sqrt(s2))
+    val (mu1i, mu2i) = (mu1, mu2)
+    var n1 = 0L
+    (1 to 2).foreach { _ =>
+      n1 = 0L; var sxr1 = 0L
+      xs.foreach { xm =>
+        val d = ((xm - mu1).toDouble * (xm - mu1) -
+          (xm - mu2).toDouble * (xm - mu2)) / (2 * s2)
+        val r1 = math.round(1000000 / (1 + math.exp(d)))
+        n1 += r1; sxr1 += r1 * xm
+      }
+      mu1 = Math.floorDiv(sxr1, n1)
+      mu2 = Math.floorDiv(1000000L * sxm - sxr1, 1000000L * n - n1)
+    }
+    assert(got.getLong(0) === n)
+    assert((got.getLong(1), got.getLong(2)) === ((mu1i, mu2i)))
+    assert((got.getLong(3), got.getLong(4)) === ((mu1, mu2)))
+    assert(got.getLong(5) === Math.floorDiv(n1, n))
+    assert(got.getLong(3) < got.getLong(4), "components must stay ordered")
+    assert(got.getLong(5) > 0L && got.getLong(5) < 1000000L)
+  }
+
+  test("q297: an EM iteration is one aggregate over the scan — no window, no shuffle join") {
+    val plan = planOf("q297_gmm_em")
+    assert(!plan.contains("Window ["))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  // ---- q298 uplift/Qini ----
+
+  test("q298: deciles, arm cells, uplift and Qini replay a driver computation") {
+    val rows = run("q298_uplift_qini").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0L to 9L))
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.length.toLong, if (xs.exists(_._2 == "purchase")) 1L else 0L,
+        {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest((u.toString + "|did").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2L
+        })
+    }.toSeq
+    val nu = users.size.toLong
+    val ranked = users.sortBy(x => (-x._2, x._1)).zipWithIndex
+    val cells = ranked.groupBy { case (_, i) => i.toLong * 10 / nu }
+      .map { case (d, xs) =>
+        val t = xs.filter(_._1._4 == 1L); val c = xs.filter(_._1._4 == 0L)
+        d -> (t.size.toLong, c.size.toLong, t.map(_._1._3).sum, c.map(_._1._3).sum)
+      }
+    rows.foreach { case (d, nt, nc, ct, cc, uplift, qini) =>
+      val w = cells(d)
+      assert((nt, nc, ct, cc) === w, s"decile $d cells")
+      if (nt == 0L || nc == 0L) assert(uplift.isEmpty, s"decile $d: empty arm → NULL")
+      else {
+        val wantU = math.round(1000 * (ct.toDouble / nt - cc.toDouble / nc))
+        assert(math.abs(uplift.get - wantU) <= 1L)
+      }
+      val cum = (0L to d).map(cells)
+      val (ntc, ncc, ctc, ccc) =
+        (cum.map(_._1).sum, cum.map(_._2).sum, cum.map(_._3).sum, cum.map(_._4).sum)
+      if (ncc == 0L) assert(qini.isEmpty)
+      else {
+        val wantQ = math.round(1000 * (ctc.toDouble - ccc.toDouble * ntc / ncc))
+        assert(math.abs(qini.get - wantQ) <= 1L, s"decile $d qini")
+      }
+    }
+  }
+
+  test("q298: decile ranks come from the prefix primitive — no row-level window") {
+    assert(!planOf("q298_uplift_qini").contains("Window ["))
+  }
+
+  // ---- q299 MASE backtest ----
+
+  test("q299: gapfilled seasonal-naive backtest replays on the driver") {
+    val got = run("q299_mase_backtest").collect().head
+    val days = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day").collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)))
+    val d0 = days.min; val d1 = days.max
+    val counts = days.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    def c(d: java.time.LocalDate): Long = counts.getOrElse(d, 0L)
+    val evalDays = (0L until nDays).map(d0.plusDays)
+      .filter(d => !d.minusDays(7).isBefore(d0) && !d.minusDays(1).isBefore(d0))
+    val sae7 = evalDays.map(d => math.abs(c(d) - c(d.minusDays(7)))).sum
+    val sae1 = evalDays.map(d => math.abs(c(d) - c(d.minusDays(1)))).sum
+    assert(got.getLong(0) === nDays)
+    assert(got.getLong(1) === evalDays.size.toLong)
+    assert(got.getLong(2) === sae7)
+    assert(got.getLong(3) === sae1)
+    assert(math.abs(got.getLong(6) -
+      math.round(1000 * sae7.toDouble / sae1)) <= 1L)
+  }
+
+  test("q299: lags are equi-joins over the bounded calendar — no window") {
+    assert(!planOf("q299_mase_backtest").contains("Window ["))
+  }
 }
