@@ -20,6 +20,8 @@ object GraftFunctions {
     "graft_gram_md5" -> (exprs => GramMd5Hashes(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])),
+    "graft_winnow" -> (exprs => WinnowMinima(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue())),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs(0))),
     // graft_multi_match(text, t1, t2, ...): the term list is a constant

@@ -566,14 +566,10 @@ object ScienceQueries {
          |GROUP BY 1, 2
          |HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val hs = Tables.documents(s, dir).select(col("doc_id"),
-        graft.functions.GramHashFunctions
-          .graftGramMd5(TextAnalysis.wsTokens(col("text")), 3).as("hs"))
-      val fps = hs.selectExpr("doc_id",
-        """CASE WHEN size(hs) < 4 THEN array(array_min(hs))
-          |     ELSE array_distinct(transform(sequence(1, size(hs) - 3),
-          |          i -> array_min(slice(hs, i, 4)))) END AS fps""".stripMargin)
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val fps = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.WinnowFunctions.graftWinnow(
+          graft.functions.GramHashFunctions
+            .graftGramMd5(TextAnalysis.wsTokens(col("text")), 3), 4)).as("fp"))
       val capped = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
           .select("fp"),
@@ -950,6 +946,142 @@ object ScienceQueries {
           "CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae7_milli",
           "CAST(round(1000 * CAST(sae1 AS DOUBLE) / CAST(n_eval AS DOUBLE)) AS BIGINT) AS mae1_milli",
           "CAST(round(1000 * CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE)) AS BIGINT) AS mase_milli")
+    },
+
+    // ---- nation trade flow (q300): the TPC-H Q7 shape — discounted
+    //      revenue shipped between (supplier nation → customer nation)
+    //      pairs by order year. Five-table join where BOTH nation dims
+    //      broadcast (Tables.broadcastable), the fact table shuffles
+    //      once per big key, and revenue is the exact fix-4 integer sum
+    //      (the q1/q3 money discipline). The classic "does the
+    //      optimizer get the join order right" query at 100 TB. ----
+    QueryDef(
+      "q300_nation_trade_flow",
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val rev = Exact.fix(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nck"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("nck"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nsk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("nsk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg((round(sum(rev).cast("double") / 10000, 2)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "o_year")
+    },
+
+    // ---- Flesch-Kincaid readability (q301): grade level per document
+    //      from three exact counts — whitespace words, [.!?]+ sentence
+    //      breaks, [aeiouy]+ vowel groups as the syllable proxy — all
+    //      codegen'd regex counts over ONE narrow scan (the q131 Gopher
+    //      discipline: no join, no shuffle). The grade is the single
+    //      shared double expression; empty docs yield NULL on both
+    //      engines. The curation gate nobody ships an English corpus
+    //      without. ----
+    QueryDef(
+      "q301_readability", {
+        val fk =
+          """CASE WHEN n_words = 0 THEN NULL
+            | ELSE CAST(round(1000 * (0.39 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+            | + 11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
+            | - 15.59)) AS BIGINT) END""".stripMargin.replaceAll("\n", "")
+        s"""WITH c AS (
+           |  SELECT doc_id,
+           |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+           |           w -> w <> '')) AS BIGINT) AS n_words,
+           |         greatest(CAST(len(regexp_extract_all(text, '[.!?]+', 0)) AS BIGINT),
+           |           1) AS n_sents,
+           |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+           |           AS BIGINT) AS n_syll
+           |  FROM documents)
+           |SELECT doc_id, n_words, n_sents, n_syll, $fk AS fk_grade_milli
+           |FROM c ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val fk =
+        """CASE WHEN n_words = 0 THEN NULL
+          | ELSE CAST(round(1000 * (0.39 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+          | + 11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
+          | - 15.59)) AS BIGINT) END""".stripMargin.replaceAll("\n", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_words"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+            lit(1L)).as("n_sents"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+            .as("n_syll"))
+        .selectExpr("doc_id", "n_words", "n_sents", "n_syll",
+          s"$fk AS fk_grade_milli")
+        .orderBy("doc_id")
+    },
+
+    // ---- time-to-convert (q302): seconds from each user's FIRST
+    //      signup to their first purchase AT-OR-AFTER it — the funnel
+    //      latency distribution (the q71 funnel's missing "how long"
+    //      axis). First-signup is one aggregate; the conditional-first
+    //      purchase is an equi-join on user_id + one aggregate — never a
+    //      window over the event stream. The p50/p90 cut uses the q69
+    //      exact-percentile contract (Spark `percentile` ⟷ DuckDB
+    //      sorted-list interpolation) over integer second deltas. ----
+    QueryDef(
+      "q302_time_to_convert", {
+        def pctl(p: String): String =
+          s"""(CASE WHEN floor($p * (n - 1)) = ceil($p * (n - 1))
+             |      THEN CAST(ds[CAST($p * (n - 1) AS BIGINT) + 1] AS DOUBLE)
+             |      ELSE (ceil($p * (n - 1)) - $p * (n - 1)) * ds[CAST(floor($p * (n - 1)) AS BIGINT) + 1]
+             |         + ($p * (n - 1) - floor($p * (n - 1))) * ds[CAST(ceil($p * (n - 1)) AS BIGINT) + 1]
+             |      END)""".stripMargin.replaceAll("\n\\s*", " ")
+        s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+           |su AS (SELECT user_id, min(tus) AS stus FROM ev
+           |       WHERE event_type = 'signup' GROUP BY user_id),
+           |pu AS (SELECT e.user_id, min(e.tus) AS ptus
+           |       FROM ev e JOIN su ON e.user_id = su.user_id
+           |       WHERE e.event_type = 'purchase' AND e.tus >= su.stus
+           |       GROUP BY e.user_id),
+           |d AS (SELECT (ptus - stus) // 1000000 AS delta_s
+           |      FROM pu JOIN su ON pu.user_id = su.user_id),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           |        CAST(sum(delta_s) AS BIGINT) AS sum_s,
+           |        count(*) AS n, list(delta_s ORDER BY delta_s) AS ds
+           |      FROM d)
+           |SELECT n_converted,
+           |       CAST(round(1000 * CAST(sum_s AS DOUBLE) / CAST(n_converted AS DOUBLE)) AS BIGINT) AS mean_s_milli,
+           |       CAST(round(1000 * ${pctl("0.50")}) AS BIGINT) AS p50_s_milli,
+           |       CAST(round(1000 * ${pctl("0.90")}) AS BIGINT) AS p90_s_milli
+           |FROM a""".stripMargin
+      }) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .selectExpr("user_id", "event_type", "ts div 1000 AS tus")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("tus").as("stus"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("tus") >= col("stus"))
+        .groupBy("user_id").agg(min("tus").as("ptus"), min("stus").as("stus"))
+      val d = pu.selectExpr("(ptus - stus) div 1000000 AS delta_s")
+      d.agg(count(lit(1)).as("n_converted"), sum("delta_s").as("sum_s"),
+        percentile(col("delta_s"), lit(0.5)).as("p50"),
+        percentile(col("delta_s"), lit(0.9)).as("p90"))
+        .selectExpr("n_converted",
+          "CAST(round(1000 * CAST(sum_s AS DOUBLE) / CAST(n_converted AS DOUBLE)) AS BIGINT) AS mean_s_milli",
+          "CAST(round(1000 * p50) AS BIGINT) AS p50_s_milli",
+          "CAST(round(1000 * p90) AS BIGINT) AS p90_s_milli")
     }
   )
 }

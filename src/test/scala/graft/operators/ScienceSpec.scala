@@ -438,4 +438,98 @@ class ScienceSpec extends SparkSpec {
   test("q299: lags are equi-joins over the bounded calendar — no window") {
     assert(!planOf("q299_mase_backtest").contains("Window ["))
   }
+
+  // ---- q300 nation trade flow ----
+
+  test("q300: revenue mass conservation and nation-name fidelity") {
+    val df = run("q300_nation_trade_flow")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every item lands in exactly one (supp, cust, year) cell
+    val items = rows.map(_.getLong(4)).sum
+    assert(items === spark.read.parquet(s"$sf0001/lineitem.parquet").count())
+    // every cell's revenue equals a driver replay of the exact fix-4 sums
+    val li = spark.sql(
+      s"""SELECT ns.n_name AS sn, nc.n_name AS cn, year(o.o_orderdate) AS y,
+         |       CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT) AS r
+         |FROM parquet.`$sf0001/lineitem.parquet` l
+         |JOIN parquet.`$sf0001/orders.parquet` o ON l.l_orderkey = o.o_orderkey
+         |JOIN parquet.`$sf0001/customer.parquet` c ON o.o_custkey = c.c_custkey
+         |JOIN parquet.`$sf0001/nation.parquet` nc ON c.c_nationkey = nc.n_nationkey
+         |JOIN parquet.`$sf0001/supplier.parquet` s ON l.l_suppkey = s.s_suppkey
+         |JOIN parquet.`$sf0001/nation.parquet` ns ON s.s_nationkey = ns.n_nationkey
+         |""".stripMargin).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3)))
+    val cells = li.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getInt(2))
+      val want = BigDecimal(cells(k)) / 10000
+      assert(BigDecimal(r.getDouble(3).toString) ===
+        want.setScale(2, BigDecimal.RoundingMode.HALF_UP), s"cell $k")
+      assert(r.getLong(4) === li.count(_._1 == k).toLong)
+    }
+  }
+
+  test("q300: both nation dims broadcast — no shuffle for the 25-row sides") {
+    val plan = planOf("q300_nation_trade_flow")
+    assert(plan.contains("BroadcastHashJoin"), "nation joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---- q301 readability ----
+
+  test("q301: counts and grade replay on crafted rows and real docs") {
+    val rows = run("q301_readability").collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === docs.size)
+    rows.take(20).foreach { r =>
+      val text = docs(r.getLong(0))
+      val words = text.split("\\s+").count(_.nonEmpty).toLong
+      val sents = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getLong(1) === words)
+      assert(r.getLong(2) === sents)
+      assert(r.getLong(3) === syll)
+      if (words == 0) assert(r.isNullAt(4))
+      else {
+        val fk = 0.39 * words / sents + 11.8 * syll / words - 15.59
+        assert(math.abs(r.getLong(4) - math.round(1000 * fk)) <= 1L)
+      }
+    }
+  }
+
+  test("q301: one narrow scan — no join, no shuffle aggregate") {
+    val plan = planOf("q301_readability")
+    assert(!plan.contains("Join"), "readability must not join")
+  }
+
+  // ---- q302 time-to-convert ----
+
+  test("q302: deltas replay a driver first-signup → first-purchase scan") {
+    val got = run("q302_time_to_convert").collect().head
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "event_type", "ts div 1000 AS tus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val deltas = ev.filter(_._2 == "purchase")
+      .flatMap { case (u, _, t) => su.get(u).filter(t >= _).map(s2 => (u, t, s2)) }
+      .groupBy(_._1)
+      .map { case (_, xs) => val m = xs.minBy(_._2); (m._2 - m._3) / 1000000L }
+      .toSeq.sorted
+    assert(deltas.nonEmpty, "fixture should contain conversions")
+    assert(got.getLong(0) === deltas.size.toLong)
+    val mean = deltas.sum.toDouble / deltas.size
+    assert(math.abs(got.getLong(1) - math.round(1000 * mean)) <= 1L)
+    def pctl(p: Double): Double = {
+      val pos = p * (deltas.size - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      if (lo == hi) deltas(lo).toDouble
+      else (hi - pos) * deltas(lo) + (pos - lo) * deltas(hi)
+    }
+    assert(math.abs(got.getLong(2) - math.round(1000 * pctl(0.5))) <= 1L)
+    assert(math.abs(got.getLong(3) - math.round(1000 * pctl(0.9))) <= 1L)
+  }
 }
