@@ -405,7 +405,7 @@ object ScienceQueries {
         perHop += estimate(sk, h)
       }
       perHop.reduce(_ unionByName _).orderBy("hop")
-    },
+    }.copy(headline = true), // slowest new-family query (3 iterative hops)
 
     // ---- Kruskal-Wallis rank test (q292): does document length differ
     //      across sources beyond chance — the nonparametric ANOVA every
@@ -580,7 +580,7 @@ object ScienceQueries {
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= 2)
         .orderBy("doc_a", "doc_b")
-    },
+    }.copy(headline = true), // native winnow kernel showcase (was 13 s composed)
 
     // ---- SAX symbolization + motif discovery (q295): each user's
     //      daily event-count series → 8-segment PAA → 4-symbol SAX word
