@@ -1082,6 +1082,179 @@ object ScienceQueries {
           "CAST(round(1000 * CAST(sum_s AS DOUBLE) / CAST(n_converted AS DOUBLE)) AS BIGINT) AS mean_s_milli",
           "CAST(round(1000 * p50) AS BIGINT) AS p50_s_milli",
           "CAST(round(1000 * p90) AS BIGINT) AS p90_s_milli")
+    },
+
+    // ---- minimum detectable effect (q303): the experiment-design
+    //      pre-flight — given the two md5 arms' sizes and the pooled
+    //      spend variance, how small an effect could this population
+    //      even detect at α=0.05 / power 0.8? MDE = 2.8016·√(s²ₚ·(1/n₁
+    //      + 1/n₀)) with the z-sum hardcoded (no libm in the data
+    //      path). One conditional aggregate to exact (n, Σx, Σx²) per
+    //      arm; everything after is shared double expressions. ----
+    QueryDef(
+      "q303_mde_power", {
+        val vp =
+          """((CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)) / CAST(nt AS DOUBLE)
+            | + (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE) - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) / CAST(nc AS DOUBLE))
+            | / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2)""".stripMargin.replaceAll("\n", "")
+        val mde = s"2.8016 * sqrt($vp * (1 / CAST(nt AS DOUBLE) + 1 / CAST(nc AS DOUBLE)))"
+        s"""WITH ev AS (
+           |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS STRING) || '|did'),
+           |           1, 13)) AS BIGINT) % 2 AS treat,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |m AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           |    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |    CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS sxt,
+           |    CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS sxc,
+           |    CAST(sum(CASE WHEN treat = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS sxxt,
+           |    CAST(sum(CASE WHEN treat = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS sxxc
+           |  FROM ev)
+           |SELECT nt, nc,
+           |       CAST(round(1000 * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT) AS mean_t_milli,
+           |       CAST(round(1000 * CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)) AS BIGINT) AS mean_c_milli,
+           |       CAST(round(1000 * sqrt($vp)) AS BIGINT) AS sd_pooled_milli,
+           |       CAST(round(1000 * $mde) AS BIGINT) AS mde_cents_milli,
+           |       CAST(round(10000 * $mde
+           |         / ((CAST(sxt AS DOUBLE) + CAST(sxc AS DOUBLE))
+           |            / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)))) AS BIGINT) AS mde_rel_bp
+           |FROM m""".stripMargin
+      }) { (s, dir) =>
+      val vp =
+        """((CAST(nt AS DOUBLE) * CAST(sxxt AS DOUBLE) - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE)) / CAST(nt AS DOUBLE)
+          | + (CAST(nc AS DOUBLE) * CAST(sxxc AS DOUBLE) - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE)) / CAST(nc AS DOUBLE))
+          | / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE) - 2)""".stripMargin.replaceAll("\n", "")
+      val mde = s"2.8016 * sqrt($vp * (1 / CAST(nt AS DOUBLE) + 1 / CAST(nc AS DOUBLE)))"
+      val ev = Tables.events(s, dir).select(
+        pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit("|did"))),
+          1, 13), 16, 10).cast("long"), lit(2L)).as("treat"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      ev.agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treat") === 1, col("cents")).otherwise(0L)).as("sxt"),
+        sum(when(col("treat") === 0, col("cents")).otherwise(0L)).as("sxc"),
+        sum(when(col("treat") === 1, expr("cents * cents")).otherwise(0L)).as("sxxt"),
+        sum(when(col("treat") === 0, expr("cents * cents")).otherwise(0L)).as("sxxc"))
+        .selectExpr("nt", "nc",
+          "CAST(round(1000 * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT) AS mean_t_milli",
+          "CAST(round(1000 * CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)) AS BIGINT) AS mean_c_milli",
+          s"CAST(round(1000 * sqrt($vp)) AS BIGINT) AS sd_pooled_milli",
+          s"CAST(round(1000 * $mde) AS BIGINT) AS mde_cents_milli",
+          s"""CAST(round(10000 * $mde
+             | / ((CAST(sxt AS DOUBLE) + CAST(sxc AS DOUBLE))
+             |    / (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)))) AS BIGINT) AS mde_rel_bp"""
+            .stripMargin.replaceAll("\n", ""))
+    },
+
+    // ---- star-schema FK integrity audit (q304): orphan counts for
+    //      every foreign-key edge in the warehouse — the referential
+    //      half of the q192 ingest contract. Each edge is one LEFT ANTI
+    //      join (dims broadcast where small); null keys are counted
+    //      separately because an anti-join cannot see them. A clean
+    //      feed reports zeros — the value is the loud nonzero after a
+    //      bad partial load. ----
+    QueryDef(
+      "q304_fk_audit", {
+        def edgeSql(name: String, child: String, ck: String,
+            parent: String, pk: String): String =
+          s"""SELECT '$name' AS fk_edge,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_child,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+             |   WHERE $ck IS NOT NULL
+             |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL))
+             |    AS n_orphan,
+             |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child
+             |   WHERE $ck IS NOT NULL
+             |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL))
+             |    AS n_orphan_keys,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $ck IS NULL)
+             |    AS n_null_keys""".stripMargin
+        Seq(
+          edgeSql("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          edgeSql("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          edgeSql("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          edgeSql("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          edgeSql("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          edgeSql("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+          edgeSql("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+          .mkString("", " UNION ALL ", " ORDER BY fk_edge")
+      }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      def edge(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("k"))
+        val p = parent.select(col(pk).as("k")).filter(col("k").isNotNull).distinct()
+        val orphans = c.filter(col("k").isNotNull)
+          .join(broadcast(p), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+        val base = c.agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        base.crossJoin(orphans)
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"),
+            col("n_orphan_keys"), col("n_null_keys"))
+      }
+      val li = Tables.lineitem(s, dir); val ord = Tables.orders(s, dir)
+      Seq(
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+        edge("orders.o_custkey->customer", ord, "o_custkey", Tables.customer(s, dir), "c_custkey"),
+        edge("customer.c_nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        edge("supplier.s_nationkey->nation", Tables.supplier(s, dir), "s_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        edge("nation.n_regionkey->region", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey"))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    },
+
+    // ---- pairwise Welch t-tests (q305): document length between
+    //      every pair of sources — the parametric companion to q249
+    //      (Mann-Whitney) and q292 (Kruskal-Wallis), with the
+    //      Welch–Satterthwaite df that real unequal-variance corpora
+    //      need. One aggregate to ≤k moment rows, then a bounded k²/2
+    //      triangle join; t and df are shared double expressions over
+    //      exact integer moments. ----
+    QueryDef(
+      "q305_welch_ttest", {
+        val va = "((CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)) / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1)))"
+        val vb = "((CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)) / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)))"
+        val se2 = s"($va / CAST(a.n AS DOUBLE) + $vb / CAST(b.n AS DOUBLE))"
+        val t = s"(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) / sqrt($se2)"
+        val df = s"($se2 * $se2) / (($va / CAST(a.n AS DOUBLE)) * ($va / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1) + ($vb / CAST(b.n AS DOUBLE)) * ($vb / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1))"
+        s"""WITH m AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(n_chars) AS BIGINT) AS sx,
+           |         CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           |  FROM documents GROUP BY source)
+           |SELECT a.source AS source_a, b.source AS source_b,
+           |       a.n AS n_a, b.n AS n_b,
+           |       CAST(round(1000 * $t) AS BIGINT) AS t_milli,
+           |       CAST(round(1000 * $df) AS BIGINT) AS df_milli
+           |FROM m a JOIN m b ON a.source < b.source
+           |ORDER BY source_a, source_b""".stripMargin
+      }) { (s, dir) =>
+      val va = "((CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)) / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1)))"
+      val vb = "((CAST(b.n AS DOUBLE) * CAST(b.sxx AS DOUBLE) - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE)) / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1)))"
+      val se2 = s"($va / CAST(a.n AS DOUBLE) + $vb / CAST(b.n AS DOUBLE))"
+      val t = s"(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE)) / sqrt($se2)"
+      val dfE = s"($se2 * $se2) / (($va / CAST(a.n AS DOUBLE)) * ($va / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1) + ($vb / CAST(b.n AS DOUBLE)) * ($vb / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1))"
+      val m = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sx"),
+          sum(expr("n_chars * n_chars")).as("sxx"))
+        .localCheckpoint() // ≤k rows; both triangle sides read it
+      m.as("a").join(m.as("b"), col("a.source") < col("b.source"))
+        .selectExpr("a.source AS source_a", "b.source AS source_b",
+          "a.n AS n_a", "b.n AS n_b",
+          s"CAST(round(1000 * $t) AS BIGINT) AS t_milli",
+          s"CAST(round(1000 * $dfE) AS BIGINT) AS df_milli")
+        .orderBy("source_a", "source_b")
     }
   )
 }

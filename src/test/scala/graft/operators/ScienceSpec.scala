@@ -532,4 +532,95 @@ class ScienceSpec extends SparkSpec {
     assert(math.abs(got.getLong(2) - math.round(1000 * pctl(0.5))) <= 1L)
     assert(math.abs(got.getLong(3) - math.round(1000 * pctl(0.9))) <= 1L)
   }
+
+  // ---- q303 MDE ----
+
+  test("q303: MDE replays a driver moment computation and scales like 1/√n") {
+    val got = run("q303_mde_power").collect().head
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .selectExpr("user_id", "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def treatOf(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((u.toString + "|did").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2L
+    }
+    val t = ev.filter(e => treatOf(e._1) == 1L).map(_._2)
+    val c = ev.filter(e => treatOf(e._1) == 0L).map(_._2)
+    assert(got.getLong(0) === t.length.toLong)
+    assert(got.getLong(1) === c.length.toLong)
+    def sq(xs: Array[Long]) = xs.map(x => x.toDouble * x).sum
+    val vp = ((t.length * sq(t) - t.sum.toDouble * t.sum) / t.length +
+      (c.length * sq(c) - c.sum.toDouble * c.sum) / c.length) /
+      (t.length + c.length - 2)
+    val mde = 2.8016 * math.sqrt(vp * (1.0 / t.length + 1.0 / c.length))
+    assert(math.abs(got.getLong(5) - math.round(1000 * mde)) <= 1L)
+    assert(got.getLong(5) > 0L)
+    // relative MDE consistent with the absolute one
+    val pooledMean = (t.sum + c.sum).toDouble / (t.length + c.length)
+    assert(math.abs(got.getLong(6) - math.round(10000 * mde / pooledMean)) <= 1L)
+  }
+
+  // ---- q304 FK audit ----
+
+  test("q304: all 7 edges report, the generated star schema is orphan-free, and a planted orphan is caught") {
+    val rows = run("q304_fk_audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.size === 7)
+    rows.foreach { case (e, (nChild, nOrphan, nOrphanKeys, nNull)) =>
+      assert(nChild > 0L, s"$e: child table must be non-empty")
+      assert(nOrphan === 0L, s"$e: generated data must be referentially clean")
+      assert(nOrphanKeys === 0L)
+      assert(nNull === 0L)
+    }
+    // negative control: the same anti-join shape catches a planted orphan
+    import spark.implicits._
+    val child = Seq(1L, 2L, 99L).toDF("k")
+    val parent = Seq(1L, 2L).toDF("k")
+    val orphans = child.join(parent, Seq("k"), "left_anti").count()
+    assert(orphans === 1L)
+  }
+
+  test("q304: dims broadcast into the anti-joins") {
+    val plan = planOf("q304_fk_audit")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("LeftAnti"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ---- q305 Welch ----
+
+  test("q305: every source pair reports, and t/df replay on the driver") {
+    val rows = run("q305_welch_ttest").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySource = docs.groupBy(_._1).map { case (s2, xs) => s2 -> xs.map(_._2) }
+    val sources = bySource.keys.toSeq.sorted
+    assert(rows.size === sources.size * (sources.size - 1) / 2)
+    for (i <- sources.indices; j <- (i + 1) until sources.size) {
+      val (sa, sb) = (sources(i), sources(j))
+      val (xa, xb) = (bySource(sa), bySource(sb))
+      def mv(xs: Iterable[Long]): (Double, Double, Int) = {
+        val n = xs.size; val sx = xs.map(BigInt(_)).sum.toDouble
+        val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        (sx / n, (n * sxx - sx * sx) / (n.toDouble * (n - 1)), n)
+      }
+      val (ma, va2, na) = mv(xa); val (mb, vb2, nb) = mv(xb)
+      val se2 = va2 / na + vb2 / nb
+      val t = (ma - mb) / math.sqrt(se2)
+      val df = se2 * se2 /
+        ((va2 / na) * (va2 / na) / (na - 1) + (vb2 / nb) * (vb2 / nb) / (nb - 1))
+      val got = rows((sa, sb))
+      assert(got._1 === na.toLong && got._2 === nb.toLong)
+      assert(math.abs(got._3 - math.round(1000 * t)) <= 1L, s"t for ($sa,$sb)")
+      assert(math.abs(got._4 - math.round(1000 * df)) <= 1L, s"df for ($sa,$sb)")
+      // Welch df is always between min(n)-1 and n_a+n_b-2
+      assert(got._4 >= 1000L * (math.min(na, nb) - 1) - 1L)
+      assert(got._4 <= 1000L * (na + nb - 2) + 1L)
+    }
+  }
 }
