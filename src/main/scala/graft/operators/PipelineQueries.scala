@@ -5018,6 +5018,85 @@ object PipelineQueries {
             .as("len_after"))
         .filter(col("n_hits") > 0)
         .orderBy("doc_id")
+    },
+
+    // ---- dedup method agreement (q306): do MinHash-LSH (the q31
+    //      contract: 3-shingle jaccard ≥ 0.7) and winnowing (the q294
+    //      contract: ≥2 shared window-4 fingerprints, df ≤ 50) flag the
+    //      SAME pairs on the planted-twin corpus? The q273-style
+    //      agreement audit for dedup: both methods run end-to-end on
+    //      the identical union corpus, the pair sets meet in one
+    //      full-outer reconciliation, and the report is (both, only-A,
+    //      only-B, overlap bp). Disagreements are the review queue a
+    //      production dedup pipeline actually triages. ----
+    QueryDef(
+      "q306_dedup_agreement", {
+        val winnowCtes =
+          s"""g AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             |              ELSE list_transform(range(1, len(toks) - 1),
+             |                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+             |  FROM t),
+             |h AS (
+             |  SELECT doc_id,
+             |         list_transform(sh, x -> ${OracleSql.md5Long("x")}) AS hs
+             |  FROM g),
+             |f AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+             |         ELSE list_distinct(list_transform(range(1, len(hs) - 2),
+             |              i -> list_min(hs[i:i+3]))) END) AS fp
+             |  FROM h),
+             |dfc AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+             |ff AS (SELECT doc_id, fp FROM f JOIN dfc USING (fp)),
+             |wp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+        s"""WITH ${twinDocsCtes("graftagreetail")},
+           |${shingle3Cte("t")},
+           |${bruteJaccardCtes("0.7")},
+           |$winnowCtes,
+           |mh AS (SELECT id_a, id_b FROM pr)
+           |SELECT nm AS n_minhash, nw AS n_winnow, nb AS n_both,
+           |       nm - nb AS n_only_minhash, nw - nb AS n_only_winnow,
+           |       CAST(10000 * nb // greatest(nm + nw - nb, 1) AS BIGINT) AS overlap_bp
+           |FROM (SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mh) AS nm,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM wp) AS nw,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM mh JOIN wp USING (id_a, id_b)) AS nb)""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val twins = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" graftagreetail")).as("text"))
+      val uni = docs.union(twins).localCheckpoint() // both methods scan it
+      val mh = graft.dedup.Dedup.nearDupPairs(uni, threshold = 0.7)
+        .select("id_a", "id_b")
+      val fps = uni.select(col("doc_id"),
+        explode(graft.functions.WinnowFunctions.graftWinnow(
+          graft.functions.GramHashFunctions
+            .graftGramMd5(TextAnalysis.wsTokens(col("text")), 3), 4)).as("fp"))
+      val capped = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+          .select("fp"), "fp")
+      val wp = capped.as("a").join(capped.as("b"), Seq("fp"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("nfp"))
+        .filter(col("nfp") >= 2)
+        .select("id_a", "id_b")
+      val joined = mh.withColumn("inmh", lit(1))
+        .join(wp.withColumn("inwp", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      joined.agg(
+        sum(when(col("inmh") === 1, 1L).otherwise(0L)).as("n_minhash"),
+        sum(when(col("inwp") === 1, 1L).otherwise(0L)).as("n_winnow"),
+        sum(when(col("inmh") === 1 && col("inwp") === 1, 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("inmh") === 1 && col("inwp").isNull, 1L).otherwise(0L)).as("n_only_minhash"),
+        sum(when(col("inwp") === 1 && col("inmh").isNull, 1L).otherwise(0L)).as("n_only_winnow"))
+        .selectExpr("n_minhash", "n_winnow", "n_both", "n_only_minhash", "n_only_winnow",
+          "CAST(10000 * n_both div greatest(n_minhash + n_winnow - n_both, 1L) AS BIGINT) AS overlap_bp")
     }
   )
 

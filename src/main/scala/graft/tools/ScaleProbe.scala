@@ -758,6 +758,45 @@ object ScaleProbe {
     println(f"[scaleprobe] emb-lsh pairs ratio=${eln.toDouble / math.max(el1, 1)}%.2f " +
       f"time ratio=${etn / et1}%.2f for ${copies}x corpus " +
       "(sign-masked copies; bits/band grown by log2 copies per the sizing rule)")
+
+    // winnowing fingerprint matching (the q294 shape): per-copy token
+    // prefixes change every gram, so cross-copy fingerprints never
+    // collide and the pair count must replicate exactly linearly. Also
+    // measures the native graft_winnow kernel against the composed
+    // array_distinct/transform/array_min form it replaced — the
+    // interpreted-HOF tax grows with corpus size, the kernel's doesn't.
+    def winnowPairs(docs: DataFrame, native: Boolean): Long = {
+      val hs = graft.functions.GramHashFunctions
+        .graftGramMd5(graft.textops.TextAnalysis.wsTokens(col("text")), 3)
+      val fcol =
+        if (native) graft.functions.WinnowFunctions.graftWinnow(hs, 4)
+        else when(size(hs) < 4, array(array_min(hs)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), size(hs) - 3), i => array_min(slice(hs, i, lit(4))))))
+      val fps = docs.select(col("doc_id"), explode(fcol).as("fp"))
+      val capped = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+          .select("fp"), "fp")
+      capped.as("a").join(capped.as("b"), Seq("fp"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id"), col("b.doc_id"))
+        .agg(count(lit(1)).as("nfp")).filter(col("nfp") >= 2).count()
+    }
+    def timeWinnow(label: String, docs: DataFrame, native: Boolean): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = winnowPairs(docs, native)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] winnow-$label: pairs=$n time=$secs%.2fs")
+      clearBlocks()
+      (n, secs)
+    }
+    timeWinnow("warmup-1x", replicate(1), native = true)
+    val (wp1, wt1) = timeWinnow("1x-native", replicate(1), native = true)
+    val (wpn, wtn) = timeWinnow(s"${copies}x-native", replicate(copies), native = true)
+    val (_, wc1) = timeWinnow("1x-composed", replicate(1), native = false)
+    println(f"[scaleprobe] winnow pairs ratio=${wpn.toDouble / math.max(wp1, 1)}%.2f " +
+      f"(expect ≈$copies), time ratio=${wtn / wt1}%.2f; " +
+      f"native vs composed at 1x: ${wc1 / wt1}%.1fx faster")
     spark.stop()
   }
 }

@@ -623,4 +623,27 @@ class ScienceSpec extends SparkSpec {
       assert(got._4 <= 1000L * (na + nb - 2) + 1L)
     }
   }
+
+  // ---- q306 dedup method agreement ----
+
+  test("q306: both methods catch every planted twin; identities and overlap formula hold") {
+    val r = run("q306_dedup_agreement").collect().head
+    val (nm, nw, nb, onlyM, onlyW, bp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(nm === nb + onlyM)
+    assert(nw === nb + onlyW)
+    assert(nb >= 10L, "the 10 planted twins must be flagged by BOTH methods")
+    assert(bp === 10000L * nb / math.max(nm + nw - nb, 1L))
+    assert(bp > 0L && bp <= 10000L)
+    // the planted twin pairs specifically appear in both pair sets
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val twins = docs.filter(col("doc_id") < 10)
+      .selectExpr("doc_id + 1000000 AS doc_id", "concat(text, ' graftagreetail') AS text")
+    val uni = docs.union(twins)
+    val mhPairs = graft.dedup.Dedup.nearDupPairs(uni, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    (0L until 10L).foreach { d =>
+      assert(mhPairs.contains((d, d + 1000000L)), s"twin $d missing from minhash pairs")
+    }
+  }
 }
