@@ -1194,8 +1194,13 @@ object Similarity {
       minPts: Int,
       idCol: String = "vec_id"): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    // pairs is typically an expensive lineage (LSH candidates + exact
+    // verify); ed feeds FOUR consumers below (degrees, two core
+    // semi-joins, border lookup) — without the pin each one re-runs the
+    // whole near-dup pipeline (measured: q243 9–19 s → ~5 s at sf0.1)
     val ed = pairs.select(col("id_a").as("s"), col("id_b").as("d"))
       .union(pairs.select(col("id_b").as("s"), col("id_a").as("d")))
+      .localCheckpoint()
     val deg = ed.groupBy("s").agg(count(lit(1)).as("deg"))
     val core = deg.filter(col("deg") >= minPts - 1).select(col("s").as("id"))
     val coreEdges = ed
