@@ -1255,6 +1255,139 @@ object ScienceQueries {
           s"CAST(round(1000 * $t) AS BIGINT) AS t_milli",
           s"CAST(round(1000 * $dfE) AS BIGINT) AS df_milli")
         .orderBy("source_a", "source_b")
+    },
+
+    // ---- bloom-filter sizing advisor (q307): the ops pre-flight for
+    //      every bloom-gated join/decontamination (q72's filter, the
+    //      runtime-filter conf): exact NDV per join key → optimal bits
+    //      (m = ⌈ndv · 9.585⌉ for 1% FPR; the −ln p/ln²2 constant
+    //      hardcoded so no libm enters the data path) and k = 7
+    //      hashes. One count-distinct aggregate per key column — the
+    //      expensive exact NDV is the point: sizing from guesses is how
+    //      blooms saturate at 100 TB. ----
+    QueryDef(
+      "q307_bloom_sizing", {
+        def keySql(name: String, table: String, c: String): String =
+          s"""SELECT '$name' AS key_col,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(ceil(CAST(count(DISTINCT $c) AS DOUBLE) * 9.585) AS BIGINT) AS m_bits,
+             |  CAST(ceil(CAST(count(DISTINCT $c) AS DOUBLE) * 9.585) AS BIGINT) // 8192 AS kib,
+             |  CAST(7 AS BIGINT) AS k_hashes
+             |FROM $table""".stripMargin
+        Seq(
+          keySql("orders.o_custkey", "orders", "o_custkey"),
+          keySql("lineitem.l_partkey", "lineitem", "l_partkey"),
+          keySql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+          keySql("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+          keySql("documents.doc_id", "documents", "doc_id"))
+          .mkString("", " UNION ALL ", " ORDER BY key_col")
+      }) { (s, dir) =>
+      import org.apache.spark.sql.DataFrame
+      def key(name: String, df: DataFrame, c: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), countDistinct(col(c)).as("ndv"))
+          .selectExpr(s"'$name' AS key_col", "n_rows", "ndv",
+            "CAST(ceil(CAST(ndv AS DOUBLE) * 9.585) AS BIGINT) AS m_bits",
+            "CAST(ceil(CAST(ndv AS DOUBLE) * 9.585) AS BIGINT) div 8192 AS kib",
+            "CAST(7 AS BIGINT) AS k_hashes")
+      Seq(
+        key("orders.o_custkey", Tables.orders(s, dir), "o_custkey"),
+        key("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+        key("lineitem.l_suppkey", Tables.lineitem(s, dir), "l_suppkey"),
+        key("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+        key("documents.doc_id", Tables.documents(s, dir), "doc_id"))
+        .reduce(_ unionByName _)
+        .orderBy("key_col")
+    },
+
+    // ---- normalization dedup-gain audit (q308): how many NEW exact
+    //      duplicates does the canonical cleaning chain (lower → NFC →
+    //      strip accents → collapse whitespace) surface that raw
+    //      hashing misses? Planted variants (doc_id < 30 re-appear
+    //      upper-cased, double-spaced, with a precomposed-accent tail
+    //      vs a decomposed one) must fold TOGETHER once canonicalized.
+    //      The go/no-go evidence for running q143/q184 normalization
+    //      BEFORE q28 exact dedup at 100 TB — both legs are one
+    //      distinct-count aggregate over the same scan. ----
+    QueryDef(
+      "q308_norm_dedup_gain", {
+        val chain = "trim(regexp_replace(strip_accents(nfc_normalize(lower(deco))), '\\s+', ' ', 'g'))"
+        s"""WITH d AS (
+           |  SELECT doc_id, text AS deco FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000,
+           |         upper(regexp_replace(text, ' ', '  ', 'g')) || ' caf' || chr(233)
+           |  FROM documents WHERE doc_id < 30
+           |  UNION ALL
+           |  SELECT doc_id + 2000000, text || ' CAFE' || chr(769)
+           |  FROM documents WHERE doc_id < 30),
+           |k AS (SELECT md5(deco) AS rawk, md5($chain) AS normk FROM d)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(*) - count(DISTINCT rawk) AS BIGINT) AS dup_surplus_raw,
+           |       CAST(count(*) - count(DISTINCT normk) AS BIGINT) AS dup_surplus_norm,
+           |       CAST(count(DISTINCT rawk) - count(DISTINCT normk) AS BIGINT) AS norm_gain
+           |FROM k""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(upper(regexp_replace(col("text"), " ", "  ")),
+            lit(" café")).as("deco"))
+      val v2 = docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" CAFÉ")).as("deco"))
+      val uni = docs.select(col("doc_id"), col("text").as("deco"))
+        .union(v1).union(v2)
+      val chain = trim(regexp_replace(
+        graft.functions.TextNormFunctions.graftStripAccents(
+          graft.functions.TextNormFunctions.graftNfc(lower(col("deco")))),
+        "\\s+", " "))
+      uni.select(md5(col("deco")).as("rawk"), md5(chain).as("normk"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("rawk"))).as("dup_surplus_raw"),
+          (count(lit(1)) - countDistinct(col("normk"))).as("dup_surplus_norm"),
+          (countDistinct(col("rawk")) - countDistinct(col("normk"))).as("norm_gain"))
+    },
+
+    // ---- bursting attribute values (q309): which event-property
+    //      values spike on which days vs their corpus-wide share — the
+    //      batch Kleinberg-lite behind every "trending" report. Per
+    //      (day, k) count vs expectation day_total·k_total/grand, all
+    //      exact integer cross-products; the ranked top-20 cut is a
+    //      bounded TakeOrdered. The q279 sibling at attribute (not
+    //      user) granularity. ----
+    QueryDef(
+      "q309_burst_values",
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |  FROM events),
+        |dk AS (SELECT day, kv, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2),
+        |dt AS (SELECT day, CAST(sum(c) AS BIGINT) AS day_total FROM dk GROUP BY 1),
+        |kt AS (SELECT kv, CAST(sum(c) AS BIGINT) AS k_total FROM dk GROUP BY 1),
+        |g AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM dk),
+        |r AS (
+        |  SELECT dk.day, dk.kv, dk.c,
+        |         CAST(1000 * dt.day_total * kt.k_total // grand AS BIGINT) AS expected_milli,
+        |         CAST(10000 * dk.c * grand // (dt.day_total * kt.k_total) AS BIGINT) AS ratio_bp
+        |  FROM dk JOIN dt USING (day) JOIN kt USING (kv) CROSS JOIN g
+        |  WHERE dk.c >= 3)
+        |SELECT day, kv, c, expected_milli, ratio_bp FROM r
+        |ORDER BY ratio_bp DESC, day, kv LIMIT 20""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("kv"))
+      val dk = ev.groupBy("day", "kv").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // three aggregates + the join read it
+      val dt = dk.groupBy("day").agg(sum("c").as("day_total"))
+      val kt = dk.groupBy("kv").agg(sum("c").as("k_total"))
+      val g = dk.agg(sum("c").as("grand"))
+      dk.join(dt, "day").join(broadcast(kt), "kv").crossJoin(broadcast(g))
+        .filter(col("c") >= 3)
+        .selectExpr("day", "kv", "c",
+          "CAST(1000 * day_total * k_total div grand AS BIGINT) AS expected_milli",
+          "CAST(10000 * c * grand div (day_total * k_total) AS BIGINT) AS ratio_bp")
+        .orderBy(col("ratio_bp").desc, col("day"), col("kv"))
+        .limit(20)
     }
   )
 }

@@ -646,4 +646,78 @@ class ScienceSpec extends SparkSpec {
       assert(mhPairs.contains((d, d + 1000000L)), s"twin $d missing from minhash pairs")
     }
   }
+
+  // ---- q307 bloom sizing ----
+
+  test("q307: m/k follow the 1% FPR formula from exact NDVs") {
+    val rows = run("q307_bloom_sizing").collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, ndv, m, kib, k) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ndv > 0L && ndv <= n)
+      assert(m === math.ceil(ndv * 9.585).toLong, r.getString(0))
+      assert(kib === m / 8192)
+      assert(k === 7L)
+    }
+    val byName = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // unique-key columns: NDV == row count
+    val docs = rows.find(_.getString(0) == "documents.doc_id").get
+    assert(docs.getLong(1) === docs.getLong(2))
+    // FK columns have fewer distincts than rows
+    assert(byName("lineitem.l_suppkey") < byName("lineitem.l_orderkey"))
+  }
+
+  // ---- q308 normalization gain ----
+
+  test("q308: the 60 planted variants fold into 30 canonical keys; raw hashing sees none of it") {
+    val r = run("q308_norm_dedup_gain").collect().head
+    val (n, rawSurplus, normSurplus, gain) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val base = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(n === base + 60L)
+    // variants are raw-distinct from everything (upper/double-space/accent)
+    assert(rawSurplus === 0L)
+    // each of the 30 (v1, v2) pairs collapses to ONE canonical key
+    assert(normSurplus >= 30L)
+    assert(gain === normSurplus - rawSurplus)
+  }
+
+  test("q308: the chain canonicalizes case, whitespace, NFC form, and accents together") {
+    import spark.implicits._
+    val df = Seq(
+      ("Foo  Bar café", "foo bar CAFÉ"),
+      ("  x Y ", "x y")).toDF("a", "b")
+    def chain(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(
+        graft.functions.TextNormFunctions.graftStripAccents(
+          graft.functions.TextNormFunctions.graftNfc(lower(c))), "\\s+", " "))
+    df.select(chain(col("a")).as("ca"), chain(col("b")).as("cb")).collect()
+      .foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  // ---- q309 burst values ----
+
+  test("q309: ratios replay a driver contingency recompute and the cut is the global top-20") {
+    val rows = run("q309_burst_values").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS kv").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val dk = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val dt = dk.groupBy(_._1._1).map { case (d, xs) => d -> xs.values.sum }
+    val kt = dk.groupBy(_._1._2).map { case (k, xs) => k -> xs.values.sum }
+    val grand = dk.values.sum
+    val all = dk.toSeq.filter(_._2 >= 3L).map { case ((d, k), c) =>
+      val ratio = 10000L * c * grand / (dt(d) * kt(k))
+      ((d, k), c, 1000L * dt(d) * kt(k) / grand, ratio)
+    }
+    val want = all.sortBy(x => (-x._4, x._1._1, x._1._2)).take(20)
+    assert(rows.length === math.min(20, all.length))
+    rows.zip(want).foreach { case ((d, k, c, e, rb), ((wd, wk), wc, we, wr)) =>
+      assert((d, k, c, e, rb) === ((wd, wk, wc, we, wr)))
+    }
+  }
 }
