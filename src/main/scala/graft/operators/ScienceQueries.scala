@@ -1388,6 +1388,130 @@ object ScienceQueries {
           "CAST(10000 * c * grand div (day_total * k_total) AS BIGINT) AS ratio_bp")
         .orderBy(col("ratio_bp").desc, col("day"), col("kv"))
         .limit(20)
+    },
+
+    // ---- DAU/MAU stickiness (q310): the product-health ratio — mean
+    //      daily actives over monthly actives per month. Two exact
+    //      distinct-count aggregates (per-day, per-month) + one
+    //      integer-ratio join; observed days (days with ≥1 event) are
+    //      the denominator so a partial first/last month doesn't dilute
+    //      the mean. ----
+    QueryDef(
+      "q310_dau_mau",
+      """WITH ev AS (
+        |  SELECT date_trunc('month', CAST(ts AS DATE)) AS month,
+        |         CAST(ts AS DATE) AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ev GROUP BY 1, 2),
+        |md AS (SELECT month, CAST(sum(dau) AS BIGINT) AS dau_sum,
+        |         CAST(count(*) AS BIGINT) AS n_days
+        |       FROM dau GROUP BY 1),
+        |mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |        FROM ev GROUP BY 1)
+        |SELECT CAST(md.month AS DATE) AS month, n_days, dau_sum, mau,
+        |       CAST(1000 * dau_sum // n_days AS BIGINT) AS dau_avg_milli,
+        |       CAST(10000 * dau_sum // (n_days * mau) AS BIGINT) AS stickiness_bp
+        |FROM md JOIN mau USING (month)
+        |ORDER BY month""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select(
+        date_trunc("month", to_date(col("ts"))).cast("date").as("month"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      val dau = ev.groupBy("month", "day")
+        .agg(countDistinct("user_id").as("dau"))
+      val md = dau.groupBy("month")
+        .agg(sum("dau").as("dau_sum"), count(lit(1)).as("n_days"))
+      val mau = ev.groupBy("month").agg(countDistinct("user_id").as("mau"))
+      md.join(mau, "month")
+        .selectExpr("month", "n_days", "dau_sum", "mau",
+          "CAST(1000 * dau_sum div n_days AS BIGINT) AS dau_avg_milli",
+          "CAST(10000 * dau_sum div (n_days * mau) AS BIGINT) AS stickiness_bp")
+        .orderBy("month")
+    },
+
+    // ---- new vs returning actives (q311): per-day decomposition of
+    //      the active-user count by first-seen date — the q270
+    //      first-seen attribution at user (not vocab) granularity. One
+    //      min-aggregate finds each user's first day; the daily
+    //      rollup then splits actives exactly (new + returning =
+    //      active, Σnew over days = total users — both identities
+    //      spec-pinned). ----
+    QueryDef(
+      "q311_new_returning",
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |fs AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+        |du AS (SELECT DISTINCT day, user_id FROM ev),
+        |j AS (SELECT du.day, du.user_id,
+        |        CASE WHEN du.day = fs.first_day THEN 1 ELSE 0 END AS is_new
+        |      FROM du JOIN fs ON du.user_id = fs.user_id)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(is_new) AS BIGINT) AS n_new,
+        |       CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning
+        |FROM j GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val fs = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      val du = ev.distinct()
+      du.join(fs, "user_id")
+        .select(col("day"),
+          when(col("day") === col("first_day"), 1L).otherwise(0L).as("is_new"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+          (count(lit(1)) - sum("is_new")).as("n_returning"))
+        .orderBy("day")
+    },
+
+    // ---- RFM segmentation (q312): the classic customer-value grid —
+    //      recency (days since last order), frequency (orders),
+    //      monetary (cents) per customer, each cut into quintiles by
+    //      globalRank (NO single-partition window; ties break by
+    //      custkey, the q298 discipline), composed into the 111..555
+    //      segment code. Output = segment-level rollup: population and
+    //      exact monetary mass per cell. ----
+    QueryDef(
+      "q312_rfm_segments",
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(od) AS maxd FROM o),
+        |c AS (SELECT ck,
+        |        CAST(date_diff('day', max(od), (SELECT maxd FROM mx)) AS BIGINT) AS r_days,
+        |        CAST(count(*) AS BIGINT) AS f_orders,
+        |        CAST(sum(cents) AS BIGINT) AS m_cents
+        |      FROM o GROUP BY ck),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |q AS (SELECT ck, r_days, f_orders, m_cents,
+        |        ((row_number() OVER (ORDER BY r_days DESC, ck) - 1) * 5) // n + 1 AS r_q,
+        |        ((row_number() OVER (ORDER BY f_orders, ck) - 1) * 5) // n + 1 AS f_q,
+        |        ((row_number() OVER (ORDER BY m_cents, ck) - 1) * 5) // n + 1 AS m_q
+        |      FROM c CROSS JOIN n)
+        |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(m_cents) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY 1 ORDER BY rfm_code""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("ck"),
+        to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mx = o.agg(max("od").as("maxd"))
+      val c = o.crossJoin(broadcast(mx))
+        .groupBy("ck")
+        .agg(expr("CAST(datediff(max(maxd), max(od)) AS BIGINT)").as("r_days"),
+          count(lit(1)).as("f_orders"), sum("cents").as("m_cents"))
+        .localCheckpoint() // three rank passes read it
+      val (rRank, n) = Scale.globalRankWithTotal(
+        c.withColumn("neg_r", -col("r_days")), "rr", "neg_r", "ck")
+      val fRank = Scale.globalRank(c, "fr", "f_orders", "ck")
+      val mRank = Scale.globalRank(c, "mr", "m_cents", "ck")
+      val rq = rRank.selectExpr("ck", s"((rr - 1) * 5) div $n + 1 AS r_q")
+      val fq = fRank.selectExpr("ck", s"((fr - 1) * 5) div $n + 1 AS f_q")
+      val mq = mRank.selectExpr("ck", s"((mr - 1) * 5) div $n + 1 AS m_q")
+      c.join(rq, "ck").join(fq, "ck").join(mq, "ck")
+        .selectExpr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code", "m_cents")
+        .groupBy("rfm_code")
+        .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("sum_cents"))
+        .orderBy("rfm_code")
     }
   )
 }

@@ -720,4 +720,72 @@ class ScienceSpec extends SparkSpec {
       assert((d, k, c, e, rb) === ((wd, wk, wc, we, wr)))
     }
   }
+
+  // ---- q310 DAU/MAU ----
+
+  test("q310: stickiness replays a driver distinct-count rollup; ratio bounded by (1/days, 1]") {
+    val rows = run("q310_dau_mau").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byMonth = ev.groupBy(_._1.substring(0, 7))
+    rows.foreach { case (m, nDays, dauSum, mau, dauAvg, stick) =>
+      val xs = byMonth(m.substring(0, 7))
+      val days = xs.map(_._1).distinct
+      assert(nDays === days.length.toLong)
+      val wantDau = days.map(d => xs.filter(_._1 == d).map(_._2).distinct.length.toLong).sum
+      assert(dauSum === wantDau)
+      assert(mau === xs.map(_._2).distinct.length.toLong)
+      assert(dauAvg === 1000L * dauSum / nDays)
+      assert(stick === 10000L * dauSum / (nDays * mau))
+      assert(stick > 10000L / (nDays * math.max(1L, nDays)) && stick <= 10000L)
+    }
+  }
+
+  // ---- q311 new vs returning ----
+
+  test("q311: identities hold — new+returning=active per day, Σnew = total users, day one is all-new") {
+    val rows = run("q311_new_returning").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, act, nw, ret) =>
+      assert(act === nw + ret, s"day $d")
+      assert(nw >= 0L && ret >= 0L)
+    }
+    val totalUsers = graft.tables.Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === totalUsers, "every user is new exactly once")
+    assert(rows.head._4 === 0L, "nobody can return on the first observed day")
+  }
+
+  // ---- q312 RFM ----
+
+  test("q312: segment rollup conserves customers and money; codes are valid 111..555") {
+    val rows = run("q312_rfm_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (code, _, _) =>
+      val (r, f, m) = (code / 100, (code / 10) % 10, code % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5, s"code $code")
+    }
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum === nCust)
+    val totalCents = orders
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .agg(sum("c")).head.getLong(0)
+    assert(rows.map(_._3).sum === totalCents)
+    // quintiles are equi-depth: each R digit holds ~n/5 customers
+    val byR = rows.groupBy(_._1 / 100).view.mapValues(_.map(_._2).sum).toMap
+    assert(byR.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    byR.values.foreach(v => assert(math.abs(v - nCust / 5) <= nCust / 5 / 2 + 1))
+  }
+
+  test("q312: ranks come from the prefix primitive — no single-partition window") {
+    assert(!planOf("q312_rfm_segments").contains("Window ["))
+  }
 }
