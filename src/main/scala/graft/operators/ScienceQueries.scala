@@ -1512,6 +1512,98 @@ object ScienceQueries {
         .groupBy("rfm_code")
         .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("sum_cents"))
         .orderBy("rfm_code")
+    },
+
+    // ---- revenue concentration (q313): the 80/20 report — how few
+    //      customers cover 50/80/90% of revenue. Customers ranked by
+    //      exact cent mass (desc, custkey ties) through ONE
+    //      prefixSumLong pass; a customer is needed for threshold p iff
+    //      the mass BEFORE it is short of p — an exclusive-prefix
+    //      filter, counted exactly per threshold with integer
+    //      cross-products (no percent rounding before the compare).
+    //      The concentration twin of q262's Gini. ----
+    QueryDef(
+      "q313_pareto_coverage",
+      """WITH c AS (
+        |  SELECT o_custkey AS ck, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+        |        CAST(count(*) AS BIGINT) AS n_cust FROM c),
+        |r AS (SELECT ck, cents,
+        |        sum(cents) OVER (ORDER BY cents DESC, ck
+        |          ROWS UNBOUNDED PRECEDING) - cents AS cum_excl
+        |      FROM c),
+        |p AS (SELECT 50 AS pct UNION ALL SELECT 80 UNION ALL SELECT 90)
+        |SELECT pct,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(10000 * count(*) // n_cust AS BIGINT) AS share_of_customers_bp
+        |FROM p CROSS JOIN t JOIN r ON r.cum_excl * 100 < pct * t.total
+        |GROUP BY pct, n_cust ORDER BY pct""".stripMargin) { (s, dir) =>
+      val c = Tables.orders(s, dir)
+        .select(col("o_custkey").as("ck"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("ck").agg(sum("cents").as("cents"))
+        .withColumn("neg", -col("cents"))
+      val (ranked0, total) = Scale.prefixSumLongByWithTotal(
+        c, Seq("neg", "ck"), "cents", "cum")
+      val ranked = ranked0.withColumn("cum_excl", col("cum") - col("cents"))
+        .localCheckpoint() // three threshold counts read it
+      val nCust = ranked.count()
+      Seq(50, 80, 90).map { pct =>
+        ranked.filter(col("cum_excl") * 100 < lit(pct.toLong) * total)
+          .agg(count(lit(1)).as("n_customers"))
+          .selectExpr(s"$pct AS pct", "n_customers",
+            s"CAST(10000 * n_customers div $nCust AS BIGINT) AS share_of_customers_bp")
+      }.reduce(_ unionByName _).orderBy("pct")
+    },
+
+    // ---- ship-lag SLA distribution (q314): days from order to line
+    //      shipment per order priority — count, exact mean, q69-contract
+    //      p50/p90, and max, from exact integer day lags. The
+    //      operational freshness report every SLA dashboard starts
+    //      with; one join + one grouped aggregate. ----
+    QueryDef(
+      "q314_ship_lag", {
+        def pctl(p: String): String =
+          s"""(CASE WHEN floor($p * (n - 1)) = ceil($p * (n - 1))
+             |      THEN CAST(ds[CAST($p * (n - 1) AS BIGINT) + 1] AS DOUBLE)
+             |      ELSE (ceil($p * (n - 1)) - $p * (n - 1)) * ds[CAST(floor($p * (n - 1)) AS BIGINT) + 1]
+             |         + ($p * (n - 1) - floor($p * (n - 1))) * ds[CAST(ceil($p * (n - 1)) AS BIGINT) + 1]
+             |      END)""".stripMargin.replaceAll("\n\\s*", " ")
+        s"""WITH j AS (
+           |  SELECT o_orderpriority AS pri,
+           |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           |           CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_d
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |a AS (SELECT pri, CAST(count(*) AS BIGINT) AS n_lines,
+           |        CAST(sum(lag_d) AS BIGINT) AS sum_d,
+           |        CAST(max(lag_d) AS BIGINT) AS max_d,
+           |        count(*) AS n, list(lag_d ORDER BY lag_d) AS ds
+           |      FROM j GROUP BY pri)
+           |SELECT pri, n_lines,
+           |       CAST(round(1000 * CAST(sum_d AS DOUBLE) / CAST(n_lines AS DOUBLE)) AS BIGINT) AS mean_d_milli,
+           |       CAST(round(1000 * ${pctl("0.50")}) AS BIGINT) AS p50_d_milli,
+           |       CAST(round(1000 * ${pctl("0.90")}) AS BIGINT) AS p90_d_milli,
+           |       max_d
+           |FROM a ORDER BY pri""".stripMargin
+      }) { (s, dir) =>
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("pri"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lag_d"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_lines"), sum("lag_d").as("sum_d"),
+          max("lag_d").as("max_d"),
+          percentile(col("lag_d"), lit(0.5)).as("p50"),
+          percentile(col("lag_d"), lit(0.9)).as("p90"))
+        .selectExpr("pri", "n_lines",
+          "CAST(round(1000 * CAST(sum_d AS DOUBLE) / CAST(n_lines AS DOUBLE)) AS BIGINT) AS mean_d_milli",
+          "CAST(round(1000 * p50) AS BIGINT) AS p50_d_milli",
+          "CAST(round(1000 * p90) AS BIGINT) AS p90_d_milli", "max_d")
+        .orderBy("pri")
     }
   )
 }

@@ -788,4 +788,68 @@ class ScienceSpec extends SparkSpec {
   test("q312: ranks come from the prefix primitive — no single-partition window") {
     assert(!planOf("q312_rfm_segments").contains("Window ["))
   }
+
+  // ---- q313 Pareto coverage ----
+
+  test("q313: coverage points replay a driver sort; thresholds are monotone") {
+    val rows = run("q313_pareto_coverage").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(50, 80, 90))
+    val cents = spark.read.parquet(s"$sf0001/orders.parquet")
+      .selectExpr("o_custkey AS ck", "CAST(round(o_totalprice * 100) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).sum) }.toSeq
+    val sorted = cents.sortBy(x => (-x._2, x._1)).map(_._2)
+    val total = sorted.sum
+    def need(pct: Int): Long = {
+      var cum = 0L; var k = 0L
+      sorted.takeWhile { c => val short = cum * 100 < pct.toLong * total; cum += c; short }
+        .foreach(_ => k += 1)
+      k
+    }
+    rows.foreach { case (pct, n, bp) =>
+      assert(n === need(pct), s"pct $pct")
+      assert(bp === 10000L * n / cents.size)
+    }
+    assert(rows(0)._2 <= rows(1)._2 && rows(1)._2 <= rows(2)._2)
+    // concentration exists: 50% of revenue takes < 50% of customers
+    assert(rows(0)._3 < 5000L)
+  }
+
+  test("q313: the running mass is the prefix primitive — no single-partition window") {
+    assert(!planOf("q313_pareto_coverage").contains("Window ["))
+  }
+
+  // ---- q314 ship lag ----
+
+  test("q314: lags replay a driver join; percentiles bracket the mean sanely") {
+    val rows = run("q314_ship_lag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val li = spark.sql(
+      s"""SELECT o_orderpriority AS pri,
+         |  CAST(datediff(to_date(l_shipdate), to_date(o_orderdate)) AS BIGINT) AS lag
+         |FROM parquet.`$sf0001/lineitem.parquet`
+         |JOIN parquet.`$sf0001/orders.parquet` ON l_orderkey = o_orderkey""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byPri = li.groupBy(_._1)
+    assert(rows.map(_._1).toSet === byPri.keySet)
+    rows.foreach { case (pri, n, meanMilli, p50, p90, maxD) =>
+      val lags = byPri(pri).map(_._2).sorted
+      assert(n === lags.length.toLong)
+      assert(maxD === lags.max)
+      assert(math.abs(meanMilli -
+        math.round(1000.0 * lags.sum / lags.length)) <= 1L)
+      def pc(p: Double): Double = {
+        val pos = p * (lags.length - 1)
+        val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+        if (lo == hi) lags(lo).toDouble
+        else (hi - pos) * lags(lo) + (pos - lo) * lags(hi)
+      }
+      assert(math.abs(p50 - math.round(1000 * pc(0.5))) <= 1L)
+      assert(math.abs(p90 - math.round(1000 * pc(0.9))) <= 1L)
+      assert(p50 <= p90 && p90 <= 1000L * maxD + 1L)
+    }
+  }
 }
