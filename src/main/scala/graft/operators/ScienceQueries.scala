@@ -1604,6 +1604,146 @@ object ScienceQueries {
           "CAST(round(1000 * p50) AS BIGINT) AS p50_d_milli",
           "CAST(round(1000 * p90) AS BIGINT) AS p90_d_milli", "max_d")
         .orderBy("pri")
+    },
+
+    // ---- Simpson's-paradox audit (q315): does the quantity↔price
+    //      association flip sign inside return-flag groups vs pooled —
+    //      the aggregation trap every segment report should test for.
+    //      Covariance NUMERATORS (n·Σxy − Σx·Σy) are exact BIGINT, so
+    //      sign decisions are integer-exact (no float sign flips at the
+    //      boundary); the correlation itself is one shared double
+    //      expression. Pooled moments derive from the group moments by
+    //      summation — one aggregate total. Long bound: n·Σxy overflows
+    //      past sf≈10 — DECIMAL(38,0) there (the Exact scale note). ----
+    QueryDef(
+      "q315_simpsons", {
+        val cov = "(n * sxy - sx * sy)"
+        val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        // variance products stay in DOUBLE: n·syy alone overflows BIGINT
+        // already at sf0.01 (price² sums); the SIGN test below keeps the
+        // integer-exact covariance numerator
+        val corr =
+          s"""CASE WHEN $vx = 0 OR $vy = 0 THEN NULL
+             | ELSE CAST(round(1000 * CAST($cov AS DOUBLE)
+             | / sqrt($vx * $vy)) AS BIGINT) END"""
+            .stripMargin.replaceAll("\n", "")
+        val sgn = s"CASE WHEN $cov > 0 THEN 1 WHEN $cov < 0 THEN -1 ELSE 0 END"
+        s"""WITH l AS (
+           |  SELECT l_returnflag AS grp,
+           |         CAST(round(l_quantity) AS BIGINT) AS x,
+           |         CAST(round(l_extendedprice) AS BIGINT) AS y
+           |  FROM lineitem),
+           |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy,
+           |        CAST(sum(y * y) AS BIGINT) AS syy
+           |      FROM l GROUP BY grp),
+           |p AS (SELECT 'ALL' AS grp, CAST(sum(n) AS BIGINT) AS n,
+           |        CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
+           |        CAST(sum(sxx) AS BIGINT) AS sxx, CAST(sum(sxy) AS BIGINT) AS sxy,
+           |        CAST(sum(syy) AS BIGINT) AS syy
+           |      FROM g),
+           |u AS (SELECT * FROM g UNION ALL SELECT * FROM p),
+           |ps AS (SELECT $sgn AS pooled_sign FROM p)
+           |SELECT grp, n, CAST($sgn AS BIGINT) AS cov_sign, $corr AS corr_milli,
+           |       CAST(CASE WHEN grp <> 'ALL' AND $sgn <> pooled_sign
+           |            THEN 1 ELSE 0 END AS BIGINT) AS sign_flips_vs_pooled
+           |FROM u CROSS JOIN ps ORDER BY grp""".stripMargin
+      }) { (s, dir) =>
+      val cov = "(n * sxy - sx * sy)"
+      val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val corr =
+        s"""CASE WHEN $vx = 0 OR $vy = 0 THEN NULL
+           | ELSE CAST(round(1000 * CAST($cov AS DOUBLE)
+           | / sqrt($vx * $vy)) AS BIGINT) END"""
+          .stripMargin.replaceAll("\n", "")
+      val sgn = s"CASE WHEN $cov > 0 THEN 1 WHEN $cov < 0 THEN -1 ELSE 0 END"
+      val l = Tables.lineitem(s, dir).selectExpr("l_returnflag AS grp",
+        "CAST(round(l_quantity) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y")
+      val g = l.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+        sum(expr("y * y")).as("syy"))
+        .localCheckpoint() // pooled row + union + output read it
+      val p = g.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("sxy").as("sxy"), sum("syy").as("syy"))
+        .selectExpr("'ALL' AS grp", "n", "sx", "sy", "sxx", "sxy", "syy")
+        .localCheckpoint()
+      val u = g.unionByName(p)
+      val ps = p.selectExpr(s"$sgn AS pooled_sign")
+      u.crossJoin(broadcast(ps))
+        .selectExpr("grp", "n", s"CAST($sgn AS BIGINT) AS cov_sign",
+          s"$corr AS corr_milli",
+          s"""CAST(CASE WHEN grp <> 'ALL' AND $sgn <> pooled_sign
+             | THEN 1 ELSE 0 END AS BIGINT) AS sign_flips_vs_pooled"""
+            .stripMargin.replaceAll("\n", ""))
+        .orderBy("grp")
+    },
+
+    // ---- mix-vs-rate decomposition (q316): why did mean event value
+    //      move between the first and second half of the window —
+    //      because the event-type MIX shifted, or because within-type
+    //      rates changed? The Oaxaca-style split every metrics review
+    //      asks for: Δ = Σ(w₂−w₁)·r₁  +  Σw₂·(r₂−r₁), per type. Halves
+    //      by the q293 integer time midpoint; all cells exact (count,
+    //      cent-sum) pairs from ONE conditional aggregate; terms are
+    //      shared double expressions (empty-half types take r₁ = 0 by
+    //      the same CASE on both engines). ----
+    QueryDef(
+      "q316_mix_decomposition", {
+        val r1 = "CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END"
+        val r2 = "CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END"
+        val w1 = "CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)"
+        val w2 = "CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
+        s"""WITH ev AS (
+           |  SELECT event_type AS typ, epoch_us(ts) AS tus,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |b AS (SELECT min(tus) + ((max(tus) - min(tus)) // 2) AS bd FROM ev),
+           |h AS (SELECT typ, CASE WHEN tus >= bd THEN 2 ELSE 1 END AS half, cents
+           |      FROM ev CROSS JOIN b),
+           |c AS (SELECT typ,
+           |        CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |        CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |        CAST(sum(CASE WHEN half = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+           |        CAST(sum(CASE WHEN half = 2 THEN cents ELSE 0 END) AS BIGINT) AS s2
+           |      FROM h GROUP BY typ),
+           |t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2 FROM c)
+           |SELECT typ, n1, n2,
+           |       CAST(round(1000 * $r1) AS BIGINT) AS rate1_cents_milli,
+           |       CAST(round(1000 * $r2) AS BIGINT) AS rate2_cents_milli,
+           |       CAST(round(1000000 * (($w2) - ($w1)) * ($r1)) AS BIGINT) AS mix_term_micro,
+           |       CAST(round(1000000 * ($w2) * (($r2) - ($r1))) AS BIGINT) AS rate_term_micro
+           |FROM c CROSS JOIN t ORDER BY typ""".stripMargin
+      }) { (s, dir) =>
+      val r1 = "CASE WHEN n1 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) END"
+      val r2 = "CASE WHEN n2 = 0 THEN CAST(0 AS DOUBLE) ELSE CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) END"
+      val w1 = "CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)"
+      val w2 = "CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE)"
+      val ev = Tables.events(s, dir).selectExpr("event_type AS typ",
+        "ts div 1000 AS tus", "CAST(round(value * 100) AS BIGINT) AS cents")
+      val b = ev.agg(min("tus").as("lo"), max("tus").as("hi"))
+        .selectExpr("lo + ((hi - lo) div 2) AS bd")
+      val c = ev.crossJoin(broadcast(b))
+        .selectExpr("typ", "CASE WHEN tus >= bd THEN 2 ELSE 1 END AS half", "cents")
+        .groupBy("typ")
+        .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("half") === 1, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("half") === 2, col("cents")).otherwise(0L)).as("s2"))
+        .localCheckpoint() // totals + output read it
+      val t = c.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+      c.crossJoin(broadcast(t))
+        .selectExpr("typ", "n1", "n2",
+          s"CAST(round(1000 * $r1) AS BIGINT) AS rate1_cents_milli",
+          s"CAST(round(1000 * $r2) AS BIGINT) AS rate2_cents_milli",
+          s"CAST(round(1000000 * (($w2) - ($w1)) * ($r1)) AS BIGINT) AS mix_term_micro",
+          s"CAST(round(1000000 * ($w2) * (($r2) - ($r1))) AS BIGINT) AS rate_term_micro")
+        .orderBy("typ")
     }
   )
 }

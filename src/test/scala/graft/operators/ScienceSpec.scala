@@ -852,4 +852,72 @@ class ScienceSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= 1000L * maxD + 1L)
     }
   }
+
+  // ---- q315 Simpson's audit ----
+
+  test("q315: signs and correlations replay exact integer moments; pooled row present") {
+    val rows = run("q315_simpsons").collect()
+    val byGrp = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))).toMap
+    assert(byGrp.contains("ALL"))
+    assert(byGrp("ALL")._4 === 0L, "the pooled row cannot flip vs itself")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .selectExpr("l_returnflag AS g", "CAST(round(l_quantity) AS BIGINT) AS x",
+        "CAST(round(l_extendedprice) AS BIGINT) AS y").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def moments(xs: Seq[(Long, Long)]): (Long, Long, Long, Long, Long, Long) = {
+      val n = xs.size.toLong
+      (n, xs.map(_._1).sum, xs.map(_._2).sum,
+        xs.map(v => v._1 * v._1).sum, xs.map(v => v._1 * v._2).sum,
+        xs.map(v => v._2 * v._2).sum)
+    }
+    def covSign(m: (Long, Long, Long, Long, Long, Long)): Long = {
+      val c = m._1 * m._5 - m._2 * m._3
+      if (c > 0) 1L else if (c < 0) -1L else 0L
+    }
+    val pooled = moments(li.map(v => (v._2, v._3)))
+    assert(byGrp("ALL")._2 === covSign(pooled))
+    li.groupBy(_._1).foreach { case (g, xs) =>
+      val m = moments(xs.map(v => (v._2, v._3)))
+      val got = byGrp(g)
+      assert(got._1 === m._1)
+      assert(got._2 === covSign(m), s"group $g sign")
+      val den = math.sqrt((m._1 * m._4 - m._2 * m._2).toDouble *
+        (m._1 * m._6 - m._3 * m._3).toDouble)
+      if (den > 0) {
+        val want = math.round(1000 * (m._1 * m._5 - m._2 * m._3).toDouble / den)
+        assert(math.abs(got._3.get - want) <= 1L, s"group $g corr")
+      }
+      assert(got._4 === (if (covSign(m) != covSign(pooled)) 1L else 0L))
+    }
+  }
+
+  // ---- q316 mix decomposition ----
+
+  test("q316: the Oaxaca identity holds — Σmix + Σrate ≈ Δ overall mean") {
+    val rows = run("q316_mix_decomposition").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .selectExpr("event_type AS t", "ts div 1000 AS tus",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val bd = lo + (hi - lo) / 2
+    val h1 = ev.filter(_._2 < bd); val h2 = ev.filter(_._2 >= bd)
+    def mean(xs: Array[(String, Long, Long)]) =
+      xs.map(_._3).sum.toDouble / xs.length
+    val delta = mean(h2) - mean(h1)
+    val sumTerms = rows.map(r => (r._6 + r._7).toDouble / 1000000).sum
+    // per-type micro rounding accumulates ≤ 0.5e-6 per term
+    assert(math.abs(sumTerms - delta) <= rows.length * 1e-6 + 1e-3,
+      s"identity: terms $sumTerms vs delta $delta")
+    // cell counts replay
+    rows.foreach { case (t, n1, n2, _, _, _, _) =>
+      assert(n1 === h1.count(_._1 == t).toLong)
+      assert(n2 === h2.count(_._1 == t).toLong)
+    }
+  }
 }
