@@ -5081,6 +5081,7 @@ object PipelineQueries {
       val capped = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
           .select("fp"), "fp")
+        .localCheckpoint() // both self-join sides read it
       val wp = capped.as("a").join(capped.as("b"), Seq("fp"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

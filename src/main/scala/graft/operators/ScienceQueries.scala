@@ -574,6 +574,7 @@ object ScienceQueries {
         fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
           .select("fp"),
         "fp")
+        .localCheckpoint() // both self-join sides read it
       capped.as("a").join(capped.as("b"), Seq("fp"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
