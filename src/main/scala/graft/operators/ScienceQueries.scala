@@ -1745,6 +1745,166 @@ object ScienceQueries {
           s"CAST(round(1000000 * (($w2) - ($w1)) * ($r1)) AS BIGINT) AS mix_term_micro",
           s"CAST(round(1000000 * ($w2) * (($r2) - ($r1))) AS BIGINT) AS rate_term_micro")
         .orderBy("typ")
+    },
+
+    // ---- ratio-metric delta-method CI (q317): purchases-per-event by
+    //      arm — the ratio metric whose naive per-event variance is
+    //      WRONG because users, not events, are the randomization unit
+    //      (Deng et al., the classic A/B-test trap). User-level
+    //      (x = purchases, y = events) moments per md5 arm are exact
+    //      BIGINTs from one aggregate; R = Σx/Σy and the delta-method
+    //      variance (σx² − 2Rσxy + R²σy²)/(n·ȳ²) are shared double
+    //      expressions, composed into the treat−control z. ----
+    QueryDef(
+      "q317_ratio_metric_ci", {
+        def arm(a: String): Map[String, String] = Map(
+          "R" -> s"(CAST(sx$a AS DOUBLE) / CAST(sy$a AS DOUBLE))",
+          "vx" -> s"((CAST(n$a AS DOUBLE) * CAST(sxx$a AS DOUBLE) - CAST(sx$a AS DOUBLE) * CAST(sx$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+          "vy" -> s"((CAST(n$a AS DOUBLE) * CAST(syy$a AS DOUBLE) - CAST(sy$a AS DOUBLE) * CAST(sy$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+          "vxy" -> s"((CAST(n$a AS DOUBLE) * CAST(sxy$a AS DOUBLE) - CAST(sx$a AS DOUBLE) * CAST(sy$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+          "ybar" -> s"(CAST(sy$a AS DOUBLE) / CAST(n$a AS DOUBLE))")
+        def varR(a: String): String = {
+          val m = arm(a)
+          s"((${m("vx")} - 2 * ${m("R")} * ${m("vxy")} + ${m("R")} * ${m("R")} * ${m("vy")}) / (CAST(n$a AS DOUBLE) * ${m("ybar")} * ${m("ybar")}))"
+        }
+        val diff = s"(${arm("t")("R")} - ${arm("c")("R")})"
+        val se = s"sqrt(${varR("t")} + ${varR("c")})"
+        s"""WITH u AS (
+           |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS STRING) || '|did'),
+           |           1, 13)) AS BIGINT) % 2 AS treat,
+           |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |           AS BIGINT) AS x,
+           |         CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY user_id),
+           |m AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           |    CAST(sum(CASE WHEN treat = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+           |    CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+           |    CAST(sum(CASE WHEN treat = 1 THEN x * x ELSE 0 END) AS BIGINT) AS sxxt,
+           |    CAST(sum(CASE WHEN treat = 1 THEN y * y ELSE 0 END) AS BIGINT) AS syyt,
+           |    CAST(sum(CASE WHEN treat = 1 THEN x * y ELSE 0 END) AS BIGINT) AS sxyt,
+           |    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |    CAST(sum(CASE WHEN treat = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+           |    CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT) AS syc,
+           |    CAST(sum(CASE WHEN treat = 0 THEN x * x ELSE 0 END) AS BIGINT) AS sxxc,
+           |    CAST(sum(CASE WHEN treat = 0 THEN y * y ELSE 0 END) AS BIGINT) AS syyc,
+           |    CAST(sum(CASE WHEN treat = 0 THEN x * y ELSE 0 END) AS BIGINT) AS sxyc
+           |  FROM u)
+           |SELECT nt, nc,
+           |       CAST(round(1000000 * ${arm("t")("R")}) AS BIGINT) AS ratio_t_micro,
+           |       CAST(round(1000000 * ${arm("c")("R")}) AS BIGINT) AS ratio_c_micro,
+           |       CAST(round(1000000 * $diff) AS BIGINT) AS diff_micro,
+           |       CAST(round(1000000 * $se) AS BIGINT) AS se_micro,
+           |       CAST(round(1000 * $diff / $se) AS BIGINT) AS z_milli
+           |FROM m""".stripMargin
+      }) { (s, dir) =>
+      // identical shared expressions, rebuilt locally (same strings)
+      def arm(a: String): Map[String, String] = Map(
+        "R" -> s"(CAST(sx$a AS DOUBLE) / CAST(sy$a AS DOUBLE))",
+        "vx" -> s"((CAST(n$a AS DOUBLE) * CAST(sxx$a AS DOUBLE) - CAST(sx$a AS DOUBLE) * CAST(sx$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+        "vy" -> s"((CAST(n$a AS DOUBLE) * CAST(syy$a AS DOUBLE) - CAST(sy$a AS DOUBLE) * CAST(sy$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+        "vxy" -> s"((CAST(n$a AS DOUBLE) * CAST(sxy$a AS DOUBLE) - CAST(sx$a AS DOUBLE) * CAST(sy$a AS DOUBLE)) / (CAST(n$a AS DOUBLE) * (CAST(n$a AS DOUBLE) - 1)))",
+        "ybar" -> s"(CAST(sy$a AS DOUBLE) / CAST(n$a AS DOUBLE))")
+      def varR(a: String): String = {
+        val m = arm(a)
+        s"((${m("vx")} - 2 * ${m("R")} * ${m("vxy")} + ${m("R")} * ${m("R")} * ${m("vy")}) / (CAST(n$a AS DOUBLE) * ${m("ybar")} * ${m("ybar")}))"
+      }
+      val diff = s"(${arm("t")("R")} - ${arm("c")("R")})"
+      val se = s"sqrt(${varR("t")} + ${varR("c")})"
+      val u = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+        .withColumn("treat",
+          pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit("|did"))),
+            1, 13), 16, 10).cast("long"), lit(2L)))
+      def cell(t: Int, e: String) =
+        sum(when(col("treat") === t, expr(e)).otherwise(0L))
+      u.agg(
+        cell(1, "1").as("nt"), cell(1, "x").as("sxt"), cell(1, "y").as("syt"),
+        cell(1, "x * x").as("sxxt"), cell(1, "y * y").as("syyt"),
+        cell(1, "x * y").as("sxyt"),
+        cell(0, "1").as("nc"), cell(0, "x").as("sxc"), cell(0, "y").as("syc"),
+        cell(0, "x * x").as("sxxc"), cell(0, "y * y").as("syyc"),
+        cell(0, "x * y").as("sxyc"))
+        .selectExpr("nt", "nc",
+          s"""CAST(round(1000000 * ${arm("t")("R")}) AS BIGINT) AS ratio_t_micro""",
+          s"""CAST(round(1000000 * ${arm("c")("R")}) AS BIGINT) AS ratio_c_micro""",
+          s"CAST(round(1000000 * $diff) AS BIGINT) AS diff_micro",
+          s"CAST(round(1000000 * $se) AS BIGINT) AS se_micro",
+          s"CAST(round(1000 * $diff / $se) AS BIGINT) AS z_milli")
+    },
+
+    // ---- uplift-trend slope (q318): is the treatment effect fading —
+    //      the novelty-effect check run on every experiment that looks
+    //      good in week one. Daily treat−control mean-spend gaps are
+    //      quantized to EXACT milli integers per day (shared CASE
+    //      drops days missing an arm identically on both engines),
+    //      then the day-index OLS slope is closed-form integer sums
+    //      (the q288 machinery, 2-var form) — no iterative fit. ----
+    QueryDef(
+      "q318_uplift_trend", {
+        val dMilli =
+          """CAST(round(1000 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+            | - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", "")
+        val slope =
+          """CAST(round(1000 * (CAST(n * sid - si * sd AS DOUBLE)
+            | / CAST(n * sii - si * si AS DOUBLE))) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", "")
+        s"""WITH ev AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |         CAST(('0x' || substring(md5(CAST(user_id AS STRING) || '|did'),
+           |           1, 13)) AS BIGINT) % 2 AS treat,
+           |         CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |d0 AS (SELECT min(day) AS mind FROM ev),
+           |g AS (SELECT day,
+           |        CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           |        CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+           |        CAST(sum(CASE WHEN treat = 1 THEN cents ELSE 0 END) AS BIGINT) AS st,
+           |        CAST(sum(CASE WHEN treat = 0 THEN cents ELSE 0 END) AS BIGINT) AS sc
+           |      FROM ev GROUP BY day),
+           |pts AS (SELECT CAST(date_diff('day', mind, day) AS BIGINT) AS i,
+           |          $dMilli AS d
+           |        FROM g CROSS JOIN d0 WHERE nt > 0 AND nc > 0),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS si,
+           |        CAST(sum(d) AS BIGINT) AS sd, CAST(sum(i * i) AS BIGINT) AS sii,
+           |        CAST(sum(i * d) AS BIGINT) AS sid
+           |      FROM pts)
+           |SELECT n AS n_days, sd,
+           |       CAST(round(1000 * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+           |         AS mean_uplift_micro,
+           |       $slope AS slope_micro_per_day
+           |FROM m""".stripMargin
+      }) { (s, dir) =>
+      val dMilli =
+        """CAST(round(1000 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+          | - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT)"""
+          .stripMargin.replaceAll("\n", "")
+      val slope =
+        """CAST(round(1000 * (CAST(n * sid - si * sd AS DOUBLE)
+          | / CAST(n * sii - si * si AS DOUBLE))) AS BIGINT)"""
+          .stripMargin.replaceAll("\n", "")
+      val ev = Tables.eventsTs(s, dir).select(to_date(col("ts")).as("day"),
+        pmod(conv(substring(md5(concat(col("user_id").cast("string"), lit("|did"))),
+          1, 13), 16, 10).cast("long"), lit(2L)).as("treat"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val d0 = ev.agg(min("day").as("mind"))
+      val g = ev.groupBy("day").agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("treat") === 1, col("cents")).otherwise(0L)).as("st"),
+        sum(when(col("treat") === 0, col("cents")).otherwise(0L)).as("sc"))
+      g.crossJoin(broadcast(d0))
+        .filter(col("nt") > 0 && col("nc") > 0)
+        .selectExpr("CAST(datediff(day, mind) AS BIGINT) AS i", s"$dMilli AS d")
+        .agg(count(lit(1)).as("n"), sum("i").as("si"), sum("d").as("sd"),
+          sum(expr("i * i")).as("sii"), sum(expr("i * d")).as("sid"))
+        .selectExpr("n AS n_days", "sd",
+          "CAST(round(1000 * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_uplift_micro",
+          s"$slope AS slope_micro_per_day")
     }
   )
 }

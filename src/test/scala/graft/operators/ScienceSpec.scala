@@ -920,4 +920,76 @@ class ScienceSpec extends SparkSpec {
       assert(n2 === h2.count(_._1 == t).toLong)
     }
   }
+
+  private def md5Arm(u: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((u.toString + "|did").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2L
+  }
+
+  // ---- q317 ratio-metric CI ----
+
+  test("q317: ratio, delta-method SE, and z replay a driver user-level computation") {
+    val got = run("q317_ratio_metric_ci").collect().head
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).map { case (u, xs) =>
+      (md5Arm(u), xs.count(_._2 == "purchase").toLong, xs.length.toLong)
+    }.toSeq
+    def armStats(t: Long): (Long, Double, Double) = {
+      val xs = users.filter(_._1 == t)
+      val n = xs.size
+      val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+      val r = sx.toDouble / sy
+      val vx = (n.toDouble * xs.map(v => v._2 * v._2).sum - sx.toDouble * sx) / (n.toDouble * (n - 1))
+      val vy = (n.toDouble * xs.map(v => v._3 * v._3).sum - sy.toDouble * sy) / (n.toDouble * (n - 1))
+      val vxy = (n.toDouble * xs.map(v => v._2 * v._3).sum - sx.toDouble * sy) / (n.toDouble * (n - 1))
+      val ybar = sy.toDouble / n
+      (n.toLong, r, (vx - 2 * r * vxy + r * r * vy) / (n * ybar * ybar))
+    }
+    val (nt, rt, vt) = armStats(1L); val (nc, rc, vc) = armStats(0L)
+    assert(got.getLong(0) === nt && got.getLong(1) === nc)
+    assert(math.abs(got.getLong(2) - math.round(1e6 * rt)) <= 1L)
+    assert(math.abs(got.getLong(3) - math.round(1e6 * rc)) <= 1L)
+    val se = math.sqrt(vt + vc)
+    assert(math.abs(got.getLong(5) - math.round(1e6 * se)) <= 1L)
+    assert(math.abs(got.getLong(6) - math.round(1000 * (rt - rc) / se)) <= 1L)
+    assert(got.getLong(5) > 0L, "delta-method SE must be positive")
+  }
+
+  // ---- q318 uplift trend ----
+
+  test("q318: daily gaps and the OLS slope replay on the driver") {
+    val got = run("q318_uplift_trend").collect().head
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day", "user_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mind = ev.map(_._1).min
+    val pts = ev.groupBy(_._1).toSeq.flatMap { case (d, xs) =>
+      val t = xs.filter(e => md5Arm(e._2) == 1L)
+      val c = xs.filter(e => md5Arm(e._2) == 0L)
+      if (t.isEmpty || c.isEmpty) None
+      else {
+        val i = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse(mind), java.time.LocalDate.parse(d))
+        val g = 1000 * (t.map(_._3).sum.toDouble / t.length -
+          c.map(_._3).sum.toDouble / c.length)
+        // SQL round() is half-AWAY-FROM-ZERO; math.round is floor(x+.5),
+        // which differs on negative exact halves
+        val gap = if (g >= 0) math.round(g) else -math.round(-g)
+        Some((i, gap))
+      }
+    }
+    assert(got.getLong(0) === pts.size.toLong)
+    assert(got.getLong(1) === pts.map(_._2).sum)
+    val n = pts.size.toDouble
+    val (si, sd) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sii = pts.map(p => p._1 * p._1).sum.toDouble
+    val sid = pts.map(p => p._1 * p._2).sum.toDouble
+    val slope = (n * sid - si * sd) / (n * sii - si * si)
+    assert(math.abs(got.getLong(3) - math.round(1000 * slope)) <= 1L)
+  }
 }
