@@ -5098,6 +5098,59 @@ object PipelineQueries {
         sum(when(col("inwp") === 1 && col("inmh").isNull, 1L).otherwise(0L)).as("n_only_winnow"))
         .selectExpr("n_minhash", "n_winnow", "n_both", "n_only_minhash", "n_only_winnow",
           "CAST(10000 * n_both div greatest(n_minhash + n_winnow - n_both, 1L) AS BIGINT) AS overlap_bp")
+    },
+
+    // ---- IVF probe-sweep tuning curve (q319): recall@10 vs nprobe ∈
+    //      {1,2,4,8} against the exact brute-force truth — the q286 LSH
+    //      tuning report's IVF sibling, and the knob table an index
+    //      rollout reads ("how many buckets must I probe for 95%
+    //      recall"). Truth is computed ONCE and pinned; each probe
+    //      level is an independent bucket-pruned search whose entire
+    //      build+probe the oracle replays (the q46/q110 mirrors,
+    //      parameterized). Scale: candidate surface per level is
+    //      nprobe/nBuckets of the corpus — the sweep measures exactly
+    //      the recall that pruning fraction buys. ----
+    QueryDef(
+      "q319_ivf_tuning", {
+        val levels = Seq(1, 2, 4, 8)
+        val hitCtes = levels.map { np =>
+          s"""h$np AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n
+             |  FROM (${ivfOracleSqlAt(np)}) i
+             |  JOIN bf b ON b.query_id = i.query_id
+             |           AND b.neighbor_id = i.neighbor_id)""".stripMargin
+        }.mkString(",\n")
+        val rows = levels.map(np =>
+          s"SELECT $np AS nprobe, n AS n_hits, CAST(n * 10000 // 50 AS BIGINT) AS recall_bp FROM h$np")
+          .mkString(" UNION ALL ")
+        s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
+           |            FROM embeddings WHERE vec_id < 5),
+           |bf AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, e.vec_id AS neighbor_id,
+           |           row_number() OVER (PARTITION BY q.query_id
+           |             ORDER BY ${cosineSql("q.q_embedding", "e.embedding")} DESC,
+           |                      e.vec_id) AS rank
+           |    FROM embeddings e JOIN qs q ON q.query_id <> e.vec_id) t
+           |  WHERE rank <= 10),
+           |$hitCtes
+           |SELECT nprobe, n_hits, recall_bp FROM ($rows) u
+           |ORDER BY nprobe""".stripMargin
+      }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint() // the truth set; every probe level joins it
+      Seq(1, 2, 4, 8).map { np =>
+        Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = np)
+          .select("query_id", "neighbor_id")
+          .join(bf, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .selectExpr(s"$np AS nprobe", "n_hits",
+            "CAST(n_hits * 10000 div 50 AS BIGINT) AS recall_bp")
+      }.reduce(_ unionByName _).orderBy("nprobe")
     }
   )
 
@@ -5306,7 +5359,10 @@ object PipelineQueries {
     * in SQL. Shared with q82 (AnalyticsQueries), which runs the SAME
     * search through a persisted index — identical results by contract.
     */
-  private[operators] def ivfOracleSql: String =
+  private[operators] def ivfOracleSql: String = ivfOracleSqlAt(4)
+
+  /** [[ivfOracleSql]] parameterized by the probe count (q319 sweeps it). */
+  private[operators] def ivfOracleSqlAt(nprobe: Int): String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |         ${OracleSql.md5Long("CAST(vec_id AS VARCHAR)")} % 16 AS bucket
@@ -5330,7 +5386,7 @@ object PipelineQueries {
        |           row_number() OVER (PARTITION BY q.query_id
        |             ORDER BY ${cosineSql("q.q_embedding", "c.centroid")} DESC, c.bucket) AS crank
        |    FROM q CROSS JOIN cent c) t
-       |  WHERE crank <= 4),
+       |  WHERE crank <= $nprobe),
        |cand AS (
        |  SELECT p.query_id, e.vec_id AS neighbor_id,
        |         ${cosineSql("p.q_embedding", "e.embedding")} AS sim

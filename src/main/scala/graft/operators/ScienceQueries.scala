@@ -1905,6 +1905,72 @@ object ScienceQueries {
         .selectExpr("n AS n_days", "sd",
           "CAST(round(1000 * CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS mean_uplift_micro",
           s"$slope AS slope_micro_per_day")
+    },
+
+    // ---- empirical-Bayes shrunk keep rates (q320): per-source quality
+    //      pass rates shrunk toward a method-of-moments beta prior —
+    //      the q203 Wilson bound's EB sibling: a 3-doc source with 3
+    //      passes should NOT outrank a 500-doc source at 95%. Counts
+    //      are exact; the prior's rate mean/variance use an
+    //      INDEX-ORDERED fold over the ≤k source rows (the q171
+    //      discipline — a parallel double sum would be order-dependent),
+    //      and degenerate priors (zero variance / non-positive
+    //      concentration) fall back to the flat Beta(1,1) by the same
+    //      CASE on both engines. ----
+    QueryDef(
+      "q320_eb_shrunk_rates", {
+        val m = "(sr / k)"
+        val v = s"(srr / k - $m * $m)"
+        val common = s"($m * (1 - $m) / $v - 1)"
+        val alpha = s"(CASE WHEN $v <= 0 OR $common <= 0 THEN CAST(1 AS DOUBLE) ELSE $m * $common END)"
+        val beta = s"(CASE WHEN $v <= 0 OR $common <= 0 THEN CAST(1 AS DOUBLE) ELSE (1 - $m) * $common END)"
+        val rSql = "CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+        s"""WITH g AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS x
+           |  FROM documents GROUP BY source),
+           |f AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list($rSql ORDER BY source)), (a, b) -> a + b) AS sr,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list_transform(list($rSql ORDER BY source), r -> r * r)),
+           |      (a, b) -> a + b) AS srr
+           |  FROM g),
+           |pr AS (SELECT $alpha AS al, $beta AS be FROM f)
+           |SELECT source, n AS n_docs, x AS n_kept,
+           |       CAST(round(1000 * $rSql) AS BIGINT) AS raw_rate_milli,
+           |       CAST(round(1000 * (CAST(x AS DOUBLE) + al)
+           |         / (CAST(n AS DOUBLE) + al + be)) AS BIGINT) AS shrunk_rate_milli
+           |FROM g CROSS JOIN pr ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val m = "(sr / k)"
+      val v = s"(srr / k - $m * $m)"
+      val common = s"($m * (1 - $m) / $v - 1)"
+      val alpha = s"(CASE WHEN $v <= 0 OR $common <= 0 THEN CAST(1 AS DOUBLE) ELSE $m * $common END)"
+      val beta = s"(CASE WHEN $v <= 0 OR $common <= 0 THEN CAST(1 AS DOUBLE) ELSE (1 - $m) * $common END)"
+      val rSql = "CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+      val g = Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("x"))
+        .localCheckpoint() // prior fold + output read it
+      val f = g.selectExpr("source", s"$rSql AS r")
+        .agg(count(lit(1)).as("k"),
+          expr("""aggregate(
+            transform(sort_array(collect_list(struct(source, r))), z -> z.r),
+            CAST(0 AS DOUBLE), (a, b) -> a + b)""").as("sr"),
+          expr("""aggregate(
+            transform(sort_array(collect_list(struct(source, r))), z -> z.r * z.r),
+            CAST(0 AS DOUBLE), (a, b) -> a + b)""").as("srr"))
+      val pr = f.selectExpr(s"$alpha AS al", s"$beta AS be")
+      g.crossJoin(broadcast(pr))
+        .selectExpr("source", "n AS n_docs", "x AS n_kept",
+          s"CAST(round(1000 * $rSql) AS BIGINT) AS raw_rate_milli",
+          s"""CAST(round(1000 * (CAST(x AS DOUBLE) + al)
+             | / (CAST(n AS DOUBLE) + al + be)) AS BIGINT) AS shrunk_rate_milli"""
+            .stripMargin.replaceAll("\n", ""))
+        .orderBy("source")
     }
   )
 }

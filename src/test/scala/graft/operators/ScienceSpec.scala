@@ -992,4 +992,60 @@ class ScienceSpec extends SparkSpec {
     val slope = (n * sid - si * sd) / (n * sii - si * si)
     assert(math.abs(got.getLong(3) - math.round(1000 * slope)) <= 1L)
   }
+
+  // ---- q319 IVF tuning ----
+
+  test("q319: recall is monotone in nprobe and full-probe is near-exhaustive") {
+    val rows = run("q319_ivf_tuning").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    rows.foreach { case (_, hits, bp) =>
+      assert(bp === hits * 10000 / 50)
+      assert(hits >= 0L && hits <= 50L)
+    }
+    rows.sliding(2).foreach { case Array((_, _, a), (_, _, b)) =>
+      assert(b >= a, "probing more buckets can only add candidates")
+    }
+    // 8 of 16 buckets probed must beat 1 of 16 on this corpus
+    assert(rows.last._3 > rows.head._3)
+    // md5 buckets aren't geometric, so the 150-vector sf0.001 fixture
+    // caps out around 70% at nprobe=8 — pin a floor, not perfection
+    assert(rows.last._3 >= 5000L, "half the buckets should recover ≥50%")
+  }
+
+  // ---- q320 EB shrinkage ----
+
+  test("q320: shrinkage replays a driver MOM prior and pulls small sources harder") {
+    val rows = run("q320_eb_shrunk_rates").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS keep")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val g = docs.groupBy(_._1).map { case (s2, xs) =>
+      (s2, xs.length.toLong, xs.map(_._2.toLong).sum)
+    }.toSeq.sortBy(_._1)
+    val rates = g.map(v => v._3.toDouble / v._2)
+    var sr = 0.0; var srr = 0.0
+    rates.foreach { r => sr += r }; rates.foreach { r => srr += r * r }
+    val k = g.size.toDouble
+    val m = sr / k; val v = srr / k - m * m
+    val common = m * (1 - m) / v - 1
+    val (al, be) = if (v <= 0 || common <= 0) (1.0, 1.0) else (m * common, (1 - m) * common)
+    val byS = rows.map(r => r._1 -> r).toMap
+    g.foreach { case (s2, n, x) =>
+      val got = byS(s2)
+      assert(got._2 === n && got._3 === x)
+      assert(math.abs(got._4 - math.round(1000.0 * x / n)) <= 1L)
+      val shrunk = 1000 * (x + al) / (n + al + be)
+      assert(math.abs(got._5 - math.round(shrunk)) <= 1L, s"source $s2")
+      // shrinkage moves every source TOWARD the prior mean
+      val prior = al / (al + be)
+      val raw = x.toDouble / n
+      if (raw > prior)
+        assert(got._5 <= got._4 + 1L, s"$s2: above-prior source must shrink down")
+      else if (raw < prior)
+        assert(got._5 >= got._4 - 1L, s"$s2: below-prior source must shrink up")
+    }
+  }
 }
