@@ -1971,6 +1971,126 @@ object ScienceQueries {
              | / (CAST(n AS DOUBLE) + al + be)) AS BIGINT) AS shrunk_rate_milli"""
             .stripMargin.replaceAll("\n", ""))
         .orderBy("source")
+    },
+
+    // ---- Mantel-Haenszel pooled odds ratio (q321): is long-doc status
+    //      associated with English across sources WITHOUT Simpson
+    //      confounding — the stratified 2×2 estimator (MH 1959) that
+    //      q315 motivates. Per-source cells are exact integers from one
+    //      conditional aggregate; per-stratum ORs are NULL-guarded
+    //      shared divisions; the pooled Σ(ad/n)/Σ(bc/n) uses
+    //      index-ordered folds over the ≤k strata (the q171 discipline)
+    //      so both engines add the rationals in the same order. ----
+    QueryDef(
+      "q321_mantel_haenszel", {
+        val orSql =
+          """CASE WHEN b * c = 0 THEN NULL
+            | ELSE CAST(round(1000 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+            |   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS BIGINT) END"""
+            .stripMargin.replaceAll("\n", "")
+        s"""WITH t AS (
+           |  SELECT source,
+           |         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS e,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+           |  FROM documents),
+           |g AS (
+           |  SELECT source,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           |    CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           |    CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+           |  FROM t GROUP BY source),
+           |f AS (
+           |  SELECT
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+           |           / CAST(a + b + c + d AS DOUBLE) ORDER BY source)),
+           |      (x, y) -> x + y) AS num,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           |      list(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+           |           / CAST(a + b + c + d AS DOUBLE) ORDER BY source)),
+           |      (x, y) -> x + y) AS den
+           |  FROM g),
+           |per AS (
+           |  SELECT source, a, b, c, d, $orSql AS or_milli FROM g),
+           |pooled AS (
+           |  SELECT 'ALL(MH)' AS source,
+           |    (SELECT CAST(sum(a) AS BIGINT) FROM g) AS a,
+           |    (SELECT CAST(sum(b) AS BIGINT) FROM g) AS b,
+           |    (SELECT CAST(sum(c) AS BIGINT) FROM g) AS c,
+           |    (SELECT CAST(sum(d) AS BIGINT) FROM g) AS d,
+           |    CASE WHEN den = 0 THEN NULL
+           |         ELSE CAST(round(1000 * num / den) AS BIGINT) END AS or_milli
+           |  FROM f)
+           |SELECT source, a, b, c, d, or_milli FROM per
+           |UNION ALL SELECT * FROM pooled
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val orSql =
+        """CASE WHEN b * c = 0 THEN NULL
+          | ELSE CAST(round(1000 * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+          |   / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS BIGINT) END"""
+          .stripMargin.replaceAll("\n", "")
+      val t = Tables.documents(s, dir).selectExpr("source",
+        "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS e",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o")
+      val g = t.groupBy("source").agg(
+        sum(when(col("e") === 1 && col("o") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") === 1 && col("o") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("e") === 0 && col("o") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("e") === 0 && col("o") === 0, 1L).otherwise(0L)).as("d"))
+        .localCheckpoint() // per-stratum rows + folds + pooled cells read it
+      def fold(termSql: String) = expr(
+        s"""aggregate(
+           |  transform(sort_array(collect_list(struct(source,
+           |    $termSql AS tv))), z -> z.tv),
+           |  CAST(0 AS DOUBLE), (x, y) -> x + y)""".stripMargin)
+      val f = g.agg(
+        fold("CAST(a AS DOUBLE) * CAST(d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)").as("num"),
+        fold("CAST(b AS DOUBLE) * CAST(c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)").as("den"))
+      val per = g.selectExpr("source", "a", "b", "c", "d", s"$orSql AS or_milli")
+      val pooled = g.agg(sum("a").as("a"), sum("b").as("b"),
+        sum("c").as("c"), sum("d").as("d"))
+        .crossJoin(broadcast(f))
+        .selectExpr("'ALL(MH)' AS source", "a", "b", "c", "d",
+          """CASE WHEN den = 0 THEN NULL
+            | ELSE CAST(round(1000 * num / den) AS BIGINT) END AS or_milli"""
+            .stripMargin.replaceAll("\n", ""))
+      per.unionByName(pooled).orderBy("source")
+    },
+
+    // ---- day-of-week seasonality index (q322): per-dow mean spend vs
+    //      the overall mean, FULLY integer (10000·s_d·N div (n_d·S) —
+    //      no double division at all), with the dow derived portably as
+    //      days-since-a-known-Monday mod 7 (engine dayofweek()
+    //      conventions disagree; arithmetic doesn't). The multiplicative
+    //      profile every staffing/capacity plan reads. ----
+    QueryDef(
+      "q322_dow_index",
+      """WITH ev AS (
+        |  SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 AS dow,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(cents) AS BIGINT) AS sum_cents
+        |      FROM ev GROUP BY dow),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS nn,
+        |        CAST(sum(sum_cents) AS BIGINT) AS ss FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, n_events, sum_cents,
+        |       CAST(10000 * sum_cents * nn // (n_events * ss) AS BIGINT) AS index_bp
+        |FROM g CROSS JOIN t ORDER BY dow""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsTs(s, dir).select(
+        pmod(datediff(to_date(col("ts")), lit("1970-01-05").cast("date")), lit(7))
+          .cast("long").as("dow"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val g = ev.groupBy("dow")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        .localCheckpoint() // totals + output read it
+      val t = g.agg(sum("n_events").as("nn"), sum("sum_cents").as("ss"))
+      g.crossJoin(broadcast(t))
+        .selectExpr("dow", "n_events", "sum_cents",
+          "CAST(10000 * sum_cents * nn div (n_events * ss) AS BIGINT) AS index_bp")
+        .orderBy("dow")
     }
   )
 }

@@ -1048,4 +1048,63 @@ class ScienceSpec extends SparkSpec {
         assert(got._5 >= got._4 - 1L, s"$s2: below-prior source must shrink up")
     }
   }
+
+  // ---- q321 Mantel-Haenszel ----
+
+  test("q321: cells, per-stratum ORs, and the MH pool replay on the driver") {
+    val rows = run("q321_mantel_haenszel").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(rows.contains("ALL(MH)"))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("source", "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS e",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val strata = docs.groupBy(_._1).map { case (s2, xs) =>
+      s2 -> (xs.count(v => v._2 == 1 && v._3 == 1).toLong,
+        xs.count(v => v._2 == 1 && v._3 == 0).toLong,
+        xs.count(v => v._2 == 0 && v._3 == 1).toLong,
+        xs.count(v => v._2 == 0 && v._3 == 0).toLong)
+    }
+    strata.foreach { case (s2, (a, b, c, d)) =>
+      val got = rows(s2)
+      assert((got._1, got._2, got._3, got._4) === ((a, b, c, d)), s"stratum $s2")
+      if (b * c == 0) assert(got._5.isEmpty)
+      else assert(math.abs(got._5.get -
+        math.round(1000.0 * a * d / (b.toDouble * c))) <= 1L)
+    }
+    var num = 0.0; var den = 0.0
+    strata.toSeq.sortBy(_._1).foreach { case (_, (a, b, c, d)) =>
+      val n = (a + b + c + d).toDouble
+      num += a.toDouble * d / n; den += b.toDouble * c / n
+    }
+    val pooled = rows("ALL(MH)")
+    assert((pooled._1, pooled._2, pooled._3, pooled._4) ===
+      ((strata.values.map(_._1).sum, strata.values.map(_._2).sum,
+        strata.values.map(_._3).sum, strata.values.map(_._4).sum)))
+    if (den == 0) assert(pooled._5.isEmpty)
+    else assert(math.abs(pooled._5.get - math.round(1000 * num / den)) <= 1L)
+  }
+
+  // ---- q322 dow index ----
+
+  test("q322: indices are exact integers, mass-weighted-average to 10000 bp, dow matches the calendar") {
+    val rows = run("q322_dow_index").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(r => r._1 >= 0L && r._1 <= 6L))
+    val nn = rows.map(_._2).sum; val ss = rows.map(_._3).sum
+    rows.foreach { case (_, n, s2, bp) =>
+      assert(bp === 10000L * s2 * nn / (n * ss))
+    }
+    // driver dow replay on a sample: 1970-01-05 was a Monday → dow 0
+    val ev = graft.tables.Tables.eventsTs(spark, sf0001)
+      .selectExpr("CAST(to_date(ts) AS STRING) AS day").limit(50).collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)))
+    ev.foreach { d =>
+      val want = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1970, 1, 5), d) % 7
+      assert(want === (d.getDayOfWeek.getValue - 1).toLong,
+        "mod-7 arithmetic must equal ISO Monday=0 day-of-week")
+    }
+  }
 }
