@@ -585,13 +585,23 @@ object Dedup {
     * keyed agg + one join over the current edge set — linear shuffles,
     * no neighborhood materialized in memory. The fixpoint is the star
     * forest: every non-root points directly at its component's min id.
-    * Convergence is checked EXACTLY (same count + same union-distinct
-    * count ⟺ same edge set — no hash-collision risk), and hitting the
-    * cap fails loudly: silently-split clusters make a wrongly
-    * "deduplicated" corpus. `localCheckpoint` per round truncates the
-    * branching lineage (each round reads the previous edge set thrice).
-    * Deterministic: min-based, so the same labels fall out on any
-    * partitioning.
+    *
+    * Convergence detection rides ON the passes: each pass carries a
+    * `chg` flag marking rows it actually moved, and the loop exits when
+    * a round raises no flag — reading the flags is a scan over the
+    * round's already-checkpointed blocks, not a separate shuffle probe.
+    * A graph is a fixpoint of BOTH passes iff it is a star forest
+    * (Kiveris et al. §3), so flag-free ⟺ converged. Note a structural
+    * src∩dst disjointness test is NOT a valid fixpoint check:
+    * {(3→1),(3→2)} has disjoint src/dst sets yet node 3 holds two
+    * parents and components {1},{2} are still unmerged — exactly the
+    * shape non-transitive near-dup pairs produce (A~C, B~C, A≁B); only
+    * the small-star flag catches it (DedupSpec "shared child" test).
+    * Hitting the cap fails loudly: silently-split clusters make a
+    * wrongly "deduplicated" corpus. `localCheckpoint` per pass
+    * truncates the branching lineage (each pass reads its input
+    * twice). Deterministic: min-based, so the same labels fall out on
+    * any partitioning.
     *
     * Returns (id, cluster) where cluster = min id in the component.
     */
@@ -607,49 +617,57 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
-    // Output stays child → parent (v > u ≥ m).
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+    // v > u. Output stays child → parent (v > u ≥ m) with a `chg` flag:
+    // the emitted row for input edge (v → u) is (v → m), which moved v's
+    // parent iff m < u — so the pass is an identity exactly when no row
+    // is flagged (src > dst invariant: every input edge appears in
+    // exactly one kept row). groupBy(src,dst) is the old distinct(),
+    // keeping the flag via max.
     def largeStar(e: DataFrame): DataFrame = {
-      val n = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val ed = e.select(col("src"), col("dst"))
+      val n = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
       val m = n.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
       n.join(m, "src")
         .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+        .select(col("dst").as("s"), col("m").as("d"),
+          (col("m") < col("src")).as("chg"))
+        .groupBy(col("s").as("src"), col("d").as("dst"))
+        .agg(max("chg").as("chg"))
     }
     // small-star(u) on the directed graph (all out-neighbors < u):
-    // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m.
+    // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m. A group is
+    // an identity exactly when u has ONE distinct parent (min = max);
+    // otherwise it rewires — including the src/dst-disjoint two-parent
+    // shape large-star cannot see.
     def smallStar(e: DataFrame): DataFrame = {
-      val m = e.groupBy("src").agg(min("dst").as("m"))
-      e.join(m, "src")
+      val ed = e.select(col("src"), col("dst"))
+      val m = ed.groupBy("src").agg(min("dst").as("m"), max("dst").as("mx"))
+      ed.join(m, "src")
         .select(explode(array(
           struct(col("src").as("s"), col("m").as("d")),
-          struct(col("dst").as("s"), col("m").as("d")))).as("x"))
-        .select(col("x.s").as("src"), col("x.d").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
+          struct(col("dst").as("s"), col("m").as("d")))).as("x"),
+          (col("m") =!= col("mx")).as("c"))
+        .filter(col("x.s") =!= col("x.d"))
+        .groupBy(col("x.s").as("src"), col("x.d").as("dst"))
+        .agg(max("c").as("chg"))
     }
 
-    // fixpoint test: the contraction is done exactly when g is a star
-    // forest — no node is both a child (src) and a parent (dst). Both
-    // ops leave a star forest unchanged and preserve components, so
-    // star-forest ⟺ converged. This is ONE semi-join over node-sized
-    // distinct projections per round — not an edge-set equality compare
-    // (which costs a 2×-edge distinct shuffle + three count jobs).
-    def isStarForest(e: DataFrame): Boolean =
-      e.select(col("dst")).distinct()
-        .join(e.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
-        .isEmpty
-    var converged = g.isEmpty || isStarForest(g)
+    var converged = g.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(g)).localCheckpoint()
+      val ls = largeStar(g).localCheckpoint()
+      val ss = smallStar(ls).localCheckpoint()
+      // flag reads scan the checkpointed blocks (no shuffle, no
+      // recompute); ss first — during non-converged rounds it is the
+      // one most likely flagged, short-circuiting the second scan
+      converged = ss.filter(col("chg")).isEmpty &&
+        ls.filter(col("chg")).isEmpty
       g.unpersist(blocking = false)
-      g = next
+      ls.unpersist(blocking = false)
+      g = ss
       i += 1
-      converged = isStarForest(g)
     }
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +

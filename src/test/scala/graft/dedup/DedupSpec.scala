@@ -174,6 +174,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
 
+  test("connected components: shared child with two unlinked roots merges the roots") {
+    // pairs (1,3) and (2,3) with NO (1,2) pair: node 3 points at two
+    // parents. A src/dst-disjointness convergence test wrongly calls
+    // this a star forest (3 is only ever a src, 1 and 2 only ever
+    // dsts) and emits node 3 twice with labels 1 AND 2 — the exact
+    // non-transitive shape near-dup pairs produce (A~C, B~C, A≁B).
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val rows = Dedup.connectedComponents(pairs).collect()
+    assert(rows.length == 3, s"one label per id, got ${rows.toSeq}")
+    val cc = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $cc")
+    // same shape, higher ids, plus an isolated pair
+    val p2 = Seq((10L, 30L), (20L, 30L), (40L, 50L)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(p2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L),
+      s"got $c2")
+  }
+
   test("connected components: star contraction beats diameter — 50-hop path in ≤12 rounds") {
     // a chain-shaped dup cluster (serial edits) has diameter = length;
     // 1-hop min-label propagation would need 50 rounds and fail this
