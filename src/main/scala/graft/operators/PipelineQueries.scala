@@ -426,7 +426,7 @@ object PipelineQueries {
       Similarity.embeddingNearDups(uni, threshold = 0.99)
         .select(col("id_a"), col("id_b"), round(col("sim"), 8).as("sim"))
         .orderBy("id_a", "id_b")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- MinHash-LSH near-dup, checked against the exact brute-force
     //      O(n²) jaccard oracle: LSH is candidate GENERATION, the output
@@ -543,7 +543,7 @@ object PipelineQueries {
           concat(col("text"), lit(" graftplantedtail")).as("text"))
       Dedup.prefixFilterNearDups(docs.union(twins), threshold = 0.7)
         .orderBy("id_a", "id_b")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- EXACT all-pairs WEIGHTED jaccard JOIN (V-SMART-Join /
     //      weighted-AllPairs family): q97 SCORES known pairs under bag
@@ -595,7 +595,7 @@ object PipelineQueries {
           concat_ws(" ", concat(toks, slice(toks, 1, 15))).as("text"))
       Dedup.weightedJaccardJoin(base.union(twins), tauBp = 6000)
         .orderBy("id_a", "id_b")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- dedup cluster resolution: near-dup pairs → connected
     //      components (min-label propagation to fixpoint) — similarity is
@@ -2931,7 +2931,7 @@ object PipelineQueries {
           Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
         .select(col("doc_id"), col("rep"), col("split"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- split-leakage audit (q197): how many NEAR-DUP pairs does the
     //      naive per-document hash split scatter ACROSS train/val/test?
@@ -4831,7 +4831,7 @@ object PipelineQueries {
           corpus.select("doc_id", "text"), threshold = 0.7)
         .select("id_a", "id_b")
       Dedup.goldenRecords(corpus, pairs).orderBy("cluster_id")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- URL canonicalization dedup (q225): the web-crawl dedup key —
     //      scheme/host case, default ports, fragments, utm_* tracking
@@ -5098,7 +5098,7 @@ object PipelineQueries {
         sum(when(col("inwp") === 1 && col("inmh").isNull, 1L).otherwise(0L)).as("n_only_winnow"))
         .selectExpr("n_minhash", "n_winnow", "n_both", "n_only_minhash", "n_only_winnow",
           "CAST(10000 * n_both div greatest(n_minhash + n_winnow - n_both, 1L) AS BIGINT) AS overlap_bp")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7)
 
     // ---- IVF probe-sweep tuning curve (q319): recall@10 vs nprobe ∈
     //      {1,2,4,8} against the exact brute-force truth — the q286 LSH
@@ -5120,8 +5120,12 @@ object PipelineQueries {
              |  JOIN bf b ON b.query_id = i.query_id
              |           AND b.neighbor_id = i.neighbor_id)""".stripMargin
         }.mkString(",\n")
+        // recall denominator = |truth set|, measured not assumed: with 5
+        // queries × k=10 it is 50 on this corpus, but a tiny or
+        // tie-exhausted corpus yields fewer truth rows and the literal
+        // would silently mislabel the metric
         val rows = levels.map(np =>
-          s"SELECT $np AS nprobe, n AS n_hits, CAST(n * 10000 // 50 AS BIGINT) AS recall_bp FROM h$np")
+          s"SELECT $np AS nprobe, n AS n_hits, CAST(n * 10000 // den AS BIGINT) AS recall_bp FROM h$np CROSS JOIN bfn")
           .mkString(" UNION ALL ")
         s"""WITH qs AS (SELECT vec_id AS query_id, embedding AS q_embedding
            |            FROM embeddings WHERE vec_id < 5),
@@ -5133,6 +5137,7 @@ object PipelineQueries {
            |                      e.vec_id) AS rank
            |    FROM embeddings e JOIN qs q ON q.query_id <> e.vec_id) t
            |  WHERE rank <= 10),
+           |bfn AS (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS den FROM bf),
            |$hitCtes
            |SELECT nprobe, n_hits, recall_bp FROM ($rows) u
            |ORDER BY nprobe""".stripMargin
@@ -5143,13 +5148,16 @@ object PipelineQueries {
       val bf = Similarity.bruteForceTopK(emb, queries, k = 10)
         .select("query_id", "neighbor_id")
         .localCheckpoint() // the truth set; every probe level joins it
+      // measured recall denominator (1-row aggregate), mirroring bfn
+      val bfn = bf.agg(greatest(count(lit(1)), lit(1L)).as("den"))
       Seq(1, 2, 4, 8).map { np =>
         Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = np)
           .select("query_id", "neighbor_id")
           .join(bf, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(bfn))
           .selectExpr(s"$np AS nprobe", "n_hits",
-            "CAST(n_hits * 10000 div 50 AS BIGINT) AS recall_bp")
+            "CAST(n_hits * 10000 div den AS BIGINT) AS recall_bp")
       }.reduce(_ unionByName _).orderBy("nprobe")
     }
   )

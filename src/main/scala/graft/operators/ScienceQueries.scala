@@ -2063,12 +2063,20 @@ object ScienceQueries {
     //      the overall mean, FULLY integer (10000·s_d·N div (n_d·S) —
     //      no double division at all), with the dow derived portably as
     //      days-since-a-known-Monday mod 7 (engine dayofweek()
-    //      conventions disagree; arithmetic doesn't). The multiplicative
-    //      profile every staffing/capacity plan reads. ----
+    //      conventions disagree; arithmetic doesn't — and both sides
+    //      spell it non-negatively, (x%7+7)%7 / pmod, so a pre-1970
+    //      timestamp cannot split the engines on % sign). The
+    //      multiplicative profile every staffing/capacity plan reads.
+    //      Exact scale note: index_bp's numerator 10000·sum_cents·nn is
+    //      BIGINT-safe while sum_cents·nn < 9.2e14 — holds through
+    //      sf≈10 (sf0.1: sum_cents≈5e8, nn≈6e4); past that, cast the
+    //      product to DECIMAL(38,0) on BOTH sides before the floor-div
+    //      (DuckDB wraps nothing — it raises — so divergence is loud,
+    //      but the bound is documented here like q297/q315). ----
     QueryDef(
       "q322_dow_index",
       """WITH ev AS (
-        |  SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 AS dow,
+        |  SELECT (date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7 + 7) % 7 AS dow,
         |         CAST(round(value * 100) AS BIGINT) AS cents
         |  FROM events),
         |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_events,

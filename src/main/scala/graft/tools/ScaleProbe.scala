@@ -790,7 +790,10 @@ object ScaleProbe {
       clearBlocks()
       (n, secs)
     }
-    timeWinnow("warmup-1x", replicate(1), native = true)
+    // warm BOTH variants before the timed runs — codegen/JIT warmup on
+    // only one side would inflate the reported speedup
+    timeWinnow("warmup-1x-native", replicate(1), native = true)
+    timeWinnow("warmup-1x-composed", replicate(1), native = false)
     val (wp1, wt1) = timeWinnow("1x-native", replicate(1), native = true)
     val (wpn, wtn) = timeWinnow(s"${copies}x-native", replicate(copies), native = true)
     val (_, wc1) = timeWinnow("1x-composed", replicate(1), native = false)
