@@ -586,22 +586,23 @@ object Dedup {
     * no neighborhood materialized in memory. The fixpoint is the star
     * forest: every non-root points directly at its component's min id.
     *
-    * Convergence detection rides ON the passes: each pass carries a
-    * `chg` flag marking rows it actually moved, and the loop exits when
-    * a round raises no flag — reading the flags is a scan over the
-    * round's already-checkpointed blocks, not a separate shuffle probe.
-    * A graph is a fixpoint of BOTH passes iff it is a star forest
-    * (Kiveris et al. §3), so flag-free ⟺ converged. Note a structural
-    * src∩dst disjointness test is NOT a valid fixpoint check:
+    * Convergence = the edge set is a star forest, the exact common
+    * fixpoint of both passes (Kiveris et al. §3): every node is either
+    * a pure root or a child holding exactly ONE parent that is itself
+    * a root. That is TWO conditions — (i) no node is both a child
+    * (src) and a parent (dst), and (ii) no child holds two distinct
+    * parents. Condition (i) alone is NOT a valid fixpoint check:
     * {(3→1),(3→2)} has disjoint src/dst sets yet node 3 holds two
     * parents and components {1},{2} are still unmerged — exactly the
-    * shape non-transitive near-dup pairs produce (A~C, B~C, A≁B); only
-    * the small-star flag catches it (DedupSpec "shared child" test).
+    * shape non-transitive near-dup pairs produce (A~C, B~C, A≁B); the
+    * DedupSpec "shared child" test pins it. Both conditions fold into
+    * ONE map-side-combinable groupBy over the edge union — one
+    * exchange per probe, not the distinct+semi-join it replaced.
     * Hitting the cap fails loudly: silently-split clusters make a
-    * wrongly "deduplicated" corpus. `localCheckpoint` per pass
-    * truncates the branching lineage (each pass reads its input
-    * twice). Deterministic: min-based, so the same labels fall out on
-    * any partitioning.
+    * wrongly "deduplicated" corpus. `localCheckpoint` per round
+    * truncates the branching lineage (each round reads the previous
+    * edge set thrice). Deterministic: min-based, so the same labels
+    * fall out on any partitioning.
     *
     * Returns (id, cluster) where cluster = min id in the component.
     */
@@ -617,57 +618,55 @@ object Dedup {
       .distinct()
       .localCheckpoint()
 
-    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
-    // v > u. Output stays child → parent (v > u ≥ m) with a `chg` flag:
-    // the emitted row for input edge (v → u) is (v → m), which moved v's
-    // parent iff m < u — so the pass is an identity exactly when no row
-    // is flagged (src > dst invariant: every input edge appears in
-    // exactly one kept row). groupBy(src,dst) is the old distinct(),
-    // keeping the flag via max.
+    // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+    // Output stays child → parent (v > u ≥ m; never a self-loop).
     def largeStar(e: DataFrame): DataFrame = {
-      val ed = e.select(col("src"), col("dst"))
-      val n = ed.union(ed.select(col("dst").as("src"), col("src").as("dst")))
+      val n = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = n.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
       n.join(m, "src")
         .filter(col("dst") > col("src"))
-        .select(col("dst").as("s"), col("m").as("d"),
-          (col("m") < col("src")).as("chg"))
-        .groupBy(col("s").as("src"), col("d").as("dst"))
-        .agg(max("chg").as("chg"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
     }
     // small-star(u) on the directed graph (all out-neighbors < u):
-    // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m. A group is
-    // an identity exactly when u has ONE distinct parent (min = max);
-    // otherwise it rewires — including the src/dst-disjoint two-parent
-    // shape large-star cannot see.
+    // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m.
     def smallStar(e: DataFrame): DataFrame = {
-      val ed = e.select(col("src"), col("dst"))
-      val m = ed.groupBy("src").agg(min("dst").as("m"), max("dst").as("mx"))
-      ed.join(m, "src")
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      e.join(m, "src")
         .select(explode(array(
           struct(col("src").as("s"), col("m").as("d")),
-          struct(col("dst").as("s"), col("m").as("d")))).as("x"),
-          (col("m") =!= col("mx")).as("c"))
-        .filter(col("x.s") =!= col("x.d"))
-        .groupBy(col("x.s").as("src"), col("x.d").as("dst"))
-        .agg(max("c").as("chg"))
+          struct(col("dst").as("s"), col("m").as("d")))).as("x"))
+        .select(col("x.s").as("src"), col("x.d").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
     }
 
-    var converged = g.isEmpty
+    // star-forest fixpoint test: group the edge union by node — a
+    // node seen from the src side (s=1) is a child, from the dst side
+    // (s=0) a parent; `d` carries the parent ids so nd counts distinct
+    // parents per child. Violations: child AND parent (mn≠mx), or a
+    // child with two parents (mx=1, nd>1). One partial-aggregable
+    // exchange; pure-dst groups carry d = the node itself, harmless
+    // since nd only gates when mx=1.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("src").as("node"), lit(1).as("s"), col("dst").as("d"))
+        .union(e.select(col("dst").as("node"), lit(0).as("s"),
+          col("dst").as("d")))
+        .groupBy("node")
+        .agg(min("s").as("mn"), max("s").as("mx"),
+          countDistinct("d").as("nd"))
+        .filter(col("mn") =!= col("mx") ||
+          (col("mx") === 1 && col("nd") > 1))
+        .isEmpty
+    var converged = g.isEmpty || isStarForest(g)
     var i = 0
     while (!converged && i < maxIter) {
-      val ls = largeStar(g).localCheckpoint()
-      val ss = smallStar(ls).localCheckpoint()
-      // flag reads scan the checkpointed blocks (no shuffle, no
-      // recompute); ss first — during non-converged rounds it is the
-      // one most likely flagged, short-circuiting the second scan
-      converged = ss.filter(col("chg")).isEmpty &&
-        ls.filter(col("chg")).isEmpty
+      val next = smallStar(largeStar(g)).localCheckpoint()
       g.unpersist(blocking = false)
-      ls.unpersist(blocking = false)
-      g = ss
+      g = next
       i += 1
+      converged = isStarForest(g)
     }
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +
