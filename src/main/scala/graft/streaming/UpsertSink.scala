@@ -278,25 +278,78 @@ object UpsertSink {
     }
   }
 
-  /** Reclaim version directories (and manifests) no longer reachable
-    * from the latest commit. Safe to run concurrently with writers: only
-    * versions strictly older than the latest and unreferenced by its
-    * manifest are deleted. Returns the removed version numbers.
+  /** Snapshot pinned to a specific committed version — the time-travel
+    * read the retention grace window exists for: a reader that resolved
+    * `_LATEST` (or deliberately pinned an older version for a
+    * reproducible job) keeps resolving as long as [[vacuum]]'s window
+    * covers that version. Bucketed tables resolve through their
+    * version's manifest (which may reference still-older version dirs —
+    * the retention window protects those transitively); plain tables
+    * read the version dir directly. None once the version has been
+    * vacuumed away.
     */
-  def vacuum(spark: SparkSession, tableDir: String): Seq[Long] = {
+  def loadVersion(spark: SparkSession, tableDir: String, version: Long): Option[DataFrame] = {
+    val f = fs(spark, tableDir)
+    if (version < 0) None
+    else if (f.exists(new Path(tableDir, s"_MANIFEST.v$version"))) {
+      val (_, entries) = readManifest(spark, tableDir, version)
+      readBuckets(spark, tableDir, entries)
+    } else if (f.exists(new Path(tableDir, s"v$version")))
+      Some(spark.read.parquet(s"$tableDir/v$version"))
+    else None
+  }
+
+  /** Reclaim version directories (and manifests) no longer reachable
+    * from the latest commit, subject to a retention grace window:
+    *
+    *  - `keepLast`: the most recent `keepLast` superseded versions stay
+    *    on disk even when unreferenced — a reader that resolved the
+    *    pointer just before a new commit (or pinned a version via
+    *    [[loadVersion]]) keeps resolving for `keepLast` more commits.
+    *  - `minAgeMs`: versions younger than this are never reclaimed —
+    *    the age-based form of the same contract, for tables where
+    *    "commits" arrive in bursts and a count window is no bound on
+    *    wall-clock reader lifetime.
+    *
+    * Liveness is computed transitively: every retained version's
+    * manifest pins the versions IT references, so a pinned bucketed
+    * snapshot never loses a carried-forward bucket out from under it.
+    * The defaults (0, 0) reclaim everything unreferenced by the latest
+    * commit — the spec-pinned historical behavior; production streams
+    * should pass a window at least as long as their slowest reader.
+    * Safe to run concurrently with writers: only versions strictly
+    * older than the latest commit are candidates. Returns the removed
+    * version numbers.
+    */
+  def vacuum(
+      spark: SparkSession,
+      tableDir: String,
+      keepLast: Int = 0,
+      minAgeMs: Long = 0L): Seq[Long] = {
     val f = fs(spark, tableDir)
     readPointer(spark, tableDir) match {
       case None => Seq.empty
       case Some(p) =>
-        val live: Set[Long] =
-          if (p.version < 0) Set.empty
-          else if (f.exists(new Path(tableDir, s"_MANIFEST.v${p.version}")))
-            readManifest(spark, tableDir, p.version)._2.values.toSet + p.version
-          else Set(p.version)
         val versions = f.listStatus(new Path(tableDir)).toSeq
           .map(_.getPath.getName)
           .filter(_.matches("v\\d+"))
           .map(_.drop(1).toLong)
+        val now = System.currentTimeMillis()
+        def young(v: Long): Boolean = minAgeMs > 0 &&
+          now - f.getFileStatus(new Path(tableDir, s"v$v"))
+            .getModificationTime < minAgeMs
+        // retention roots: the latest commit plus every superseded
+        // version inside the count/age windows
+        val roots = versions.filter(v =>
+          v == p.version || (v < p.version &&
+            (v >= p.version - keepLast || young(v))))
+        val live: Set[Long] =
+          if (p.version < 0) Set.empty
+          else roots.flatMap { r =>
+            if (f.exists(new Path(tableDir, s"_MANIFEST.v$r")))
+              readManifest(spark, tableDir, r)._2.values.toSet + r
+            else Set(r)
+          }.toSet
         val dead = versions.filter(v => v < p.version && !live(v)).sorted
         dead.foreach { v =>
           f.delete(new Path(tableDir, s"v$v"), true)

@@ -299,41 +299,72 @@ object TextAnalysis {
       docs: DataFrame,
       merges: Int,
       textCol: String = "text"): Seq[(String, String)] = {
+    import scala.collection.mutable
     // job 1 (+1 AQE result stage): the word-frequency dictionary
-    var dict: Array[(Array[String], Long)] = docs
+    val dict: Array[(Array[String], Long)] = docs
       .select(explode(wsTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
-    val table = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var exhausted = false
-    while (table.size < merges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      dict.foreach { case (sym, n) =>
-        var i = 0
-        while (i < sym.length - 1) {
-          val k = (sym(i), sym(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + n
-          i += 1
-        }
+    // Incremental pair bookkeeping (the Sennrich learn_bpe structure):
+    // a full per-round recount is O(merges × corpus-vocab symbols) —
+    // fine for a catalog-sized table, ~minutes-to-hours at a real 32k
+    // vocab. Instead maintain the exact pair→count map plus a
+    // pair→word-ids index and, per merge, resegment ONLY the words
+    // containing the winning pair (subtract their old adjacencies, add
+    // the new). The index may hold stale ids — a word rewritten by a
+    // later merge may have lost the pair — which costs a no-op resegment
+    // (subtract/add cancel), never a wrong count, so the argmax sequence
+    // is IDENTICAL to the naive recount (the spec pins equality against
+    // an independent reference).
+    val words: Array[Array[String]] = dict.map(_._1)
+    val freqs: Array[Long] = dict.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // exact ordered view of counts for O(log) argmax: every count
+    // mutation does remove+insert, so the head is always the true
+    // (count desc, l, r) winner — no lazy/stale heap entries. A linear
+    // argmax scan per merge is O(merges × |pairs|): measured 717 s for
+    // 32k merges over a 210k-type vocab; this structure reads minutes
+    // off the same training run.
+    val ordered = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String))
+    def addWord(wid: Int, sym: Array[String], sign: Long): Unit = {
+      var i = 0
+      while (i < sym.length - 1) {
+        val k = (sym(i), sym(i + 1))
+        val old = counts.getOrElse(k, 0L)
+        if (old != 0L) ordered.remove((old, k._1, k._2))
+        val c = old + sign * freqs(wid)
+        if (c == 0L) counts.remove(k)
+        else { counts(k) = c; ordered.add((c, k._1, k._2)) }
+        if (sign > 0) where.getOrElseUpdate(k, mutable.BitSet.empty) += wid
+        i += 1
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val ((l, r), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
-        table += ((l, r))
+    }
+    words.indices.foreach(wid => addWord(wid, words(wid), 1L))
+    val table = mutable.ArrayBuffer.empty[(String, String)]
+    while (table.size < merges && counts.nonEmpty) {
+      val (_, bl, br) = ordered.head
+      val best = (bl, br)
+      table += best
+      where.remove(best).foreach(_.foreach { wid =>
+        val old = words(wid)
         // same left-to-right merge as the mergeOnce fold the segmenter
         // applies: the merged symbol becomes the new "last", so it can
         // seed the next merge site but never re-matches `l` alone
-        dict = dict.map { case (sym, n) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          sym.foreach { s =>
-            if (out.nonEmpty && out.last == l && s == r)
-              out(out.length - 1) = out.last + s
-            else out += s
-          }
-          (out.toArray, n)
+        val out = mutable.ArrayBuffer.empty[String]
+        old.foreach { s =>
+          if (out.nonEmpty && out.last == bl && s == br)
+            out(out.length - 1) = out.last + s
+          else out += s
         }
-      }
+        if (out.length != old.length) {
+          addWord(wid, old, -1L)
+          words(wid) = out.toArray
+          addWord(wid, words(wid), 1L)
+        }
+      })
     }
     table.toSeq
   }

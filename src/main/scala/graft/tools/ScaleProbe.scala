@@ -54,6 +54,204 @@ object ScaleProbe {
       (n, secs)
     }
 
+    // optional 3rd arg: comma-separated substrings — run ONLY the
+    // matching sections below and skip the legacy full sweep (local
+    // iteration on one family without the ~3-minute full run)
+    val only: Option[Seq[String]] = args.lift(2).map(_.split(",").toSeq)
+    def sec(name: String)(body: => Unit): Unit =
+      if (only.forall(_.exists(name.contains))) { body; clearBlocks() }
+
+    // shared bipartite supplier↔customer edges for the graph-family
+    // probes (disjoint copies via key offsets preserve per-copy degree
+    // structure, so per-iteration work must grow linearly)
+    def graphEdges(n: Int): DataFrame = {
+      val li0 = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val or0 = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val pb = li0.join(or0, li0("l_orderkey") === or0("o_orderkey"))
+        .select((col("l_suppkey") + 10000000L).as("s"), col("o_custkey").as("c"))
+        .distinct()
+      (0 until n).map { k =>
+        pb.select((col("s") + lit(k.toLong * 100000000L)).as("src"),
+          (col("c") + lit(k.toLong * 100000000L)).as("dst"))
+      }.reduce(_ union _)
+        .unionAll((0 until n).map { k =>
+          pb.select((col("c") + lit(k.toLong * 100000000L)).as("src"),
+            (col("s") + lit(k.toLong * 100000000L)).as("dst"))
+        }.reduce(_ union _))
+    }
+
+    // Bootstrap CI (q207 shape): B=200 content-addressed resamples —
+    // grid explode × sample join × per-source order stats. The grid is
+    // B× the sample, so wall must track corpus size linearly when the
+    // per-source sample grows with it.
+    sec("bootstrap") {
+      import org.apache.spark.sql.expressions.Window
+      def run(label: String, docs: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val t = docs.select(col("doc_id"), (col("doc_id") % 7).as("source"),
+            (length(col("text")).cast("long") % 1000L).as("sc"))
+          .localCheckpoint()
+        val bySrc = Window.partitionBy("source")
+        val r = t.withColumn("rn", row_number().over(bySrc.orderBy("doc_id")) - 1)
+          .withColumn("n", count(lit(1)).over(bySrc))
+          .localCheckpoint()
+        val grid = r.select(col("source"), col("rn"), col("n"),
+            explode(sequence(lit(0), lit(199))).as("b"))
+          .select(col("source"), col("b"), col("n"),
+            pmod(graft.textops.TextAnalysis.md5Long(concat(lit("bs:"),
+              col("source"), lit(":"), col("b").cast("string"),
+              lit(":"), col("rn").cast("string"))), col("n")).as("pick"))
+        val m = grid
+          .join(r.select(col("source"), col("rn").as("pick"), col("sc")),
+            Seq("source", "pick"))
+          .groupBy("source", "b")
+          .agg(sum("sc").as("ssum"), max("n").as("nn"))
+          .select(col("source"), col("b"), expr("ssum div nn").as("mean_b"))
+        val ci = m.withColumn("q", row_number().over(bySrc.orderBy("mean_b", "b")))
+          .filter(col("q") === 5 || col("q") === 196)
+          .groupBy("source")
+          .agg(max(when(col("q") === 5, col("mean_b"))).as("lo"),
+            max(when(col("q") === 196, col("mean_b"))).as("hi"))
+        val rows = ci.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] bootstrap-$label: sources=$rows time=$secs%.2fs")
+        clearBlocks()
+        secs
+      }
+      run("warmup-1x", replicate(1))
+      val b1 = run("1x", replicate(1))
+      val bn = run(s"${copies}x", replicate(copies))
+      println(f"[scaleprobe] bootstrap time ratio=${bn / b1}%.2f for ${copies}x sample " +
+        "(grid is B x sample at any scale)")
+    }
+
+    // DBSCAN role/cluster resolution (q243 shape, pair list given):
+    // degree agg + two core semi-joins + star-contraction CC + border
+    // lookup — all equi-joins on node-sized tables; disjoint pair-list
+    // copies must scale linearly. Pairs are synthetic (deterministic id
+    // arithmetic) so the probe isolates DBSCAN from LSH candidate cost.
+    sec("dbscan") {
+      def mkPairs(n: Int): (DataFrame, DataFrame) = {
+        val ids = (0 until n).map { k =>
+          base.select((col("doc_id") + lit(k.toLong * 10000000L)).as("id"))
+        }.reduce(_ union _)
+        // chain segments of 4 (cores inside, ends are borders) + noise:
+        // ids ≡ 0..3 (mod 8) link consecutively; 4..7 stay isolated
+        val p = ids.filter(col("id") % 8 < 3)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        (ids, p)
+      }
+      def run(label: String, n: Int): Double = {
+        val (ids, p) = mkPairs(n)
+        val t0 = System.nanoTime()
+        val out = graft.similarity.Similarity
+          .dbscanFromPairs(ids, p, minPts = 3, idCol = "id")
+        val clusters = out.filter(col("role") === "core")
+          .select("cluster").distinct().count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] dbscan-$label: coreClusters=$clusters time=$secs%.2fs")
+        clearBlocks()
+        secs
+      }
+      run("warmup-1x", 1)
+      val d1 = run("1x", 1)
+      val dn = run(s"${copies}x", copies)
+      println(f"[scaleprobe] dbscan time ratio=${dn / d1}%.2f for ${copies}x pairs")
+    }
+
+    // Personalized PageRank (q255 shape): per iteration one edge join +
+    // one dst aggregate, mass originating only at seeds — same linear
+    // per-round cost contract as global PageRank, plus the seed flags.
+    sec("ppr") {
+      def run(label: String, n: Int): Double = {
+        val e = graphEdges(n)
+        val seeds = e.select(col("src").as("id")).filter(col("id") % 97 === 0)
+        val t0 = System.nanoTime()
+        val out = graft.graph.Graph
+          .personalizedPageRankMicro(e, seeds, iterations = 3)
+        val nz = out.filter(col("rank_micro") > 0).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] ppr-$label: nonzeroNodes=$nz time=$secs%.2fs")
+        clearBlocks()
+        secs
+      }
+      run("warmup-1x", 1)
+      val pp1 = run("1x", 1)
+      val ppn = run(s"${copies}x", copies)
+      println(f"[scaleprobe] ppr time ratio=${ppn / pp1}%.2f for ${copies}x edges")
+    }
+
+    // ANF reach sketches (q291 shape): h hops of bit_or FM-register
+    // propagation — 32 bytes of state per node, one shuffle per hop;
+    // disjoint copies must scale linearly per hop.
+    sec("anf") {
+      def run(label: String, n: Int): Double = {
+        val e = graphEdges(n).localCheckpoint()
+        val t0 = System.nanoTime()
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        var sk = nodes.selectExpr("id" +: (0 to 3).map(t =>
+            s"abs(hash(id, $t)) AS g$t"): _*)
+          .selectExpr("id" +: (0 to 3).map(t =>
+            s"CAST(g$t & (-g$t) AS BIGINT) AS s$t"): _*)
+          .localCheckpoint()
+        (1 to 3).foreach { _ =>
+          val inbox = e.join(sk.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id"))
+            .agg(expr("bit_or(s0)").as("b0"), expr("bit_or(s1)").as("b1"),
+              expr("bit_or(s2)").as("b2"), expr("bit_or(s3)").as("b3"))
+          sk = sk.join(inbox, Seq("id"), "left_outer")
+            .selectExpr("id" +:
+              (0 to 3).map(t => s"s$t | coalesce(b$t, 0L) AS s$t"): _*)
+            .localCheckpoint()
+        }
+        val cnt = sk.count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] anf-$label: nodes=$cnt time=$secs%.2fs")
+        clearBlocks()
+        secs
+      }
+      run("warmup-1x", 1)
+      val an1 = run("1x", 1)
+      val ann = run(s"${copies}x", copies)
+      println(f"[scaleprobe] anf time ratio=${ann / an1}%.2f for ${copies}x edges")
+    }
+
+    // BPE training feasibility at a REAL vocab: 32k merges. The
+    // distributed part is ONE word-frequency aggregation; the merge
+    // loop is driver-local over the vocab-bounded dict — this probe
+    // measures that loop's wall and driver heap. The sf0.1 synthetic
+    // corpus holds only 31 distinct words (BPE exhausts at 89 merges),
+    // so the 32k-merge regime trains on corpus word-4-GRAM types —
+    // tens of thousands of multi-character types with corpus-derived
+    // frequencies, the dict-size shape of a real web-corpus vocabulary.
+    sec("bpe32k") {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      def peakHeap(): Long = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum
+      val toks = graft.textops.TextAnalysis.wsTokens(col("text"))
+      val gdocs = base.select(array_join(transform(
+        sequence(lit(1), greatest(size(toks) - 3, lit(1))),
+        i => concat_ws("_", slice(toks, i, lit(4)))), " ").as("text"))
+        .localCheckpoint()
+      val vocab = gdocs
+        .select(explode(graft.textops.TextAnalysis.wsTokens(col("text"))).as("w"))
+        .distinct().count()
+      ManagementFactory.getMemoryPoolMXBeans.asScala.foreach(_.resetPeakUsage())
+      val before = peakHeap()
+      val t0 = System.nanoTime()
+      val table = graft.textops.TextAnalysis.bpeTrain(gdocs, merges = 32000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] bpe32k: vocabTypes=$vocab merges=${table.size} " +
+        f"time=$secs%.2fs " +
+        f"peakHeapDelta=${(peakHeap() - before).toDouble / (1 << 20)}%.0f MiB " +
+        "(merge loop is driver-local; corpus work is the one dict aggregation)")
+    }
+
+    if (only.nonEmpty) { spark.stop(); return }
+
     // warm JIT/codegen on the small case first
     time("warmup-1x", replicate(1))
     val (p1, t1) = time("1x", replicate(1))

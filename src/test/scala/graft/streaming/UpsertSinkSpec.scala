@@ -236,4 +236,53 @@ class UpsertSinkSpec extends SparkSpec {
     assert(UpsertSink.loadBucketed(spark, dirB).get.collect()
       .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap == snapB)
   }
+
+  test("retention grace window: a reader pinned to an old version resolves until the window closes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert9").toString
+    (0 to 4).foreach { i =>
+      UpsertSink.upsertBatch(dir)(
+        Seq(KvStreaming.KvChange(i.toLong, "k", s"v$i")).toDF(), i.toLong)
+    }
+    // a reader resolved _LATEST at v2 (three commits ago) and pins it
+    val pinned = UpsertSink.loadVersion(spark, dir, 2L).get.collect()
+    assert(pinned.map(_.getAs[String]("value")).toSeq == Seq("v2"))
+    // count window keepLast=2 retains v2 and v3; only v0/v1 die
+    val removed = UpsertSink.vacuum(spark, dir, keepLast = 2)
+    assert(removed == Seq(0L, 1L), s"window must spare v2/v3, removed $removed")
+    assert(UpsertSink.loadVersion(spark, dir, 2L).get.collect()
+      .map(_.getAs[String]("value")).toSeq == Seq("v2"),
+      "pinned reader must still resolve inside the grace window")
+    // age window: everything is seconds old, so nothing is reclaimable
+    assert(UpsertSink.vacuum(spark, dir, minAgeMs = 3600000L).isEmpty,
+      "age window must spare young versions")
+    // window closes (defaults = reclaim all unreferenced): v2/v3 die and
+    // the pinned read now reports gone instead of a torn snapshot
+    val closed = UpsertSink.vacuum(spark, dir)
+    assert(closed == Seq(2L, 3L), s"expected v2/v3 reclaimed, got $closed")
+    assert(UpsertSink.loadVersion(spark, dir, 2L).isEmpty)
+    assert(UpsertSink.load(spark, dir).get.collect()
+      .map(_.getAs[String]("value")).toSeq == Seq("v4"))
+
+    // bucketed: the retained window pins versions its manifests
+    // reference TRANSITIVELY — a pinned bucketed snapshot keeps its
+    // carried-forward buckets
+    val dirB = java.nio.file.Files.createTempDirectory("graft-upsertA").toString
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      (0 until 12).map(i => KvStreaming.KvChange(i.toLong, s"k$i", "x")).toDF(), 0L)
+    (1 to 3).foreach { i =>
+      UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+        Seq(KvStreaming.KvChange(100L + i, "k1", s"y$i")).toDF(), i.toLong)
+    }
+    val pinnedB = UpsertSink.loadVersion(spark, dirB, 2L).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(pinnedB("k1") == "y2" && pinnedB("k2") == "x")
+    val removedB = UpsertSink.vacuum(spark, dirB, keepLast = 1)
+    // v2 is in the window and its manifest references v0 (untouched
+    // buckets): v0 must survive even though the LATEST manifest also
+    // references it — the invariant is it survives through ANY root
+    assert(!removedB.contains(0L) && !removedB.contains(2L))
+    assert(UpsertSink.loadVersion(spark, dirB, 2L).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap == pinnedB,
+      "pinned bucketed snapshot must keep resolving inside the window")
+  }
 }
