@@ -44,4 +44,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
+  // whole-stage codegen emits a fresh class per plan; a multi-hundred-
+  // query JVM (Bench, TimeAll, ScaleProbe) fills the default 240 MB
+  // code cache, the JIT stops compiling, and LATE queries silently run
+  // interpreted — the late-session slowdowns the sweep kept showing.
+  "-XX:ReservedCodeCacheSize=1g",
 )

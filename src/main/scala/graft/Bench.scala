@@ -16,6 +16,14 @@ object Bench {
     def clearBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // one explicit GC at each query BOUNDARY (not per run): garbage from
+    // a heavy predecessor (multi-GB driver-side work, humongous shuffle
+    // buffers) otherwise drains via concurrent cycles DURING the next
+    // query's measured runs — the sustained same-session slowdowns that
+    // round-over-round diffs kept flagging on innocent queries (r6
+    // q200_cdc_dedup +76% with no code change; isolated A/B read -12%).
+    // ~0.3 s per boundary, outside all timed windows.
+    def gcBoundary(): Unit = System.gc()
     // Per-query CONVERGENCE measurement, replacing the old separate
     // warmup/measure phases: repeat the query until its two FASTEST runs
     // agree within 15% (min 4 runs, cap 12), and report the min. The old
@@ -37,6 +45,7 @@ object Bench {
     // report a broken query as fast); a query whose every run failed
     // reports -1.
     val results = SparkEntry.headlines.map { q =>
+      gcBoundary()
       var times = Vector.empty[Double]
       var runs = 0
       def converged: Boolean = times.size >= 4 && {

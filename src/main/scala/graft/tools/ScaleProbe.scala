@@ -31,7 +31,13 @@ object ScaleProbe {
       // ContextCleaner only deletes dead shuffle files after the driver
       // GCs their references; without a nudge, tens of GB of shuffle
       // spill from earlier sections linger and skew later sections
-      // (observed: pagerank-10x read 66 s in-sequence vs 21 s isolated)
+      // (observed: pagerank-10x read 66 s in-sequence vs 21 s isolated).
+      // The cleaner is ASYNC — give it a beat to drain after the GC, and
+      // GC once more for the references the first drain released
+      // (observed: ppr-10x read 52 s after two prior sections vs 16 s
+      // standalone without the drain window)
+      System.gc()
+      Thread.sleep(1500)
       System.gc()
     }
 
@@ -56,10 +62,18 @@ object ScaleProbe {
 
     // optional 3rd arg: comma-separated substrings — run ONLY the
     // matching sections below and skip the legacy full sweep (local
-    // iteration on one family without the ~3-minute full run)
+    // iteration on one family without the ~3-minute full run). In a
+    // FULL run the sec() sections execute AFTER the legacy sweep:
+    // running them first shifted every legacy section ~6 minutes later
+    // into the JVM and behind the BPE probe's multi-GB driver-heap
+    // churn, which inflated late legacy sections up to 8× (emb-lsh-10x
+    // measured 4.4 s after legacy-first ordering vs 36.9 s after
+    // new-first) — section order is part of the measurement protocol.
     val only: Option[Seq[String]] = args.lift(2).map(_.split(",").toSeq)
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     def sec(name: String)(body: => Unit): Unit =
-      if (only.forall(_.exists(name.contains))) { body; clearBlocks() }
+      if (only.forall(_.exists(name.contains)))
+        deferred += (() => { body; clearBlocks() })
 
     // shared bipartite supplier↔customer edges for the graph-family
     // probes (disjoint copies via key offsets preserve per-copy degree
@@ -164,7 +178,11 @@ object ScaleProbe {
     // per-round cost contract as global PageRank, plus the seed flags.
     sec("ppr") {
       def run(label: String, n: Int): Double = {
-        val e = graphEdges(n)
+        // pin the synthetic build OUTSIDE the timing (the ANF section's
+        // discipline): unpinned, the 2n-copy join lineage re-executes
+        // through both the operator's own checkpoint AND the seed-flag
+        // join, and the probe times the corpus synthesis, not PPR
+        val e = graphEdges(n).localCheckpoint()
         val seeds = e.select(col("src").as("id")).filter(col("id") % 97 === 0)
         val t0 = System.nanoTime()
         val out = graft.graph.Graph
@@ -250,7 +268,7 @@ object ScaleProbe {
         "(merge loop is driver-local; corpus work is the one dict aggregation)")
     }
 
-    if (only.nonEmpty) { spark.stop(); return }
+    if (only.nonEmpty) { deferred.foreach(_()); spark.stop(); return }
 
     // warm JIT/codegen on the small case first
     time("warmup-1x", replicate(1))
@@ -998,6 +1016,10 @@ object ScaleProbe {
     println(f"[scaleprobe] winnow pairs ratio=${wpn.toDouble / math.max(wp1, 1)}%.2f " +
       f"(expect ≈$copies), time ratio=${wtn / wt1}%.2f; " +
       f"native vs composed at 1x: ${wc1 / wt1}%.1fx faster")
+
+    // round-7 sections (bootstrap/dbscan/ppr/anf/bpe32k) — after the
+    // legacy sweep, see the ordering note at sec()
+    deferred.foreach(_())
     spark.stop()
   }
 }

@@ -32,6 +32,11 @@ object TimeAll {
             println(s"[timeall] ${q.name} FAILED: ${e.getMessage.take(100)}")
         }
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // query-boundary GC, same rationale as Bench.gcBoundary: stop a
+        // heavy predecessor's garbage from draining through concurrent
+        // cycles during the NEXT query's timed run — the main source of
+        // the sweep's 1.5-2.7x slow-tail inflation vs converged bench
+        System.gc()
       }
       println(s"[timeall] pass $p done")
     }
