@@ -644,20 +644,22 @@ object Dedup {
 
     // star-forest fixpoint test: group the edge union by node — a
     // node seen from the src side (s=1) is a child, from the dst side
-    // (s=0) a parent; `d` carries the parent ids so nd counts distinct
-    // parents per child. Violations: child AND parent (mn≠mx), or a
-    // child with two parents (mx=1, nd>1). One partial-aggregable
-    // exchange; pure-dst groups carry d = the node itself, harmless
-    // since nd only gates when mx=1.
+    // (s=0) a parent; `d` carries the parent ids. Violations: child
+    // AND parent (mn≠mx), or a child with TWO DISTINCT parents, spelt
+    // min(d)≠max(d) rather than countDistinct (which Spark plans as a
+    // second aggregate phase — min/max keep the whole probe ONE
+    // map-side-combinable exchange). Pure-dst groups carry d = the
+    // node itself (constant, so mind=maxd); mixed groups may corrupt
+    // the d range but are already caught by mn≠mx.
     def isStarForest(e: DataFrame): Boolean =
       e.select(col("src").as("node"), lit(1).as("s"), col("dst").as("d"))
         .union(e.select(col("dst").as("node"), lit(0).as("s"),
           col("dst").as("d")))
         .groupBy("node")
         .agg(min("s").as("mn"), max("s").as("mx"),
-          countDistinct("d").as("nd"))
+          min("d").as("mind"), max("d").as("maxd"))
         .filter(col("mn") =!= col("mx") ||
-          (col("mx") === 1 && col("nd") > 1))
+          (col("mx") === 1 && col("mind") =!= col("maxd")))
         .isEmpty
     var converged = g.isEmpty || isStarForest(g)
     var i = 0

@@ -1692,7 +1692,7 @@ object AnalyticsQueries {
           (col("exact_p50") >= col("mb") * 10000 &&
             col("exact_p50") < (col("mb") + 1) * 10000).as("bracketed"),
           col("ok").as("incremental_merge_exact"))
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7, tier 2)
 
     // ---- event-transition mining (q161): the first-order Markov model
     //      of the event stream — per-user consecutive (prev → next)

@@ -3068,7 +3068,7 @@ object CurationQueries {
             element_at(col("lst"), 2).getField("cand_c")).as("neg2"),
           col("n_nonedge_trials"))
         .orderBy("suppkey")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7, tier 2)
 
     // ---- hard-negative mining (q284): for each probe vector, the most
     //      similar SAME-label neighbor (the positive) and the most
@@ -3252,7 +3252,7 @@ object CurationQueries {
               .as("planted_recall_milli"))
       }
       rows.reduce(_ unionByName _).orderBy("n_planes")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7, tier 2)
 
     // ---- partitioning-key skew audit (q287): will keying the shuffle
     //      on this column balance 32 reducers — the pre-flight every

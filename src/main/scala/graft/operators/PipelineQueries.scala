@@ -1753,7 +1753,7 @@ object PipelineQueries {
           concat(col("text"), lit(" graftdupspan")).as("text"))
       Dedup.duplicatedSpans(docs.union(twins), l = 16)
         .orderBy("doc_id", "span_start")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7, tier 2)
 
     // ---- SemDeDup (arXiv:2303.09540): semantic dedup — k-means the
     //      embedding space, pairwise-prune ONLY within clusters. Twin
@@ -2754,7 +2754,7 @@ object PipelineQueries {
           (col("r1") + col("r2") + col("r3")).as("borda"))
         .orderBy("borda", "doc_id")
         .limit(50)
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 7, tier 2)
 
     // ---- product-quantization ANN (q149): the memory-scale path for
     //      embedding search — m=4 subspace codebooks (k=16 each, the
@@ -5159,7 +5159,7 @@ object PipelineQueries {
           .selectExpr(s"$np AS nprobe", "n_hits",
             "CAST(n_hits * 10000 div den AS BIGINT) AS recall_bp")
       }.reduce(_ unionByName _).orderBy("nprobe")
-    }
+    }.copy(headline = true) // sweep slow-tail promotion (round 7, tier 2)
   )
 
   /** q201's banned-phrase list (ASCII, so byte order == string order on
