@@ -320,7 +320,14 @@ object TextAnalysis {
     val words: Array[Array[String]] = dict.map(_._1)
     val freqs: Array[Long] = dict.map(_._2)
     val counts = mutable.HashMap.empty[(String, String), Long]
-    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // pair → word ids holding it. NOT a BitSet: BitSet allocates its
+    // backing array up to the LARGEST id (≈25 KB for one high word id),
+    // and a real vocab holds >1M live pairs — measured 6.5 GiB of
+    // driver heap in BitSet form vs tens of MB as plain int buffers.
+    // Appends may duplicate an id (a pair occurring twice in one word);
+    // the merge loop tolerates that — the second resegment of an
+    // already-rewritten word is a no-op.
+    val where = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
     // exact ordered view of counts for O(log) argmax: every count
     // mutation does remove+insert, so the head is always the true
     // (count desc, l, r) winner — no lazy/stale heap entries. A linear
@@ -336,9 +343,20 @@ object TextAnalysis {
         val old = counts.getOrElse(k, 0L)
         if (old != 0L) ordered.remove((old, k._1, k._2))
         val c = old + sign * freqs(wid)
-        if (c == 0L) counts.remove(k)
+        if (c == 0L) {
+          counts.remove(k)
+          // count 0 is EXACT: no word contains k anymore, so its id set
+          // is all-stale — drop it (the index otherwise only grows, and
+          // at a 200k-type vocab the dead sets dominate driver heap)
+          where.remove(k)
+        }
         else { counts(k) = c; ordered.add((c, k._1, k._2)) }
-        if (sign > 0) where.getOrElseUpdate(k, mutable.BitSet.empty) += wid
+        if (sign > 0) {
+          val ids = where.getOrElseUpdate(k, mutable.ArrayBuffer.empty[Int])
+          // same-word occurrences arrive consecutively — a last-element
+          // check removes nearly all duplicates without a set
+          if (ids.isEmpty || ids.last != wid) ids += wid
+        }
         i += 1
       }
     }
