@@ -954,13 +954,17 @@ object ScienceQueries {
     //      pairs by order year. Five-table join where BOTH nation dims
     //      broadcast (Tables.broadcastable), the fact table shuffles
     //      once per big key, and revenue is the exact fix-4 integer sum
-    //      (the q1/q3 money discipline). The classic "does the
-    //      optimizer get the join order right" query at 100 TB. ----
+    //      (the q1/q3 money discipline) exposed as INTEGER CENTS with
+    //      HALF_UP done in integer space — a round(double, 2) display
+    //      column hit a .005 tie at sf0.1 where the engines' double
+    //      rounding disagrees by one cent; (sum+50) div 100 cannot.
+    //      The classic "does the optimizer get the join order right"
+    //      query at 100 TB. ----
     QueryDef(
       "q300_nation_trade_flow",
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          |       CAST(year(o_orderdate) AS INTEGER) AS o_year,
-         |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue,
+         |       CAST((CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS HUGEINT) + 50) // 100 AS BIGINT) AS revenue_cents,
          |       CAST(count(*) AS BIGINT) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -983,8 +987,9 @@ object ScienceQueries {
           col("s_nationkey") === col("nsk"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg((round(sum(rev).cast("double") / 10000, 2)).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(rev).as("__rev4"), count(lit(1)).as("n_items"))
+        .select(col("supp_nation"), col("cust_nation"), col("o_year"),
+          expr("(__rev4 + 50) div 100").as("revenue_cents"), col("n_items"))
         .orderBy("supp_nation", "cust_nation", "o_year")
     },
 
