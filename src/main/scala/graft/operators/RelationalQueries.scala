@@ -41,8 +41,8 @@ object RelationalQueries {
       s"""SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100, 2) AS sum_base_price,
-        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS sum_disc_price,
-        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}) AS DOUBLE) / 1000000, 2) AS sum_charge,
+        |       CAST((CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS HUGEINT) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
+        |       CAST((CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}) AS HUGEINT) + 5000) // 10000 AS DOUBLE) / 100 AS sum_charge,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100 / count(*), 4) AS avg_price,
         |       round(CAST(sum(${Exact.centsSql("l_discount")}) AS DOUBLE) / 100 / count(*), 4) AS avg_disc,
@@ -61,12 +61,22 @@ object RelationalQueries {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum(epc).cast("double") / 100, 2).as("sum_base_price"),
-          round(sum(discQ).cast("double") / 10000, 2).as("sum_disc_price"),
-          round(sum(chargeQ).cast("double") / 1000000, 2).as("sum_charge"),
+          sum(discQ).as("__disc_q"),
+          sum(chargeQ).as("__charge_q"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(sum(epc).cast("double") / 100 / count(lit(1)), 4).as("avg_price"),
           round(sum(dpc).cast("double") / 100 / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
+        // fix4/fix6 sums carry 4/6 true decimals, so a round(double,2)
+        // can land on a .005 tie where the engines' double rounding
+        // splits by a cent (bit q300 at sf0.1) — do HALF_UP in integer
+        // space, then divide: exact and engine-independent. The cents
+        // sums above have exactly 2 true decimals — tie-free as is.
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price"),
+          (expr("(__disc_q + 50) div 100").cast("double") / 100).as("sum_disc_price"),
+          (expr("(__charge_q + 5000) div 10000").cast("double") / 100).as("sum_charge"),
+          col("avg_qty"), col("avg_price"), col("avg_disc"), col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }.copy(headline = true),
 
@@ -114,7 +124,7 @@ object RelationalQueries {
     QueryDef(
       "q4_join_shuffle",
       s"""SELECT o_orderpriority,
-        |       round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue,
+        |       CAST((CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS HUGEINT) + 50) // 100 AS DOUBLE) / 100 AS revenue,
         |       count(*)                                          AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -122,15 +132,18 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(Exact.fix(revenue, 4)).cast("double") / 10000, 2).as("revenue"),
-             count(lit(1)).as("n_lines"))
+        .agg(sum(Exact.fix(revenue, 4)).as("__rev4"), count(lit(1)).as("n_lines"))
+        // tie-free 2-decimal display: HALF_UP in integer space (q1 note)
+        .select(col("o_orderpriority"),
+          (expr("(__rev4 + 50) div 100").cast("double") / 100).as("revenue"),
+          col("n_lines"))
         .orderBy("o_orderpriority")
     }.copy(headline = true),
 
     // ---- 5-way join with broadcast dims (TPC-H Q5 style) ----
     QueryDef(
       "q5_multi_join",
-      s"""SELECT n_name, round(CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS DOUBLE) / 10000, 2) AS revenue
+      s"""SELECT n_name, CAST((CAST(sum(${Exact.fixSql("l_extendedprice * (1 - l_discount)", 4)}) AS HUGEINT) + 50) // 100 AS DOUBLE) / 100 AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey  = c_custkey
@@ -147,7 +160,10 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(Exact.fix(revenue, 4)).cast("double") / 10000, 2).as("revenue"))
+        .agg(sum(Exact.fix(revenue, 4)).as("__rev4"))
+        // tie-free 2-decimal display: HALF_UP in integer space (q1 note)
+        .select(col("n_name"),
+          (expr("(__rev4 + 50) div 100").cast("double") / 100).as("revenue"))
         .orderBy("n_name")
     }.copy(headline = true),
 
