@@ -463,9 +463,9 @@ class ScienceSpec extends SparkSpec {
     val cells = li.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
     rows.foreach { r =>
       val k = (r.getString(0), r.getString(1), r.getInt(2))
-      val want = BigDecimal(cells(k)) / 10000
-      assert(BigDecimal(r.getDouble(3).toString) ===
-        want.setScale(2, BigDecimal.RoundingMode.HALF_UP), s"cell $k")
+      // revenue_cents = HALF_UP(fix4 sum / 100) done in integer space
+      val want = (cells(k) + 50L) / 100L
+      assert(r.getLong(3) === want, s"cell $k")
       assert(r.getLong(4) === li.count(_._1 == k).toLong)
     }
   }
