@@ -353,6 +353,31 @@ object Graph {
       .groupBy("n").agg(count(lit(1)).as("degree"))
   }
 
+  /** Two unrolled HITS rounds (Kleinberg 1999) over a bipartite (c, p)
+    * edge list, in exact integer micro-units: authority seeds at
+    * 1e6·indegree, each half-step is one edge-keyed join + grouped sum,
+    * and scores are max-normalized to ≤1e6 after every half-step via a
+    * broadcast 1-row global max — so every score is engine- and
+    * partition-exact (trunc vs floor div agree: all quantities are
+    * non-negative). Returns per-p authority scores (p, a).
+    *
+    * PRECONDITION: `edges` is distinct (c, p) pairs — duplicates would
+    * multiply-count a neighbor's score. q233 is the catalog user;
+    * factored here so adversarial topologies (disconnected blocks,
+    * degree ties) are spec-pinned against a sequential reference
+    * (GraphAdversarialSpec).
+    */
+  def hitsAuthMicro(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("c"), col("p"))
+    def maxNorm(df: DataFrame, vCol: String) =
+      df.crossJoin(broadcast(df.agg(max(vCol).as("_mx"))))
+        .select(df.columns.filter(_ != vCol).map(col) :+
+          expr(s"($vCol * 1000000) div _mx").as(vCol): _*)
+    val a1 = maxNorm(e.groupBy("p").agg((count(lit(1)) * 1000000L).as("a")), "a")
+    val h1 = maxNorm(e.join(a1, "p").groupBy("c").agg(sum("a").as("h")), "h")
+    maxNorm(e.join(h1, "c").groupBy("p").agg(sum("h").as("a")), "a")
+  }
+
   /** Newman modularity Q of a community assignment — the standard "are
     * these communities real" score that pairs with [[labelPropagation]]
     * the way ARI (q194) pairs with k-means: Q = Σ_c [e_c/m − (d_c/2m)²],

@@ -485,13 +485,7 @@ object AuditQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-      def maxNorm(df: org.apache.spark.sql.DataFrame, vCol: String) =
-        df.crossJoin(broadcast(df.agg(max(vCol).as("_mx"))))
-          .select(df.columns.filter(_ != vCol).map(col) :+
-            expr(s"($vCol * 1000000) div _mx").as(vCol): _*)
-      val a1 = maxNorm(e.groupBy("p").agg((count(lit(1)) * 1000000L).as("a")), "a")
-      val h1 = maxNorm(e.join(a1, "p").groupBy("c").agg(sum("a").as("h")), "h")
-      val a2 = maxNorm(e.join(h1, "c").groupBy("p").agg(sum("h").as("a")), "a")
+      val a2 = graft.graph.Graph.hitsAuthMicro(e)
       a2.orderBy(col("a").desc, col("p")).limit(15)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * cent-sums to ~9.2e18 (sf≈1000 for TPC-H money). Past that, swap the
   * `.cast("long")` for `.cast("decimal(38,0)")` — Spark and DuckDB both
   * sum decimals exactly; everything else is unchanged.
+  *
+  * HALF_UP display rounding on a quantized sum is `(sum + 50) div 100`
+  * (Spark) mirrored by `(sum + 50) // 100` (DuckDB). PRECONDITION: the
+  * sum must be NON-NEGATIVE — `//` floors while `div` truncates toward
+  * zero, so the spellings diverge by one unit on negative values. Every
+  * current user is a TPC-H money total (non-negative by construction);
+  * for a signed measure use floor on both sides instead:
+  * Spark `floor((sum + 50) / 100)` vs DuckDB `(sum + 50) // 100`.
   */
 object Exact {
 

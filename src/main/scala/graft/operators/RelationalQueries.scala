@@ -72,6 +72,7 @@ object RelationalQueries {
         // splits by a cent (bit q300 at sf0.1) — do HALF_UP in integer
         // space, then divide: exact and engine-independent. The cents
         // sums above have exactly 2 true decimals — tie-free as is.
+        // Non-negative sums only (div vs // sign semantics): Exact.scala.
         .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
           col("sum_base_price"),
           (expr("(__disc_q + 50) div 100").cast("double") / 100).as("sum_disc_price"),

@@ -2072,12 +2072,13 @@ object ScienceQueries {
     //      spell it non-negatively, (x%7+7)%7 / pmod, so a pre-1970
     //      timestamp cannot split the engines on % sign). The
     //      multiplicative profile every staffing/capacity plan reads.
-    //      Exact scale note: index_bp's numerator 10000·sum_cents·nn is
-    //      BIGINT-safe while sum_cents·nn < 9.2e14 — holds through
-    //      sf≈10 (sf0.1: sum_cents≈5e8, nn≈6e4); past that, cast the
-    //      product to DECIMAL(38,0) on BOTH sides before the floor-div
-    //      (DuckDB wraps nothing — it raises — so divergence is loud,
-    //      but the bound is documented here like q297/q315). ----
+    //      Exact at any sf: index_bp's products run through 128-bit
+    //      integer space on BOTH sides (Spark DECIMAL(38,0), DuckDB
+    //      HUGEINT — the q151/q264 precedent), so 10000·sum_cents·nn
+    //      is overflow-safe while the corpus total spend stays under
+    //      ~1e34 cents·events — unreachable at any physical sf. All
+    //      quantities are non-negative, so floor (//) and trunc (div)
+    //      agree. ----
     QueryDef(
       "q322_dow_index",
       """WITH ev AS (
@@ -2090,7 +2091,8 @@ object ScienceQueries {
         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS nn,
         |        CAST(sum(sum_cents) AS BIGINT) AS ss FROM g)
         |SELECT CAST(dow AS BIGINT) AS dow, n_events, sum_cents,
-        |       CAST(10000 * sum_cents * nn // (n_events * ss) AS BIGINT) AS index_bp
+        |       CAST(CAST(10000 AS HUGEINT) * sum_cents * nn
+        |            // (CAST(n_events AS HUGEINT) * ss) AS BIGINT) AS index_bp
         |FROM g CROSS JOIN t ORDER BY dow""".stripMargin) { (s, dir) =>
       val ev = Tables.eventsTs(s, dir).select(
         pmod(datediff(to_date(col("ts")), lit("1970-01-05").cast("date")), lit(7))
@@ -2102,7 +2104,10 @@ object ScienceQueries {
       val t = g.agg(sum("n_events").as("nn"), sum("sum_cents").as("ss"))
       g.crossJoin(broadcast(t))
         .selectExpr("dow", "n_events", "sum_cents",
-          "CAST(10000 * sum_cents * nn div (n_events * ss) AS BIGINT) AS index_bp")
+          """CAST(CAST(10000 AS DECIMAL(38,0)) * sum_cents * nn
+            |     div (CAST(n_events AS DECIMAL(38,0)) * ss) AS BIGINT) AS index_bp"""
+            .stripMargin.replaceAll("\n", ""),
+        )
         .orderBy("dow")
     }
   )

@@ -293,7 +293,13 @@ object UpsertSink {
     if (version < 0) None
     else if (f.exists(new Path(tableDir, s"_MANIFEST.v$version"))) {
       val (_, entries) = readManifest(spark, tableDir, version)
-      readBuckets(spark, tableDir, entries)
+      // a vacuum outside the retention window may have reclaimed a dir
+      // this manifest still references (the manifest itself survives
+      // while its own version dir is pinned by a newer manifest):
+      // resolve to a clean None instead of a plan that fails at collect
+      if (entries.values.toSet.forall(v => f.exists(new Path(tableDir, s"v$v"))))
+        readBuckets(spark, tableDir, entries)
+      else None
     } else if (f.exists(new Path(tableDir, s"v$version")))
       Some(spark.read.parquet(s"$tableDir/v$version"))
     else None
@@ -338,11 +344,15 @@ object UpsertSink {
         def young(v: Long): Boolean = minAgeMs > 0 &&
           now - f.getFileStatus(new Path(tableDir, s"v$v"))
             .getModificationTime < minAgeMs
-        // retention roots: the latest commit plus every superseded
-        // version inside the count/age windows
+        // retention roots: the latest commit, the keepLast most recent
+        // EXISTING superseded versions (selected from the listing, not
+        // by version arithmetic — numbering may be sparse after a crash
+        // or partial manual cleanup, and the window must still cover
+        // keepLast real versions), and every superseded version inside
+        // the age window
+        val kept = versions.filter(_ < p.version).sorted.takeRight(keepLast).toSet
         val roots = versions.filter(v =>
-          v == p.version || (v < p.version &&
-            (v >= p.version - keepLast || young(v))))
+          v == p.version || kept(v) || (v < p.version && young(v)))
         val live: Set[Long] =
           if (p.version < 0) Set.empty
           else roots.flatMap { r =>

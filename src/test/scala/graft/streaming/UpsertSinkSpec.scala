@@ -285,4 +285,102 @@ class UpsertSinkSpec extends SparkSpec {
       .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap == pinnedB,
       "pinned bucketed snapshot must keep resolving inside the window")
   }
+
+  private def latestBytes(dir: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_LATEST"))
+  private def putLatest(dir: String, bytes: Array[Byte]): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_LATEST"), bytes)
+    // raw write bypasses Hadoop's ChecksumFileSystem — drop the stale
+    // .crc sidecar or the next pointer read fails with ChecksumException
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "._LATEST.crc"))
+  }
+
+  test("a vacuum holding a pre-compact root never reclaims what the concurrent commit needs") {
+    // The race: vacuum reads _LATEST, then a compact (or upsert) commits a
+    // new version BEFORE vacuum's deletes run. Simulated deterministically
+    // by restoring the stale pointer for the vacuum call: the dangerous
+    // window is exactly "vacuum acts on a pointer one commit behind".
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsertR1").toString
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      (0 until 12).map(i => KvStreaming.KvChange(i.toLong, s"k$i", "x")).toDF(), 0L)
+    (1 to 2).foreach { i =>
+      UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+        Seq(KvStreaming.KvChange(100L + i, "k1", s"y$i")).toDF(), i.toLong)
+    }
+    def snapshot() = UpsertSink.loadBucketed(spark, dir).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    val snap = snapshot()
+    val vPre = UpsertSink.latestVersion(spark, dir).get
+    val stale = latestBytes(dir)
+
+    // (a) compact commits vNew while the in-flight vacuum still holds vPre
+    val vNew = UpsertSink.compact(spark, dir).get
+    val fresh = latestBytes(dir)
+    putLatest(dir, stale)
+    val removed = UpsertSink.vacuum(spark, dir) // stale-rooted, no grace window
+    putLatest(dir, fresh)
+    assert(!removed.contains(vNew) && !removed.contains(vPre),
+      s"stale vacuum must not touch its own root or the in-flight commit, removed $removed")
+    assert(snapshot() == snap, "new commit's snapshot torn by a stale vacuum")
+    assert(UpsertSink.loadVersion(spark, dir, vPre).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap == snap,
+      "the root the vacuum held must still resolve in full")
+
+    // (b) same window with an upsert commit: carried-forward bucket refs
+    // are a subset of the stale root's live set, so they must all survive
+    val stale2 = latestBytes(dir)
+    val vPre2 = UpsertSink.latestVersion(spark, dir).get
+    UpsertSink.upsertBatchBucketed(dir, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(200L, "k2", "z")).toDF(), 3L)
+    val fresh2 = latestBytes(dir)
+    putLatest(dir, stale2)
+    val removed2 = UpsertSink.vacuum(spark, dir)
+    putLatest(dir, fresh2)
+    assert(!removed2.contains(vPre2))
+    assert(snapshot() == snap.updated("k2", "z"),
+      "upsert committed mid-vacuum lost a carried-forward bucket")
+  }
+
+  test("loadVersion mid-vacuum: covered readers resolve; a half-reclaimed version is a clean None") {
+    // covered mid-read: the reader resolved its plan BEFORE vacuum ran;
+    // the grace window is what keeps the already-resolved plan readable
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsertR2").toString
+    (0 to 4).foreach { i =>
+      UpsertSink.upsertBatch(dir)(
+        Seq(KvStreaming.KvChange(i.toLong, "k", s"v$i")).toDF(), i.toLong)
+    }
+    val midRead = UpsertSink.loadVersion(spark, dir, 2L).get // plan resolved, not collected
+    UpsertSink.vacuum(spark, dir, keepLast = 2)              // vacuum runs mid-read
+    assert(midRead.collect().map(_.getAs[String]("value")).toSeq == Seq("v2"),
+      "a reader inside the grace window must survive a vacuum between resolve and collect")
+
+    // uncovered: construct a version whose MANIFEST survives (its dir is
+    // pinned by a newer manifest) while a dir it references is reclaimed.
+    // kA and kB are picked to hash to different buckets so the manifest
+    // chain fans out: v3 refs {v0,v2,v3}, v2 refs {v0,v1,v2} with v1 dead.
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    def bucketOf(k: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(8L)).cast("int")).head().getInt(0)
+    val kA = "k1"
+    val kB = (2 to 20).map(i => s"k$i").find(k => bucketOf(k) != bucketOf(kA)).get
+    val dirB = java.nio.file.Files.createTempDirectory("graft-upsertR3").toString
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      (0 until 12).map(i => KvStreaming.KvChange(i.toLong, s"k$i", "x")).toDF(), 0L)
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(101L, kA, "a1")).toDF(), 1L) // v1: kA's bucket
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(102L, kB, "b1")).toDF(), 2L) // v2 manifest refs v1
+    UpsertSink.upsertBatchBucketed(dirB, nBuckets = 8)(
+      Seq(KvStreaming.KvChange(103L, kA, "a2")).toDF(), 3L) // v3 refs v2, drops v1
+    def snapB() = UpsertSink.loadBucketed(spark, dirB).get.collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    val expected = snapB()
+    val removed = UpsertSink.vacuum(spark, dirB) // reclaims v1 only
+    assert(removed == Seq(1L), s"expected exactly v1 reclaimed, got $removed")
+    assert(new java.io.File(dirB, "_MANIFEST.v2").exists(),
+      "setup must leave v2's manifest on disk (its dir is pinned by v3)")
+    assert(UpsertSink.loadVersion(spark, dirB, 2L).isEmpty,
+      "half-reclaimed version must resolve to None, not a plan that fails at collect")
+    assert(snapB() == expected, "latest snapshot must be untouched")
+  }
 }
