@@ -306,7 +306,7 @@ object CurationQueries {
         .select(col("doc_id"), col("n_bigrams"),
           expr("(0 - total) div n_bigrams").as("xent_micro"))
         .orderBy("doc_id")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 8, final tier)
 
     // ---- Good–Turing unseen-mass estimate (q240): from the word-TRIGRAM
     //      frequency-of-frequencies table S(r), the probability mass of

@@ -1716,7 +1716,7 @@ object PipelineQueries {
         .select(col("src_a"), col("src_b"), col("shared_grams"),
           expr("10000 * shared_grams div (na + nb - shared_grams)").as("jaccard_bp"))
         .orderBy("src_a", "src_b")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 8, final tier)
 
     // ---- exact duplicated-substring spans (Lee et al. 2107.06499):
     //      maximal token spans covered by a 16-token window occurring
@@ -3072,7 +3072,7 @@ object PipelineQueries {
               """CAST((c2 * sij - sasb) * 2 * 10000
                 | div (c2 * (sa + sb) - 2 * sasb) AS BIGINT)""".stripMargin))
             .as("ari_bp"))
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 8, final tier)
 
     // ---- Johnson-Lindenstrauss distortion audit (q182): project the
     //      64-dim embeddings onto 16 dims with a pinned ±1 (Achlioptas)

@@ -1518,7 +1518,7 @@ object ScienceQueries {
         .groupBy("rfm_code")
         .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("sum_cents"))
         .orderBy("rfm_code")
-    },
+    }.copy(headline = true), // sweep slow-tail promotion (round 8, final tier)
 
     // ---- revenue concentration (q313): the 80/20 report — how few
     //      customers cover 50/80/90% of revenue. Customers ranked by
