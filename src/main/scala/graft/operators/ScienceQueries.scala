@@ -133,9 +133,14 @@ object ScienceQueries {
 
   private val kwHMicroSql = s"CAST(round(1000000 * $kwHSql) AS BIGINT)"
 
-  /** Tie-corrected H: divide by 1 − Σ(t³−t)/(n³−n); tie_sum is exact
-    * BIGINT (bound: overflows past n ≈ 2e6 rows of one identical value —
-    * switch tie_sum to DECIMAL(38,0) there, the Exact scale note). */
+  /** Tie-corrected H: divide by 1 − Σ(t³−t)/(n³−n); the t³ products and
+    * their sum run through 128-bit integer space on both sides (Spark
+    * DECIMAL(38,0), DuckDB HUGEINT — the q322 discipline; a BIGINT t³
+    * silently wraps in Spark but raises in DuckDB past t ≈ 2e6, so the
+    * old Long spelling was a latent engine split). The correction
+    * consumes the wide value through DOUBLE; the displayed tie_sum
+    * column stays BIGINT (its value needs >9e18 — a single n_chars
+    * value duplicated 2e6+ times — before the display cast matters). */
   private val kwHCorrMicroSql =
     s"""CAST(round(1000000 * $kwHSql / (1 - CAST(tie_sum AS DOUBLE)
        | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
@@ -162,8 +167,11 @@ object ScienceQueries {
     //      the 3×3 normal equations is then a pure expression — no
     //      iterative descent, no per-row driver traffic, so the plan is
     //      scan → partial agg → final agg regardless of row count.
-    //      Long moments are exact to sf≈30 for y² sums; past that swap
-    //      syy to DECIMAL(38,0) (the Exact scale note). ----
+    //      The y-product moments (Σx·y, Σy²) run through 128-bit integer
+    //      space on both sides (Spark DECIMAL(38,0), DuckDB HUGEINT —
+    //      the q322 discipline): exact at any physical sf, not just to
+    //      the old Long bound of sf≈30. Cramer's determinants consume
+    //      the moments through a shared DOUBLE spelling either way. ----
     QueryDef(
       "q288_ols_multi",
       s"""WITH li AS (
@@ -180,9 +188,9 @@ object ScienceQueries {
          |         CAST(sum(x1 * x2) AS BIGINT) AS s12,
          |         CAST(sum(x2 * x2) AS BIGINT) AS s22,
          |         CAST(sum(y) AS BIGINT) AS sy,
-         |         CAST(sum(x1 * y) AS BIGINT) AS s1y,
-         |         CAST(sum(x2 * y) AS BIGINT) AS s2y,
-         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |         CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+         |         CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+         |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
          |  FROM r),
          |dets AS (
          |  SELECT n, sy, s1y, s2y, syy,
@@ -209,9 +217,9 @@ object ScienceQueries {
           sum(expr("x1 * x2")).as("s12"),
           sum(expr("x2 * x2")).as("s22"),
           sum("y").as("sy"),
-          sum(expr("x1 * y")).as("s1y"),
-          sum(expr("x2 * y")).as("s2y"),
-          sum(expr("y * y")).as("syy"))
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("s1y"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * y")).as("s2y"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
         .selectExpr("n", "sy", "s1y", "s2y", "syy",
           s"$detSql AS d", s"$det0Sql AS d0", s"$det1Sql AS d1", s"$det2Sql AS d2")
         .selectExpr("n",
@@ -437,9 +445,9 @@ object ScienceQueries {
          |          list(t ORDER BY source)), (acc, x) -> acc + x) AS srs
          |      FROM gt),
          |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-         |          CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+         |          CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie_sum
          |        FROM vc)
-         |SELECT n, k, tie_sum, $kwHMicroSql AS h_micro,
+         |SELECT n, k, CAST(tie_sum AS BIGINT) AS tie_sum, $kwHMicroSql AS h_micro,
          |       $kwHCorrMicroSql AS h_corr_micro
          |FROM f CROSS JOIN tot""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("source"), col("n_chars").as("v"))
@@ -456,9 +464,10 @@ object ScienceQueries {
         expr("""aggregate(
           transform(sort_array(collect_list(struct(source, t))), g -> g.t),
           CAST(0 AS DOUBLE), (acc, x) -> acc + x)""").as("srs"))
-      val tot = vc.agg(sum("c").as("n"), sum(expr("c * c * c - c")).as("tie_sum"))
+      val tot = vc.agg(sum("c").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tie_sum"))
       folded.crossJoin(broadcast(tot))
-        .selectExpr("n", "k", "tie_sum",
+        .selectExpr("n", "k", "CAST(tie_sum AS BIGINT) AS tie_sum",
           s"$kwHMicroSql AS h_micro", s"$kwHCorrMicroSql AS h_corr_micro")
     },
 
@@ -735,8 +744,11 @@ object ScienceQueries {
     //      are integer floor-divs. Complement counts derive from the
     //      totals (Σ(1−r) = 1e6·n − Σr), so an iteration is ONE
     //      aggregate over the scan — EM at 100 TB is h linear passes,
-    //      no driver-side rows. Long bounds: Σr·x ≤ 1e6·n·xm —
-    //      DECIMAL(38,0) past sf≈10 (the Exact scale note). ----
+    //      no driver-side rows. The big moment sums (Σx², Σr·x, and the
+    //      1e6·Σx term) run through 128-bit integer space on both sides
+    //      (Spark DECIMAL(38,0), DuckDB HUGEINT — the q322 discipline),
+    //      so the iterate is exact at any sf; displayed means are
+    //      BIGINT-small by construction. ----
     QueryDef(
       "q297_gmm_em", {
         val varSql =
@@ -751,7 +763,7 @@ object ScienceQueries {
         s"""WITH base AS (SELECT 1000 * n_chars AS xm FROM documents),
            |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
            |          CAST(sum(xm) AS BIGINT) AS sxm,
-           |          CAST(sum(xm * xm) AS BIGINT) AS sxmm FROM base),
+           |          CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS sxmm FROM base),
            |p0 AS (SELECT n, sxm,
            |         CAST(round(CAST(sxm AS DOUBLE) / n - sqrt($varSql)) AS BIGINT) AS mu1,
            |         CAST(round(CAST(sxm AS DOUBLE) / n + sqrt($varSql)) AS BIGINT) AS mu2,
@@ -759,17 +771,19 @@ object ScienceQueries {
            |       FROM tot),
            |e1 AS (SELECT n, sxm, s2,
            |         CAST(sum($respSql) AS BIGINT) AS n1,
-           |         CAST(sum($respSql * xm) AS BIGINT) AS sxr1
+           |         CAST(sum(CAST(($respSql) AS HUGEINT) * xm) AS HUGEINT) AS sxr1
            |       FROM base CROSS JOIN p0 GROUP BY n, sxm, s2),
-           |p1 AS (SELECT n, sxm, s2, sxr1 // n1 AS mu1,
-           |         (1000000 * sxm - sxr1) // (1000000 * n - n1) AS mu2
+           |p1 AS (SELECT n, sxm, s2, CAST(sxr1 // n1 AS BIGINT) AS mu1,
+           |         CAST((CAST(1000000 AS HUGEINT) * sxm - sxr1)
+           |              // (1000000 * n - n1) AS BIGINT) AS mu2
            |       FROM e1),
            |e2 AS (SELECT n, sxm, s2,
            |         CAST(sum($respSql) AS BIGINT) AS n1,
-           |         CAST(sum($respSql * xm) AS BIGINT) AS sxr1
+           |         CAST(sum(CAST(($respSql) AS HUGEINT) * xm) AS HUGEINT) AS sxr1
            |       FROM base CROSS JOIN p1 GROUP BY n, sxm, s2),
            |p2 AS (SELECT n, CAST(sxr1 // n1 AS BIGINT) AS mu1,
-           |         CAST((1000000 * sxm - sxr1) // (1000000 * n - n1) AS BIGINT) AS mu2,
+           |         CAST((CAST(1000000 AS HUGEINT) * sxm - sxr1)
+           |              // (1000000 * n - n1) AS BIGINT) AS mu2,
            |         CAST(n1 // n AS BIGINT) AS pi1_ppm
            |       FROM e2)
            |SELECT p2.n, p0.mu1 AS mu1_init_milli, p0.mu2 AS mu2_init_milli,
@@ -787,7 +801,7 @@ object ScienceQueries {
           | AS BIGINT)""".stripMargin.replaceAll("\n", "")
       val base = Tables.documents(s, dir).selectExpr("1000 * n_chars AS xm")
       val tot = base.agg(count(lit(1)).as("n"), sum("xm").as("sxm"),
-        sum(expr("xm * xm")).as("sxmm"))
+        sum(expr("CAST(xm AS DECIMAL(38,0)) * xm")).as("sxmm"))
       val p0 = tot.selectExpr("n", "sxm",
         s"CAST(round(CAST(sxm AS DOUBLE) / n - sqrt($varSql)) AS BIGINT) AS mu1",
         s"CAST(round(CAST(sxm AS DOUBLE) / n + sqrt($varSql)) AS BIGINT) AS mu2",
@@ -795,10 +809,12 @@ object ScienceQueries {
       def estep(p: org.apache.spark.sql.DataFrame) = base.crossJoin(broadcast(p))
         .selectExpr("n", "sxm", "s2", s"$respSql AS r1", "xm")
         .groupBy("n", "sxm", "s2")
-        .agg(sum("r1").as("n1"), sum(expr("r1 * xm")).as("sxr1"))
+        .agg(sum("r1").as("n1"),
+          sum(expr("CAST(r1 AS DECIMAL(38,0)) * xm")).as("sxr1"))
         .selectExpr("n", "sxm", "s2",
           "sxr1 div n1 AS mu1",
-          "(1000000 * sxm - sxr1) div (1000000 * n - n1) AS mu2", "n1")
+          "(CAST(1000000 AS DECIMAL(38,0)) * sxm - sxr1) div (1000000 * n - n1) AS mu2",
+          "n1")
       val p1 = estep(p0).localCheckpoint()
       val p2 = estep(p1)
       p2.crossJoin(broadcast(
@@ -1615,15 +1631,16 @@ object ScienceQueries {
     // ---- Simpson's-paradox audit (q315): does the quantity↔price
     //      association flip sign inside return-flag groups vs pooled —
     //      the aggregation trap every segment report should test for.
-    //      Covariance NUMERATORS (n·Σxy − Σx·Σy) are exact BIGINT, so
-    //      sign decisions are integer-exact (no float sign flips at the
-    //      boundary); the correlation itself is one shared double
-    //      expression. Pooled moments derive from the group moments by
-    //      summation — one aggregate total. Long bound: n·Σxy overflows
-    //      past sf≈10 — DECIMAL(38,0) there (the Exact scale note). ----
+    //      Covariance NUMERATORS (n·Σxy − Σx·Σy) are exact 128-bit
+    //      integers (Spark DECIMAL(38,0), DuckDB HUGEINT — the q322
+    //      discipline), so sign decisions are integer-exact at ANY sf
+    //      (n·Σxy reaches ~3e27 at 100 TB, far past BIGINT but well
+    //      inside 38 digits); the correlation itself is one shared
+    //      double expression. Pooled moments derive from the group
+    //      moments by summation — one aggregate total. ----
     QueryDef(
       "q315_simpsons", {
-        val cov = "(n * sxy - sx * sy)"
+        val cov = "(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)"
         val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
         val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
         // variance products stay in DOUBLE: n·syy alone overflows BIGINT
@@ -1642,14 +1659,14 @@ object ScienceQueries {
            |  FROM lineitem),
            |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
            |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           |        CAST(sum(x * x) AS BIGINT) AS sxx,
-           |        CAST(sum(x * y) AS BIGINT) AS sxy,
-           |        CAST(sum(y * y) AS BIGINT) AS syy
+           |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           |        CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
            |      FROM l GROUP BY grp),
            |p AS (SELECT 'ALL' AS grp, CAST(sum(n) AS BIGINT) AS n,
            |        CAST(sum(sx) AS BIGINT) AS sx, CAST(sum(sy) AS BIGINT) AS sy,
-           |        CAST(sum(sxx) AS BIGINT) AS sxx, CAST(sum(sxy) AS BIGINT) AS sxy,
-           |        CAST(sum(syy) AS BIGINT) AS syy
+           |        CAST(sum(sxx) AS HUGEINT) AS sxx, CAST(sum(sxy) AS HUGEINT) AS sxy,
+           |        CAST(sum(syy) AS HUGEINT) AS syy
            |      FROM g),
            |u AS (SELECT * FROM g UNION ALL SELECT * FROM p),
            |ps AS (SELECT $sgn AS pooled_sign FROM p)
@@ -1658,7 +1675,7 @@ object ScienceQueries {
            |            THEN 1 ELSE 0 END AS BIGINT) AS sign_flips_vs_pooled
            |FROM u CROSS JOIN ps ORDER BY grp""".stripMargin
       }) { (s, dir) =>
-      val cov = "(n * sxy - sx * sy)"
+      val cov = "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
       val vx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
       val vy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
       val corr =
@@ -1672,8 +1689,9 @@ object ScienceQueries {
         "CAST(round(l_extendedprice) AS BIGINT) AS y")
       val g = l.groupBy("grp").agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
-        sum(expr("y * y")).as("syy"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
         .localCheckpoint() // pooled row + union + output read it
       val p = g.agg(sum("n").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
         sum("sxx").as("sxx"), sum("sxy").as("sxy"), sum("syy").as("syy"))
