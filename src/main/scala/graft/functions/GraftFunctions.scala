@@ -22,6 +22,8 @@ object GraftFunctions {
       exprs(2).eval().asInstanceOf[Boolean])),
     "graft_winnow" -> (exprs => WinnowMinima(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue())),
+    "graft_md5long" -> (exprs => Md5Long60Expr(exprs(0))),
+    "graft_ws_tokens" -> (exprs => WsTokensExpr(exprs(0))),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs(0))),
     // graft_multi_match(text, t1, t2, ...): the term list is a constant

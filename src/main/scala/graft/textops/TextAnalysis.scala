@@ -13,9 +13,16 @@ object TextAnalysis {
 
   // ---------- tokenization ----------
 
-  /** Whitespace tokens (empties dropped — split keeps trailing ""). */
+  /** Whitespace tokens (empties dropped — split keeps trailing "").
+    * Native single-pass byte-scan kernel (WsTokensExpr), bit-identical
+    * to the composed `filter(split(text, "\\s+"), t => t =!= "")` it
+    * replaced (TextKernelExpressionsSpec pins the equivalence): no
+    * regex, no full-string decode, no empty-token allocations —
+    * tokenization fronts EVERY text query's scan stage, so this is the
+    * hottest expression in the engine.
+    */
   def wsTokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    graft.functions.TextKernelFunctions.graftWsTokens(text)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(wsTokens(text))
@@ -178,7 +185,11 @@ object TextAnalysis {
     * portability wins here.
     */
   def md5Long(s: Column): Column =
-    conv(substring(md5(s), 18, 15), 16, 10).cast("long")
+    // native digest-byte kernel (Md5Long60Expr) — bit-identical to the
+    // composed conv(substring(md5(s), 18, 15), 16, 10) cast long it
+    // replaced (TextKernelExpressionsSpec), with no hex string, no
+    // substring, no base-16 parse per hash
+    graft.functions.TextKernelFunctions.graftMd5Long(s)
 
   def fingerprint(text: Column, k: Int = 3): Column =
     array_min(graft.functions.GramHashFunctions.graftGramMd5(
