@@ -103,13 +103,50 @@ object Dedup {
       idCol: String = "doc_id",
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame =
-    lshCandidatesWithSigs(signatures, idCol, bands, maxBucket)
-      .select("id_a", "id_b")
-      .distinct()
+    lshCandidatePairs(signatures, idCol, bands, maxBucket)
 
-  /** Candidate pairs CARRYING both signatures, so downstream estimation
-    * needs no re-join against the signature table (which would recompute
-    * the signature scan once per join branch in a lazy DAG).
+  /** Distinct candidate pairs from band buckets, KEYS ONLY: the
+    * (band, bucket) exchange carries (id, band, bucket) rows — ~24 B per
+    * banded row — never the signatures. Carrying the H-long signature
+    * through every band row (the pre-round-8 shape) shuffles
+    * bands × H × 8 bytes per doc (32 bands × 96 longs ≈ 24 KB/doc, ~30×
+    * the payload of the doc ids) just so the estimate stage can avoid a
+    * join; at corpus scale that is the dominant shuffle of the whole
+    * near-dup pipeline. Shuffling the keys and re-attaching signatures
+    * to the (small) candidate-pair set afterwards moves ~30× fewer
+    * bytes (guide §2.3 "shuffle keys and metadata instead of payloads").
+    * Multi-band collisions collapse in the `distinct` here, on bare id
+    * pairs — the cheapest possible point.
+    */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = bandBuckets(signatures, idCol, bands)
+      .select(col(idCol).as("id"), col("band"), col("bucket"))
+    // ONE shuffle: gather each bucket's member ids, expand pairs
+    // in-bucket. maxBucket bounds the holistic member list AND the
+    // quadratic pair expansion — the skew guard for degenerate buckets.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairsCol = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+    buckets
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs CARRYING both signatures — [[lshCandidatePairs]]
+    * with the signatures attached back by two id-joins. NOTE: references
+    * `signatures` three times (banding + both attach sides); callers for
+    * whom the signature map is expensive must pass a MATERIALIZED frame
+    * (NearDupStream checkpoints its batch signatures; Diag caches).
+    * Emits each candidate pair ONCE (pre-round-8 this emitted one row
+    * per colliding band; all consumers treat the output as a set).
     */
   /** (id, sig, band, bucket) rows — one per signature band. The bucket
     * key is xxhash64 over (band, rotl-xor fold of the band's signature
@@ -140,36 +177,11 @@ object Dedup {
       signatures: DataFrame,
       idCol: String = "doc_id",
       bands: Int = 16,
-      maxBucket: Int = 1000): DataFrame = {
-    val banded = bandBuckets(signatures, idCol, bands)
-    // ONE shuffle: gather each bucket's members, expand pairs in-bucket.
-    // (A self-join on (band,bucket) would reference — and recompute — the
-    // signature scan three times and shuffle every sig once per band.)
-    // maxBucket bounds the holistic member list AND the quadratic pair
-    // expansion — the skew guard for degenerate buckets.
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col("sig").as("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairsCol = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + 2, size(col("members"))),
-        y => struct(
-          least(x.getField("id"), y.getField("id")).as("id_a"),
-          greatest(x.getField("id"), y.getField("id")).as("id_b"),
-          when(x.getField("id") < y.getField("id"), x.getField("sig"))
-            .otherwise(y.getField("sig")).as("sig_a"),
-          when(x.getField("id") < y.getField("id"), y.getField("sig"))
-            .otherwise(x.getField("sig")).as("sig_b")))))
-    // A pair colliding in several bands is emitted once per colliding
-    // band; consumers dedup on (id_a, id_b) — lshCandidates and
-    // nearDupPairs both do. (An earlier revision suppressed non-first
-    // collisions per pair with a slice comparison, saving the distinct —
-    // but that silently loses pairs whose first colliding band's bucket
-    // was dropped by the skew guard, so the explicit distinct stays.)
-    buckets
-      .select(explode(pairsCol).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-  }
+      maxBucket: Int = 1000): DataFrame =
+    lshCandidatePairs(signatures, idCol, bands, maxBucket)
+      .join(signatures.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(signatures.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select("id_a", "id_b", "sig_a", "sig_b")
 
   /** Exact n-gram Jaccard for (id_a, id_b) candidate pairs: each side's
     * distinct shingle set is attached by join, then |∩|/|∪| is a per-row
@@ -230,12 +242,19 @@ object Dedup {
       pairsWithSigs: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     pairsWithSigs
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") /
-          size(col("sig_a")).cast("double"))
+      .withColumn("est_jaccard", sigEstimate(col("sig_a"), col("sig_b")))
       .select("id_a", "id_b", "est_jaccard")
+
+  /** The MinHash Jaccard estimator as a column: fraction of equal
+    * signature components — one spelling shared by [[estimateJaccard]]
+    * and the fused verify stages so the pre-filter semantics cannot
+    * drift between paths.
+    */
+  private[graft] def sigEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB,
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") /
+      size(sigA).cast("double")
 
   /** MinHash near-dup pipeline: LSH candidates → signature-estimate
     * pre-filter (5σ margin below threshold) → exact n-gram Jaccard.
@@ -260,28 +279,52 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 96,
       bands: Int = 32): DataFrame = {
-    // NOTE: recomputing the scan-bound signature map beats persist() at
-    // sf0.1 (cache materialization barrier + churn cost more than the
-    // extra map-side pass); callers running MANY dedup rounds over one
-    // corpus should persist minHashSignatures output themselves and pass
-    // it to lshCandidatesWithSigs directly.
+    // Candidate generation is KEYS-ONLY (lshCandidatePairs): the banded
+    // exchange never carries signatures, so the corpus-wide shuffle is
+    // (id, band, bucket) rows. The signature map itself is scan-bound
+    // and recomputed lazily where needed (recomputing beats persist() at
+    // sf0.1 — cache materialization barrier + churn cost more than the
+    // extra map-side pass — and at scale it avoids a corpus-sized
+    // materialization entirely).
     val sigs = minHashSignatures(docs, idCol, textCol, k, numHashes)
-    val cands = lshCandidatesWithSigs(sigs, idCol, bands)
-    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // distinct collapses multi-band emissions (cheap: bare id pairs,
-    // post-filter). localCheckpoint: the verify stage references the
-    // pair set twice (id-prune + the join) — without materialization the
-    // whole sig→band→bucket→estimate pipeline would execute twice. The
-    // checkpointed set is small by construction (near-threshold
-    // candidates only), so this is a cheap cut of the DAG's tallest
-    // subtree — same reasoning as Spark ML's iterative checkpointing.
-    val plausible = estimateJaccard(cands, idCol)
-      .filter(col("est_jaccard") >= threshold - margin)
-      .select("id_a", "id_b")
-      .distinct()
+    // localCheckpoint: the pair set is referenced twice below (the
+    // participant prune and the attach join) — without materialization
+    // the whole sig→band→bucket pipeline would execute twice. The
+    // checkpointed set is small by construction.
+    val pairs = lshCandidatePairs(sigs, idCol, bands).localCheckpoint()
+    val ids = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("pid")).distinct()
+    // ONE participant-only pass computes BOTH per-doc features — the
+    // MinHash signature (estimate pre-filter) and the hashed shingle set
+    // (exact verify). Docs that appear in a candidate pair are ≪ corpus
+    // by the candidate-generation contract, so the expensive per-doc
+    // feature computation is semi-join-pruned AND paid once (pre-round-8
+    // the estimate and verify stages each ran their own feature pass).
+    val feats = docs.join(ids, col(idCol) === col("pid"), "left_semi")
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashFunctions.graftMinHash(
+          TextAnalysis.wsTokens(col(textCol)), k, numHashes).as("sig"),
+        graft.functions.GramHashFunctions.graftGramMd5(
+          TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as("sh"))
       .localCheckpoint()
-    ngramJaccard(docs, plausible, idCol, textCol, k)
+    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // Fused estimate + verify: the signature pre-filter runs as a cheap
+    // zip over the attached sigs; only surviving rows pay the shingle
+    // intersect. Same output set as the former two-stage pipeline
+    // (est ≥ t−margin AND jaccard ≥ t), one attach join instead of two.
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(feats.select(col("id").as("id_a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a")), "id_a")
+      .join(feats.select(col("id").as("id_b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b")), "id_b")
+      .filter(sigEstimate(col("sig_a"), col("sig_b")) >= threshold - margin)
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Cross-corpus near-dup join: every (left, right) pair with n-gram
@@ -317,48 +360,47 @@ object Dedup {
       numHashes: Int = 96,
       bands: Int = 32,
       maxBucket: Int = 1000): DataFrame = {
+    // keys-only per-side bucket gathering (same §2.3 trade as
+    // lshCandidatePairs): the (band, bucket) join exchanges one id-list
+    // row per non-empty bucket, never the signatures
     def bucketed(side: DataFrame, out: String): DataFrame =
       bandBuckets(minHashSignatures(side, idCol, textCol, k, numHashes),
         idCol, bands)
+        .select(col(idCol), col("band"), col("bucket"))
         .groupBy("band", "bucket")
-        .agg(collect_list(struct(col(idCol).as("id"), col("sig").as("sig")))
-          .as(out))
+        .agg(collect_list(col(idCol)).as(out))
         .filter(size(col(out)).between(1, maxBucket))
-    // ONE equi-join on (band, bucket): each side pre-gathers its bucket
-    // members (the same holistic shape lshCandidatesWithSigs uses), so
-    // the signature scans execute once per side and the join exchanges
-    // one row per non-empty bucket, not one per (member × band).
+    // localCheckpoint: the cross-pair set is referenced three times
+    // below (two per-side participant prunes + the attach join)
     val pairs = bucketed(left, "ml").join(bucketed(right, "mr"),
         Seq("band", "bucket"))
       .select(explode(flatten(transform(col("ml"), x =>
-        transform(col("mr"), y => struct(
-          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b"))))))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // same pre-filter + materialization rationale as nearDupPairs: the
-    // checkpointed near-threshold pair set is referenced by both verify
-    // attach joins
-    val plausible = estimateJaccard(pairs, idCol)
-      .filter(col("est_jaccard") >= threshold - margin)
-      .select("id_a", "id_b")
+        transform(col("mr"), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
       .localCheckpoint()
-    // per-side hashed-shingle sets, pruned to docs that appear in a pair
-    // (ngramJaccard's single-table attach can't serve here: the two id
-    // spaces may overlap without naming the same document)
-    def shSets(side: DataFrame, pairCol: String): DataFrame =
-      side.join(plausible.select(col(pairCol).as("pid")).distinct(),
+    val margin = 5.0 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // per-side participant features — signature AND hashed-shingle set
+    // in ONE pruned pass per side (ngramJaccard's single-table attach
+    // can't serve here: the two id spaces may overlap without naming
+    // the same document)
+    def feats(side: DataFrame, pairCol: String): DataFrame =
+      side.join(pairs.select(col(pairCol).as("pid")).distinct(),
           col(idCol) === col("pid"), "left_semi")
         .select(col(idCol).as(pairCol),
+          graft.functions.MinHashFunctions.graftMinHash(
+            TextAnalysis.wsTokens(col(textCol)), k, numHashes)
+            .as(s"sig_$pairCol"),
           graft.functions.GramHashFunctions.graftGramMd5(
-            TextAnalysis.wsTokens(col(textCol)), k, distinct = true).as(s"sh_$pairCol"))
+            TextAnalysis.wsTokens(col(textCol)), k, distinct = true)
+            .as(s"sh_$pairCol"))
     val inter = size(array_intersect(col("sh_id_a"), col("sh_id_b")))
-    plausible
-      .join(shSets(left, "id_a"), "id_a")
-      .join(shSets(right, "id_b"), "id_b")
+    pairs
+      .join(feats(left, "id_a"), "id_a")
+      .join(feats(right, "id_b"), "id_b")
+      .filter(sigEstimate(col("sig_id_a"), col("sig_id_b")) >=
+        threshold - margin)
       .withColumn("inter", inter)
       .withColumn("jaccard",
         round(col("inter").cast("double") /
