@@ -662,6 +662,13 @@ object Dedup {
 
     // large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
     // Output stays child → parent (v > u ≥ m; never a self-loop).
+    // NO terminal distinct: each row of n emits at most one (v, m) and
+    // the dst>src filter keeps one orientation, so output rows ≤ input
+    // edge rows by construction — no growth to bound. Duplicate (v, m)
+    // rows are invisible to smallStar (min over dups = min) and die in
+    // its terminal distinct, so deduping here bought nothing but a full
+    // extra exchange per round (guide §2.4: a `distinct` on data whose
+    // consumer tolerates duplicates is an accidental shuffle).
     def largeStar(e: DataFrame): DataFrame = {
       val n = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = n.groupBy("src").agg(min("dst").as("mn"))
@@ -669,7 +676,6 @@ object Dedup {
       n.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     // small-star(u) on the directed graph (all out-neighbors < u):
     // m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) ∪ {u}, v ≠ m.
@@ -703,7 +709,15 @@ object Dedup {
         .filter(col("mn") =!= col("mx") ||
           (col("mx") === 1 && col("mind") =!= col("maxd")))
         .isEmpty
-    var converged = g.isEmpty || isStarForest(g)
+    // No pre-loop probe (that was one isEmpty job + one star-forest job
+    // per execution): a star forest is a FIXPOINT of the composed round
+    // — largeStar re-emits each child→root edge unchanged (the root is
+    // its own closed-neighborhood min at src>dst invariant) and
+    // smallStar relabels children to that same root — and the empty set
+    // trivially so. Running the first round unconditionally therefore
+    // returns the identical edge set on already-converged input, and
+    // the common case (real work to do) saves two scheduler round-trips.
+    var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(g)).localCheckpoint()
