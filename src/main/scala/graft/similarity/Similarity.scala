@@ -488,24 +488,35 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       maxBucket: Int = 1000): DataFrame = {
+    // keys-only bucket gathering (the Dedup.lshCandidatePairs shape —
+    // guide §2.3 "shuffle keys, not payloads"): the (band, bucket)
+    // exchange carries (id, band, bucket) rows, never the embeddings —
+    // carrying the vector on every band row shuffles bands × dim × 4 B
+    // per vector (8 × 64 floats ≈ 2 KB) and the pair-dedup exchange then
+    // re-shuffled TWO embeddings per candidate row. Embeddings are
+    // re-attached to the (small) distinct pair set below.
     val banded = hyperplaneBuckets(corpus, nPlanes, bands, idCol, embCol)
+      .select(col(idCol).as("id"), col("band"), col("bucket"))
     val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb"))).as("members"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     val pairsCol = flatten(transform(col("members"), (x, i) =>
       transform(slice(col("members"), i + 2, size(col("members"))),
-        y => struct(
-          least(x.getField("id"), y.getField("id")).as("id_a"),
-          greatest(x.getField("id"), y.getField("id")).as("id_b"),
-          when(x.getField("id") < y.getField("id"), x.getField("emb"))
-            .otherwise(y.getField("emb")).as("emb_a"),
-          when(x.getField("id") < y.getField("id"), y.getField("emb"))
-            .otherwise(x.getField("emb")).as("emb_b")))))
-    buckets
+        y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))
+    // pairs are distinct, so each pair pays the cosine exactly once
+    // (unchanged contract); referenced once by the linear attach chain
+    // below, so no materialization barrier is needed
+    val pairs = buckets
       .select(explode(pairsCol).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    // attach by joining the corpus projection directly: the pair set is
+    // small (broadcast side), so the corpus streams through both joins
+    // without shuffling — no checkpoint, no extra pass
+    val vecs = corpus.select(col(idCol).as("id"), col(embCol).as("emb"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("emb").as("emb_b")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
@@ -533,23 +544,28 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       maxBucket: Int = 1000): DataFrame = {
+    // keys-only per-side bucket gathering + embedding re-attach, the
+    // same §2.3 restructure as [[embeddingNearDups]]
     def bucketed(side: DataFrame, out: String): DataFrame =
       hyperplaneBuckets(side, nPlanes, bands, idCol, embCol)
+        .select(col(idCol).as("id"), col("band"), col("bucket"))
         .groupBy("band", "bucket")
-        .agg(collect_list(struct(col(idCol).as("id"), col(embCol).as("emb")))
-          .as(out))
+        .agg(collect_list(col("id")).as(out))
         .filter(size(col(out)).between(1, maxBucket))
-    bucketed(left, "ml").join(bucketed(right, "mr"), Seq("band", "bucket"))
+    val pairs = bucketed(left, "ml")
+      .join(bucketed(right, "mr"), Seq("band", "bucket"))
       .select(explode(flatten(transform(col("ml"), x =>
-        transform(col("mr"), y => struct(
-          x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-          x.getField("emb").as("emb_a"), y.getField("emb").as("emb_b"))))))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"))
-      .dropDuplicates("id_a", "id_b")
+        transform(col("mr"), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+    def vecs(side: DataFrame, pairCol: String): DataFrame =
+      side.select(col(idCol).as(pairCol), col(embCol).as(s"emb_$pairCol"))
+    pairs
+      .join(vecs(left, "id_a"), "id_a")
+      .join(vecs(right, "id_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("sim"))
+        cosine(col("emb_id_a"), col("emb_id_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
