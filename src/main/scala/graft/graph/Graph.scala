@@ -368,11 +368,22 @@ object Graph {
     * (GraphAdversarialSpec).
     */
   def hitsAuthMicro(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("c"), col("p"))
-    def maxNorm(df: DataFrame, vCol: String) =
-      df.crossJoin(broadcast(df.agg(max(vCol).as("_mx"))))
-        .select(df.columns.filter(_ != vCol).map(col) :+
+    // Pin the edge list once and each half-step's UN-normalized scores:
+    // every maxNorm references its input twice (rows + the 1-row max)
+    // and every half-step joins the edge list again, so the fully-lazy
+    // unrolled plan doubles per half-step — q233's initial plan carried
+    // 124 Exchange nodes including 14 copies of the caller's edge
+    // derivation (a fact⋈fact join + distinct), all replanned by AQE
+    // every run. Pinned, the plan is linear: three node-sized
+    // checkpoints plus one edge-list job, each half-step one join + one
+    // grouped sum over pinned blocks.
+    val e = edges.select(col("c"), col("p")).localCheckpoint()
+    def maxNorm(df: DataFrame, vCol: String) = {
+      val pinned = df.localCheckpoint()
+      pinned.crossJoin(broadcast(pinned.agg(max(vCol).as("_mx"))))
+        .select(pinned.columns.filter(_ != vCol).map(col) :+
           expr(s"($vCol * 1000000) div _mx").as(vCol): _*)
+    }
     val a1 = maxNorm(e.groupBy("p").agg((count(lit(1)) * 1000000L).as("a")), "a")
     val h1 = maxNorm(e.join(a1, "p").groupBy("c").agg(sum("a").as("h")), "h")
     maxNorm(e.join(h1, "c").groupBy("p").agg(sum("h").as("a")), "a")

@@ -1244,6 +1244,11 @@ object CurationQueries {
         .select((col("l_suppkey") + 1000000000000L).as("s"),
           col("o_custkey").as("c"))
         .distinct()
+        // pinned: the fact⋈fact join + distinct feeds both edge
+        // directions AND the seed derivation — unpinned, the seeds'
+        // lineage re-ran the whole join a second time (PPR pins the
+        // edge list internally but cannot see the seeds' lineage)
+        .localCheckpoint()
       val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
         .union(pairs.select(col("c").as("src"), col("s").as("dst")))
       val seeds = edges.select(col("src").as("id"))
