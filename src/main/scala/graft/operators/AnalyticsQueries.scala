@@ -1937,6 +1937,10 @@ object AnalyticsQueries {
         .select((col("l_suppkey") + 1000000000000L).as("s"),
           col("o_custkey").as("c"))
         .distinct()
+        // pinned: both edge directions and the source derivation read
+        // the fact⋈fact join (boundedHops pins the edge list internally
+        // but cannot see the sources' lineage) — q255's pattern
+        .localCheckpoint()
       val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
         .union(pairs.select(col("c").as("src"), col("s").as("dst")))
       val sources = pairs

@@ -386,6 +386,9 @@ object ScienceQueries {
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .select((col("l_suppkey") + 1000000000000L).as("sk"), col("o_custkey").as("ck"))
         .distinct()
+        // pinned: both union branches of the edge list re-derive the
+        // fact⋈fact join otherwise (q255's pattern)
+        .localCheckpoint()
       val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
         .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
         .localCheckpoint()
