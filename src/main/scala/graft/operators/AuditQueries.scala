@@ -196,18 +196,19 @@ object AuditQueries {
             col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-        // pinned: the lineitem self-join + distinct is referenced by
-        // both adjacency directions, the degree pass AND the novelty
-        // anti-join — unpinned, the wedge join's two pivot sides each
-        // re-derived it (≤9 executions of the self-join in the lazy
-        // plan, modulo runtime exchange reuse)
-        .localCheckpoint()
+      // adj is pinned (NOT e0, NOT piv): the degree pass and the pivot
+      // join both read adj, so pinning it executes the lineitem
+      // self-join once for that whole subtree, while e0 stays LAZY for
+      // the novelty anti-join (keeping its size stats so the planner
+      // can broadcast it locally) and piv stays lazy so the wedge
+      // self-join's two sides share ONE exchange via ReuseExchange —
+      // the q154 triangle lesson: a checkpoint there replaces working
+      // exchange reuse with an extra materialization
       val adj = e0.select(col("a").as("z"), col("b").as("n"))
         .unionAll(e0.select(col("b").as("z"), col("a").as("n")))
+        .localCheckpoint()
       val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
       val piv = adj.join(deg, "z").filter(col("d") <= 64)
-        // pinned: both wedge sides (x, y) read the pivot list
-        .localCheckpoint()
       val cand = piv.as("x").join(piv.as("y"),
           col("x.z") === col("y.z") && col("x.n") < col("y.n"))
         .groupBy(col("x.n").as("u"), col("y.n").as("v"))
