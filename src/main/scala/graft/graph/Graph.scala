@@ -366,8 +366,16 @@ object Graph {
     * factored here so adversarial topologies (disconnected blocks,
     * degree ties) are spec-pinned against a sequential reference
     * (GraphAdversarialSpec).
+    *
+    * `pin` cuts lineage at the edge list and each half-step (the
+    * production default is `localCheckpoint`); PlanSpec passes
+    * `identity` to assert the COMPOSED plan's shape (map-side combine
+    * per half-step, broadcast-only normalization), which the pinned
+    * plan truncates at the checkpoint cuts.
     */
-  def hitsAuthMicro(edges: DataFrame): DataFrame = {
+  def hitsAuthMicro(
+      edges: DataFrame,
+      pin: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     // Pin the edge list once and each half-step's UN-normalized scores:
     // every maxNorm references its input twice (rows + the 1-row max)
     // and every half-step joins the edge list again, so the fully-lazy
@@ -377,9 +385,9 @@ object Graph {
     // every run. Pinned, the plan is linear: three node-sized
     // checkpoints plus one edge-list job, each half-step one join + one
     // grouped sum over pinned blocks.
-    val e = edges.select(col("c"), col("p")).localCheckpoint()
+    val e = pin(edges.select(col("c"), col("p")))
     def maxNorm(df: DataFrame, vCol: String) = {
-      val pinned = df.localCheckpoint()
+      val pinned = pin(df)
       pinned.crossJoin(broadcast(pinned.agg(max(vCol).as("_mx"))))
         .select(pinned.columns.filter(_ != vCol).map(col) :+
           expr(s"($vCol * 1000000) div _mx").as(vCol): _*)

@@ -733,11 +733,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q233 HITS: edge-keyed equi-joins + broadcast max-norms only") {
+    // The production plan is truncated at hitsAuthMicro's localCheckpoint
+    // pins (each half-step materializes), so the half-step invariant is
+    // asserted on the COMPOSED plan: pin = identity reproduces the full
+    // unrolled lineage.
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+      .toDF("c", "p")
+    val composed = graft.graph.Graph.hitsAuthMicro(edges, pin = identity)
+      .queryExecution.executedPlan.toString
+    assert(!composed.contains("CartesianProduct"),
+      s"normalization constants must broadcast:\n$composed")
+    val nAggs = "HashAggregate".r.findAllIn(composed).length
+    assert(nAggs >= 4, s"each half-step sum must map-side combine:\n$composed")
+
+    // The pinned production plan: the visible fragment reads checkpointed
+    // blocks (the pins are real) and the final max-norm still map-side
+    // combines its 1-row broadcast max.
     val plan = planOf("q233_hits")
     assert(!plan.contains("CartesianProduct"),
       s"normalization constants must broadcast:\n$plan")
-    val nAggs = "HashAggregate".r.findAllIn(plan).length
-    assert(nAggs >= 4, s"each half-step sum must map-side combine:\n$plan")
+    val nPinned = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(nPinned >= 2, s"half-step pins must truncate the plan:\n$plan")
+    val nAggsPinned = "HashAggregate".r.findAllIn(plan).length
+    assert(nAggsPinned >= 2, s"final max must map-side combine:\n$plan")
   }
 
   test("q234 seasonal: profile broadcasts; medians partition by type (no global sort)") {
