@@ -24,6 +24,7 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue())),
     "graft_md5long" -> (exprs => Md5Long60Expr(exprs(0))),
     "graft_ws_tokens" -> (exprs => WsTokensExpr(exprs(0))),
+    "graft_char_bigrams" -> (exprs => CharBigramCodesExpr(exprs(0))),
     "graft_nfc" -> (exprs => NfcNormalize(exprs(0))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs(0))),
     // graft_multi_match(text, t1, t2, ...): the term list is a constant

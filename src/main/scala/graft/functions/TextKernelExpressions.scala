@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native scalar md5-60bit: `graft_md5long(s)` → long.
@@ -124,6 +124,85 @@ object WsTokensExpr {
   }
 }
 
+/** Native [a-z ]² char-bigram codes: `graft_char_bigrams(s)` →
+  * array<int> of c1·27 + c2 (a..z → 0..25, space → 26) for every
+  * adjacent CHARACTER pair whose two chars both lie in [a-z ], in
+  * order.
+  *
+  * Bit-for-bit equal to the composed spelling
+  * `filter(transform(sequence(1, length(s)-1), i -> substring(s, i, 2)),
+  * g -> g rlike '^[a-z ]{2}$')` mapped to codes: multi-byte characters
+  * never qualify (their lead byte is ≥ 0x80, outside [a-z ]), so a
+  * single byte scan that steps character starts via the UTF-8 length of
+  * each lead byte visits exactly the same character pairs `substring`
+  * does.
+  *
+  * Why native: the composed form is O(len²) — `substring(s, i, 2)`
+  * walks the string from byte 0 to find character i on EVERY call — and
+  * allocates a 2-char string plus a regex match per character of the
+  * corpus. This kernel is one O(len) pass emitting a primitive int
+  * array. The LM scoring paths (q239) group on the code, so no string
+  * key ever leaves the scan stage.
+  */
+case class CharBigramCodesExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_char_bigrams expects string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_char_bigrams"
+
+  override def nullSafeEval(input: Any): Any =
+    CharBigramCodesExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val helper = CharBigramCodesExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $helper.compute($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharBigramCodesExpr {
+  /** a..z → 0..25, space → 26, anything else (incl. multi-byte lead and
+    * continuation bytes, which are negative as signed bytes) → -1. */
+  private def code(b: Byte): Int =
+    if (b == 0x20) 26
+    else if (b >= 'a' && b <= 'z') b - 'a'
+    else -1
+
+  /** Single-pass byte-scan bigram coder, shared by eval and codegen. */
+  def compute(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    var prev = -1
+    while (i < n) {
+      val c = code(bytes(i))
+      if (prev >= 0 && c >= 0) count += 1
+      prev = c
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    val out = new Array[Int](count)
+    var m = 0
+    i = 0
+    prev = -1
+    while (i < n) {
+      val c = code(bytes(i))
+      if (prev >= 0 && c >= 0) { out(m) = prev * 27 + c; m += 1 }
+      prev = c
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextKernelFunctions {
   /** Lower 60 bits of md5 as a long — the engine-portable hash. */
   def graftMd5Long(s: Column): Column =
@@ -132,4 +211,8 @@ object TextKernelFunctions {
   /** Whitespace tokens, empties dropped. */
   def graftWsTokens(s: Column): Column =
     Bridge.column(WsTokensExpr(Bridge.expression(s)))
+
+  /** [a-z ]² char-bigram codes (c1·27 + c2), multi-byte chars excluded. */
+  def graftCharBigrams(s: Column): Column =
+    Bridge.column(CharBigramCodesExpr(Bridge.expression(s)))
 }

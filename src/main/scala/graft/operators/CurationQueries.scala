@@ -278,16 +278,28 @@ object CurationQueries {
       val d2 = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
         .filter(length(col("text")) >= 2)
-      val bg = d2.select(col("doc_id"), col("lang"), explode(
-          transform(sequence(lit(1), length(col("text")) - 1),
-            i => col("text").substr(i, lit(2)))).as("g"))
-        .filter(col("g").rlike("^[a-z ]{2}$"))
+      // Per-doc bigram HISTOGRAM in one pass (guide §2.3 "shuffle keys,
+      // not payloads"; §1.2 per-task work): graft_char_bigrams emits int
+      // codes (c1·27+c2) in one byte scan — the composed
+      // substring-per-position + regex spelling was O(len²) with a
+      // 2-char string allocated per corpus character — and the map-side
+      // partial aggregate bounds the exchange at ≤ 729 rows per doc.
+      // The pin replaces round 8's corpus-scale bigram-stream checkpoint
+      // (one row PER CHARACTER) with the histogram: both consumers (LM
+      // training on the en slice, per-doc scoring) read the counts, so
+      // the explode pass runs once and nothing char-grained is ever
+      // materialized or shuffled. Codes are internal only — the output
+      // columns are unchanged.
+      val du = d2.select(col("doc_id"), col("lang"), explode(
+          graft.functions.TextKernelFunctions.graftCharBigrams(col("text")))
+          .as("g"))
+        .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("k"))
         .localCheckpoint()
-      val bc = bg.filter(col("lang") === "en")
-        .groupBy("g").agg(count(lit(1)).as("c"))
-      val cc = bc.groupBy(substring(col("g"), 1, 1).as("c1"))
+      val bc = du.filter(col("lang") === "en")
+        .groupBy("g").agg(sum("k").as("c"))
+      val cc = bc.groupBy(expr("g div 27").as("c1"))
         .agg(sum("c").as("ctx"))
-      val lm = bc.join(cc, substring(bc("g"), 1, 1) === cc("c1"))
+      val lm = bc.join(cc, expr("g div 27") === cc("c1"))
         .select(col("g"),
           round(lit(1000000d) *
             log((col("c").cast("double") + 1) / (col("ctx").cast("double") + 27)))
@@ -295,10 +307,8 @@ object CurationQueries {
       val cu = cc.select(col("c1"),
         round(lit(1000000d) * log(lit(1.0) / (col("ctx").cast("double") + 27)))
           .cast("long").as("qln_u"))
-      val du = bg.groupBy("doc_id", "g").agg(count(lit(1)).as("k"))
       du.join(broadcast(lm), Seq("g"), "left")
-        .join(broadcast(cu),
-          substring(col("g"), 1, 1) === col("c1"), "left")
+        .join(broadcast(cu), expr("g div 27") === col("c1"), "left")
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           sum(col("k") * coalesce(col("qln"), col("qln_u"),
@@ -3237,13 +3247,31 @@ object CurationQueries {
       }) { (s, dir) =>
       val uni = dbscanUni(s, dir)
       val rows = Seq(56, 88).map { np =>
-        val bc = Similarity.hyperplaneBuckets(uni, np, 8)
-          .groupBy("band", "bucket").agg(count(lit(1)).as("m"))
-          .filter(col("m").between(2, 1000))
-        val cand = bc.agg(coalesce(
-          sum(expr("m * (m - 1) div 2")), lit(0L)).as("candidate_pairs"))
-        val pr = Similarity.embeddingNearDups(uni, threshold = 0.966,
-          nPlanes = np, bands = 8)
+        // ONE signature + gather pass per width, shared via EXCHANGE
+        // REUSE (guide §2.4), not a pin: the occupancy aggregate
+        // (candidate surface) and pair generation previously each ran
+        // the full hyperplane pipeline over the corpus — 56/88 dot
+        // products per vector, twice per width. Both consumers below
+        // read the SAME (band, bucket) gather exchange (identical
+        // subtree → ReusedExchange), so the signature pass and the
+        // member-gather shuffle run once per width while the two
+        // widths' subtrees still evaluate in parallel inside the one
+        // job — an explicit localCheckpoint pin was measured SLOWER
+        // (2.58 vs 2.33 s mean ABBA) exactly because its eager
+        // materialization serializes the widths that the lazy plan
+        // overlaps. Occupancy m = size(members) under the identical
+        // BETWEEN(2, 1000) guard — the same multiset the former
+        // count(*) aggregate produced.
+        val buckets = Similarity.hyperplaneBuckets(uni, np, 8)
+          .select(col("vec_id").as("id"), col("band"), col("bucket"))
+          .groupBy("band", "bucket")
+          .agg(collect_list(col("id")).as("members"))
+          .filter(size(col("members")).between(2, 1000))
+        val cand = buckets
+          .select(size(col("members")).cast("long").as("m"))
+          .agg(coalesce(
+            sum(expr("m * (m - 1) div 2")), lit(0L)).as("candidate_pairs"))
+        val pr = Similarity.nearDupsFromBuckets(buckets, uni, threshold = 0.966)
         val agg = pr.agg(count(lit(1)).as("verified_pairs"),
           sum(when(col("id_a") >= 2000000L &&
             col("id_b") === col("id_a") + 1 && col("id_a") % 10 <= 8, 1L)

@@ -191,6 +191,24 @@ object Similarity {
       coarseCentroids(corpus, nBuckets, idCol, embCol),
       queries, k, nprobe, idCol, embCol)
 
+  /** [[ivfTopK]] over an ALREADY-bucketed corpus and precomputed
+    * centroid table — the sharing entry for multi-config consumers: a
+    * probe sweep (q319 runs nprobe ∈ {1,2,4,8}) assigns buckets and
+    * aggregates centroids ONCE and reuses both across every level,
+    * instead of rebuilding the identical assignment per level.
+    * Centroids are order-independent by construction (quantized means),
+    * so sharing cannot change any level's result.
+    */
+  private[graft] def ivfTopKPrebuilt(
+      bucketed: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    probeAndSearch(bucketed, centroids, queries, k, nprobe, idCol, embCol)
+
   /** The IVF probe+search core, shared by the build-per-query form and
     * the persisted-index form: rank centroids per query, keep the
     * `nprobe` nearest, search only those buckets.
@@ -500,6 +518,23 @@ object Similarity {
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
+    nearDupsFromBuckets(buckets, corpus, threshold, idCol, embCol)
+  }
+
+  /** Verified near-dup pairs from pre-gathered live-bucket member lists
+    * (`(band, bucket, members)`, already guard-filtered) — the pair
+    * generation + embedding re-attach + cosine verify stage of
+    * [[embeddingNearDups]], factored so a multi-config consumer (q286
+    * computes bucket OCCUPANCY and pairs per width) can share ONE
+    * signature + bucket-gather pass between both readers instead of
+    * running the whole hyperplane pipeline twice per width.
+    */
+  private[graft] def nearDupsFromBuckets(
+      buckets: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
     val pairsCol = flatten(transform(col("members"), (x, i) =>
       transform(slice(col("members"), i + 2, size(col("members"))),
         y => struct(least(x, y).as("id_a"), greatest(x, y).as("id_b")))))

@@ -78,6 +78,60 @@ class TextKernelExpressionsSpec extends SparkSpec {
     assert(viaEval == viaCodegen)
   }
 
+  // the composed spelling graft_char_bigrams replaces in q239: every
+  // adjacent char pair matching ^[a-z ]{2}$, mapped to c1·27 + c2
+  private val bigramComposed = (c: org.apache.spark.sql.Column) =>
+    transform(
+      filter(
+        transform(sequence(lit(1), greatest(length(c) - 1, lit(0))),
+          i => c.substr(i, lit(2))),
+        g => g.rlike("^[a-z ]{2}$")),
+      g => (when(substring(g, 1, 1) === " ", 26)
+          .otherwise(ascii(substring(g, 1, 1)) - 97) * 27 +
+        when(substring(g, 2, 1) === " ", 26)
+          .otherwise(ascii(substring(g, 2, 1)) - 97)).cast("int"))
+
+  private val bigramAdversarial = adversarial ++ Seq(
+    "ab", "a b", "zz zz", "ABC abc", "a1b2 cd", "{a}[b]",
+    "éa aé aa é", "日a a日 ab", "aéb", "aéz zz", "emoji 😀 ab",
+    "trailing a", "a", "z", " ", "  ", "az za")
+
+  test("graft_char_bigrams == substring+rlike spelling on real docs") {
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+    val bad = df.select(
+        TextKernelFunctions.graftCharBigrams($"text").as("a"),
+        bigramComposed($"text").as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(bad == 0)
+  }
+
+  test("graft_char_bigrams matches on adversarial strings incl. unicode") {
+    val df = bigramAdversarial.toDF("s")
+    val rows = df.select(
+      TextKernelFunctions.graftCharBigrams($"s").as("a"),
+      bigramComposed($"s").as("b"), $"s").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), s"on '${r.getString(2)}'")
+    }
+  }
+
+  test("graft_char_bigrams: interpreted eval path agrees with codegen") {
+    val viaEval = bigramAdversarial.map(s =>
+      CharBigramCodesExpr.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        .toIntArray().toSeq)
+    val viaCodegen = bigramAdversarial.toDF("s")
+      .select(TextKernelFunctions.graftCharBigrams($"s"))
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(viaEval == viaCodegen)
+  }
+
+  test("graft_char_bigrams null in, null out") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(TextKernelFunctions.graftCharBigrams($"s")).head
+    assert(r.isNullAt(0))
+  }
+
   test("SQL surface: graft_md5long and graft_ws_tokens registered") {
     val r = spark.sql(
       "SELECT graft_md5long('abc') AS h, graft_ws_tokens(' a  b ') AS t").head
