@@ -1669,16 +1669,39 @@ object AnalyticsQueries {
       def fold(df: DataFrame) = df.groupBy("bucket").agg(sum("cnt").as("cnt"))
       val twoStep = fold(fold(st.filter(col("m") < cut))
         .unionByName(fold(st.filter(col("m") >= cut))))
+      // associativity witness without the former constructor-time
+      // merged.count() job: every bucket must appear in BOTH folds with
+      // the same count — a strictly stronger condition than the old
+      // distinct-count + group-count compare, identically true for the
+      // exact integer-sum merge (same output value)
       val mergeExact = merged.unionByName(twoStep)
-        .groupBy("bucket").agg(count_distinct(col("cnt")).as("d"))
-        .agg((max("d") === 1 && count(lit(1)) === merged.count()).as("ok"))
+        .groupBy("bucket").agg(count_distinct(col("cnt")).as("d"),
+          count(lit(1)).as("nsrc"))
+        .agg((max("d") === 1 && min("nsrc") === 2 && max("nsrc") === 2)
+          .as("ok"))
       val tot = merged.agg(sum("cnt").as("n"),
         ((sum("cnt") + 1) / 2).cast("long").as("k"))
       val cum = Scale.prefixSumLong(merged, "bucket", "cnt", "c")
       val med = cum.crossJoin(broadcast(tot)).filter(col("c") >= col("k"))
         .agg(min("bucket").as("mb"))
-      val ranked = Scale.globalRank(t.select("cents"), "r", "cents")
-      val ex = ranked.crossJoin(broadcast(tot)).filter(col("r") === col("k"))
+      // exact median WITHOUT ranking the corpus (guide §2.4): the
+      // former globalRank over EVERY cents row range-shuffled, RDD-
+      // cached and checkpointed the whole fact table to read one rank.
+      // The histogram already brackets the median: rows below bucket mb
+      // number c(mb) − cnt(mb), so the global rank-k value is the
+      // rank-j value WITHIN bucket mb, j = k − (c(mb) − cnt(mb)) —
+      // buckets partition the value domain in order, and the rank-k
+      // VALUE is the k-th order statistic regardless of tie order
+      // (same contract the former full rank relied on). Only the
+      // median bucket's rows (≈ 1/|buckets| of the corpus) are ranked.
+      val medInfo = cum.crossJoin(broadcast(med))
+        .filter(col("bucket") === col("mb"))
+        .crossJoin(broadcast(tot))
+        .select(col("mb"), (col("k") - (col("c") - col("cnt"))).as("j"))
+      val inBucket = t.crossJoin(broadcast(medInfo))
+        .filter(expr("cents div 10000") === col("mb"))
+      val ex = Scale.globalRank(inBucket.select("cents", "j"), "r", "cents")
+        .filter(col("r") === col("j"))
         .select(col("cents").as("exact_p50"))
       val nMonths = st.agg(count_distinct(col("m")).as("n_months"))
       nMonths.crossJoin(broadcast(tot))

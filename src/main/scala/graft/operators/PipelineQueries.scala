@@ -2741,15 +2741,16 @@ object PipelineQueries {
           col("n_tokens"),
           (-col("ent_micronat")).as("neg_ent"),
           (-col("n_tokens")).as("neg_len"))
-        .localCheckpoint() // both signal chains run once; 3 rank passes read this
-      def rank(colName: String, rankCol: String) =
-        Scale.globalRank(sig.select("doc_id", colName), rankCol, colName, "doc_id")
-          .select("doc_id", rankCol)
-      sig
-        .join(rank("nll_micro", "r1"), "doc_id")
-        .join(rank("neg_ent", "r2"), "doc_id")
-        .join(rank("neg_len", "r3"), "doc_id")
-        .select(col("doc_id"), col("nll_micro"), col("ent_micronat"),
+      // rank passes CHAINED (guide §2.4): globalRank APPENDS its rank
+      // column and pins its output internally, so each pass ranks the
+      // previous pass's materialized frame — the former shape pinned
+      // sig separately, ranked 3 projections of it, and joined the 3
+      // rank frames back on doc_id (3 joins + 1 extra checkpoint, all
+      // removed; same rank values, every pass ranks the same row set).
+      val r1 = Scale.globalRank(sig, "r1", "nll_micro", "doc_id")
+      val r2 = Scale.globalRank(r1, "r2", "neg_ent", "doc_id")
+      val r3 = Scale.globalRank(r2, "r3", "neg_len", "doc_id")
+      r3.select(col("doc_id"), col("nll_micro"), col("ent_micronat"),
           col("n_tokens"),
           (col("r1") + col("r2") + col("r3")).as("borda"))
         .orderBy("borda", "doc_id")
@@ -5150,8 +5151,19 @@ object PipelineQueries {
         .localCheckpoint() // the truth set; every probe level joins it
       // measured recall denominator (1-row aggregate), mirroring bfn
       val bfn = bf.agg(greatest(count(lit(1)), lit(1L)).as("den"))
+      // build the IVF index ONCE (guide §2.4 remove redundant work):
+      // every probe level previously re-ran the identical bucket
+      // assignment + centroid aggregation (a full corpus agg of 64
+      // quantized element sums, plus a dim-probe job, per level — 4×).
+      // Centroids pin (16 rows); the bucketed corpus stays lazy (a
+      // scan + one hash per row — cheaper to re-scan than to
+      // materialize corpus-sized embedding rows). Quantized means are
+      // order-independent, so sharing cannot change any level's result.
+      val bucketed = emb.withColumn("bucket",
+        Similarity.ivfBucket(col("vec_id"), 16))
+      val cents = Similarity.coarseCentroids(emb, 16).localCheckpoint()
       Seq(1, 2, 4, 8).map { np =>
-        Similarity.ivfTopK(emb, queries, k = 10, nBuckets = 16, nprobe = np)
+        Similarity.ivfTopKPrebuilt(bucketed, cents, queries, k = 10, nprobe = np)
           .select("query_id", "neighbor_id")
           .join(bf, Seq("query_id", "neighbor_id"))
           .agg(count(lit(1)).as("n_hits"))

@@ -89,9 +89,19 @@ object Scale {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
-    val parts = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+    // With no explicit partition count the range exchange is left for
+    // AQE to size (repartitionByRange WITHOUT numPartitions may be
+    // coalesced): partition count tracks the DATA, not a constant —
+    // a customer-grain rank coalesces to a handful of partitions while
+    // a corpus-grain rank keeps shuffle.partitions' parallelism. A
+    // fixed count spent (3 jobs × parts) task launches on every rank
+    // pass regardless of input size — the measured reason the
+    // rank-fusion queries (q312/q147) ran SLOWER at 32 cores than 8.
+    // Coalescing merges ADJACENT range partitions, so the global order
+    // and the per-partition prefix offsets below are unaffected.
+    val ranged = (if (partitions > 0)
+        df.repartitionByRange(partitions, orderCols.map(col): _*)
+      else df.repartitionByRange(orderCols.map(col): _*))
       .sortWithinPartitions(orderCols.map(col): _*)
     val schema = ranged.schema
     val vIdx = schema.fieldIndex(valueCol)
@@ -143,9 +153,11 @@ object Scale {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val spark = df.sparkSession
-    val parts = if (partitions > 0) partitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(parts, orderCols.map(col): _*)
+    // AQE-sized range exchange when no explicit count — see
+    // prefixSumLongByWithTotal
+    val ranged = (if (partitions > 0)
+        df.repartitionByRange(partitions, orderCols.map(col): _*)
+      else df.repartitionByRange(orderCols.map(col): _*))
       .sortWithinPartitions(orderCols.map(col): _*)
     val schema = ranged.schema
     val vIdx = schema.fieldIndex(valueCol)

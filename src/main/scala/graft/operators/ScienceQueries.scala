@@ -1524,16 +1524,22 @@ object ScienceQueries {
         .groupBy("ck")
         .agg(expr("CAST(datediff(max(maxd), max(od)) AS BIGINT)").as("r_days"),
           count(lit(1)).as("f_orders"), sum("cents").as("m_cents"))
-        .localCheckpoint() // three rank passes read it
+      // rank passes CHAINED (guide §2.4): globalRank APPENDS its rank
+      // column and pins its output internally, so each pass ranks the
+      // previous pass's materialized frame — the former shape ranked a
+      // separately-pinned c three times and joined the three rank
+      // frames back on ck (3 joins + 1 extra checkpoint, all removed;
+      // same rank values, every pass ranks the same row set).
       val (rRank, n) = Scale.globalRankWithTotal(
         c.withColumn("neg_r", -col("r_days")), "rr", "neg_r", "ck")
-      val fRank = Scale.globalRank(c, "fr", "f_orders", "ck")
-      val mRank = Scale.globalRank(c, "mr", "m_cents", "ck")
-      val rq = rRank.selectExpr("ck", s"((rr - 1) * 5) div $n + 1 AS r_q")
-      val fq = fRank.selectExpr("ck", s"((fr - 1) * 5) div $n + 1 AS f_q")
-      val mq = mRank.selectExpr("ck", s"((mr - 1) * 5) div $n + 1 AS m_q")
-      c.join(rq, "ck").join(fq, "ck").join(mq, "ck")
-        .selectExpr("CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm_code", "m_cents")
+      val fRank = Scale.globalRank(rRank, "fr", "f_orders", "ck")
+      val mRank = Scale.globalRank(fRank, "mr", "m_cents", "ck")
+      mRank
+        .selectExpr(
+          s"CAST((((rr - 1) * 5) div $n + 1) * 100" +
+            s" + (((fr - 1) * 5) div $n + 1) * 10" +
+            s" + (((mr - 1) * 5) div $n + 1) AS BIGINT) AS rfm_code",
+          "m_cents")
         .groupBy("rfm_code")
         .agg(count(lit(1)).as("n_customers"), sum("m_cents").as("sum_cents"))
         .orderBy("rfm_code")

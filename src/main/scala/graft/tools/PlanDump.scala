@@ -8,7 +8,10 @@ object PlanDump {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       println(s"==== $q ====")
-      println(df.queryExecution.executedPlan.toString.linesIterator.take(40).mkString("\n"))
+      // full EXECUTED plan (post-AQE): runtime stage reuse
+      // (ReusedExchange / table-cache hits) only appears here, never in
+      // the pre-execution explain
+      println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
