@@ -268,6 +268,81 @@ object ScaleProbe {
         "(merge loop is driver-local; corpus work is the one dict aggregation)")
     }
 
+    // Shuffle-BYTE scaling of the keys-only LSH pipelines and the
+    // star-contraction CC round shape (round-8 verdict: the §2.3 byte
+    // reductions are invisible in sf0.1 wall-clock — measure the bytes
+    // themselves). A stage listener accumulates shuffle read/write
+    // across every stage of a timed action; 1× vs 10× corpora give the
+    // scaling rows for SCALE.md. Listener delivery is async — each
+    // snapshot waits for the bus to drain, and nothing else runs
+    // concurrently, so the window is exact.
+    sec("shuffle-bytes") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val rd = new java.util.concurrent.atomic.AtomicLong
+      val wr = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            rd.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            wr.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def bytes(label: String)(body: => Long): (Long, Long) = {
+        Thread.sleep(1500); val r0 = rd.get; val w0 = wr.get
+        val n = body
+        Thread.sleep(1500)
+        val (r, w) = (rd.get - r0, wr.get - w0)
+        println(f"[scaleprobe] bytes-$label: rows=$n " +
+          f"shuffleRead=${r / 1024}%d KiB shuffleWrite=${w / 1024}%d KiB")
+        clearBlocks()
+        (r, w)
+      }
+      // keys-only MinHash LSH (q31/q60/q107 family)
+      bytes("minhash-warm")(
+        Dedup.nearDupPairs(replicate(1), threshold = 0.7).count())
+      val (mr1, _) = bytes("minhash-1x")(
+        Dedup.nearDupPairs(replicate(1), threshold = 0.7).count())
+      val (mrn, _) = bytes(s"minhash-${copies}x")(
+        Dedup.nearDupPairs(replicate(copies), threshold = 0.7).count())
+      println(f"[scaleprobe] minhash shuffle-read ratio=" +
+        f"${mrn.toDouble / math.max(mr1, 1)}%.2f for ${copies}x docs")
+      // keys-only hyperplane LSH, rule-sized (q30/q243/q286 family);
+      // same per-copy sign-mask construction as the emb-lsh wall probe
+      val embB = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      def flip(n: Int): DataFrame =
+        (0 until n).map { k =>
+          val rnd = new scala.util.Random(k * 1000003L + 7)
+          val mask = array(Array.fill(64)(
+            lit(if (rnd.nextBoolean()) 1.0f else -1.0f)): _*)
+          embB.select((col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+            zip_with(col("embedding"), mask, (x, m) => x * m).as("embedding"))
+        }.reduce(_ union _)
+      val (er1, _) = bytes("emb-lsh-1x")(graft.similarity.Similarity
+        .embeddingNearDups(flip(1), 0.966, nPlanes = 56, bands = 8).count())
+      val (ern, _) = bytes(s"emb-lsh-${copies}x-rule-sized")(
+        graft.similarity.Similarity
+          .embeddingNearDups(flip(copies), 0.966, nPlanes = 88, bands = 8)
+          .count())
+      println(f"[scaleprobe] emb-lsh shuffle-read ratio=" +
+        f"${ern.toDouble / math.max(er1, 1)}%.2f for ${copies}x corpus")
+      // star-contraction CC on a chain (the round-8 one-less-exchange
+      // round shape; log-round contraction)
+      def chain(n: Long) = spark.range(n)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val (cr1, _) = bytes("cc-chain-1x")(
+        Dedup.connectedComponents(chain(100000L), maxIter = 40)
+          .select(countDistinct(col("cluster"))).head().getLong(0))
+      val (crn, _) = bytes(s"cc-chain-${copies}x")(
+        Dedup.connectedComponents(chain(copies * 100000L), maxIter = 40)
+          .select(countDistinct(col("cluster"))).head().getLong(0))
+      println(f"[scaleprobe] cc shuffle-read ratio=" +
+        f"${crn.toDouble / math.max(cr1, 1)}%.2f for ${copies}x chain")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
     if (only.nonEmpty) { deferred.foreach(_()); spark.stop(); return }
 
     // warm JIT/codegen on the small case first
