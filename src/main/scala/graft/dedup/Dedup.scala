@@ -968,28 +968,46 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, l: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextAnalysis.wsTokens(col("text"))
+    // window fingerprint = md5Long60 of the space-joined l-gram — the
+    // engine's standard 60-bit portable hash (cdcChunks, winnowing,
+    // fingerprint), replacing the former 32-char md5 HEX string: the
+    // duplicate-gram exchange carries 8 bytes per window instead of
+    // ~48, and no hex string is allocated per corpus position
+    // (guide §2.3 narrower types). The q118 oracle mirrors the same
+    // extraction, so both engines compute the identical function.
     val wins = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= l)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - l),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
+          i => TextAnalysis.md5Long(
+            concat_ws(" ", slice(col("toks"), i + 1, lit(l))))))
           .as(Seq("pos", "g")))
     val dupGrams = wins.groupBy("g")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select("g")
     val dupPos = wins.join(dupGrams, "g").select("doc_id", "pos")
-    val covered = dupPos
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (l - 1))).as("idx"))
-      .distinct()
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    covered
-      .withColumn("island", col("idx") - row_number().over(w))
+    // Merge the [pos, pos+l) cover intervals directly (guide §2.4):
+    // the former shape exploded every window into its l covered
+    // indices, ran a corpus×l distinct, and windowed over the index
+    // rows. Interval merge touches one row per duplicated window: a
+    // new island starts exactly where pos exceeds the running max end
+    // of all earlier intervals in the doc (pos == prev end means the
+    // covered index ranges touch — same island, as consecutive covered
+    // indices were). Both windows share one per-doc sort; per-doc
+    // frames stay bounded (never a global window).
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + l)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    dupPos
+      .withColumn("newIsland",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum("newIsland")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("doc_id", "island")
-      .agg(min("idx").cast("long").as("span_start"),
-        (max("idx") + 1).cast("long").as("span_end"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + l).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_tokens"))
   }

@@ -1674,7 +1674,7 @@ object PipelineQueries {
       s"""WITH t AS (
          |  SELECT source, $toksSql AS toks FROM documents),
          |s AS (
-         |  SELECT DISTINCT source, g FROM (
+         |  SELECT DISTINCT source, ${OracleSql.md5Long("g")} AS g FROM (
          |    SELECT source,
          |           unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
          |                ELSE list_transform(range(1, len(toks) - 3),
@@ -1697,9 +1697,17 @@ object PipelineQueries {
          |JOIN sz za ON za.source = p.src_a
          |JOIN sz zb ON zb.source = p.src_b
          |ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+      // 60-bit hashed 5-grams (the engine's standard portable gram
+      // fingerprint — guide §2.3 narrower types): the distinct, the df
+      // aggregate and the self-join all key on an 8-byte long instead
+      // of a ~5-token string; the oracle applies the identical md5Long
+      // extraction to its gram strings, so both engines compute the
+      // same function. GramMd5Hashes' <k-token whole-doc gram matches
+      // the CASE branch.
       val sg = Tables.documents(s, dir)
         .select(col("source"),
-          explode(TextAnalysis.shingles(col("text"), 5)).as("g"))
+          explode(graft.functions.GramHashFunctions.graftGramMd5(
+            TextAnalysis.wsTokens(col("text")), 5)).as("g"))
         .distinct()
         .localCheckpoint() // referenced three times (df, pairs, sizes)
       val dfreq = sg.groupBy("g").agg(count(lit(1)).as("nsrc"))
@@ -1729,7 +1737,7 @@ object PipelineQueries {
       s"""WITH ${twinDocsCtes("graftdupspan")},
          |w AS (
          |  SELECT doc_id, i - 1 AS pos,
-         |         md5(array_to_string(toks[i:i+15], ' ')) AS g
+         |         ${OracleSql.md5Long("array_to_string(toks[i:i+15], ' ')")} AS g
          |  FROM t, unnest(range(1, len(toks) - 14)) AS u(i)
          |  WHERE len(toks) >= 16),
          |dg AS (SELECT g FROM w GROUP BY g HAVING count(*) >= 2),
