@@ -17,6 +17,10 @@ object GraftFunctions {
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Number].intValue())),
     "graft_simhash" -> (exprs => SimHashSketch(exprs(0))),
+    "graft_hyperplane_bands" -> (exprs => HyperplaneBandsExpr(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(),
+      exprs(2).eval().asInstanceOf[Number].intValue(),
+      exprs(3).eval().asInstanceOf[Number].intValue())),
     "graft_gram_md5" -> (exprs => GramMd5Hashes(exprs(0),
       exprs(1).eval().asInstanceOf[Number].intValue(),
       exprs(2).eval().asInstanceOf[Boolean])),

@@ -403,8 +403,9 @@ object Similarity {
   def planeWeight(p: Int, i: Int): Double =
     // deliberately the (deprecated) productHash: these constants are
     // PINNED — the q30/q102/q106 oracles bake them as SQL literals, so
-    // the hash function must never drift (caseClassHash seeds differ)
-    scala.util.hashing.MurmurHash3.productHash((p, i)).toDouble / Int.MaxValue
+    // the hash function must never drift (caseClassHash seeds differ).
+    // ONE definition, shared with the native band-bucket kernel.
+    graft.functions.HyperplaneBandsExpr.planeWeight(p, i)
 
   /** (id, emb, band, bucket) rows — one per signature band — from
     * random-hyperplane sign-bit signatures; the candidate-generation
@@ -424,48 +425,26 @@ object Similarity {
       return corpus.select(col(idCol), col(embCol),
         lit(0).as("band"), lit(0L).as("bucket")).limit(0)
     val dim = firstRow.head.getInt(0)
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map(i => planeWeight(p, i))
-    }
-    // Plane weights as one array<array<double>> literal and the signature
-    // as array folds: the generated code is a LOOP over the data, not
-    // nPlanes × dim unrolled multiply terms — the unrolled form blew the
-    // JVM's 64 KB method limit (whole-stage codegen fell back to
-    // interpreted projection). Fold order matches the unrolled form's
-    // left-associated sum, so signatures are bit-identical.
-    val planesCol: Column = array(planes.map(p => array(p.map(lit): _*)): _*)
-    // one sign-bit fold PER BAND (not one packed Long for the whole
-    // signature): bucket bit j of band bi is the sign of plane
-    // bi·rowsPerBand + j — bit-identical to the former shiftright/AND
-    // extraction for every legacy config, but the bucket-space ceiling
-    // is now 63 bits PER BAND (2^63 values) instead of 63 bits across
-    // ALL bands. That ceiling is what the documented "grow nPlanes with
-    // the corpus" rule runs into at ~1e9 vectors (needs ~30 bits/band).
+    // one sign-bit Long bucket PER BAND: bucket bit j of band bi is the
+    // sign of plane bi·rowsPerBand + j — the bucket-space ceiling is 63
+    // bits PER BAND (2^63 values), which is what the documented "grow
+    // nPlanes with the corpus" rule leans on at ~1e9 vectors.
     val rowsPerBand = nPlanes / bands
     require(rowsPerBand <= 63,
       s"rowsPerBand must fit one Long bucket, got $rowsPerBand")
-    // the dot products are PROJECTED once per row before the band folds
-    // read them — inlining the `dots` tree into each of the `bands`
-    // aggregates re-evaluates all nPlanes dot products per band (no CSE
-    // across array elements; measured 3× on q243)
-    def dots(emb: Column): Column =
-      transform(planesCol, plane =>
-        aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x))
-    def bandBuckets(d: Column): Column =
-      array((0 until bands).map { bi =>
-        aggregate(slice(d, bi * rowsPerBand + 1, rowsPerBand),
-          struct(lit(0L).as("sig"), lit(1L).as("bit")),
-          (acc, dd) => struct(
-            when(dd >= 0, acc.getField("sig").bitwiseOR(acc.getField("bit")))
-              .otherwise(acc.getField("sig")).as("sig"),
-            (acc.getField("bit") * 2).as("bit")),
-          acc => acc.getField("sig"))
-      }: _*)
-    corpus
-      .select(col(idCol), col(embCol), dots(col(embCol)).as("_dots"))
-      .select(col(idCol), col(embCol),
-        posexplode(bandBuckets(col("_dots"))).as(Seq("band", "bucket")))
+    // All nPlanes dot products + every band's sign-bit fold in ONE
+    // native fused loop (HyperplaneBandsExpr — guide §1.2 per-task
+    // work): higher-order functions run INTERPRETED, so the former
+    // composed form (transform over an array<array<double>> literal of
+    // aggregate(zip_with(...)) dots, then a sign-bit fold per band)
+    // allocated a zipped array and dispatched a lambda per element PER
+    // PLANE per row — 56–88 × 64 boxed multiply-adds on every corpus
+    // vector in the q30/q243/q286 family. Bit-for-bit equivalence with
+    // the composed spelling (fold order, null/dim-mismatch edge
+    // behavior, NaN sign ranking) is pinned in VectorExpressionsSpec.
+    corpus.select(col(idCol), col(embCol),
+      posexplode(graft.functions.VectorFunctions.graftHyperplaneBands(
+        col(embCol), nPlanes, bands, dim)).as(Seq("band", "bucket")))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bucketed by

@@ -136,4 +136,93 @@ class VectorExpressionsSpec extends SparkSpec {
       s"unrelated fold was rewritten:\n$plan")
     assert(df.collect().forall(_.getDouble(0) == 0.0))
   }
+
+  // ---- graft_hyperplane_bands: the composed reference spelling the
+  // kernel replaced in Similarity.hyperplaneBuckets (plane-literal
+  // transform of aggregate(zip_with) dots, then a sign-bit fold per
+  // band) — kept here verbatim as the executable spec.
+  private def composedBands(
+      embCol: org.apache.spark.sql.Column,
+      nPlanes: Int, bands: Int, dim: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val planes = (0 until nPlanes).map { p =>
+      (0 until dim).map(i => Similarity.planeWeight(p, i))
+    }
+    val planesCol = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val rowsPerBand = nPlanes / bands
+    val dots = transform(planesCol, plane =>
+      aggregate(zip_with(embCol, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x))
+    array((0 until bands).map { bi =>
+      aggregate(slice(dots, bi * rowsPerBand + 1, rowsPerBand),
+        struct(lit(0L).as("sig"), lit(1L).as("bit")),
+        (acc, dd) => struct(
+          when(dd >= 0, acc.getField("sig").bitwiseOR(acc.getField("bit")))
+            .otherwise(acc.getField("sig")).as("sig"),
+          (acc.getField("bit") * 2).as("bit")),
+        acc => acc.getField("sig"))
+    }: _*)
+  }
+
+  test("graft_hyperplane_bands is BIT-exact with the composed band folds on real data") {
+    import org.apache.spark.sql.functions._
+    Seq((56, 8), (88, 8), (16, 4)).foreach { case (np, nb) =>
+      val diff = emb.select(
+          VectorFunctions.graftHyperplaneBands($"embedding", np, nb, 64).as("a"),
+          composedBands($"embedding", np, nb, 64).as("b"))
+        .filter(not($"a" <=> $"b")).count()
+      assert(diff == 0, s"bands differ for nPlanes=$np bands=$nb")
+    }
+  }
+
+  test("graft_hyperplane_bands edge behavior matches the composed form") {
+    import org.apache.spark.sql.functions._
+    // null embedding, wrong dimension, null element: composed dots go
+    // null and every sign test takes the otherwise branch → all-zero
+    // buckets (never a null array)
+    val rows = Seq(
+      (1L, Some(Seq.fill(64)(Some(0.5f)))),               // normal
+      (2L, None),                                         // null emb
+      (3L, Some(Seq.fill(32)(Some(0.5f)))),               // short
+      (4L, Some(Seq.fill(70)(Some(0.5f)))),               // long
+      (5L, Some(Seq.tabulate(64)(i =>
+        if (i == 7) None else Some(0.5f)))),              // null element
+      (6L, Some(Seq.fill(64)(Some(0.0f)))))               // zero vector
+      .toDF("id", "embedding")
+      .select($"id", $"embedding".cast("array<float>").as("embedding"))
+    val got = rows.select($"id",
+        VectorFunctions.graftHyperplaneBands($"embedding", 16, 4, 64).as("a"),
+        composedBands($"embedding", 16, 4, 64).as("b"))
+      .collect()
+    got.foreach { r =>
+      assert(!r.isNullAt(1), s"kernel returned null for id=${r.getLong(0)}")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"edge mismatch for id=${r.getLong(0)}: " +
+          s"${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+  }
+
+  test("graft_hyperplane_bands: interpreted eval agrees with codegen") {
+    val expr = VectorFunctions.graftHyperplaneBands($"embedding", 56, 8, 64)
+    val withCodegen = emb.limit(50).select($"vec_id", expr.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = emb.limit(50).select($"vec_id", expr.as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(withCodegen == interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_hyperplane_bands is callable from SQL") {
+    emb.limit(3).createOrReplaceTempView("vx_emb")
+    val r = spark.sql(
+      "SELECT graft_hyperplane_bands(embedding, 16, 4, 64) AS b FROM vx_emb")
+      .collect()
+    assert(r.forall(_.getSeq[Long](0).length == 4))
+  }
 }
